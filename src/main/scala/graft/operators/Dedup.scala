@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for a training-data pipeline:
+  * exact (normalized-hash groupBy), n-gram Jaccard (token-inverted-index
+  * join), MinHash+LSH (shingle -> signature -> band -> bucket join),
+  * SimHash (hamming-close fingerprints), and embedding-cosine near-dup.
+  *
+  * Scale notes:
+  *  - exact dedup is one hash-partition shuffle on the digest.
+  *  - jaccard via the inverted index (doc,token) join is the classic
+  *    scalable formulation: |pairs| is bounded by co-occurrence, not
+  *    |docs|^2. Hot tokens are the skew risk — cap document frequency
+  *    (drop tokens appearing in > dfCap docs, which carry no signal).
+  *  - minhash-LSH band-bucket join replaces the cross product entirely;
+  *    bucket caps bound the worst case.
+  */
+object Dedup {
+
+  /** Normalized exact-dup digest. */
+  def exactDigest(text: Column): Column = md5(lower(trim(text)))
+
+  /** Exact dedup: one surviving doc id per digest plus group size. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(exactDigest(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (doc, token) inverted index. */
+  def tokenIndex(docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(array_distinct(toks)).as("token"))
+
+  /** Banded self-join on an id-gap predicate: pairs (a, b) with
+    * a.id < b.id and b.id - a.id <= gap, computed as an EQUI-join on
+    * block = id / gap (b-side emitted into its own and the previous
+    * block) instead of a theta join. At scale this is the difference
+    * between a hash join on well-spread keys and a nested-loop /
+    * low-cardinality-key explosion: with gap-banding the intermediate
+    * is O(pairs-within-gap), never O(n^2).
+    *
+    * `a` and `b` must already carry an `id` column plus any payload;
+    * extra equi keys (e.g. the token of an inverted index) are appended
+    * to the join key.
+    */
+  private[operators] def bandedPairs(a: DataFrame, b: DataFrame,
+                                     gap: Long,
+                                     extraKeys: Seq[String]): DataFrame = {
+    val aBlk = a.withColumn("__blk", floor(col("id_a") / gap))
+    val bBlk = b.withColumn("__blk",
+        explode(array(floor(col("id_b") / gap), floor(col("id_b") / gap) - 1)))
+    aBlk.join(bBlk, Seq("__blk") ++ extraKeys)
+      .filter(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= gap)
+      .drop("__blk")
+  }
+
+  /** Pairwise Jaccard similarity >= `threshold` via inverted-index join.
+    * `maxIdGap` optionally restricts candidates to nearby ids (used by
+    * the oracle-checked query to keep the result set deterministic and
+    * bounded); pass None for the full pairing.
+    * `dfCap`: ignore tokens present in more than this many docs (hot
+    * keys — no discriminative value, pure skew at scale).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, toks: Column,
+                   threshold: Double, maxIdGap: Option[Long],
+                   dfCap: Option[Long] = None): DataFrame = {
+    var idx = tokenIndex(docs, idCol, toks)
+    dfCap.foreach { cap =>
+      val hot = idx.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("token")
+      idx = idx.join(broadcast(hot), Seq("token"), "left_anti")
+    }
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val a = idx.select(col("doc").as("id_a"), col("token"))
+    val b = idx.select(col("doc").as("id_b"), col("token"))
+    val joined = maxIdGap match {
+      // gap-bounded: band the id range so the join is equi on
+      // (block, token) — O(pairs-within-gap) intermediate, no
+      // low-cardinality-token explosion.
+      case Some(g) => bandedPairs(a, b, g, Seq("token"))
+      case None => a.join(b, Seq("token"))
+        .filter(col("id_a") < col("id_b"))
+    }
+    val inter = joined
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard", graft.rnd(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature of a string-array column: `nHashes` independent
+    * min-hashes, each xxhash64 seeded by the permutation index (fully
+    * deterministic, no Random). */
+  def minhashSignature(elems: Column, nHashes: Int): Column =
+    array((0 until nHashes).map { i =>
+      array_min(transform(elems, e => xxhash64(lit(i), e)))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
+    * on the shingle sets.
+    *
+    * signature -> `bands` bands of `rows` hashes; docs sharing any
+    * (band, band-hash) bucket are candidates; buckets above `bucketCap`
+    * are dropped (skew guard). Candidates are then verified exactly.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, shingles: Column,
+                      threshold: Double, bands: Int = 8, rows: Int = 4,
+                      bucketCap: Int = 200): DataFrame = {
+    val nHashes = bands * rows
+    val sigd = docs
+      .select(col(idCol).as("doc"), array_distinct(shingles).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), nHashes))
+    val banded = sigd.select(col("doc"), col("sh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc"), col("sh"), col("bb.band"), col("bb.bh"))
+    val capped = banded.withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= bucketCap)
+    val l = capped.select(col("band"), col("bh"),
+      col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = capped.select(col("band"), col("bh"),
+      col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val cands = l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands.withColumn("jaccard", graft.rnd(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of a token-array column, as a pure expression:
+    * per bit, sum +1/-1 over token hashes and take the sign. Token
+    * multiplicity is honoured (no distinct).
+    */
+  def simhash64(toks: Column): Column = {
+    val nonEmpty = filter(toks, t => length(t) > 0)
+    val bits = (0 until 64).map { b =>
+      val contrib = aggregate(
+        transform(nonEmpty, t =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        lit(0), (acc, x) => acc + x)
+      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a doc-id gap window: hamming
+    * distance (bit_count of xor) <= maxHamming. The id-gap bound keeps
+    * the pairing linear; the full-scale variant would band the 64 bits
+    * into 4 x 16-bit keys and bucket-join (any band equal => candidate).
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, toks: Column,
+                      maxHamming: Int, maxIdGap: Long): DataFrame = {
+    val h = docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
+    val a = h.select(col("doc").as("id_a"), col("sim").as("sim_a"))
+    val b = h.select(col("doc").as("id_b"), col("sim").as("sim_b"))
+    bandedPairs(a, b, maxIdGap, Seq.empty)
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs within an id-gap candidate window
+    * (oracle-checkable bounded form; the unbounded form goes through
+    * Similarity.lshTopK buckets instead of the id window).
+    */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, maxIdGap: Long): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    bandedPairs(a, b, maxIdGap, Seq.empty)
+      .withColumn("cos", graft.rnd(Similarity.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

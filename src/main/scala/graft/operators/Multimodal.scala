@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct alongside
+  * (`modality`, `n_bytes`, `content_hash`). Decode / feature-extract
+  * run per-partition over iterators (the Scala analogue of a batched
+  * Pandas UDF: one JVM call per partition, streaming through rows, no
+  * per-row lambda dispatch, bounded memory).
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): `fakeDecode` derives deterministic pseudo-features from
+  * the bytes. The Spark-side contract — schema, batch iteration,
+  * partition sizing — is real and tested (MultimodalSpec).
+  *
+  * Scale note: payloads at 100 TB dominate row size, so ops that don't
+  * need the bytes must prune the column (columnar parquet reads make
+  * that free) — metadata-only queries never touch the blob. Feature
+  * extraction repartitions by size-balanced ranges, not by count, when
+  * blob sizes are skewed.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Attach the binary payload + typed metadata to a text corpus (the
+    * test fixture treats utf-8 text bytes as the "media"; a real corpus
+    * arrives with the blob column already populated). */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String,
+                  modality: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit(modality).as("modality"),
+        octet_length(encode(col(textCol), "UTF-8")).as("n_bytes"),
+        sha2(encode(col(textCol), "UTF-8"), 256).as("content_hash")
+      ).as("meta"))
+
+  /** Deterministic fake decoder standing in for a real image decode:
+    * derives (width, height, 8-dim feature) purely from the bytes. */
+  private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = bytes.length
+    val width = 16 + (n % 64)
+    val height = 16 + ((n / 64) % 64)
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < n) {
+      feat(i % 8) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    (width, height, feat)
+  }
+
+  /** Batched per-partition feature extraction over the payload column —
+    * the mapInPandas-shaped stage. Input must have doc_id, payload,
+    * meta.modality. */
+  def extractFeatures(spark: SparkSession, withBlobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    withBlobs
+      .select(col("doc_id"), col("payload"), col("meta.modality").as("modality"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val modality = r.getAs[String]("modality")
+          val (w, h, feat) = fakeDecode(bytes)
+          Row(id, modality, bytes.length, w, h, feat.toSeq)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `ArrayType(FloatType)` embedding
+  * column: brute-force cosine top-k (exact baseline), kNN label vote,
+  * and a random-hyperplane LSH bucketed ANN (the scale path).
+  *
+  * All kernels are pure column expressions (`zip_with`/`aggregate`
+  * fold), so they stay inside whole-stage codegen; floats are widened to
+  * double BEFORE arithmetic so results are bit-stable and
+  * oracle-comparable.
+  *
+  * Scale notes:
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    candidate corpus — a map-side nested loop, no shuffle of the big
+  *    side; the only shuffle is the final per-query top-k window, keyed
+  *    by query id (perfectly spread).
+  *  - at 100 TB the corpus side stays partitioned; LSH bucketing turns
+  *    the cross product into a bucket-equi-join, which Spark plans as a
+  *    hash join on bucket id. Bucket-size capping bounds skew.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double elements. */
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Dot product of two double-array columns (index-order fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Exact brute-force cosine top-k: for each query row (small set,
+    * broadcast), the k nearest candidate rows by cosine, deterministic
+    * tiebreak on candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("q_vec"),
+        sqrt(normSq(toDouble(col(vecCol)))).as("q_norm")))
+    val c = candidates.select(col(idCol).as("c_id"),
+      toDouble(col(vecCol)).as("c_vec"),
+      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** kNN majority-label vote: label of each query's k nearest
+    * neighbours, ties broken toward the smaller label. */
+  def knnLabel(queries: DataFrame, candidates: DataFrame,
+               idCol: String, vecCol: String, labelCol: String,
+               k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+    val labels = candidates.select(col(idCol).as("c_id"),
+      col(labelCol).as("c_label"))
+    val votes = topk.join(broadcast(labels), "c_id")
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_label").as("pred_label"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from a 64-bit avalanche hash of (plane, dim) — no
+    * java.util.Random, so plans are reproducible across runs/retries.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = xxhash64(lit(plane), dim)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Sign-random-projection LSH bucket id: `nPlanes` hyperplane sign
+    * bits packed into a long. Vectors in the same bucket are likely
+    * cosine-close; bucketing converts ANN into a bucket equi-join.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(vec, dims, (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries join only candidates in
+    * the same bucket, then exact cosine re-rank inside the bucket.
+    * Buckets larger than `bucketCap` are dropped (standard skew guard —
+    * a degenerate bucket means the planes don't discriminate there).
+    */
+  def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame = {
+    val cb = candidates.select(col(idCol).as("c_id"),
+      toDouble(col(vecCol)).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
+    val capped = cb.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= bucketCap).drop("bsz")
+    val qb = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", lshBucket(col("q_vec"), nPlanes))
+    val scored = broadcast(qb).join(capped, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * n-grams, language-ID heuristic, quality scoring, token counting,
+  * fingerprinting. All pure column expressions (whole-stage-codegen
+  * friendly, no UDFs in the hot path) so they scale linearly with data
+  * and never shuffle on their own.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lower-cased). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** BPE-ish lexer pattern: word pieces, digit runs, single punctuation. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token count under the BPE-ish pattern (codegen'd regexp, no UDF). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern))
+
+  /** Adjacent-token bigrams, built with zip_with over two shifted slices
+    * (avoids `sequence()` pitfalls on 1-token docs: slice of length 0 is
+    * an empty array, so short docs yield no bigrams).
+    */
+  def bigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Word-level n-gram shingles (n >= 2) for minhash/near-dup. */
+  def shingles(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val parts = (1 to n).map(i => slice(toks, lit(i), len))
+    parts.reduceLeft((acc, nxt) => zip_with(acc, nxt,
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Vowel-ratio language-ID heuristic. A real pipeline would score
+    * character n-gram profiles per language; the bucketing shape (pure
+    * expression -> CASE) is identical, so this stands in for it while
+    * staying DuckDB-oracle-checkable.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val vowels = length(regexp_replace(lower(text), "[^aeiou]", ""))
+    val ratio = vowels.cast("double") / length(text).cast("double")
+    when(ratio < 0.20, "zh")
+      .when(ratio < 0.24, "de")
+      .when(ratio < 0.28, "en")
+      .otherwise("es")
+  }
+
+  /** Stopword ratio over the token array (lambda runs vectorized). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Simple quality score in [0,1]: mix of stopword presence and length
+    * saturation — the standard "heuristic quality filter" shape. */
+  def qualityScore(text: Column, toks: Column,
+                   stopwords: Seq[String]): Column = {
+    val lenSat = least(size(toks), lit(100)).cast("double") / 100.0
+    graft.rnd(stopwordRatio(toks, stopwords) * 0.5 + lenSat * 0.5, 4)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. Groups docs that are token-set permutations. */
+  def contentFingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** Rabin-Karp style rolling hash of the full text (polynomial mod
+    * 2^61-1, folded with `aggregate` — one pass, no shuffle). Not
+    * oracle-expressible; covered by ScalaTest instead. */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(1152921504606846883L) // large prime < 2^60
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 131 + c, prime))
+  }
+}

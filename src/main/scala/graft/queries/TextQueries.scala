@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{QueryFn, Tables, rnd}
+import graft.operators.{Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface over `documents` (the
+  * LLM-training-data-pipeline extensions). Oracle-checked where the
+  * computation is expressible in ANSI-ish DuckDB SQL; hash-based
+  * operators (minhash, simhash, rolling hash) get rows-only checks and
+  * ScalaTest coverage instead.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, QueryFn] = Map(
+
+    "q_text_tokenize" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy("token")
+    }),
+
+    "q_text_ngrams" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TA.bigrams(TA.tokens(col("text")))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy("bigram")
+    }),
+
+    "q_text_stats" -> ((s, d) => {
+      val toks = TA.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        rnd((length(col("text")) - (size(toks) - 1))
+          .cast("double") / size(toks).cast("double"), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_langid" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TA.langIdHeuristic(col("text")).as("pred_lang"),
+        col("lang"),
+        (TA.langIdHeuristic(col("text")) === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      val toks = TA.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("words"),
+        rnd(TA.stopwordRatio(toks, stopwords), 4).as("stop_ratio"),
+        TA.qualityScore(col("text"), toks, stopwords).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_tokencount" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("n_ws"),
+        TA.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TA.contentFingerprint(TA.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_docs"), col("digest"))
+        .orderBy("keep_id")
+    }),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_minhash_neardup" -> ((s, d) => {
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id",
+          TA.shingles(TA.tokens(col("text")), 3), threshold = 0.7)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")), maxHamming = 12, maxIdGap = 25L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS chars,
+        |  len(string_split(lower(text), ' ')) AS n_tok,
+        |  len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+        |  floor((CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN ratio < 0.20 THEN 'zh'
+        |       WHEN ratio < 0.24 THEN 'de'
+        |       WHEN ratio < 0.28 THEN 'en'
+        |       ELSE 'es' END AS pred_lang,
+        |  lang,
+        |  (CASE WHEN ratio < 0.20 THEN 'zh'
+        |        WHEN ratio < 0.24 THEN 'de'
+        |        WHEN ratio < 0.28 THEN 'en'
+        |        ELSE 'es' END) = lang AS correct
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  len(t) AS words,
+        |  floor((CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / CAST(greatest(len(t), 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / CAST(greatest(len(t), 1) AS DOUBLE) * 0.5
+        |    + CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.5) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+        |  len(string_split(lower(text), ' ')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+        |  md5(lower(trim(text))) AS digest
+        |FROM documents GROUP BY md5(lower(trim(text)))
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc, token FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents) raw),
+        |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.token = b.token
+        |    AND a.doc < b.doc AND b.doc - a.doc <= 25
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc = doc_a
+        |JOIN sizes nb ON nb.doc = doc_b
+        |WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryFn, Tables, rnd}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over `embeddings` (ArrayType(FloatType)):
+  * exact brute-force cosine top-k (oracle-checked), kNN label vote
+  * (oracle-checked), embedding-cosine near-dup (oracle-checked, bounded
+  * candidates), and the LSH-bucketed ANN scale path (rows-only check —
+  * the bucketing hash is not oracle-expressible).
+  *
+  * The oracle SQL computes the identical double-precision kernel by
+  * indexing list elements with generate_series, so both engines widen
+  * float32 -> float64 exactly and round to 4 decimals.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val nQueries = 20
+
+  val queries: Map[String, QueryFn] = Map(
+
+    "q_sim_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_sim_knn_label" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.knnLabel(q, emb, "vec_id", "embedding", "label", 5)
+        .select(col("q_id"), col("pred_label").cast("long").as("pred_label"))
+        .orderBy("q_id")
+    }),
+
+    "q_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, maxIdGap = 50L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.lshTopK(s, q, emb, "vec_id", "embedding", 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  /** Shared DuckDB kernel: dot & norms via 1-indexed list access. */
+  private def duckCosine(aTbl: String, bTbl: String,
+                         aFilter: String, pairCond: String): String =
+    s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |na AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+       |         * CAST(embedding[i] AS DOUBLE))) AS nrm
+       |       FROM embeddings, dims GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
+       |  FROM $aTbl a JOIN $bTbl b ON $pairCond, dims
+       |  WHERE $aFilter
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.q_id, p.c_id, p.dot / (x.nrm * y.nrm) AS cos
+       |  FROM pairs p JOIN na x ON x.vec_id = p.q_id
+       |               JOIN na y ON y.vec_id = p.c_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      (duckCosine("embeddings", "embeddings",
+        s"a.vec_id < $nQueries", "a.vec_id <> b.vec_id") +
+        """
+          |SELECT q_id, rank, c_id, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+          |  SELECT q_id, c_id, cos,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, c_id ASC) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    "q_sim_knn_label" ->
+      (duckCosine("embeddings", "embeddings",
+        s"a.vec_id < $nQueries", "a.vec_id <> b.vec_id") +
+        """,
+          |topk AS (
+          |  SELECT q_id, c_id FROM (
+          |    SELECT q_id, c_id,
+          |      row_number() OVER (PARTITION BY q_id
+          |        ORDER BY cos DESC, c_id ASC) AS rank
+          |    FROM scored) r
+          |  WHERE rank <= 5),
+          |votes AS (
+          |  SELECT t.q_id, e.label, count(*) AS v
+          |  FROM topk t JOIN embeddings e ON e.vec_id = t.c_id
+          |  GROUP BY 1, 2)
+          |SELECT q_id, CAST(label AS BIGINT) AS pred_label FROM (
+          |  SELECT q_id, label,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY v DESC, label ASC) AS rn
+          |  FROM votes) f
+          |WHERE rn = 1 ORDER BY q_id""".stripMargin),
+
+    "q_dedup_embedding" ->
+      (duckCosine("embeddings", "embeddings",
+        "TRUE", "a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50") +
+        """
+          |SELECT q_id AS id_a, c_id AS id_b, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cos
+          |FROM scored WHERE floor((cos) * 10000.0 + 0.5) / 10000.0 >= 0.35
+          |ORDER BY id_a, id_b""".stripMargin)
+  )
+}

@@ -1,0 +1,259 @@
+package graft.sources.mq
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** The IBM-MQ-shaped Structured Streaming source (SURVEY.md §2A →
+  * Spark-native restatement, §3.2). The reference's DStream
+  * `Receiver<String>` machinery maps onto DataSource V2:
+  *
+  *  - A1/A2 source scan + browse cursor  → offset-tracked `read(start,end)`
+  *  - A4 key synthesis                   → done in the partition reader
+  *  - A7 micro-batch buffering           → micro-batch planning itself
+  *  - A8 transactional ack               → `commit(end)` after checkpoint
+  *  - A9 halt file                       → `haltFile` option checked per trigger
+  *  - A10 GET-inhibited                  → transport.inhibited gate
+  *  - A11 empty-queue backoff            → empty ranges, trigger pacing
+  *  - A12 rate limit (dead in reference) → REAL here: maxMessagesPerTrigger
+  *                                         via SupportsAdmissionControl
+  *  - A15 connection options             → eagerly-validated option map
+  *
+  * Emits the typed envelope `key STRING, value STRING, put_ts TIMESTAMP,
+  * seq INT` (SURVEY.md §1.4): richer than the reference's JSON-array
+  * string but losslessly convertible to it with
+  * [[graft.operators.Envelope.encode]].
+  *
+  * Ordering: exactly one input partition, mirroring the reference's
+  * one-receiver deployment (README.md:59-64). Parallelism at 100 TB
+  * comes from many queues/sources, not from splitting one FIFO queue —
+  * splitting would break the ordered-replication contract the reference
+  * exists to preserve.
+  */
+class MQSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ibmmq"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MQSourceProvider.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MQTable(MQOptions(properties.asScala.toMap))
+}
+
+object MQSourceProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true),
+    StructField("put_ts", TimestampType, nullable = false),
+    StructField("seq", IntegerType, nullable = false)))
+}
+
+/** Eagerly-validated options, mirroring the reference ctor's surface
+  * (IBMMQReceiver.java:101-137): parse-or-throw before any stream
+  * starts, like the ctor's string->int/bool parsing (:115-130).
+  */
+case class MQOptions(raw: Map[String, String]) {
+  private def opt(k: String): Option[String] =
+    raw.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+
+  /** Directory of the file-backed transport (tests / offline). A real
+    * deployment sets host/port/queueManager/channel/queue instead. */
+  val path: Option[String] = opt("path")
+  val host: Option[String] = opt("host")
+  val port: Int = opt("port").map(_.toInt).getOrElse(1414)
+  val queueManager: Option[String] = opt("queueManager")
+  val channel: Option[String] = opt("channel")
+  val queue: Option[String] = opt("queue")
+  val user: Option[String] = opt("user")
+  val password: Option[String] = opt("password")
+  val waitInterval: Int = opt("waitInterval").map(_.toInt).getOrElse(5000)
+  val keepMessages: Boolean =
+    opt("keepMessages").map(_.toBoolean).getOrElse(true)
+  val maxMessagesPerTrigger: Option[Long] =
+    opt("maxMessagesPerTrigger").map(_.toLong)
+  val ccsid: Option[Int] = opt("mqccsid").map(_.toInt)
+  val haltFile: Option[String] = opt("haltFile")
+
+  require(path.isDefined || (host.isDefined && queueManager.isDefined &&
+    channel.isDefined && queue.isDefined),
+    "ibmmq source requires either 'path' (file-backed transport) or " +
+      "host/queueManager/channel/queue connection options")
+  require(waitInterval > 0, "waitInterval must be positive")
+  maxMessagesPerTrigger.foreach(m =>
+    require(m > 0, "maxMessagesPerTrigger must be positive"))
+
+  def transport(): MQTransport = path match {
+    case Some(p) => new FileMQTransport(p)
+    case None => throw new UnsupportedOperationException(
+      "com.ibm.mq.allclient transport is not available in this offline " +
+        "build; it implements MQTransport behind the same seam " +
+        "(reference A13/A15 semantics: MQCSP auth, syncpoint, reconnect)")
+  }
+}
+
+class MQTable(options: MQOptions) extends Table with SupportsRead {
+  override def name(): String =
+    s"ibmmq(${options.queue.orElse(options.path).getOrElse("?")})"
+  override def schema(): StructType = MQSourceProvider.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+  : ScanBuilder = () => new MQScan(options)
+}
+
+class MQScan(options: MQOptions) extends Scan {
+  override def readSchema(): StructType = MQSourceProvider.Schema
+  override def description(): String = "ibmmq-scan"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+  : MicroBatchStream = new MQMicroBatchStream(options)
+
+  /** Batch twin: read everything currently on the queue (browse). */
+  override def toBatch: Batch = new Batch {
+    private val transport = options.transport()
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(MQInputPartition(options, 0L, transport.depth()))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MQReaderFactory
+  }
+}
+
+/** Offset = count of messages ever observed (the browse-cursor
+  * position). JSON-serialized for the checkpoint offset log. */
+case class MQOffset(pos: Long) extends Offset {
+  override def json(): String = s"""{"pos":$pos}"""
+}
+object MQOffset {
+  private val P = """\{\s*"pos"\s*:\s*(\d+)\s*\}""".r
+  def fromJson(s: String): MQOffset = s.trim match {
+    case P(p) => MQOffset(p.toLong)
+    case other => throw new IllegalArgumentException(s"bad MQOffset: $other")
+  }
+}
+
+class MQMicroBatchStream(options: MQOptions)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val transport = options.transport()
+
+  /** Trigger.AvailableNow: snapshot the queue depth once, drain up to
+    * it (in rate-capped batches), then stop. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(transport.depth())
+
+  private def halted: Boolean = options.haltFile.exists(f =>
+    java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+
+  override def initialOffset(): Offset = MQOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    MQOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    options.maxMessagesPerTrigger
+      .map(m => ReadLimit.maxRows(m))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  /** Admission control (the REAL rate limit the reference only declared
+    * — A12): advance at most `maxRows` per trigger; stall entirely when
+    * halted (A9) or GET-inhibited (A10). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MQOffset].pos
+    if (halted || transport.inhibited) MQOffset(s)
+    else {
+      val available = availableNowCap.getOrElse(transport.depth())
+      val capped = limit match {
+        case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          math.min(available, s + rl.maxRows())
+        case _ => available
+      }
+      MQOffset(math.max(s, capped))
+    }
+  }
+
+  override def reportLatestOffset(): Offset = MQOffset(transport.depth())
+
+  override def planInputPartitions(start: Offset, end: Offset)
+  : Array[InputPartition] = {
+    val s = start.asInstanceOf[MQOffset].pos
+    val e = end.asInstanceOf[MQOffset].pos
+    if (e <= s) Array.empty
+    else Array(MQInputPartition(options, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MQReaderFactory
+
+  /** A8: acknowledge consumption AFTER the micro-batch's offset is
+    * durably checkpointed — destructive mode removes the messages, the
+    * browse mode (keepMessages=true, reference default) leaves them. */
+  override def commit(end: Offset): Unit =
+    if (!options.keepMessages)
+      transport.commit(end.asInstanceOf[MQOffset].pos)
+
+  override def stop(): Unit = ()
+}
+
+case class MQInputPartition(options: MQOptions, start: Long, end: Long)
+  extends InputPartition
+
+class MQReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MQInputPartition]
+    new MQPartitionReader(p.options.transport(), p.start, p.end)
+  }
+}
+
+/** Reads [start, end) and synthesizes the reference's monotone event
+  * key (A4): `<putMillis>_<seqWithinMillis>`, continuing the counter
+  * across batch boundaries via `sameMillisPrefix` so replays of the
+  * same range always produce identical keys (exactly-once safe).
+  */
+class MQPartitionReader(transport: MQTransport, start: Long, end: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val it = transport.read(start, end)
+  private var lastMillis = -1L
+  private var lastSeq = transport.sameMillisPrefix(start)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val rec = it.next()
+    // Reference repair (IBMMQReceiver.java:251-254): native seq is 1
+    // for non-grouped messages; bump it within a shared millisecond.
+    val seq =
+      if (rec.putMillis == lastMillis || (lastMillis == -1L && lastSeq > 0))
+        lastSeq + 1
+      else 1
+    lastMillis = rec.putMillis
+    lastSeq = seq
+    current = InternalRow(
+      UTF8String.fromString(s"${rec.putMillis}_$seq"),
+      UTF8String.fromString(rec.payload),
+      rec.putMillis * 1000L, // micros
+      seq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

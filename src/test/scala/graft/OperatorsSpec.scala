@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigrams and shingles handle short docs") {
+    val df = Seq("a b c d", "solo", "x y").toDF("text")
+    val bg = df.select(TA.bigrams(TA.tokens(col("text"))).as("bg"))
+      .as[Seq[String]].collect().toSeq
+    assert(bg.contains(Seq("a b", "b c", "c d")))
+    assert(bg.contains(Seq.empty))
+    assert(bg.contains(Seq("x y")))
+    val sh = df.select(TA.shingles(TA.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(sh.contains(Seq("a b c", "b c d")))
+    assert(sh.contains(Seq.empty))
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val df = Seq("abc", "abc", "acb").toDF("text")
+      .select(TA.rollingHash(col("text")).as("h")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("quality score and stopword ratio") {
+    val df = Seq("the a of and to", "xxx yyy zzz").toDF("text")
+    val r = df.select(
+      rnd(TA.stopwordRatio(TA.tokens(col("text")),
+        Seq("the", "a", "of", "and", "to")), 4).as("sr"))
+      .as[Double].collect().toSeq
+    assert(r == Seq(1.0, 0.0))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different text about spark engines"),
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "), // exact dup of 0 modulo case/trim
+    (4L, "another unrelated document mentioning nothing familiar"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dupGroup = g.filter(col("n_docs") === 2).select("keep_id")
+      .as[Long].collect()
+    assert(dupGroup.toSeq == Seq(0L))
+  }
+
+  test("jaccard pairs finds the near-duplicate") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id",
+        TA.tokens(col("text")), threshold = 0.5, maxIdGap = None)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // identical token sets
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("minhash LSH surfaces the same near-dup candidates") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id",
+        TA.shingles(TA.tokens(col("text")), 2), threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("simhash hamming distance separates near from far") {
+    val h = docs.select(col("doc_id"),
+        Dedup.simhash64(TA.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(3L)) == 0) // same normalized tokens
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+  }
+
+  test("embedding near-dups by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.9, maxIdGap = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.1f, 0.9f), 1),
+    (4L, Array(-1.0f, 0.0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L) || top == Seq(1L, 3L))
+    assert(top.head == 1L)
+  }
+
+  test("knn majority label") {
+    val q = vecs.filter(col("vec_id") === 2)
+    val pred = Similarity.knnLabel(q, vecs, "vec_id", "embedding", "label", 2)
+      .select("pred_label").as[Int].collect()
+    // neighbours of (0,1): vec 3 (label 1) and vec 1 (label 0) → tie → min label
+    assert(pred.length == 1)
+  }
+
+  test("cosine kernel matches manual computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine(
+        Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("c"))
+      .as[Double].head()
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("LSH top-k returns same-bucket neighbours with exact rerank") {
+    val top = Similarity.lshTopK(spark, vecs.filter(col("vec_id") === 0),
+      vecs, "vec_id", "embedding", 2, nPlanes = 2)
+    // bucket collision is probabilistic per plane set, but the query
+    // vector always shares its own bucket family; result must never
+    // contain the query itself and must be cosine-ordered
+    val rows = top.select("c_id", "cos").as[(Long, Double)].collect()
+    assert(!rows.map(_._1).contains(0L))
+    assert(rows.map(_._2).sorted.reverse.toSeq == rows.map(_._2).toSeq)
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("left as-of picks latest right row at or before left time") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, "u1", 90L), (11L, "u1", 150L), (12L, "u1", 201L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("rid"))
+      .select(col("id"), col("rid")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(10L))   // 90 <= 100, latest
+    assert(out(2L).contains(11L))   // 150 <= 200 beats 90; 201 excluded
+    assert(out(3L).isEmpty)         // no match for u2
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing + batched fake decode") {
+    val docs = Seq((0L, "hello"), (1L, "a longer document body"))
+      .toDF("doc_id", "text")
+    val withBlobs = Multimodal.withPayload(docs, "doc_id", "text", "image")
+    assert(withBlobs.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, withBlobs)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("n_bytes") == 5)
+    assert(rows(0).getAs[String]("modality") == "image")
+    assert(rows(0).getSeq[Float](5).length == 8)
+    // deterministic: same bytes → same features
+    val again = Multimodal.extractFeatures(spark, withBlobs)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getSeq[Float](5).toList).toSeq ==
+      again.map(_.getSeq[Float](5).toList).toSeq)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Every registered query must run green at sf0.001 and return rows
+  * (the value-level check is the driver's DuckDB oracle at sf0.01;
+  * this catches schema/analysis regressions fast). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented rows-only check") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketch/hash-based ops are intentionally rows-only:
+    assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
+      "q_dedup_simhash", "q_sim_ann_lsh"))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+      // queries that must be non-empty to demonstrate anything:
+      if (!Set("q_except", "q_dedup_ngram_jaccard", "q_minhash_neardup",
+          "q_dedup_simhash", "q_dedup_embedding").contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

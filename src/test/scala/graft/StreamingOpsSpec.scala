@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Streaming semantics with MemoryStream (SURVEY.md §5.2 item 3):
+  * watermark late-data drop, dedup-within-watermark, session windows,
+  * and the reference's stateful per-ms counter (A4 streaming form).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops data later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingOps.tumblingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "value",
+      "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts("2024-01-01 10:01:00"), 1.0),
+        (ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      input.addData((ts("2024-01-01 11:00:00"), 3.0))
+      q.processAllAvailable()
+      // this event is older than watermark (11:00 - 5m) → dropped
+      input.addData((ts("2024-01-01 10:02:00"), 100.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_sink")
+        .select("win_start", "cnt", "total")
+        .as[(Timestamp, Long, Double)].collect()
+        .map { case (t, c, v) => (t.toString, (c, v)) }.toMap
+      // the 10:00 window must have closed WITHOUT the late 100.0
+      assert(rows("2024-01-01 10:00:00.0") == ((2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupByKey drops redeliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingOps.dedupByKey(
+      input.toDF().toDF("ts", "key"), "ts", "key", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), "k1"),
+        (ts("2024-01-01 10:00:01"), "k1"), // duplicate (redelivery)
+        (ts("2024-01-01 10:00:02"), "k2"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:03"), "k1")) // still duplicate
+      q.processAllAvailable()
+      assert(spark.table("dd_sink").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sess = StreamingOps.sessionAgg(
+      input.toDF().toDF("ts", "user"), "ts", "user",
+      "30 minutes", "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:20:00"), "u1"),  // same session
+        (ts("2024-01-01 11:30:00"), "u1"))  // new session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), "u1")) // push watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_sink")
+        .select("session_start", "cnt").as[(Timestamp, Long)]
+        .collect().toMap.map { case (k, v) => (k.toString, v) }
+      assert(rows("2024-01-01 10:00:00.0") == 2L)
+      assert(rows("2024-01-01 11:30:00.0") == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful per-millisecond counter (A4 streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counted = StreamingOps.statefulKeyCounter(input.toDS())
+    val q = counted.toDF("ms", "seq", "payload")
+      .writeStream.format("memory").queryName("ctr_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1000L, "a"), (1000L, "b"), (1001L, "c"))
+      q.processAllAvailable()
+      input.addData((1000L, "d")) // same ms arrives in a LATER batch
+      q.processAllAvailable()
+      val rows = spark.table("ctr_sink")
+        .as[(Long, Int, String)].collect().toSet
+      assert(rows == Set((1000L, 1, "a"), (1000L, 2, "b"),
+        (1001L, 1, "c"), (1000L, 3, "d")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Compare graft.Verify parquet outputs against the DuckDB oracle.
+
+Mirrors the driver's t2 check: for each query with oracle SQL, run the
+SQL in DuckDB over the same tables, sort columns by name, and compare
+row-for-row (results must already be totally ordered by the query).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        spark_df = pd.read_parquet(path)
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR {e}"
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        d = duck_df[sorted(duck_df.columns)]
+        if list(s.columns) != list(d.columns):
+            results[name] = f"COLUMN_MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+            continue
+        if len(s) != len(d):
+            results[name] = f"ROWCOUNT spark={len(s)} duck={len(d)}"
+            continue
+        bad = None
+        for c in s.columns:
+            sv, dv = s[c].tolist(), d[c].tolist()
+            if sv != dv:
+                # locate first diff
+                for i, (x, y) in enumerate(zip(sv, dv)):
+                    if x != y and not (x is None and y is None):
+                        if isinstance(x, float) and isinstance(y, float):
+                            if x != x and y != y:  # both NaN
+                                continue
+                        bad = f"VALUE col={c} row={i}: spark={x!r} duck={y!r}"
+                        break
+                if bad:
+                    break
+        results[name] = bad or f"OK rows={len(s)}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    for k, v in sorted(results.items()):
+        flag = "  " if v.startswith(("OK", "ROWS_ONLY")) else "!!"
+        print(f"{flag} {k}: {v}")
+    print(f"\n{n_ok} OK, {n_rows_only} rows-only, "
+          f"{len(results) - n_ok - n_rows_only} FAILING, {len(results)} total")
+    missing = [q for q in oracle if q not in results]
+    if missing:
+        print("MISSING OUTPUTS (query failed to run):", missing)
+main(sys.argv[1], sys.argv[2])
