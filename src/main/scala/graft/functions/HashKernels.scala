@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** One-pass hash kernels for the dedup sketches.
+  *
+  * The pure-expression forms (64 `aggregate` folds for simhash, 32 for
+  * minhash) re-hash every token once PER SIGNATURE POSITION — 64x/32x
+  * redundant hashing that dominated the sf0.1 bench. These kernels hash
+  * each token exactly once and derive all positions by mixing the one
+  * hash with the position index (standard one-permutation trick), so
+  * cost is O(tokens + positions) per row instead of
+  * O(tokens * positions).
+  *
+  * Scale note: per-row, no shuffle, fully data-parallel; the single
+  * black-box call per row is far cheaper than 64 codegen'd array
+  * traversals. Deterministic (no seed state), so safe under task retry.
+  */
+object HashKernels {
+
+  /** 64-bit FNV-1a over a string's UTF-16 chars — stable across JVMs. */
+  @inline private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates the per-position variants. */
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** SimHash64: per bit, sign of the +/-1 vote over token hashes.
+    * Token multiplicity honoured; empty tokens carry no signal. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      if (t != null && t.nonEmpty) {
+        val h = fnv64(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  /** MinHash signature: nHashes minima over mix(h, i) variants of each
+    * element's single FNV hash. */
+  def minhash(elems: Seq[String], nHashes: Int): Array[Long] = {
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    elems.foreach { e =>
+      if (e != null) {
+        val h = fnv64(e)
+        var i = 0
+        while (i < nHashes) {
+          val v = mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+    }
+    mins
+  }
+
+  val simhashUdf: Column => Column = {
+    val f = udf((toks: Seq[String]) => simhash64(toks))
+    c => f(c)
+  }
+
+  def minhashUdf(nHashes: Int): Column => Column = {
+    val f = udf((elems: Seq[String]) => minhash(elems, nHashes))
+    c => f(c)
+  }
+}

@@ -98,12 +98,10 @@ object Dedup {
   }
 
   /** MinHash signature of a string-array column: `nHashes` independent
-    * min-hashes, each xxhash64 seeded by the permutation index (fully
-    * deterministic, no Random). */
+    * min-hashes from a one-pass JVM kernel (each element hashed once,
+    * position variants derived by mixing — see HashKernels). */
   def minhashSignature(elems: Column, nHashes: Int): Column =
-    array((0 until nHashes).map { i =>
-      array_min(transform(elems, e => xxhash64(lit(i), e)))
-    }: _*)
+    graft.functions.HashKernels.minhashUdf(nHashes)(elems)
 
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
     * on the shingle sets.
@@ -120,46 +118,42 @@ object Dedup {
       .select(col(idCol).as("doc"), array_distinct(shingles).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), nHashes))
-    val banded = sigd.select(col("doc"), col("sh"),
+    // Shingle sets are heavy (KBs per doc); only (doc, band, bh)
+    // tuples flow through the bucket machinery — shingles are joined
+    // back just for the (few) surviving candidate pairs.
+    val shd = sigd.select(col("doc"), col("sh"))
+    val banded = sigd.select(col("doc"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
         }: _*)).as("bb"))
-      .select(col("doc"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("doc"), col("bb.band"), col("bb.bh"))
     val capped = banded.withColumn("bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bsz") <= bucketCap)
-    val l = capped.select(col("band"), col("bh"),
-      col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val r = capped.select(col("band"), col("bh"),
-      col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val l = capped.select(col("band"), col("bh"), col("doc").as("doc_a"))
+    val r = capped.select(col("band"), col("bh"), col("doc").as("doc_b"))
     val cands = l.join(r, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands.withColumn("jaccard", graft.rnd(
+    cands
+      .join(shd.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shd.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", graft.rnd(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of a token-array column, as a pure expression:
-    * per bit, sum +1/-1 over token hashes and take the sign. Token
-    * multiplicity is honoured (no distinct).
+  /** 64-bit SimHash of a token-array column: per bit, sum +/-1 over
+    * token hashes and take the sign. Token multiplicity is honoured;
+    * empty tokens are ignored. One-pass JVM kernel (HashKernels) — the
+    * pure-expression form re-hashed every token 64 times.
     */
-  def simhash64(toks: Column): Column = {
-    val nonEmpty = filter(toks, t => length(t) > 0)
-    val bits = (0 until 64).map { b =>
-      val contrib = aggregate(
-        transform(nonEmpty, t =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)),
-        lit(0), (acc, x) => acc + x)
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash64(toks: Column): Column =
+    graft.functions.HashKernels.simhashUdf(toks)
 
   /** SimHash near-dup pairs within a doc-id gap window: hamming
     * distance (bit_count of xor) <= maxHamming. The id-gap bound keeps

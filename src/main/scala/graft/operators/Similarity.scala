@@ -27,9 +27,14 @@ object Similarity {
   /** Cast a float vector column to double elements. */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Dot product of two double-array columns (index-order fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product of two double-array columns via the native codegen
+    * expression (graft.functions.DotProduct). Index-order summation —
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaced. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
