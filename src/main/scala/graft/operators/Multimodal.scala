@@ -61,6 +61,44 @@ object Multimodal {
     (width, height, feat)
   }
 
+  /** Video-frame-sampling shape: split each payload into fixed-size
+    * "frames" and emit up to `maxFrames` of them, evenly strided —
+    * exactly the batch topology of real frame sampling (one row in,
+    * few rows out, bytes only touched per-partition). */
+  def frameSample(withBlobs: DataFrame, frameBytes: Int,
+                  maxFrames: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBlobs.select(col("doc_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        val stride = math.max(1, nFrames / maxFrames)
+        (0 until nFrames by stride).take(maxFrames).map { f =>
+          val from = f * frameBytes
+          val until = math.min(bytes.length, from + frameBytes)
+          Row(id, f, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }(enc)
+  }
+
+  /** "Resize" stage: recompute target dimensions per payload — the
+    * image-resize batch shape with the pixel work stubbed (no image
+    * libs in this container; a real impl swaps fakeDecode for a codec
+    * call, the Spark plumbing is identical). */
+  def resizeMeta(withBlobs: DataFrame, maxSide: Int): DataFrame =
+    extractFeatures(withBlobs.sparkSession, withBlobs)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+
   /** Batched per-partition feature extraction over the payload column —
     * the mapInPandas-shaped stage. Input must have doc_id, payload,
     * meta.modality. */

@@ -107,6 +107,55 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path next to LSH. Coarse quantizer: `nCentroids` centroids
+    * picked deterministically (smallest xxhash64 of the id — a seeded
+    * uniform sample, no Random); every candidate is assigned to its
+    * nearest centroid (its "list"); a query probes its `nProbe` nearest
+    * centroid lists and exact-reranks only inside them.
+    *
+    * Scale notes: the centroid table is tiny and broadcast to both
+    * assignment and probe stages — the corpus is touched exactly once
+    * for assignment (in a real deployment that materializes as a
+    * bucketed table, amortized over all queries), and the probe join is
+    * an equi-join on centroid id.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cands = candidates.select(col(idCol).as("c_id"),
+      toDouble(col(vecCol)).as("c_vec"))
+    val cents = broadcast(
+      cands.withColumn("h", xxhash64(col("c_id")))
+        .orderBy(col("h"), col("c_id")).limit(nCentroids)
+        .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec")))
+    // assignment: nearest centroid per candidate (broadcast NLJ + top-1)
+    val wc = Window.partitionBy(col("c_id"))
+      .orderBy(col("cd").desc, col("cent_id").asc)
+    val assigned = cands.crossJoin(cents)
+      .withColumn("cd", cosine(col("c_vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("c_id"), col("c_vec"), col("cent_id"))
+    // probe: each query's nProbe nearest centroid lists
+    val qs = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("q_vec"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qd").desc, col("cent_id").asc)
+    val probes = qs.crossJoin(cents)
+      .withColumn("qd", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cent_id"))
+    // exact rerank inside probed lists
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probes).join(assigned, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: queries join only candidates in
     * the same bucket, then exact cosine re-rank inside the bucket.
     * Buckets larger than `bucketCap` are dropped (standard skew guard —

@@ -54,6 +54,15 @@ object VectorQueries {
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
+    }),
+
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
     })
   )
 

@@ -146,6 +146,33 @@ class MQSourceSpec extends SparkSpec {
     assert(end2.asInstanceOf[graft.sources.mq.MQOffset].pos == 1L) // resumed
   }
 
+  test("crash before commit: redelivery deduped to exactly-once by key") {
+    // The reference's failure window: crash between store() and
+    // qmgr.commit() redelivers messages (IBMMQReceiver.java:357-360,
+    // SURVEY.md §3.3). The synthesized key makes dedup restore
+    // exactly-once downstream.
+    val dir = tmpDir("mq-crash")
+    append(dir, (5000L, "a"), (5000L, "b"), (5001L, "c"))
+    val opts = MQOptions(Map("path" -> dir.toString,
+      "keepMessages" -> "false"))
+    // run 1 drains everything but "crashes" before commit
+    val (_, delivery1) = drainBatch(
+      new graft.sources.mq.MQMicroBatchStream(opts),
+      new graft.sources.mq.MQMicroBatchStream(opts).initialOffset())
+    assert(new FileMQTransport(dir.toString).committed() == 0L)
+    // restart with lost offset state -> full redelivery (at-least-once)
+    val (_, delivery2) = drainBatch(
+      new graft.sources.mq.MQMicroBatchStream(opts),
+      new graft.sources.mq.MQMicroBatchStream(opts).initialOffset())
+    val all = (delivery1 ++ delivery2).toDF("key", "value")
+    assert(all.count() == 6) // duplicates present
+    val deduped = graft.operators.Envelope.dedupKeepFirst(
+      all, Seq("key"), Seq(org.apache.spark.sql.functions.col("value")))
+    assert(deduped.count() == 3) // exactly-once restored
+    assert(deduped.select("key").as[String].collect().toSet ==
+      Set("5000_1", "5000_2", "5001_1"))
+  }
+
   test("replay between checkpointed offsets is deterministic (exactly-once seam)") {
     val dir = tmpDir("mq-replay")
     append(dir, (10L, "a"), (10L, "b"), (11L, "c"))

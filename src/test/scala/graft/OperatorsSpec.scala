@@ -131,6 +131,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - expected) < 1e-12)
   }
 
+  test("IVF top-k finds true nearest neighbours through probed lists") {
+    // 5 vectors, 2 natural clusters; nCentroids=2, probe both lists →
+    // IVF must agree with brute force
+    val q = vecs.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 2,
+        nCentroids = 2, nProbe = 2)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    val bf = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(ivf == bf)
+  }
+
   test("LSH top-k returns same-bucket neighbours with exact rerank") {
     val top = Similarity.lshTopK(spark, vecs.filter(col("vec_id") === 0),
       vecs, "vec_id", "embedding", 2, nPlanes = 2)
@@ -179,5 +191,25 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(rows.map(_.getSeq[Float](5).toList).toSeq ==
       again.map(_.getSeq[Float](5).toList).toSeq)
+  }
+
+  test("frame sampling strides fixed-size frames per payload") {
+    val docs = Seq((0L, "x" * 100)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(
+        Multimodal.withPayload(docs, "doc_id", "text", "video"),
+        frameBytes = 10, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+  }
+
+  test("resize meta scales dims down to max side") {
+    val docs = Seq((0L, "y" * 300)).toDF("doc_id", "text")
+    val r = Multimodal.resizeMeta(
+      Multimodal.withPayload(docs, "doc_id", "text", "image"), maxSide = 16)
+      .collect().head
+    assert(math.max(r.getAs[Int]("out_w"), r.getAs[Int]("out_h")) <= 16)
+    assert(r.getAs[Int]("out_w") > 0 && r.getAs[Int]("out_h") > 0)
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.HashKernels
+import graft.operators.Envelope
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated properties (SURVEY.md §5.2 item 5): key
+  * uniqueness/monotonicity under arbitrary same-millisecond bursts,
+  * dedup idempotence, envelope decode∘encode = id, hash-kernel laws.
+  * Deterministic seeds — no flaky sampling.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: synthesized keys are unique with dense per-ms counters") {
+    val burstGen = for {
+      n <- Gen.choose(1, 60)
+      ms <- Gen.listOfN(n, Gen.choose(1000L, 1010L))
+    } yield ms
+    samples(burstGen, 8).foreach { ms =>
+      val df = ms.zipWithIndex
+        .map { case (m, i) => (i.toLong, m) }
+        .toDF("event_id", "ms")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      val keyed = Envelope.withSyntheticKey(df, "ts", "event_id").cache()
+      try {
+        assert(keyed.select("key").distinct().count() == ms.length)
+        // per millisecond, seq must be a dense 1..n counter
+        val bad = keyed
+          .withColumn("seq", split(col("key"), "_").getItem(1).cast("int"))
+          .groupBy("ms")
+          .agg(max(col("seq")).as("maxseq"), count(lit(1)).as("n"))
+          .filter(col("maxseq") =!= col("n"))
+          .count()
+        assert(bad == 0, s"non-dense counter for burst $ms")
+      } finally keyed.unpersist()
+    }
+  }
+
+  test("property: envelope decode∘encode = id for JSON-safe payloads") {
+    val payloadGen = Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(40)))
+    samples(payloadGen, 10).foreach { payloads =>
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (s"${1000 + i}_1", p) }
+        .toDF("key", "value")
+      val rt = df.select(
+        col("key"), col("value"),
+        Envelope.decodeKey(
+          Envelope.encode(col("key"), col("value"))).as("k2"),
+        Envelope.decodeValue(
+          Envelope.encode(col("key"), col("value"))).as("v2"))
+      assert(rt.filter(col("key") =!= col("k2") ||
+        col("value") =!= col("v2")).count() == 0)
+    }
+  }
+
+  test("property: dedupKeepFirst is idempotent and keeps min order key") {
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0L, 1000L)
+    } yield (s"k$k", v))
+    samples(gen, 8).foreach { rows =>
+      val df = rows.toDF("key", "arrival")
+      // uniquify (key, arrival) survivor choice by min arrival; ties in
+      // arrival are broken by the second order column below
+      val once = Envelope.dedupKeepFirst(df, Seq("key"),
+        Seq(col("arrival"))).cache()
+      try {
+        val twice = Envelope.dedupKeepFirst(once, Seq("key"),
+          Seq(col("arrival")))
+        assert(once.count() == rows.map(_._1).distinct.size)
+        assert(twice.count() == once.count())
+        val expectedMin = rows.groupBy(_._1).map { case (k, vs) =>
+          (k, vs.map(_._2).min) }
+        val got = once.as[(String, Long)].collect().toMap
+        assert(got == expectedMin)
+      } finally once.unpersist()
+    }
+  }
+
+  test("property: simhash is multiset-order-insensitive; minhash is monotone") {
+    val toksGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    samples(toksGen, 20).foreach { toks =>
+      val h1 = HashKernels.simhash64(toks)
+      val h2 = HashKernels.simhash64(new scala.util.Random(7).shuffle(toks))
+      assert(h1 == h2)
+      val sig = HashKernels.minhash(toks, 32)
+      assert(sig.length == 32)
+      // adding an element can only lower each per-position minimum
+      val sig2 = HashKernels.minhash(toks ++ List("zz"), 32)
+      assert(sig.zip(sig2).forall { case (a, b) => b <= a })
+    }
+  }
+}

@@ -15,7 +15,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch/hash-based ops are intentionally rows-only:
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
-      "q_dedup_simhash", "q_sim_ann_lsh"))
+      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
