@@ -80,6 +80,24 @@ object HashKernels {
     mins
   }
 
+  /** LSH band hashes straight from the kernel: band b's `rows` minima
+    * mixed into one 64-bit bucket key. Returned as ONE array so the
+    * plan feeds a single generator — computing 8 per-band structs as
+    * separate projections lets CollapseProject inline the whole
+    * signature computation once PER BAND (measured 8x slowdown). */
+  def minhashBands(elems: Seq[String], bands: Int, rows: Int): Array[Long] = {
+    val mins = minhash(elems, bands * rows)
+    Array.tabulate(bands) { b =>
+      var h = 0x9e3779b97f4a7c15L * (b + 1)
+      var i = 0
+      while (i < rows) {
+        h = mix(h ^ mins(b * rows + i))
+        i += 1
+      }
+      h
+    }
+  }
+
   val simhashUdf: Column => Column = {
     val f = udf((toks: Seq[String]) => simhash64(toks))
     c => f(c)
@@ -87,6 +105,11 @@ object HashKernels {
 
   def minhashUdf(nHashes: Int): Column => Column = {
     val f = udf((elems: Seq[String]) => minhash(elems, nHashes))
+    c => f(c)
+  }
+
+  def minhashBandsUdf(bands: Int, rows: Int): Column => Column = {
+    val f = udf((elems: Seq[String]) => minhashBands(elems, bands, rows))
     c => f(c)
   }
 }

@@ -32,11 +32,18 @@ object AsOfJoin {
     val cond = l(leftKey) === right(rightKey) &&
       right(rightTime) <= l(leftTime)
     val joined = l.join(right, cond, "left")
-    val ord: Seq[Column] =
-      col(rightTime).desc +: tiebreak.map(c => col(c).desc)
-    val w = Window.partitionBy(col("__lid")).orderBy(ord: _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__lid")
+    // Survivor pick via max_by instead of a row_number window: the
+    // aggregate combines map-side (partial max per partition), so the
+    // shuffle carries one row per left row instead of every joined
+    // pair — the window form sorts the full pair set. Lexicographic
+    // struct max on (rightTime, tiebreak...) = "latest, deterministic".
+    val ordKey = struct((rightTime +: tiebreak).map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val leftKeys: Seq[Column] = col("__lid") +: left.columns.map(col).toSeq
+    joined
+      .groupBy(leftKeys: _*)
+      .agg(max_by(rStruct, ordKey).as("__r"))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

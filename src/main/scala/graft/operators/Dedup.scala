@@ -113,21 +113,19 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, shingles: Column,
                       threshold: Double, bands: Int = 8, rows: Int = 4,
                       bucketCap: Int = 200): DataFrame = {
-    val nHashes = bands * rows
     val sigd = docs
       .select(col(idCol).as("doc"), array_distinct(shingles).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), nHashes))
+      .withColumn("bands",
+        graft.functions.HashKernels.minhashBandsUdf(bands, rows)(col("sh")))
     // Shingle sets are heavy (KBs per doc); only (doc, band, bh)
     // tuples flow through the bucket machinery — shingles are joined
-    // back just for the (few) surviving candidate pairs.
+    // back just for the (few) surviving candidate pairs. Band hashes
+    // come from the kernel as ONE array feeding ONE generator, so the
+    // signature is computed exactly once per doc.
     val shd = sigd.select(col("doc"), col("sh"))
     val banded = sigd.select(col("doc"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
-        }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bh"))
+        posexplode(col("bands")).as(Seq("band", "bh")))
     val capped = banded.withColumn("bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bsz") <= bucketCap)

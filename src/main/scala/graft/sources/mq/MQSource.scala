@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -143,7 +143,7 @@ object MQOffset {
 
 class MQMicroBatchStream(options: MQOptions)
   extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val transport = options.transport()
 
@@ -209,6 +209,22 @@ class MQMicroBatchStream(options: MQOptions)
       transport.commit(end.asInstanceOf[MQOffset].pos)
 
   override def stop(): Unit = ()
+
+  /** A14 analogue: the reference logs queue depth / received /
+    * committed counts every 60s (IBMMQReceiver.java:481-522); here the
+    * same operational signals surface per micro-batch through
+    * StreamingQueryProgress.sources[].metrics. */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+  : java.util.Map[String, String] = {
+    val consumed = if (latestConsumed.isPresent)
+      latestConsumed.get.asInstanceOf[MQOffset].pos else 0L
+    val depth = transport.depth()
+    java.util.Map.of(
+      "queueDepth", depth.toString,
+      "messagesBehind", math.max(0L, depth - consumed).toString,
+      "halted", halted.toString,
+      "getInhibited", transport.inhibited.toString)
+  }
 }
 
 case class MQInputPartition(options: MQOptions, start: Long, end: Long)

@@ -130,6 +130,48 @@ class MQSourceSpec extends SparkSpec {
     assert(progress.forall(_.numInputRows <= 2))
   }
 
+  test("source metrics surface depth/backlog (A14) in query progress") {
+    val dir = tmpDir("mq-metrics")
+    val ckpt = tmpDir("mq-metrics-ckpt")
+    append(dir, (1L, "a"), (2L, "b"), (3L, "c"))
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .load()
+      .writeStream.format("memory").queryName("mq_metrics")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val withMetrics = q.recentProgress
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.metrics))
+      .filter(!_.isEmpty)
+    assert(withMetrics.nonEmpty, "expected source metrics in progress")
+    assert(withMetrics.last.get("queueDepth") == "3")
+    assert(withMetrics.last.get("halted") == "false")
+  }
+
+  test("streaming parquet sink with checkpoint recovery (sink_parquet)") {
+    val dir = tmpDir("mq-psink")
+    val ckpt = tmpDir("mq-psink-ckpt")
+    val out = tmpDir("mq-psink-out")
+    append(dir, (100L, "a"), (101L, "b"))
+    def run(): Unit = {
+      val q = spark.readStream.format("ibmmq")
+        .option("path", dir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    append(dir, (102L, "c"))
+    run() // restart from checkpoint: only the new message lands
+    val rows = spark.read.parquet(out.toString)
+      .select("key").as[String].collect().toSet
+    assert(rows == Set("100_1", "101_1", "102_1"))
+  }
+
   test("halt file pauses consumption (A9)") {
     val dir = tmpDir("mq-halt")
     val halt = dir.resolve("queue.halt")
