@@ -67,7 +67,12 @@ object RelationalQueries {
         length(col("p_name")).cast("long").as("name_len"),
         trim(concat(lit(" "), col("p_name"), lit(" "))).as("name_trim"),
         regexp_replace(col("p_type"), " ", "_").as("type_us"),
-        size(split(col("p_name"), " ")).cast("long").as("n_tokens"))
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("long")
+          .as("brand_dist"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
         .orderBy("p_partkey")
     }),
 
@@ -354,12 +359,48 @@ object RelationalQueries {
         .orderBy("o_orderdate", "o_orderkey")
       val mov = base.rowsBetween(-2, Window.currentRow)
       val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // RANGE frame: peers (ties in the order key) are included —
+      // deterministic without a tiebreak, and distinct from ROWS.
+      val rng = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val dec = col("o_totalprice").cast("decimal(30,6)")
       t(s, d, "orders").select(
         col("o_orderkey"),
         sum(dec).over(mov).cast("double").as("moving_sum"),
-        sum(dec).over(run).cast("double").as("running_total"))
+        sum(dec).over(run).cast("double").as("running_total"),
+        sum(dec).over(rng).cast("double").as("range_total"))
         .orderBy("o_orderkey")
+    }),
+
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "events").groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    "q_agg_percentile" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          rnd(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          rnd(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          rnd(percentile(col("l_extendedprice"), lit(0.25)), 4)
+            .as("p25_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_null_semantics" -> ((s, d) => {
+      // three-valued logic surface: NULLIF / COALESCE / null-safe
+      // equality; nulls flushed out of the output via coalesce.
+      val segOrNull = nullif(col("c_mktsegment"), lit("BUILDING"))
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(segOrNull, lit("WAS_BUILDING")).as("seg_coalesced"),
+        (col("c_mktsegment") <=> segOrNull).as("nullsafe_eq"),
+        segOrNull.isNull.as("was_nulled"))
+        .orderBy("c_custkey")
     }),
 
     "q_win_ntile" -> ((s, d) => {
@@ -466,7 +507,11 @@ object RelationalQueries {
         |  length(p_name) AS name_len,
         |  trim(' ' || p_name || ' ') AS name_trim,
         |  replace(p_type, ' ', '_') AS type_us,
-        |  len(string_split(p_name, ' ')) AS n_tokens
+        |  len(string_split(p_name, ' ')) AS n_tokens,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_date_funcs" ->
@@ -682,7 +727,10 @@ object RelationalQueries {
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_win_ntile" ->
@@ -723,6 +771,29 @@ object RelationalQueries {
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50_qty,
+        |  floor((quantile_cont(l_quantity, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_qty,
+        |  floor((quantile_cont(l_extendedprice, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'WAS_BUILDING') AS seg_coalesced,
+        |  (c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'BUILDING')) AS nullsafe_eq,
+        |  (nullif(c_mktsegment, 'BUILDING') IS NULL) AS was_nulled
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
