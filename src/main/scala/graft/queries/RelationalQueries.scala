@@ -158,8 +158,12 @@ object RelationalQueries {
     }),
 
     "q_join_smj" -> ((s, d) => {
+      // hint("merge"): at test SFs orders fits under the broadcast
+      // threshold, but the operator this query declares is the
+      // fact-to-fact sort-merge join a 100 TB run would need.
       t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(rnd(dsum(col("l_extendedprice") *
           (lit(1) - col("l_discount"))), 2).as("revenue"),

@@ -1,0 +1,23 @@
+import java.io.PrintWriter
+val sf = "/root/testdata/sf0.01"
+val out = new PrintWriter("/root/repo/docs/PLANS.md")
+out.println("# Physical plans of headline queries (sf0.01, local[4])")
+out.println()
+out.println("Regenerated with `spark-shell -I tools/plans.scala`. What to check:")
+out.println("`PushedFilters` reaching every parquet scan, `BroadcastHashJoin` on")
+out.println("dim joins, `SortMergeJoin` (no input shuffle) where bucketing/hints")
+out.println("apply, `WholeStageCodegen` spans covering the compute, and the")
+out.println("native `graft_dot` inside vector kernels.")
+for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
+              "q_join_asof", "q_agg_hash", "q_win_rank", "q_sort_limit",
+              "q_dedup_ngram_jaccard", "q_sim_cosine_topk", "q_win_session")) {
+  out.println(s"\n## $n\n")
+  out.println("```")
+  val df = graft.SparkEntry.queries(n)(spark, sf)
+  out.println(df.queryExecution.explainString(
+    org.apache.spark.sql.execution.FormattedMode))
+  out.println("```")
+}
+out.close()
+println("WROTE /root/repo/docs/PLANS.md")
+sys.exit(0)
