@@ -436,6 +436,16 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    "q_topk_per_group_native" -> ((s, d) => {
+      // same result as q_topk_per_group's window formulation, computed
+      // by the custom heap-based TopKPerGroupExec (no per-group sort)
+      graft.plans.TopKPerGroup(t(s, d, "orders"),
+          Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_union" -> ((s, d) => {
       val c = t(s, d, "customer")
         .select(col("c_custkey").as("id"), lit("cust").as("src"))
@@ -757,6 +767,14 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_per_group_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_union" ->
       """SELECT id, src FROM (

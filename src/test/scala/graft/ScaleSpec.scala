@@ -67,6 +67,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerGroupExec matches the window formulation exactly") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val native = graft.plans.TopKPerGroup(orders,
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3)
+      .select("o_custkey", "o_orderkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey")
+    assert(native.count() == windowed.count())
+    assert(native.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(native).isEmpty)
+    // the physical plan must contain the custom exec and NO SortExec
+    // below it (the whole point: no per-group sort)
+    val plan = native.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val execNode = plan.collectFirst {
+      case e: graft.plans.TopKPerGroupExec => e }
+    assert(execNode.isDefined, s"expected TopKPerGroupExec in:\n$plan")
+    assert(execNode.get.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
+  }
+
   test("GraftExtensions wires graft_dot at builder time") {
     // builder-time extensions need a fresh session; cloneSession keeps
     // the shared context but new sessionState. Simplest check: the
