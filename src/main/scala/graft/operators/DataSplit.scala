@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `sample(fraction, seed)` is reproducible only within one engine and
+  * one partitioning; a content-hash split is reproducible everywhere,
+  * stable under repartitioning/backfills, and lets any engine (or the
+  * DuckDB oracle) recompute membership. Standard practice for
+  * train/val/test at 100 TB: hash the example id, bucket by hex digit.
+  */
+object DataSplit {
+
+  /** 16-way bucket from the first hex digit of md5(id-as-string). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+
+  /** Split label: buckets 0-11 train (75%), 12-13 val (12.5%),
+    * 14-15 test (12.5%). */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id)
+    when(b < 12, "train").when(b < 14, "val").otherwise("test")
+  }
+
+  def withSplit(df: DataFrame, idCol: String,
+                labelName: String = "split"): DataFrame =
+    df.withColumn(labelName, splitLabel(col(idCol)))
+}

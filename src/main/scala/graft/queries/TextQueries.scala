@@ -104,6 +104,14 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_split_train_test" -> ((s, d) => {
+      graft.operators.DataSplit
+        .withSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -205,6 +213,17 @@ object TextQueries {
         |JOIN sizes nb ON nb.doc = doc_b
         |WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_split_train_test" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12 THEN 'train'
+        |      WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
