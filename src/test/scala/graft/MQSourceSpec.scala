@@ -172,6 +172,40 @@ class MQSourceSpec extends SparkSpec {
     assert(rows == Set("100_1", "101_1", "102_1"))
   }
 
+  test("full pipeline: source -> watermarked window agg -> parquet") {
+    // The complete reference-replacement path (SURVEY.md §3.2 restated):
+    // ordered MQ ingest with synthesized keys and event-time put_ts,
+    // watermarked event-time windowed aggregation, durable columnar
+    // sink — what the reference's README delegates to consumer code.
+    val dir = tmpDir("mq-pipe")
+    val ckpt = tmpDir("mq-pipe-ckpt")
+    val out = tmpDir("mq-pipe-out")
+    val h1 = 1700000000000L
+    append(dir,
+      (h1, "a"), (h1, "b"),          // same ms -> distinct keys
+      (h1 + 60000, "c"),
+      (h1 + 7200000, "d"))           // two hours later: advances watermark
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .load()
+      .withWatermark("put_ts", "10 minutes")
+      .groupBy(window(col("put_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(out.toString)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // only windows older than the watermark are emitted; the first
+    // hour window (3 events) must have closed
+    assert(rows.values.sum >= 3)
+    assert(rows.exists(_._2 == 3L),
+      s"expected the 3-event hour window, got $rows")
+  }
+
   test("halt file pauses consumption (A9)") {
     val dir = tmpDir("mq-halt")
     val halt = dir.resolve("queue.halt")
