@@ -10,7 +10,8 @@ out.println("apply, `WholeStageCodegen` spans covering the compute, and the")
 out.println("native `graft_dot` inside vector kernels.")
 for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_join_asof", "q_agg_hash", "q_win_rank", "q_sort_limit",
-              "q_dedup_ngram_jaccard", "q_sim_cosine_topk", "q_win_session")) {
+              "q_dedup_ngram_jaccard", "q_sim_cosine_topk", "q_win_session",
+              "q_topk_per_group_native")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
