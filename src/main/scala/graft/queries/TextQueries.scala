@@ -228,7 +228,7 @@ object TextQueries {
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
