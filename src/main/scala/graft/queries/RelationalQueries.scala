@@ -454,6 +454,28 @@ object RelationalQueries {
       c.unionByName(sup).orderBy("src", "id")
     }),
 
+    "q_union_distinct" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .unionByName(t(s, d, "supplier")
+          .select(col("s_nationkey").cast("long").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    }),
+
+    "q_join_full_outer" -> ((s, d) => {
+      val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f"))
+        .agg(count(lit(1)).as("n_f"))
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o"))
+        .agg(count(lit(1)).as("n_o"))
+      f.join(o, col("ck_f") === col("ck_o"), "full")
+        .select(coalesce(col("ck_f"), col("ck_o")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy("custkey")
+    }),
+
     "q_intersect" -> ((s, d) => {
       t(s, d, "customer").select(col("c_custkey").as("k"))
         .intersect(t(s, d, "orders").select(col("o_custkey").as("k")))
@@ -782,6 +804,23 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT s_suppkey AS id, 'supp' AS src FROM supplier) u
         |ORDER BY src, id""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS ck_f, count(*) AS n_f FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |o AS (SELECT o_custkey AS ck_o, count(*) AS n_o FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT coalesce(ck_f, ck_o) AS custkey,
+        |       coalesce(n_f, 0) AS n_f,
+        |       coalesce(n_o, 0) AS n_o
+        |FROM f FULL OUTER JOIN o ON ck_f = ck_o
+        |ORDER BY custkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer
