@@ -55,6 +55,30 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-static enrichment: join the live stream against a slowly
+    * changing dimension (broadcast — no stream state, re-read per
+    * micro-batch). The MQ payload enriched with reference data is the
+    * reference deployment's most common consumer shape. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Stream-stream inner join within a time bound: both sides
+    * watermarked, join condition constrains event-time distance so
+    * state is evictable. The canonical "purchase joined to the click
+    * that preceded it" shape. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightTs: String,
+                   key: String, rightKey: String,
+                   maxGap: String, lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(key) === col(rightKey) &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxGap"))
+  }
+
   /** The reference's per-millisecond counter (A4,
     * IBMMQReceiver.java:251-254, 266-267) as explicit streaming state:
     * for each arriving (ms, payload) record, assign seq = running count

@@ -206,6 +206,31 @@ class MQSourceSpec extends SparkSpec {
       s"expected the 3-event hour window, got $rows")
   }
 
+  test("ordered replication: sink order equals queue order across capped batches") {
+    // The reference's raison d'etre (README.md:59-64): keep DB2-QREP
+    // queue order end-to-end. One source partition + rate-capped
+    // micro-batches must deliver in exact queue order.
+    val dir = tmpDir("mq-order")
+    val ckpt = tmpDir("mq-order-ckpt")
+    val msgs = (0 until 500).map(i => (10000L + i / 3, s"m$i"))
+    append(dir, msgs: _*)
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .option("maxMessagesPerTrigger", "97")
+      .load()
+      .writeStream.format("memory").queryName("mq_order")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("mq_order")
+      .orderBy("put_ts", "seq")
+      .select("value").as[String].collect().toSeq
+    assert(got == msgs.map(_._2))
+    // keys unique + dense counters within each shared millisecond
+    val keys = spark.table("mq_order").select("key").as[String].collect()
+    assert(keys.distinct.length == 500)
+  }
+
   test("halt file pauses consumption (A9)") {
     val dir = tmpDir("mq-halt")
     val halt = dir.resolve("queue.halt")

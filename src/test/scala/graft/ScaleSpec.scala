@@ -95,6 +95,27 @@ class ScaleSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
   }
 
+  test("partition pruning: hive-partitioned write reads only matching partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part")
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    orders.withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").mode("overwrite")
+      .parquet(out.toString)
+    val pruned = spark.read.parquet(out.toString)
+      .filter(col("status") === "F")
+      .select("o_orderkey")
+    assert(pruned.count() > 0)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    // only the status=F partition directory is read
+    assert(scan.get.metadata("PartitionFilters").contains("status"),
+      s"partition filter missing: ${scan.get.metadata}")
+    val allParts = spark.read.parquet(out.toString).count()
+    assert(pruned.count() < allParts)
+  }
+
   test("GraftExtensions wires graft_dot at builder time") {
     // builder-time extensions need a fresh session; cloneSession keeps
     // the shared context but new sessionState. Simplest check: the

@@ -85,6 +85,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int)]
+    val dim = Seq((1, "gold"), (2, "silver")).toDF("cust_id", "tier")
+    val enriched = StreamingOps.enrichWithStatic(
+      input.toDF().toDF("ts", "cust"), dim, "cust", "cust_id")
+      .select("cust", "tier")
+    val q = enriched.writeStream.format("memory").queryName("enr_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1),
+        (ts("2024-01-01 10:00:01"), 3))
+      q.processAllAvailable()
+      val rows = spark.table("enr_sink")
+        .as[(Int, Option[String])].collect().toMap
+      assert(rows(1).contains("gold"))
+      assert(rows(3).isEmpty) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches purchase to preceding click") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Int, String)]
+    val clicks = MemoryStream[(Timestamp, Int, String)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("p_ts", "p_user", "p_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "c_id"),
+      "p_ts", "c_ts", "p_user", "c_user",
+      maxGap = "'30' MINUTE", lateness = "1 hour")
+      .select("p_id", "c_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 7, "click1"),
+        (ts("2024-01-01 08:00:00"), 7, "clickOld"))
+      purchases.addData((ts("2024-01-01 10:10:00"), 7, "buy1"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_sink")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("buy1", "click1"))) // clickOld outside 30m gap
+    } finally q.stop()
+  }
+
   test("stateful per-millisecond counter (A4 streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
