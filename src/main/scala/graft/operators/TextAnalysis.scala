@@ -67,6 +67,15 @@ object TextAnalysis {
     graft.rnd(stopwordRatio(toks, stopwords) * 0.5 + lenSat * 0.5, 4)
   }
 
+  /** Redaction pass for training-data hygiene: mask digit runs and
+    * email-shaped spans (pure codegen'd regexps, no UDF). Real
+    * deployments chain more patterns; the operator shape is one linear
+    * scan per pattern. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Groups docs that are token-set permutations. */
   def contentFingerprint(toks: Column): Column =

@@ -104,6 +104,13 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_text_redact" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        TA.redact(col("props")).as("props_redacted"))
+        .orderBy("event_id")
+    }),
+
     "q_split_train_test" -> ((s, d) => {
       graft.operators.DataSplit
         .withSplit(t(s, d, "documents"), "doc_id")
@@ -213,6 +220,13 @@ object TextQueries {
         |JOIN sizes nb ON nb.doc = doc_b
         |WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_split_train_test" ->
       """WITH s AS (
