@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 /** As-of join: for each left row, the single latest right row with
@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * broadcast or shuffled hash/sort-merge join — NOT a cartesian) with a
   * per-left-row `row_number` survivor pick.
   *
-  * Scale note: the join shuffles both sides on the key once; the window
-  * partitions by the left row id, which is unique, so the second shuffle
-  * spreads perfectly. For extreme per-key fan-out (many right rows per
-  * key), bucket the right side by key and time-range-prune before the
-  * join; that refinement keeps the same logical shape.
+  * Scale note: the join shuffles both sides on the key once; the
+  * survivor-pick aggregate groups by the (unique) left row key, so its
+  * shuffle spreads perfectly and combines map-side. For extreme
+  * per-key fan-out (many right rows per key), bucket the right side by
+  * key and time-range-prune before the join; that refinement keeps the
+  * same logical shape.
   */
 object AsOfJoin {
 
@@ -23,15 +24,24 @@ object AsOfJoin {
     *
     * @param tiebreak right-side columns that uniquify rows with equal
     *                 time, so the survivor is deterministic.
+    * @param leftId   columns that uniquify LEFT rows (the group key of
+    *                 the survivor pick). Must be deterministic —
+    *                 `monotonically_increasing_id` would recompute
+    *                 differently under partial stage retry
+    *                 (SPARK-23207), silently merging or splitting
+    *                 groups. Defaults to ALL left columns, which is
+    *                 correct whenever left rows are distinct; pass the
+    *                 actual unique key when you have one (cheaper
+    *                 grouping, and safe under duplicate left rows).
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               tiebreak: Seq[String]): DataFrame = {
-    val l = left.withColumn("__lid", monotonically_increasing_id())
-    val cond = l(leftKey) === right(rightKey) &&
-      right(rightTime) <= l(leftTime)
-    val joined = l.join(right, cond, "left")
+               tiebreak: Seq[String],
+               leftId: Seq[String] = Seq.empty): DataFrame = {
+    val cond = left(leftKey) === right(rightKey) &&
+      right(rightTime) <= left(leftTime)
+    val joined = left.join(right, cond, "left")
     // Survivor pick via max_by instead of a row_number window: the
     // aggregate combines map-side (partial max per partition), so the
     // shuffle carries one row per left row instead of every joined
@@ -39,7 +49,12 @@ object AsOfJoin {
     // struct max on (rightTime, tiebreak...) = "latest, deterministic".
     val ordKey = struct((rightTime +: tiebreak).map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
-    val leftKeys: Seq[Column] = col("__lid") +: left.columns.map(col).toSeq
+    // Group by the caller's unique left key plus the remaining left
+    // payload (constant within a group, carried through the grouping
+    // so no second join is needed to re-attach it).
+    val idCols = if (leftId.nonEmpty) leftId else left.columns.toSeq
+    val leftKeys: Seq[Column] =
+      (idCols ++ left.columns.filterNot(idCols.contains)).map(col)
     joined
       .groupBy(leftKeys: _*)
       .agg(max_by(rStruct, ordKey).as("__r"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document-deduplication operators for a training-data pipeline:
   * exact (normalized-hash groupBy), n-gram Jaccard (token-inverted-index
@@ -61,15 +62,41 @@ object Dedup {
     * bounded); pass None for the full pairing.
     * `dfCap`: ignore tokens present in more than this many docs (hot
     * keys — no discriminative value, pure skew at scale).
+    * `dfCapPct`: same guard, but as a PERCENT of corpus size — the
+    * scale-invariant form (an absolute cap tuned at sf0.01 silently
+    * drops the whole vocabulary at sf100). Compared in pure integer
+    * arithmetic (df*100 > pct*nDocs) so an external oracle reproduces
+    * the cut exactly.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, toks: Column,
                    threshold: Double, maxIdGap: Option[Long],
-                   dfCap: Option[Long] = None): DataFrame = {
-    var idx = tokenIndex(docs, idCol, toks)
-    dfCap.foreach { cap =>
-      val hot = idx.groupBy("token").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("token")
-      idx = idx.join(broadcast(hot), Seq("token"), "left_anti")
+                   dfCap: Option[Long] = None,
+                   dfCapPct: Option[Int] = None): DataFrame = {
+    // Materialize the (doc, token) index ONCE. It feeds four consumers
+    // (both join sides, the per-doc sizes, and the hot-token census) —
+    // without the persist each one re-scans the corpus and re-runs
+    // split+explode. The index is two narrow columns (a fraction of
+    // corpus bytes) and spills to disk if it outgrows executor memory.
+    val raw = tokenIndex(docs, idCol, toks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Tokens above the document-frequency cap carry no discriminative
+    // signal and are pure join skew: drop them via a broadcast
+    // anti-join (the hot-token list is tiny by construction).
+    val hotFilter: Option[DataFrame] = (dfCap, dfCapPct) match {
+      case (Some(cap), _) =>
+        Some(raw.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("token"))
+      case (None, Some(pct)) =>
+        val nDocs = raw.select(countDistinct(col("doc")).as("__nd"))
+        Some(raw.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * lit(100L) > col("__nd") * lit(pct.toLong))
+          .select("token"))
+      case _ => None
+    }
+    val idx = hotFilter match {
+      case Some(hot) => raw.join(broadcast(hot), Seq("token"), "left_anti")
+      case None => raw
     }
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val a = idx.select(col("doc").as("id_a"), col("token"))

@@ -129,14 +129,21 @@ object Similarity {
       cands.withColumn("h", xxhash64(col("c_id")))
         .orderBy(col("h"), col("c_id")).limit(nCentroids)
         .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec")))
-    // assignment: nearest centroid per candidate (broadcast NLJ + top-1)
-    val wc = Window.partitionBy(col("c_id"))
-      .orderBy(col("cd").desc, col("cent_id").asc)
+    // assignment: nearest centroid per candidate (broadcast NLJ +
+    // max_by top-1). A hash aggregate, NOT a row_number window: the
+    // partial max combines map-side, so the corpus is never
+    // sort-shuffled — the exchange carries one row per candidate.
+    // Tiebreak = smallest cent_id on equal distance (negated id under
+    // max = min), matching the window form it replaced.
     val assigned = cands.crossJoin(cents)
       .withColumn("cd", cosine(col("c_vec"), col("cent_vec")))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .groupBy(col("c_id"), col("c_vec"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cd"), -col("cent_id"))).as("cent_id"))
       .select(col("c_id"), col("c_vec"), col("cent_id"))
-    // probe: each query's nProbe nearest centroid lists
+    // probe: each query's nProbe nearest centroid lists. This one
+    // stays a row_number window (top-nProbe, not top-1) — it runs over
+    // queries x centroids, the SMALL broadcast side, never the corpus.
     val qs = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("q_vec"))
     val wq = Window.partitionBy(col("q_id"))

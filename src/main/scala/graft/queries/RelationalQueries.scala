@@ -236,7 +236,8 @@ object RelationalQueries {
         .select(col("event_id").as("c_event_id"),
           col("user_id").as("c_user_id"), col("ts").as("c_ts"))
       graft.operators.AsOfJoin.leftAsOf(purchases, clicks,
-          "user_id", "c_user_id", "ts", "c_ts", Seq("c_event_id"))
+          "user_id", "c_user_id", "ts", "c_ts", Seq("c_event_id"),
+          leftId = Seq("event_id"))
         .select(col("event_id"),
           coalesce(col("c_event_id"), lit(-1L)).as("click_id"),
           coalesce(unix_micros(col("ts")) - unix_micros(col("c_ts")),
@@ -386,12 +387,35 @@ object RelationalQueries {
     }),
 
     "q_agg_percentile" -> ((s, d) => {
+      // Exact percentile: the small-sf ORACLE form. It buffers every
+      // value of a group in executor memory, and with 3 groups one
+      // task holds ~n/3 of lineitem — use q_agg_percentile_approx
+      // (below) as the scale path; this twin exists for bit-exact
+      // verification against DuckDB's quantile_cont.
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
           rnd(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
           rnd(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
           rnd(percentile(col("l_extendedprice"), lit(0.25)), 4)
             .as("p25_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_agg_percentile_approx" -> ((s, d) => {
+      // Scale twin of q_agg_percentile: approx_percentile keeps a
+      // bounded KLL-style sketch per group (O(accuracy) memory, merged
+      // map-side), so group size never bounds executor memory. Sketch
+      // output is engine-specific -> rows-only check here; the
+      // PercentileSpec ScalaTest bounds its error against the exact
+      // form.
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          rnd(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)),
+            4).as("p50_qty"),
+          rnd(approx_percentile(col("l_quantity"), lit(0.9), lit(10000)),
+            4).as("p90_qty"),
+          rnd(approx_percentile(col("l_extendedprice"), lit(0.25),
+            lit(10000)), 4).as("p25_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -408,12 +432,25 @@ object RelationalQueries {
     }),
 
     "q_win_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      t(s, d, "customer").select(
+      // Global ntile/percent_rank/cume_dist WITHOUT the
+      // single-partition `Window.orderBy(...)` (which funnels the
+      // whole table through one task): bucket monotonically on the
+      // order key, per-bucket counts + cumulative offsets, local
+      // row_number within bucket (graft.operators.GlobalRank). The
+      // only unpartitioned window left runs over the ~11k-row
+      // bucket-count table, not the data.
+      import graft.operators.GlobalRank
+      val ranked = GlobalRank.withGlobalRank(
+        t(s, d, "customer"),
+        floor(col("c_acctbal")),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc))
+      ranked.select(
         col("c_custkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        rnd(percent_rank().over(w), 6).as("pr"),
-        rnd(cume_dist().over(w), 6).as("cd"))
+        GlobalRank.ntileOf(col("__rank"), col("__n"), 4).as("quartile"),
+        rnd(GlobalRank.percentRankOf(col("__rank"), col("__n")), 6)
+          .as("pr"),
+        rnd(GlobalRank.cumeDistOf(col("__rank"), col("__n")), 6)
+          .as("cd"))
         .orderBy("c_custkey")
     }),
 

