@@ -82,6 +82,15 @@ case class MQOptions(raw: Map[String, String]) {
     opt("maxMessagesPerTrigger").map(_.toLong)
   val ccsid: Option[Int] = opt("mqccsid").map(_.toInt)
   val haltFile: Option[String] = opt("haltFile")
+  /** A13 retry policy: attempts per transport operation (1 = no retry)
+    * and capped exponential backoff. The 600 s default cap is the
+    * reference's reconnect backoff ceiling (IBMMQReceiver.java:219-225).
+    */
+  val retryAttempts: Int = opt("retryAttempts").map(_.toInt).getOrElse(3)
+  val retryInitialBackoffMs: Long =
+    opt("retryInitialBackoffMs").map(_.toLong).getOrElse(100L)
+  val retryMaxBackoffMs: Long =
+    opt("retryMaxBackoffMs").map(_.toLong).getOrElse(600000L)
 
   require(path.isDefined || (host.isDefined && queueManager.isDefined &&
     channel.isDefined && queue.isDefined),
@@ -90,13 +99,27 @@ case class MQOptions(raw: Map[String, String]) {
   require(waitInterval > 0, "waitInterval must be positive")
   maxMessagesPerTrigger.foreach(m =>
     require(m > 0, "maxMessagesPerTrigger must be positive"))
+  require(retryAttempts >= 1, "retryAttempts must be >= 1")
+  // Fail at option-parse time, not first-read time, when the CCSID has
+  // no JVM charset (same eager posture as the reference ctor). Only
+  // the NAME is stored — Charset is not serializable and MQOptions
+  // rides inside the InputPartition to executors.
+  private val charsetName: String = ccsid.map(MQCcsid.charsetFor)
+    .getOrElse(java.nio.charset.StandardCharsets.UTF_8).name()
 
-  def transport(): MQTransport = path match {
-    case Some(p) => new FileMQTransport(p)
-    case None => throw new UnsupportedOperationException(
-      "com.ibm.mq.allclient transport is not available in this offline " +
-        "build; it implements MQTransport behind the same seam " +
-        "(reference A13/A15 semantics: MQCSP auth, syncpoint, reconnect)")
+  def transport(): MQTransport = {
+    val base = path match {
+      case Some(p) => new FileMQTransport(p,
+        java.nio.charset.Charset.forName(charsetName))
+      case None => throw new UnsupportedOperationException(
+        "com.ibm.mq.allclient transport is not available in this offline " +
+          "build; it implements MQTransport behind the same seam " +
+          "(reference A13/A15 semantics: MQCSP auth, syncpoint, reconnect)")
+    }
+    if (retryAttempts > 1)
+      new RetryingTransport(base, retryAttempts,
+        retryInitialBackoffMs, retryMaxBackoffMs)
+    else base
   }
 }
 
@@ -190,10 +213,23 @@ class MQMicroBatchStream(options: MQOptions)
 
   override def reportLatestOffset(): Offset = MQOffset(transport.depth())
 
+  // A14 operational counters, mirroring the reference's
+  // numMessagesReceived / numMessagesCommited / numCommitsFailed
+  // (IBMMQReceiver.java:91-93, incremented at :341-356 and :502-512) —
+  // the numbers an operator alarms on. Driver-side, cumulative over
+  // the stream's lifetime.
+  @volatile private var messagesReceived = 0L
+  @volatile private var messagesCommitted = 0L
+  @volatile private var commitsFailed = 0L
+
   override def planInputPartitions(start: Offset, end: Offset)
   : Array[InputPartition] = {
     val s = start.asInstanceOf[MQOffset].pos
     val e = end.asInstanceOf[MQOffset].pos
+    // offset == count of messages ever observed, so the planned
+    // high-water mark IS the cumulative received count (max() keeps it
+    // monotone under replanning/replay of an old range).
+    messagesReceived = math.max(messagesReceived, e)
     if (e <= s) Array.empty
     else Array(MQInputPartition(options, s, e))
   }
@@ -203,10 +239,25 @@ class MQMicroBatchStream(options: MQOptions)
 
   /** A8: acknowledge consumption AFTER the micro-batch's offset is
     * durably checkpointed — destructive mode removes the messages, the
-    * browse mode (keepMessages=true, reference default) leaves them. */
+    * browse mode (keepMessages=true, reference default) leaves them.
+    * A commit failure is counted and swallowed, like the reference's
+    * log-and-continue (IBMMQReceiver.java:357-365): the messages stay
+    * on the queue, get redelivered, and the synthesized key dedups
+    * them downstream — at-least-once is preserved either way.
+    */
   override def commit(end: Offset): Unit =
-    if (!options.keepMessages)
-      transport.commit(end.asInstanceOf[MQOffset].pos)
+    if (!options.keepMessages) {
+      val pos = end.asInstanceOf[MQOffset].pos
+      try {
+        transport.commit(pos)
+        messagesCommitted = math.max(messagesCommitted, pos)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          commitsFailed += 1
+          System.err.println(
+            s"[ibmmq] commit($pos) failed (will redeliver): $e")
+      }
+    }
 
   override def stop(): Unit = ()
 
@@ -222,6 +273,9 @@ class MQMicroBatchStream(options: MQOptions)
     java.util.Map.of(
       "queueDepth", depth.toString,
       "messagesBehind", math.max(0L, depth - consumed).toString,
+      "messagesReceived", messagesReceived.toString,
+      "messagesCommitted", messagesCommitted.toString,
+      "commitsFailed", commitsFailed.toString,
       "halted", halted.toString,
       "getInhibited", transport.inhibited.toString)
   }

@@ -1,8 +1,8 @@
 package graft.sources.mq
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 /** One message as the queue manager hands it over: MQMD put time
   * (millisecond resolution — IBMMQReceiver.java:250), the native
@@ -42,6 +42,33 @@ trait MQTransport extends Serializable {
   def inhibited: Boolean = false
 }
 
+/** IBM CCSID (coded character set id) → JVM charset. The reference
+  * forces `rcvMessage.characterSet` from the `mqccsid` option before
+  * reading the payload (IBMMQReceiver.java:242-249); the same decode
+  * choice happens here at the transport boundary, where the bytes are.
+  * Table covers the CCSIDs MQ deployments actually pin; anything else
+  * falls back to the JVM's `CP<ccsid>`/`IBM<ccsid>` aliases.
+  */
+object MQCcsid {
+  def charsetFor(ccsid: Int): Charset = ccsid match {
+    case 1208 => StandardCharsets.UTF_8
+    case 1200 | 13488 => StandardCharsets.UTF_16 // MQ UCS-2/UTF-16 ids
+    case 819 => StandardCharsets.ISO_8859_1
+    case 1252 => Charset.forName("windows-1252")
+    case 437 | 850 | 37 | 500 | 1047 => Charset.forName(s"IBM$ccsid")
+    case other =>
+      try Charset.forName(s"CP$other")
+      catch {
+        case NonFatal(_) =>
+          try Charset.forName(s"IBM$other")
+          catch {
+            case NonFatal(_) => throw new IllegalArgumentException(
+              s"mqccsid $other has no JVM charset mapping")
+          }
+      }
+  }
+}
+
 /** File-backed fake queue: `<dir>/queue.jsonl`, one message per line as
   * `<putMillis>\t<payload>`; appended over time by tests/producers.
   * `<dir>/committed` holds the destructive-get high-water mark (the
@@ -49,16 +76,23 @@ trait MQTransport extends Serializable {
   * queue's perspective but kept on disk so replay within a run works,
   * exactly like a transactional browse cursor).
   *
+  * `charset` decodes payload BYTES (reference A3: the queue hands over
+  * bytes in the queue manager's CCSID, not strings).
+  *
   * Not meant to be fast — meant to make the source's offset/commit
   * machinery fully testable offline.
   */
-class FileMQTransport(dir: String) extends MQTransport {
+class FileMQTransport(dir: String,
+                      charset: Charset = StandardCharsets.UTF_8)
+  extends MQTransport {
   private def queueFile = Paths.get(dir, "queue.jsonl")
   private def committedFile = Paths.get(dir, "committed")
 
   private def lines(): Vector[String] =
     if (Files.exists(queueFile))
-      Files.readAllLines(queueFile, StandardCharsets.UTF_8).asScala.toVector
+      new String(Files.readAllBytes(queueFile), charset)
+        .split("\n", -1).toVector.map(_.stripSuffix("\r"))
+        .filter(_.nonEmpty)
     else Vector.empty
 
   private def parse(line: String): MQRecord = {
@@ -95,4 +129,58 @@ class FileMQTransport(dir: String) extends MQTransport {
       n
     }
   }
+}
+
+/** A13: retry-with-backoff around any transport. The reference reacts
+  * to ANY receive-loop Throwable by disconnecting, sleeping a capped
+  * backoff, reconnecting, and restarting the loop
+  * (IBMMQReceiver.java:154-198, 219-225 — 600 s cap). Here the same
+  * policy is a decorator on the transport seam, so it covers the file
+  * fake in tests and the real client identically: each operation is
+  * retried up to `maxAttempts` with exponential backoff capped at
+  * `maxBackoffMs`; a real transport re-establishes its connection
+  * inside the retried call (its `read` reconnects if the handle died),
+  * which is exactly the reference's disconnect/reconnect cycle.
+  *
+  * `read` MATERIALIZES the range before returning: a lazy iterator
+  * would escape the retry scope and fail mid-consumption. Ranges are
+  * micro-batch sized (bounded by admission control), so buffering one
+  * is the same memory the reference's per-batch `store(ArrayBuffer)`
+  * already paid (IBMMQReceiver.java:341-356).
+  *
+  * `sleep` is injectable so tests assert the backoff schedule instead
+  * of waiting it out.
+  */
+class RetryingTransport(underlying: MQTransport, maxAttempts: Int,
+                        initialBackoffMs: Long, maxBackoffMs: Long,
+                        sleep: Long => Unit = Thread.sleep)
+  extends MQTransport {
+  require(maxAttempts >= 1, "maxAttempts must be >= 1")
+
+  private def withRetry[T](f: => T): T = {
+    var attempt = 1
+    var backoff = initialBackoffMs
+    var last: Throwable = null
+    while (attempt <= maxAttempts) {
+      try return f
+      catch {
+        case NonFatal(e) =>
+          last = e
+          if (attempt < maxAttempts) {
+            sleep(backoff)
+            backoff = math.min(backoff * 2, maxBackoffMs)
+          }
+          attempt += 1
+      }
+    }
+    throw last
+  }
+
+  override def depth(): Long = withRetry(underlying.depth())
+  override def read(start: Long, end: Long): Iterator[MQRecord] =
+    withRetry(underlying.read(start, end).toVector).iterator
+  override def commit(upTo: Long): Unit = withRetry(underlying.commit(upTo))
+  override def sameMillisPrefix(pos: Long): Int =
+    withRetry(underlying.sameMillisPrefix(pos))
+  override def inhibited: Boolean = underlying.inhibited
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import graft.sources.mq.{FileMQTransport, MQOptions}
+import graft.sources.mq.{FileMQTransport, MQOptions, MQRecord, MQTransport, RetryingTransport}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.functions._
 
@@ -272,6 +272,114 @@ class MQSourceSpec extends SparkSpec {
     assert(deduped.count() == 3) // exactly-once restored
     assert(deduped.select("key").as[String].collect().toSet ==
       Set("5000_1", "5000_2", "5001_1"))
+  }
+
+  /** Fails the first `failures` read/depth calls, then behaves like the
+    * underlying transport — the flaky-connection shape of reference
+    * A13 (receive loop dies on a transient MQException). */
+  private class FlakyTransport(underlying: MQTransport, failures: Int)
+    extends MQTransport {
+    var readCalls = 0
+    private var remaining = failures
+    private def maybeFail(): Unit =
+      if (remaining > 0) {
+        remaining -= 1
+        throw new java.io.IOException("simulated connection reset")
+      }
+    override def depth(): Long = { maybeFail(); underlying.depth() }
+    override def read(start: Long, end: Long): Iterator[MQRecord] = {
+      readCalls += 1
+      maybeFail()
+      underlying.read(start, end)
+    }
+    override def commit(upTo: Long): Unit = { maybeFail(); underlying.commit(upTo) }
+    override def sameMillisPrefix(pos: Long): Int =
+      underlying.sameMillisPrefix(pos)
+  }
+
+  test("transient transport failures are retried with capped backoff (A13)") {
+    val dir = tmpDir("mq-retry")
+    append(dir, (1L, "a"), (1L, "b"), (2L, "c"))
+    val file = new FileMQTransport(dir.toString)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new FlakyTransport(file, failures = 3)
+    val t = new RetryingTransport(flaky, maxAttempts = 5,
+      initialBackoffMs = 100L, maxBackoffMs = 250L,
+      sleep = ms => sleeps += ms)
+    // 3 failures then success: same records as a clean read — no loss,
+    // no duplication, and the documented exponential-then-capped
+    // schedule (100, 200, capped 250).
+    assert(t.read(0, 3).toSeq == file.read(0, 3).toSeq)
+    assert(sleeps.toSeq == Seq(100L, 200L, 250L))
+    // exhaustion rethrows the underlying error
+    val dead = new RetryingTransport(
+      new FlakyTransport(file, failures = 99), maxAttempts = 3,
+      initialBackoffMs = 1L, maxBackoffMs = 1L, sleep = _ => ())
+    intercept[java.io.IOException] { dead.read(0, 3) }
+  }
+
+  test("retry policy is wired through options into the source transport") {
+    val dir = tmpDir("mq-retry-opts")
+    val opts = MQOptions(Map("path" -> dir.toString,
+      "retryAttempts" -> "4", "retryInitialBackoffMs" -> "5",
+      "retryMaxBackoffMs" -> "20"))
+    assert(opts.transport().isInstanceOf[RetryingTransport])
+    // retryAttempts=1 disables the decorator entirely
+    val bare = MQOptions(Map("path" -> dir.toString, "retryAttempts" -> "1"))
+    assert(bare.transport().isInstanceOf[FileMQTransport])
+    intercept[IllegalArgumentException] {
+      MQOptions(Map("path" -> dir.toString, "retryAttempts" -> "0"))
+    }
+  }
+
+  test("mqccsid decodes non-UTF8 payload bytes (A3)") {
+    val dir = tmpDir("mq-ccsid")
+    // latin-1 bytes: 'café' + 'Düsseldorf' are NOT valid UTF-8 as
+    // ISO-8859-1 single bytes, so a UTF-8 decode would mangle them
+    Files.write(dir.resolve("queue.jsonl"),
+      "100\tcafé\n101\tDüsseldorf\n"
+        .getBytes(StandardCharsets.ISO_8859_1),
+      StandardOpenOption.CREATE)
+    val rows = spark.read.format("ibmmq")
+      .option("path", dir.toString)
+      .option("mqccsid", "819") // IBM CCSID 819 = ISO-8859-1
+      .load()
+      .orderBy("put_ts")
+      .select("value").as[String].collect().toSeq
+    assert(rows == Seq("café", "Düsseldorf"))
+    // unknown ccsid fails at option-parse time, like the ctor (A15)
+    intercept[IllegalArgumentException] {
+      MQOptions(Map("path" -> dir.toString, "mqccsid" -> "999999"))
+    }
+  }
+
+  test("operational counters: received/committed/commitsFailed (A14)") {
+    val dir = tmpDir("mq-counters")
+    val ckpt = tmpDir("mq-counters-ckpt")
+    append(dir, (1L, "a"), (2L, "b"), (3L, "c"))
+    val q = spark.readStream.format("ibmmq")
+      .option("path", dir.toString)
+      .option("keepMessages", "false")
+      .option("maxMessagesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("mq_counters")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("mq_counters").count() == 3)
+    val metrics = q.recentProgress
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.metrics))
+      .filter(!_.isEmpty)
+    assert(metrics.nonEmpty)
+    val last = metrics.last
+    assert(last.get("messagesReceived") == "3")
+    assert(last.get("commitsFailed") == "0")
+    // commit() is called when the NEXT batch starts, so the committed
+    // counter trails received by up to one batch; with two capped
+    // batches at least the first must have been acknowledged.
+    assert(last.get("messagesCommitted").toLong >= 2L)
+    assert(new FileMQTransport(dir.toString).committed() >= 2L)
   }
 
   test("replay between checkpointed offsets is deterministic (exactly-once seam)") {
