@@ -198,6 +198,40 @@ object Dedup {
         col("hamming"))
   }
 
+  /** SimHash near-dup pairs WITHOUT an id-gap bound — the full-scale
+    * formulation: the 64-bit fingerprint is split into 4 x 16-bit
+    * bands; by pigeonhole, any pair with hamming distance <= 3 shares
+    * at least one intact band, so a bucket equi-join on (band, bits)
+    * finds ALL such pairs (exact, not approximate, for maxHamming <= 3;
+    * a candidate-generation heuristic beyond that). Buckets above
+    * `bucketCap` are dropped — a degenerate band value (e.g. all-zero
+    * from short docs) is skew, not signal.
+    */
+  def simhashNearDupsBanded(docs: DataFrame, idCol: String, toks: Column,
+                            maxHamming: Int,
+                            bucketCap: Int = 10000): DataFrame = {
+    val h = docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
+    val banded = h.select(col("doc"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sim"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+    val capped = banded.withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("bsz") <= bucketCap)
+    val l = capped.select(col("band"), col("bits"),
+      col("doc").as("doc_a"), col("sim").as("sim_a"))
+    val r = capped.select(col("band"), col("bits"),
+      col("doc").as("doc_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-dup pairs within an id-gap candidate window
     * (oracle-checkable bounded form; the unbounded form goes through
     * Similarity.lshTopK buckets instead of the id window).

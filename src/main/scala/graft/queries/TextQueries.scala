@@ -109,6 +109,15 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_dedup_simhash_banded" -> ((s, d) => {
+      // Unbounded (whole-corpus) simhash near-dup via 4x16-bit band
+      // buckets — exact for maxHamming <= 3 by pigeonhole, no id
+      // window, no all-pairs anywhere.
+      Dedup.simhashNearDupsBanded(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q_text_redact" -> ((s, d) => {
       t(s, d, "events").select(
         col("event_id"),

@@ -81,6 +81,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
   }
 
+  test("banded simhash finds EVERY pair within hamming 3 (pigeonhole recall)") {
+    // ground truth: brute-force all-pairs hamming over the sf0.001
+    // documents fixture (small enough to cross-join in a test)
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val h = d.select(col("doc_id").as("doc"),
+      Dedup.simhash64(TA.tokens(col("text"))).as("sim"))
+    val truth = h.as("a").crossJoin(h.as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupsBanded(d, "doc_id",
+        TA.tokens(col("text")), maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == truth)
+    assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
+  }
+
   test("embedding near-dups by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -16,8 +16,8 @@ class QueriesSmokeSpec extends SparkSpec {
     // sketch/hash-based ops are intentionally rows-only
     // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
-      "q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf",
-      "q_agg_percentile_approx"))
+      "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
+      "q_sim_ann_ivf", "q_agg_percentile_approx"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -26,7 +26,8 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(n >= 0)
       // queries that must be non-empty to demonstrate anything:
       if (!Set("q_except", "q_dedup_ngram_jaccard", "q_minhash_neardup",
-          "q_dedup_simhash", "q_dedup_embedding").contains(name))
+          "q_dedup_simhash", "q_dedup_simhash_banded",
+          "q_dedup_embedding").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
