@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -140,11 +139,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, shingles: Column,
                       threshold: Double, bands: Int = 8, rows: Int = 4,
                       bucketCap: Int = 200): DataFrame = {
+    // Materialized once: three consumers (the band explosion and both
+    // survivor-verification sides) would otherwise each re-scan the
+    // corpus, re-shingle, and re-run the minhash kernel — the
+    // dominant cost of the whole operator.
     val sigd = docs
       .select(col(idCol).as("doc"), array_distinct(shingles).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands",
         graft.functions.HashKernels.minhashBandsUdf(bands, rows)(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Shingle sets are heavy (KBs per doc); only (doc, band, bh)
     // tuples flow through the bucket machinery — shingles are joined
     // back just for the (few) surviving candidate pairs. Band hashes
@@ -153,9 +157,15 @@ object Dedup {
     val shd = sigd.select(col("doc"), col("sh"))
     val banded = sigd.select(col("doc"),
         posexplode(col("bands")).as(Seq("band", "bh")))
-    val capped = banded.withColumn("bsz", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= bucketCap)
+    // Skew guard as a census + broadcast ANTI-join, not a count()
+    // window: the window form sort-shuffles every (doc,band,bh) tuple;
+    // the census is a map-side-combining aggregate and the hot-bucket
+    // list is tiny by construction (only buckets above the cap).
+    val hotBuckets = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap).select("band", "bh")
+    val capped = banded
+      .join(broadcast(hotBuckets), Seq("band", "bh"), "left_anti")
     val l = capped.select(col("band"), col("bh"), col("doc").as("doc_a"))
     val r = capped.select(col("band"), col("bh"), col("doc").as("doc_b"))
     val cands = l.join(r, Seq("band", "bh"))
@@ -215,9 +225,15 @@ object Dedup {
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("sim"), b * 16)
             .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
-    val capped = banded.withColumn("bsz", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("bits"))))
-      .filter(col("bsz") <= bucketCap)
+    // Materialized once: both self-join sides otherwise re-hash the
+    // corpus; the skew guard is a census + broadcast anti-join (no
+    // corpus-wide sort — see minhashNearDups).
+    val hotBuckets = banded.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap).select("band", "bits")
+    val capped = banded
+      .join(broadcast(hotBuckets), Seq("band", "bits"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = capped.select(col("band"), col("bits"),
       col("doc").as("doc_a"), col("sim").as("sim_a"))
     val r = capped.select(col("band"), col("bits"),

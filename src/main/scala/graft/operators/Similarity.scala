@@ -171,12 +171,20 @@ object Similarity {
   def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame = {
+    // Bucketed corpus index materialized once (in a real deployment
+    // this is a bucketed TABLE amortized over all queries): the
+    // bucket-size census and the probe join both read it without
+    // re-running the nPlanes-projection kernel.
     val cb = candidates.select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
-    val capped = cb.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= bucketCap).drop("bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew guard via census + broadcast anti-join — the count()-window
+    // form it replaces sort-shuffled every (vector, bucket) row.
+    val hotBuckets = cb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap).select("bucket")
+    val capped = cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
     val qb = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("q_vec"))
       .withColumn("bucket", lshBucket(col("q_vec"), nPlanes))
