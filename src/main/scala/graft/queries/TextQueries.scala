@@ -133,6 +133,32 @@ object TextQueries {
         .orderBy("split")
     }),
 
+    "q_text_chunk" -> ((s, d) => {
+      // 6-token chunks with 2-token overlap (stride 4) — the
+      // sequence-packing precursor; chunk_idx orders chunks within a
+      // doc for deterministic downstream packing.
+      graft.operators.Chunking
+        .chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 6, overlap = 2)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q_sample_stratified" -> ((s, d) => {
+      // Deterministic per-stratum sampling rates (out of 256):
+      // clicks 25%, views 12.5%, purchases 100%, signups 50%,
+      // everything else dropped. Summarized per stratum so the check
+      // verifies membership, not just cardinality.
+      graft.operators.DataSplit.stratifiedSample(
+          t(s, d, "events"), "event_id", "event_type",
+          Map("click" -> 64, "view" -> 32, "purchase" -> 256,
+            "signup" -> 128))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -255,6 +281,41 @@ object TextQueries {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks), 1), 4)) AS s
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST((s - 1) // 4 AS BIGINT) AS chunk_idx,
+        |    array_to_string(list_slice(toks, s, s + 5), ' ') AS chunk
+        |  FROM starts)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    strpos('0123456789abcdef',
+        |       substring(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM events),
+        |s AS (
+        |  SELECT * FROM b
+        |  WHERE bucket < CASE event_type
+        |    WHEN 'click' THEN 64 WHEN 'view' THEN 32
+        |    WHEN 'purchase' THEN 256 WHEN 'signup' THEN 128
+        |    ELSE 0 END)
+        |SELECT event_type, count(*) AS n_sampled,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -101,6 +101,42 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
   }
 
+  test("chunking: overlap, short docs, tail chunks") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Chunking
+      .chunkDocs(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, "a b c d", 4L), // stride 3: starts 1,4,7
+      (1L, 1L, "d e f g", 4L), // 1-token overlap with previous
+      (1L, 2L, "g h i", 3L),   // short tail kept
+      (2L, 0L, "x y", 2L),     // doc shorter than one chunk
+      (3L, 0L, "solo", 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunking.chunkDocs(docs, "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("stratified sample is deterministic and respects rate ordering") {
+    val df = (0 until 2000)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    def run(rates: Map[String, Int]) = graft.operators.DataSplit
+      .stratifiedSample(df, "id", "stratum", rates)
+      .as[(Long, String)].collect().toSet
+    val half = run(Map("a" -> 128, "b" -> 0))
+    assert(run(Map("a" -> 128, "b" -> 0)) == half) // same ids every run
+    assert(half.forall(_._2 == "a")) // rate-0 stratum fully dropped
+    // a lower rate samples a SUBSET of a higher rate (bucket < r is
+    // monotone in r) — the property that makes rates tunable without
+    // resampling the world
+    val quarter = run(Map("a" -> 64, "b" -> 0))
+    assert(quarter.subsetOf(half))
+    val frac = half.size / 1000.0
+    assert(frac > 0.4 && frac < 0.6, s"~50% expected, got $frac")
+  }
+
   test("embedding near-dups by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
