@@ -382,6 +382,35 @@ class MQSourceSpec extends SparkSpec {
     assert(new FileMQTransport(dir.toString).committed() >= 2L)
   }
 
+  test("multi-queue union: per-queue order preserved, queues isolated") {
+    // The 100 TB scale path: one ordered source PER QUEUE, unioned —
+    // never a split of one FIFO queue (that would break the ordering
+    // contract the reference exists to keep).
+    val dirA = tmpDir("mq-union-a")
+    val dirB = tmpDir("mq-union-b")
+    val ckpt = tmpDir("mq-union-ckpt")
+    append(dirA, (100L, "a1"), (100L, "a2"), (200L, "a3"))
+    append(dirB, (150L, "b1"), (160L, "b2"))
+    val q = graft.sources.mq.MQSources
+      .unionQueues(spark, Seq(dirA.toString, dirB.toString),
+        Map("maxMessagesPerTrigger" -> "2"))
+      .writeStream.format("memory").queryName("mq_union")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("mq_union")
+      .orderBy("queue", "put_ts", "seq")
+      .select("queue", "key", "value")
+      .as[(String, String, String)].collect().toSeq
+    // keys synthesized per queue with independent counters; sorting by
+    // the queue-local (put_ts, seq) recovers exact queue order
+    assert(rows.length == 5)
+    assert(rows.filter(_._1 == dirA.toString).map(r => (r._2, r._3)) ==
+      Seq(("100_1", "a1"), ("100_2", "a2"), ("200_1", "a3")))
+    assert(rows.filter(_._1 == dirB.toString).map(r => (r._2, r._3)) ==
+      Seq(("150_1", "b1"), ("160_1", "b2")))
+  }
+
   test("replay between checkpointed offsets is deterministic (exactly-once seam)") {
     val dir = tmpDir("mq-replay")
     append(dir, (10L, "a"), (10L, "b"), (11L, "c"))
