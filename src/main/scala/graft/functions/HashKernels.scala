@@ -98,18 +98,76 @@ object HashKernels {
     }
   }
 
-  val simhashUdf: Column => Column = {
-    val f = udf((toks: Seq[String]) => simhash64(toks))
-    c => f(c)
+  // ---- ArrayData entry points for the native Catalyst expressions ----
+  // Same hash values as the Seq[String] forms (UTF-16 char hashing via
+  // toString), but called straight from generated code with no
+  // Catalyst->Scala Seq conversion and no ScalaUDF codegen boundary.
+  // Scala objects emit static forwarders, so generated Java calls
+  // graft.functions.HashKernels.simhash64Data(...) directly.
+
+  def simhash64Data(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i).toString
+        if (t.nonEmpty) {
+          val h = fnv64(t)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  def minhashData(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                  nHashes: Int): Array[Long] = {
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = fnv64(arr.getUTF8String(j).toString)
+        var i = 0
+        while (i < nHashes) {
+          val v = mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    mins
+  }
+
+  def minhashBandsData(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                       bands: Int, rows: Int): Array[Long] = {
+    val mins = minhashData(arr, bands * rows)
+    Array.tabulate(bands) { b =>
+      var h = 0x9e3779b97f4a7c15L * (b + 1)
+      var i = 0
+      while (i < rows) {
+        h = mix(h ^ mins(b * rows + i))
+        i += 1
+      }
+      h
+    }
   }
 
   def minhashUdf(nHashes: Int): Column => Column = {
     val f = udf((elems: Seq[String]) => minhash(elems, nHashes))
-    c => f(c)
-  }
-
-  def minhashBandsUdf(bands: Int, rows: Int): Column => Column = {
-    val f = udf((elems: Seq[String]) => minhashBands(elems, bands, rows))
     c => f(c)
   }
 }

@@ -78,6 +78,15 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction("graft_dot",
         (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
         "built-in")
+      registry.createOrReplaceTempFunction("graft_simhash64",
+        (exprs: Seq[Expression]) => SimHash64(exprs.head),
+        "built-in")
+      // bands/rows arrive as foldable int literals — plan-time consts
+      registry.createOrReplaceTempFunction("graft_minhash_bands",
+        (exprs: Seq[Expression]) => MinHashBands(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]),
+        "built-in")
     }
   }
 }

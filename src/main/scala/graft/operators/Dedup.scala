@@ -129,6 +129,14 @@ object Dedup {
   def minhashSignature(elems: Column, nHashes: Int): Column =
     graft.functions.HashKernels.minhashUdf(nHashes)(elems)
 
+  /** Native codegen call into the one-pass kernel (no ScalaUDF
+    * boundary — the projection stays inside whole-stage codegen). */
+  private def kernel(name: String, args: Column*): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(name, args: _*)
+  }
+
   /** MinHash + LSH near-dup candidate pairs, verified with exact Jaccard
     * on the shingle sets.
     *
@@ -147,7 +155,7 @@ object Dedup {
       .select(col(idCol).as("doc"), array_distinct(shingles).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands",
-        graft.functions.HashKernels.minhashBandsUdf(bands, rows)(col("sh")))
+        kernel("graft_minhash_bands", col("sh"), lit(bands), lit(rows)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Shingle sets are heavy (KBs per doc); only (doc, band, bh)
     // tuples flow through the bucket machinery — shingles are joined
@@ -184,11 +192,13 @@ object Dedup {
 
   /** 64-bit SimHash of a token-array column: per bit, sum +/-1 over
     * token hashes and take the sign. Token multiplicity is honoured;
-    * empty tokens are ignored. One-pass JVM kernel (HashKernels) — the
-    * pure-expression form re-hashed every token 64 times.
+    * empty tokens are ignored. One-pass JVM kernel behind a native
+    * codegen expression (functions.SimHash64) — the pure-expression
+    * form re-hashed every token 64 times, and the ScalaUDF form it
+    * replaced fenced off whole-stage codegen.
     */
   def simhash64(toks: Column): Column =
-    graft.functions.HashKernels.simhashUdf(toks)
+    kernel("graft_simhash64", toks)
 
   /** SimHash near-dup pairs within a doc-id gap window: hamming
     * distance (bit_count of xor) <= maxHamming. The id-gap bound keeps

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.HashKernels
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The native SimHash64 / MinHashBands expressions must produce the
+  * exact values of the JVM kernels they wrap, and their use must not
+  * re-introduce a ScalaUDF (codegen fence) into the dedup plans.
+  */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures = Seq(
+    Seq("a", "b", "c"), Seq("x"), Seq("a", "a", "b"), Seq.empty[String])
+
+  test("graft_simhash64 matches the Seq kernel") {
+    val df = fixtures.toDF("toks")
+    val got = df.select(Dedup.simhash64(col("toks"))).as[Long].collect().toSeq
+    assert(got == fixtures.map(HashKernels.simhash64))
+  }
+
+  test("graft_minhash_bands matches the Seq kernel") {
+    val df = fixtures.toDF("toks")
+    val got = df.select(call_function("graft_minhash_bands",
+        col("toks"), lit(8), lit(4))).as[Seq[Long]].collect().toSeq
+    assert(got == fixtures.map(t =>
+      HashKernels.minhashBands(t, 8, 4).toSeq))
+  }
+
+  test("dedup plans carry no ScalaUDF codegen fence") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_dedup_simhash", "q_dedup_simhash_banded",
+                  "q_minhash_neardup")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("udf("),
+        s"$q still plans a UDF:\n$plan")
+    }
+  }
+}
