@@ -133,6 +133,24 @@ object TextQueries {
         .orderBy("split")
     }),
 
+    "q_text_pipeline" -> ((s, d) => {
+      // The composed cleaning pipeline a training-data user actually
+      // runs: language filter -> quality filter -> PII redaction ->
+      // exact dedup of the cleaned text, in ONE declarative plan (one
+      // corpus scan; Catalyst fuses the scalar stages into a single
+      // codegen'd projection before the dedup shuffle).
+      val toks = TA.tokens(col("text"))
+      val staged = t(s, d, "documents").select(
+        col("doc_id"),
+        TA.langIdHeuristic(col("text")).as("pred_lang"),
+        TA.qualityScore(col("text"), toks, stopwords).as("score"),
+        TA.redact(col("text")).as("clean"))
+        .filter(col("pred_lang") === "en" && col("score") >= 0.5)
+      Dedup.exactGroups(staged, "doc_id", "clean")
+        .select(col("keep_id"), col("n_docs"), col("digest"))
+        .orderBy("keep_id")
+    }),
+
     "q_text_chunk" -> ((s, d) => {
       // 6-token chunks with 2-token overlap (stride 4) — the
       // sequence-packing precursor; chunk_idx orders chunks within a
@@ -281,6 +299,30 @@ object TextQueries {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_text_pipeline" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    string_split(lower(text), ' ') AS t,
+        |    CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS ratio,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS clean
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, clean FROM s
+        |  WHERE (CASE WHEN ratio < 0.20 THEN 'zh'
+        |              WHEN ratio < 0.24 THEN 'de'
+        |              WHEN ratio < 0.28 THEN 'en'
+        |              ELSE 'es' END) = 'en'
+        |    AND floor((CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(t), 1) AS DOUBLE) * 0.5
+        |      + CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.5) * 10000.0 + 0.5) / 10000.0 >= 0.5)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+        |  md5(lower(trim(clean))) AS digest
+        |FROM f GROUP BY md5(lower(trim(clean)))
+        |ORDER BY keep_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH t AS (
