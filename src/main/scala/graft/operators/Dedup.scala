@@ -93,8 +93,13 @@ object Dedup {
           .select("token"))
       case _ => None
     }
+    // When a cap applies, persist the CAPPED index too: its three
+    // consumers (both join sides + sizes) would otherwise each re-run
+    // the hot-token census (a countDistinct + broadcast per consumer,
+    // visible as 4 repeated aggregate subtrees in the r2 plan).
     val idx = hotFilter match {
       case Some(hot) => raw.join(broadcast(hot), Seq("token"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       case None => raw
     }
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n"))
