@@ -129,6 +129,13 @@ class FileMQTransport(dir: String,
       n
     }
   }
+
+  /** MQQA_GET_INHIBITED analogue for the fake: a `<dir>/inhibited`
+    * marker file plays the queue attribute the reference polls
+    * (IBMMQReceiver.java:232-235) — lets the A10 stall gate be
+    * exercised end-to-end offline. */
+  override def inhibited: Boolean =
+    Files.exists(Paths.get(dir, "inhibited"))
 }
 
 /** A13: retry-with-backoff around any transport. The reference reacts

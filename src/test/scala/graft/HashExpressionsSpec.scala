@@ -28,6 +28,16 @@ class HashExpressionsSpec extends SparkSpec {
       HashKernels.minhashBands(t, 8, 4).toSeq))
   }
 
+  test("native functions are callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val (sim, dot) = spark.sql(
+      """SELECT graft_simhash64(split('a b c', ' ')),
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))""".stripMargin)
+      .as[(Long, Double)].head()
+    assert(sim == HashKernels.simhash64(Seq("a", "b", "c")))
+    assert(dot == 11.0d)
+  }
+
   test("dedup plans carry no ScalaUDF codegen fence") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q_dedup_simhash", "q_dedup_simhash_banded",

@@ -231,6 +231,20 @@ class MQSourceSpec extends SparkSpec {
     assert(keys.distinct.length == 500)
   }
 
+  test("GET-inhibited queue stalls the offset (A10)") {
+    val dir = tmpDir("mq-inhibit")
+    append(dir, (1L, "a"))
+    Files.write(dir.resolve("inhibited"), Array.emptyByteArray)
+    val opts = MQOptions(Map("path" -> dir.toString))
+    val stream = new graft.sources.mq.MQMicroBatchStream(opts)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+    assert(end.asInstanceOf[graft.sources.mq.MQOffset].pos == 0L) // stalled
+    Files.delete(dir.resolve("inhibited"))
+    val end2 = stream.latestOffset(start, stream.getDefaultReadLimit)
+    assert(end2.asInstanceOf[graft.sources.mq.MQOffset].pos == 1L) // resumed
+  }
+
   test("halt file pauses consumption (A9)") {
     val dir = tmpDir("mq-halt")
     val halt = dir.resolve("queue.halt")
