@@ -259,6 +259,22 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    "q_join_skew_salted" -> ((s, d) => {
+      // Salted skew join: lineitem spread over (s_suppkey, salt) so a
+      // dominant supplier key fans across 8 reducers. The ORACLE is
+      // the PLAIN join — result identity under salting is the
+      // operator's whole contract.
+      graft.operators.SkewJoin.saltedEquiJoin(
+          t(s, d, "lineitem"), t(s, d, "supplier"),
+          "l_suppkey", "s_suppkey", saltSource = "l_orderkey",
+          buckets = 8)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_li"),
+          rnd(sum(col("l_quantity").cast("decimal(30,6)"))
+            .cast("double"), 2).as("sum_qty"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- aggregation ----
 
     "q_agg_hash" -> ((s, d) => aggHash(s, d)),
@@ -711,6 +727,12 @@ object RelationalQueries {
         |  epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
         |FROM e a JOIN e b ON a.user_id = b.user_id AND a.rn = b.rn + 1
         |ORDER BY a.event_id""".stripMargin,
+
+    "q_join_skew_salted" ->
+      """SELECT s_suppkey, count(*) AS n_li,
+        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
 
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
