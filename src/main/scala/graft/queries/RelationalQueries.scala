@@ -226,6 +226,22 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    "q_join_theta_banded" -> ((s, d) => {
+      // Same result as q_join_theta through the SCALE path: the range
+      // predicate bounds |c - s| by 1000, so banding on
+      // floor(acctbal/1000) turns the nested loop into a hash
+      // equi-join on block id + an exact residual filter
+      // (operators.RangeJoin). Oracle identical to q_join_theta's.
+      graft.operators.RangeJoin.bandedRangeJoin(
+          t(s, d, "supplier"), t(s, d, "customer"),
+          "s_acctbal", "c_acctbal", width = 1000.0,
+          cond = col("c_acctbal") > col("s_acctbal") &&
+            col("c_acctbal") <= col("s_acctbal") + 1000)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_band"))
+        .orderBy("s_suppkey")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       // As-of join inside events: each purchase matched to the latest
       // click of the same user at or before it.
@@ -701,6 +717,12 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 1000
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_theta_banded" ->
       """SELECT s_suppkey, count(*) AS n_band
         |FROM supplier JOIN customer
         |  ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 1000

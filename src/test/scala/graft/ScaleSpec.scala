@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("banded range join: plain-theta result, equi-join plan (no BNLJ)") {
+    val left = (1 to 300).map(i => (i.toLong, (i * 7 % 500).toDouble))
+      .toDF("lid", "lv")
+    val right = (1 to 400).map(i => (i.toLong, (i * 13 % 500).toDouble))
+      .toDF("rid", "rv")
+    val cond = col("rv") > col("lv") && col("rv") <= col("lv") + 50.0
+    val plain = left.join(right, cond).select("lid", "rid")
+    val banded = graft.operators.RangeJoin
+      .bandedRangeJoin(left, right, "lv", "rv", width = 50.0, cond = cond)
+      .select("lid", "rid")
+    assert(plain.except(banded).count() == 0 &&
+      banded.except(plain).count() == 0)
+    assert(plain.count() == banded.count()) // no dup pairs from banding
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banded form must plan an equi-join:\n$plan")
+  }
+
   test("salted join returns exactly the plain-join result") {
     val left = (1 to 1000).map(i =>
       (if (i % 10 == 0) 1L else i.toLong, s"row$i")).toDF("k", "payload")
