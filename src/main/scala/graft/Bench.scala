@@ -21,6 +21,11 @@ object Bench {
     var errors = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
+        // every rep pays its own cache builds (operators persist
+        // narrow indexes): measures the operator, not a warm cache
+        // from the previous rep, and keeps 70+ queries x reps of
+        // cached RDDs from stacking up in one JVM
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
