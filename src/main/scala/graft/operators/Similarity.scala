@@ -43,6 +43,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  /** L2-normalized copy of a double-array column (zero vectors pass
+    * through unchanged rather than dividing by zero). */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(normSq(v))
+    when(n === 0.0d, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Int8 quantization of an embedding: scale the L2-normalized
+    * vector by 127 and round half-up — the standard storage shrink
+    * (4 bytes -> 1 byte per dim) before ANN indexing; cosine on the
+    * int8 vectors approximates cosine on the originals. Pure codegen
+    * lambdas; round via floor(x+0.5) so external engines reproduce it
+    * bit-exactly (see graft.rnd notes).
+    *
+    * The norm is rounded to 6 decimals BEFORE dividing: summation
+    * order differs across engines, and an unrounded norm differing in
+    * its 16th digit could flip a code sitting on a rounding boundary.
+    * Reproducible codes across engines/runs are the point of
+    * deterministic quantization (the artifact is stored).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val n = graft.rnd(sqrt(normSq(v)), 6)
+    val xs = when(n === 0.0d, v).otherwise(transform(v, x => x / n))
+    transform(xs, x => floor(x * 127.0d + 0.5d).cast("long"))
+  }
+
   /** Exact brute-force cosine top-k: for each query row (small set,
     * broadcast), the k nearest candidate rows by cosine, deterministic
     * tiebreak on candidate id.

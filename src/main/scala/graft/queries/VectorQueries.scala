@@ -63,6 +63,20 @@ object VectorQueries {
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
+    }),
+
+    "q_embed_quantize" -> ((s, d) => {
+      // Int8 storage quantization, summarized per vector (scalar
+      // outputs keep the oracle hash exact while covering every code).
+      val q = Similarity.quantizeInt8(
+        Similarity.toDouble(col("embedding")))
+      t(s, d, "embeddings").select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          element_at(col("q"), 1).as("q_first"))
+        .orderBy("vec_id")
     })
   )
 
@@ -124,6 +138,22 @@ object VectorQueries {
         """
           |SELECT q_id AS id_a, c_id AS id_b, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cos
           |FROM scored WHERE floor((cos) * 10000.0 + 0.5) / 10000.0 >= 0.35
-          |ORDER BY id_a, id_b""".stripMargin)
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_embed_quantize" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |n AS (
+        |  SELECT vec_id,
+        |    floor(sqrt(sum(CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nrm
+        |  FROM embeddings, dims GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, d.i,
+        |    CAST(floor((CASE WHEN n.nrm = 0 THEN CAST(e.embedding[d.i] AS DOUBLE)
+        |      ELSE CAST(e.embedding[d.i] AS DOUBLE) / n.nrm END) * 127.0 + 0.5) AS BIGINT) AS qi
+        |  FROM embeddings e JOIN n ON n.vec_id = e.vec_id, dims d)
+        |SELECT vec_id, sum(qi) AS q_sum, min(qi) AS q_min, max(qi) AS q_max,
+        |  max(CASE WHEN i = 1 THEN qi END) AS q_first
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }
