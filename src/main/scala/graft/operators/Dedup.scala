@@ -263,6 +263,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over a near-dup pair list: pairs only say
+    * "a duplicates b"; the KEEP decision needs the transitive cluster
+    * (a~b, b~c ⇒ one survivor among {a,b,c}). Returns (node, root)
+    * where root = the cluster's minimum id — the canonical survivor.
+    *
+    * Min-label propagation PLUS pointer jumping (label ← label's
+    * label), so convergence is O(log n) rounds even for long chains —
+    * plain neighbor propagation needs O(diameter) rounds and dies on
+    * a 10^6-long chain. Each round is two distributed joins + a
+    * map-combining min aggregate; the driver only counts changed
+    * labels (an O(1) scalar per round), the classic shape of iterative
+    * graph algorithms on Spark.
+    *
+    * Each round's labels are `localCheckpoint`ed, NOT persisted: the
+    * pointer-jump self-join doubles the LOGICAL plan per round, so
+    * without lineage truncation the plan tree is 2^rounds nodes and
+    * the driver OOMs just printing it. Checkpointing resets the plan
+    * to a leaf each round (what GraphX does internally); old rounds'
+    * blocks are dropped by the ContextCleaner as references die.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("node").as("pn"), col("label").as("pl")),
+          stepped("label") === col("pn"), "left")
+        .select(stepped("node"),
+          coalesce(col("pl"), stepped("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("root"))
+  }
+
   /** Embedding-cosine near-dup pairs within an id-gap candidate window
     * (oracle-checkable bounded form; the unbounded form goes through
     * Similarity.lshTopK buckets instead of the id window).

@@ -37,6 +37,9 @@ object GlobalRank {
     */
   def withGlobalRank(df: DataFrame, bucket: Column,
                      order: Seq[Column]): DataFrame = {
+    require(Seq("__b", "__off", "__rank", "__n")
+        .forall(c => !df.columns.contains(c)),
+      "input already has a __b/__off/__rank/__n column")
     val b = df.withColumn("__b", bucket)
     val counts = b.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
     // The only unpartitioned window in the plan runs over `counts` —

@@ -97,6 +97,19 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // Transitive closure of the jaccard near-dup pairs: every doc in
+      // a duplicate cluster mapped to the cluster's min id (the
+      // canonical survivor) — the step that turns pair lists into an
+      // actual keep/drop decision.
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
+        TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L),
+        dfCapPct = Some(77))
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc"), col("root"))
+        .orderBy("doc")
+    }),
+
     "q_minhash_neardup" -> ((s, d) => {
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id",
           TA.shingles(TA.tokens(col("text")), 3), threshold = 0.7)
@@ -281,6 +294,34 @@ object TextQueries {
         |JOIN sizes nb ON nb.doc = doc_b
         |WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT DISTINCT doc, token FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents) raw),
+        |hot AS (SELECT token FROM tok0 GROUP BY token
+        |        HAVING count(*) * 100 > 77 * (SELECT count(DISTINCT doc) FROM tok0)),
+        |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
+        |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.token = b.token
+        |    AND a.doc < b.doc AND b.doc - a.doc <= 25
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc = doc_a
+        |  JOIN sizes nb ON nb.doc = doc_b
+        |  WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+        |          UNION SELECT doc_b, doc_a FROM prs),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t)
+        |SELECT s AS doc, least(s, min(t)) AS root
+        |FROM reach GROUP BY s ORDER BY doc""".stripMargin,
 
     "q_text_redact" ->
       """SELECT event_id,

@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
   }
 
+  test("connected components: chains, bridges, singleton pairs") {
+    // chain 1-2-3-4, bridge {10,11}+{11,12}, isolated pair {20,21};
+    // a long chain exercises the pointer-jumping path (log rounds)
+    val chain = (100L until 160L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (20L, 21L)) ++ chain).toDF("doc_a", "doc_b")
+    val roots = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(roots(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(roots(_) == 10L))
+    assert(Seq(20L, 21L).forall(roots(_) == 20L))
+    assert((100L until 160L).forall(roots(_) == 100L))
+    assert(roots.size == 9 + 60)
+  }
+
   test("chunking: overlap, short docs, tail chunks") {
     val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"), (3L, "solo"))
       .toDF("doc_id", "text")
