@@ -299,20 +299,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
+      // carry the pre-round label through the round so convergence is
+      // a filter on the checkpointed result, not an extra join job
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old")))
             .as("label"))
       val jumped = stepped
         .join(stepped.select(col("node").as("pn"), col("label").as("pl")),
           stepped("label") === col("pn"), "left")
         .select(stepped("node"),
-          coalesce(col("pl"), stepped("label")).as("label"))
+          coalesce(col("pl"), stepped("label")).as("label"),
+          (coalesce(col("pl"), stepped("label")) =!= col("old"))
+            .as("chg"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("chg")).count()
+      labels = jumped.select(col("node"), col("label"))
       i += 1
     }
     edges.unpersist()
