@@ -8,6 +8,7 @@ object Bench {
     // the median of SPARK_GRAFT_REPS runs per query makes round-over-
     // round regressions attributable to code, not scheduling luck.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

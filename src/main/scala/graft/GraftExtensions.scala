@@ -29,9 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName,
         "graft_minhash_bands"),
-      (exprs: Seq[Expression]) => MinHashBands(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => MinHashBands.build(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -37,6 +37,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+object MinHashBands {
+  /** Function-registry builder: `bands`/`rows` must be foldable
+    * integer literals — validated here with a clear message instead
+    * of an asInstanceOf ClassCastException deep in the planner. */
+  def build(exprs: Seq[Expression]): MinHashBands = {
+    require(exprs.length == 3,
+      "graft_minhash_bands(array<string>, bands, rows) takes 3 args")
+    def intArg(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    }
+    MinHashBands(exprs.head, intArg(exprs(1), "bands"),
+      intArg(exprs(2), "rows"))
+  }
+}
+
 /** LSH band hashes as ONE array (fed to ONE generator — see
   * HashKernels.minhashBands on why per-band projections are 8x
   * slower). `bands`/`rows` are plan-time constants.

@@ -83,9 +83,7 @@ object GraftFunctions {
         "built-in")
       // bands/rows arrive as foldable int literals — plan-time consts
       registry.createOrReplaceTempFunction("graft_minhash_bands",
-        (exprs: Seq[Expression]) => MinHashBands(exprs.head,
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]),
+        (exprs: Seq[Expression]) => MinHashBands.build(exprs),
         "built-in")
     }
   }

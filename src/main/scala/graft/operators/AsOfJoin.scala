@@ -29,19 +29,28 @@ object AsOfJoin {
     *                 `monotonically_increasing_id` would recompute
     *                 differently under partial stage retry
     *                 (SPARK-23207), silently merging or splitting
-    *                 groups. Defaults to ALL left columns, which is
-    *                 correct whenever left rows are distinct; pass the
-    *                 actual unique key when you have one (cheaper
-    *                 grouping, and safe under duplicate left rows).
+    *                 groups. When omitted, exact duplicate left rows
+    *                 are counted before the join and re-expanded after
+    *                 the survivor pick (one extra distinct-shuffle of
+    *                 the left side); pass the actual unique key when
+    *                 you have one to skip that pre-aggregation.
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                tiebreak: Seq[String],
                leftId: Seq[String] = Seq.empty): DataFrame = {
-    val cond = left(leftKey) === right(rightKey) &&
-      right(rightTime) <= left(leftTime)
-    val joined = left.join(right, cond, "left")
+    // Without a unique leftId, exact duplicate left rows are
+    // pre-aggregated with their multiplicity (deterministic — unlike
+    // a synthetic row id) and re-expanded after the survivor pick, so
+    // output cardinality always equals the left side's.
+    val l =
+      if (leftId.nonEmpty) left.withColumn("__lmult", lit(1L))
+      else left.groupBy(left.columns.map(col): _*)
+        .agg(count(lit(1)).as("__lmult"))
+    val cond = l(leftKey) === right(rightKey) &&
+      right(rightTime) <= l(leftTime)
+    val joined = l.join(right, cond, "left")
     // Survivor pick via max_by instead of a row_number window: the
     // aggregate combines map-side (partial max per partition), so the
     // shuffle carries one row per left row instead of every joined
@@ -54,11 +63,14 @@ object AsOfJoin {
     // so no second join is needed to re-attach it).
     val idCols = if (leftId.nonEmpty) leftId else left.columns.toSeq
     val leftKeys: Seq[Column] =
-      (idCols ++ left.columns.filterNot(idCols.contains)).map(col)
+      (idCols ++ left.columns.filterNot(idCols.contains) :+ "__lmult")
+        .map(col)
     joined
       .groupBy(leftKeys: _*)
       .agg(max_by(rStruct, ordKey).as("__r"))
-      .select(left.columns.map(col) ++
+      .select(explode(sequence(lit(1L), col("__lmult"))).as("__i") +:
+        left.columns.map(col) ++:
         right.columns.map(c => col(s"__r.$c").as(c)): _*)
+      .drop("__i")
   }
 }

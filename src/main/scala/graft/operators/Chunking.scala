@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** Array of chunk texts for a token-array column; starts at 1,
-    * 1+stride, ... while within the document (>= 1 chunk always). */
-  private def chunkArray(toks: Column, chunkTokens: Int,
+    * 1+stride, ... (>= 1 chunk always). Starts are capped at
+    * n - overlap: a start beyond that yields a tail chunk fully
+    * contained in the previous one (pure duplicate training text),
+    * and the last admitted start still reaches token n because it
+    * exceeds n - chunkTokens. */
+  private def chunkArray(toks: Column, chunkTokens: Int, overlap: Int,
                          stride: Int): Column =
     transform(
-      sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)),
+      sequence(lit(1), greatest(size(toks) - overlap, lit(1)),
+        lit(stride)),
       s => array_join(slice(toks, s, lit(chunkTokens)), " "))
 
   /** Explode `docs` into (id, chunk_idx, chunk, n_chunk_tokens) rows.
@@ -36,7 +41,7 @@ object Chunking {
     docs
       .select(col(idCol),
         posexplode(chunkArray(TextAnalysis.tokens(col(textCol)),
-          chunkTokens, stride)).as(Seq("chunk_idx", "chunk")))
+          chunkTokens, overlap, stride)).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk"),

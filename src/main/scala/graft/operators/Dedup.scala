@@ -17,6 +17,13 @@ import org.apache.spark.storage.StorageLevel
   *    (drop tokens appearing in > dfCap docs, which carry no signal).
   *  - minhash-LSH band-bucket join replaces the cross product entirely;
   *    bucket caps bound the worst case.
+  *
+  * Cache ownership: the multi-consumer operators persist narrow
+  * intermediate indexes at MEMORY_AND_DISK. The session owns their
+  * lifecycle — call `spark.catalog.clearCache()` (as Verify/Bench do
+  * between queries) or unpersist via the catalog in long-lived
+  * sessions; in production these correspond to materialized index
+  * tables, not caches.
   */
 object Dedup {
 
@@ -236,19 +243,22 @@ object Dedup {
                             maxHamming: Int,
                             bucketCap: Int = 10000): DataFrame = {
     val h = docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
+    // Materialized BEFORE the census: its three consumers (hot-bucket
+    // census + both self-join sides) would otherwise each re-tokenize
+    // and re-simhash the corpus — the dominant per-row cost. The
+    // anti-join below is a cheap broadcast filter over this cache.
     val banded = h.select(col("doc"), col("sim"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("sim"), b * 16)
             .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
-    // Materialized once: both self-join sides otherwise re-hash the
-    // corpus; the skew guard is a census + broadcast anti-join (no
-    // corpus-wide sort — see minhashNearDups).
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Skew guard as census + broadcast anti-join (no corpus-wide
+    // sort — see minhashNearDups).
     val hotBuckets = banded.groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("band", "bits")
     val capped = banded
       .join(broadcast(hotBuckets), Seq("band", "bits"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = capped.select(col("band"), col("bits"),
       col("doc").as("doc_a"), col("sim").as("sim_a"))
     val r = capped.select(col("band"), col("bits"),

@@ -55,9 +55,13 @@ object GlobalRank {
         wOff.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).as("__n"))
     val wLoc = Window.partitionBy(col("__b")).orderBy(order: _*)
-    b.join(broadcast(offs), "__b")
+    // null-SAFE equality: a null bucket (null order key) must still
+    // join its offset row — a USING join would silently drop those
+    // rows while __n kept counting them.
+    b.join(broadcast(offs.withColumnRenamed("__b", "__ob")),
+        col("__b") <=> col("__ob"))
       .withColumn("__rank", col("__off") + row_number().over(wLoc))
-      .drop("__b", "__off")
+      .drop("__b", "__ob", "__off")
   }
 
   /** Integer ceil-division; exact for magnitudes < 2^53 (the long/long

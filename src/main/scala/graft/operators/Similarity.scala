@@ -43,12 +43,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
-  /** L2-normalized copy of a double-array column (zero vectors pass
-    * through unchanged rather than dividing by zero). */
-  def l2Normalize(v: Column): Column = {
-    val n = sqrt(normSq(v))
+  /** Divide by `n` element-wise; zero norms pass the vector through
+    * unchanged rather than dividing by zero. */
+  private def normalizeBy(v: Column, n: Column): Column =
     when(n === 0.0d, v).otherwise(transform(v, x => x / n))
-  }
+
+  /** L2-normalized copy of a double-array column. */
+  def l2Normalize(v: Column): Column = normalizeBy(v, sqrt(normSq(v)))
 
   /** Int8 quantization of an embedding: scale the L2-normalized
     * vector by 127 and round half-up — the standard storage shrink
@@ -63,11 +64,9 @@ object Similarity {
     * Reproducible codes across engines/runs are the point of
     * deterministic quantization (the artifact is stored).
     */
-  def quantizeInt8(v: Column): Column = {
-    val n = graft.rnd(sqrt(normSq(v)), 6)
-    val xs = when(n === 0.0d, v).otherwise(transform(v, x => x / n))
-    transform(xs, x => floor(x * 127.0d + 0.5d).cast("long"))
-  }
+  def quantizeInt8(v: Column): Column =
+    transform(normalizeBy(v, graft.rnd(sqrt(normSq(v)), 6)),
+      x => floor(x * 127.0d + 0.5d).cast("long"))
 
   /** Exact brute-force cosine top-k: for each query row (small set,
     * broadcast), the k nearest candidate rows by cosine, deterministic

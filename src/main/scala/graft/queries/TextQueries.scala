@@ -371,7 +371,7 @@ object TextQueries {
         |  FROM documents),
         |starts AS (
         |  SELECT doc_id, toks,
-        |    unnest(generate_series(1, greatest(len(toks), 1), 4)) AS s
+        |    unnest(generate_series(1, greatest(len(toks) - 2, 1), 4)) AS s
         |  FROM t),
         |c AS (
         |  SELECT doc_id,

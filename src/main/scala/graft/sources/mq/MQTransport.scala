@@ -149,20 +149,25 @@ class FileMQTransport(dir: String,
   * inside the retried call (its `read` reconnects if the handle died),
   * which is exactly the reference's disconnect/reconnect cycle.
   *
-  * `read` MATERIALIZES the range before returning: a lazy iterator
-  * would escape the retry scope and fail mid-consumption. Ranges are
-  * micro-batch sized (bounded by admission control), so buffering one
-  * is the same memory the reference's per-batch `store(ArrayBuffer)`
-  * already paid (IBMMQReceiver.java:341-356).
+  * `read` retries per SLICE of `sliceSize` messages, each slice
+  * materialized inside its retry scope (a lazy iterator would escape
+  * it and fail mid-consumption). Slicing bounds buffering even when
+  * admission control is off — `ReadLimit.allAvailable` and the batch
+  * scan plan ONE partition spanning the whole queue depth, and
+  * buffering a multi-GB backlog in one Vector would OOM the reader.
+  * Positional reads are idempotent, so a slice retry never re-emits
+  * previously delivered messages.
   *
   * `sleep` is injectable so tests assert the backoff schedule instead
   * of waiting it out.
   */
 class RetryingTransport(underlying: MQTransport, maxAttempts: Int,
                         initialBackoffMs: Long, maxBackoffMs: Long,
-                        sleep: Long => Unit = Thread.sleep)
+                        sleep: Long => Unit = Thread.sleep,
+                        sliceSize: Long = 10000L)
   extends MQTransport {
   require(maxAttempts >= 1, "maxAttempts must be >= 1")
+  require(sliceSize > 0, "sliceSize must be positive")
 
   private def withRetry[T](f: => T): T = {
     var attempt = 1
@@ -185,7 +190,9 @@ class RetryingTransport(underlying: MQTransport, maxAttempts: Int,
 
   override def depth(): Long = withRetry(underlying.depth())
   override def read(start: Long, end: Long): Iterator[MQRecord] =
-    withRetry(underlying.read(start, end).toVector).iterator
+    (start until end by sliceSize).iterator
+      .flatMap(s => withRetry(
+        underlying.read(s, math.min(s + sliceSize, end)).toVector))
   override def commit(upTo: Long): Unit = withRetry(underlying.commit(upTo))
   override def sameMillisPrefix(pos: Long): Int =
     withRetry(underlying.sameMillisPrefix(pos))

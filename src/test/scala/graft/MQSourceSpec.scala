@@ -325,11 +325,24 @@ class MQSourceSpec extends SparkSpec {
     // schedule (100, 200, capped 250).
     assert(t.read(0, 3).toSeq == file.read(0, 3).toSeq)
     assert(sleeps.toSeq == Seq(100L, 200L, 250L))
-    // exhaustion rethrows the underlying error
+    // exhaustion rethrows the underlying error (force the lazy slice)
     val dead = new RetryingTransport(
       new FlakyTransport(file, failures = 99), maxAttempts = 3,
       initialBackoffMs = 1L, maxBackoffMs = 1L, sleep = _ => ())
-    intercept[java.io.IOException] { dead.read(0, 3) }
+    intercept[java.io.IOException] { dead.read(0, 3).toVector }
+  }
+
+  test("sliced retry reads: bounded buffering, per-slice retry, no loss") {
+    val dir = tmpDir("mq-slice")
+    append(dir, (0 until 10).map(i => (100L + i, s"m$i")): _*)
+    val file = new FileMQTransport(dir.toString)
+    val flaky = new FlakyTransport(file, failures = 2)
+    val t = new RetryingTransport(flaky, maxAttempts = 5,
+      initialBackoffMs = 1L, maxBackoffMs = 1L, sleep = _ => (),
+      sliceSize = 3L)
+    // 10 messages in slices of 3 -> 4 underlying reads + 2 retried
+    assert(t.read(0, 10).toSeq == file.read(0, 10).toSeq)
+    assert(flaky.readCalls == 4 + 2)
   }
 
   test("retry policy is wired through options into the source transport") {

@@ -116,8 +116,9 @@ class DedupSpec extends SparkSpec {
     assert(roots.size == 9 + 60)
   }
 
-  test("chunking: overlap, short docs, tail chunks") {
-    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"), (3L, "solo"))
+  test("chunking: overlap, short docs, tail chunks, no duplicate tails") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"), (3L, "solo"),
+        (4L, "a b c d e f g h i j")) // n=10: start 10 would duplicate
       .toDF("doc_id", "text")
     val out = graft.operators.Chunking
       .chunkDocs(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
@@ -127,7 +128,11 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, "d e f g", 4L), // 1-token overlap with previous
       (1L, 2L, "g h i", 3L),   // short tail kept
       (2L, 0L, "x y", 2L),     // doc shorter than one chunk
-      (3L, 0L, "solo", 1L)))
+      (3L, 0L, "solo", 1L),
+      (4L, 0L, "a b c d", 4L), // starts capped at n-overlap=9:
+      (4L, 1L, "d e f g", 4L), // 1,4,7 only — a start at 10 would
+      (4L, 2L, "g h i j", 4L)  // re-emit token j already in chunk 2
+    ))
     intercept[IllegalArgumentException] {
       graft.operators.Chunking.chunkDocs(docs, "doc_id", "text", 4, 4)
     }
@@ -240,6 +245,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L).contains(10L))   // 90 <= 100, latest
     assert(out(2L).contains(11L))   // 150 <= 200 beats 90; 201 excluded
     assert(out(3L).isEmpty)         // no match for u2
+  }
+
+  test("exact duplicate left rows keep their multiplicity (no leftId)") {
+    val left = Seq(("u1", 100L), ("u1", 100L), ("u1", 200L))
+      .toDF("k", "t") // two IDENTICAL rows
+    val right = Seq((10L, "u1", 90L)).toDF("rid", "rk", "rt")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+        Seq("rid"))
+      .select(col("k"), col("t"), col("rid"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.count(_ == ("u1", 100L, 10L)) == 2) // both duplicates out
+    assert(out.size == 3)
   }
 }
 
