@@ -292,6 +292,9 @@ object Dedup {
     * the driver OOMs just printing it. Checkpointing resets the plan
     * to a leaf each round (what GraphX does internally); old rounds'
     * blocks are dropped by the ContextCleaner as references die.
+    * localCheckpoint blocks live on executors — on a real cluster
+    * with executor churn, swap in reliable `checkpoint()` against the
+    * checkpoint dir (same shape, survives loss).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
