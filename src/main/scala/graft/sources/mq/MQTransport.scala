@@ -55,7 +55,8 @@ object MQCcsid {
     case 1200 | 13488 => StandardCharsets.UTF_16 // MQ UCS-2/UTF-16 ids
     case 819 => StandardCharsets.ISO_8859_1
     case 1252 => Charset.forName("windows-1252")
-    case 437 | 850 | 37 | 500 | 1047 => Charset.forName(s"IBM$ccsid")
+    // JVM names zero-pad to 3 digits: CCSID 37 is charset IBM037
+    case 437 | 850 | 37 | 500 | 1047 => Charset.forName(f"IBM$ccsid%03d")
     case other =>
       try Charset.forName(s"CP$other")
       catch {

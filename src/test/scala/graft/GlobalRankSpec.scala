@@ -43,6 +43,24 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("null order keys are ranked, not dropped (null-safe bucket join)") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)),
+        (4L, None), (5L, Some(9.0)))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val expected = df.select(col("id"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .as[(Long, Double, Double)].collect().toSet
+    val got = GlobalRank.withGlobalRank(df, floor(col("v")),
+        Seq(col("v").asc, col("id").asc))
+      .select(col("id"),
+        GlobalRank.percentRankOf(col("__rank"), col("__n")).as("pr"),
+        GlobalRank.cumeDistOf(col("__rank"), col("__n")).as("cd"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got.size == 5, "rows with null order keys must survive")
+    assert(got == expected) // nulls-first rank identical to the window
+  }
+
   test("no single-partition exchange touches the data relation") {
     val (_, ranked) = referenceAndRanked(1000, 4)
     val plan = ranked.queryExecution.executedPlan.toString

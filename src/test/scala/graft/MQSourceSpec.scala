@@ -380,6 +380,17 @@ class MQSourceSpec extends SparkSpec {
     }
   }
 
+  test("CCSID mapping: named ids, CP fallback, clean failure") {
+    import graft.sources.mq.MQCcsid
+    assert(MQCcsid.charsetFor(1208).name == "UTF-8")
+    assert(MQCcsid.charsetFor(819).name == "ISO-8859-1")
+    assert(MQCcsid.charsetFor(37).name == "IBM037")    // EBCDIC US
+    assert(MQCcsid.charsetFor(1047).name == "IBM1047") // EBCDIC Latin-1
+    // unmapped id falls back through the JVM's CP<id>/IBM<id> aliases
+    assert(MQCcsid.charsetFor(866).name.toUpperCase.contains("866"))
+    intercept[IllegalArgumentException] { MQCcsid.charsetFor(999999) }
+  }
+
   test("operational counters: received/committed/commitsFailed (A14)") {
     val dir = tmpDir("mq-counters")
     val ckpt = tmpDir("mq-counters-ckpt")
