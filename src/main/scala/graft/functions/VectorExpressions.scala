@@ -81,6 +81,9 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction("graft_simhash64",
         (exprs: Seq[Expression]) => SimHash64(exprs.head),
         "built-in")
+      registry.createOrReplaceTempFunction("graft_nfc",
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
+        "built-in")
       // bands/rows arrive as foldable int literals — plan-time consts
       registry.createOrReplaceTempFunction("graft_minhash_bands",
         (exprs: Seq[Expression]) => MinHashBands.build(exprs),

@@ -146,6 +146,21 @@ object TextQueries {
         .orderBy("split")
     }),
 
+    "q_text_nfc" -> ((s, d) => {
+      // Unicode NFC normalization (native graft_nfc expression): the
+      // corpus is ASCII, so a decomposed suffix (e + combining acute,
+      // angstrom sign) is appended to prove real composition happens
+      // — NFC shortens 'cafe'+U+0301 to 'café' in both engines.
+      graft.functions.GraftFunctions.register(s)
+      val raw = concat(col("text"), lit(" cafe\u0301 \u212B"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        call_function("graft_nfc", raw).as("norm_text"),
+        (length(call_function("graft_nfc", raw)) =!= length(raw))
+          .as("changed"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_pipeline" -> ((s, d) => {
       // The composed cleaning pipeline a training-data user actually
       // runs: language filter -> quality filter -> PII redaction ->
@@ -340,6 +355,15 @@ object TextQueries {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_text_nfc" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(8491) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  (length(nfc_normalize(raw)) != length(raw)) AS changed
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_text_pipeline" ->
       """WITH s AS (

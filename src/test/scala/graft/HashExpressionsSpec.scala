@@ -28,6 +28,15 @@ class HashExpressionsSpec extends SparkSpec {
       HashKernels.minhashBands(t, 8, 4).toSeq))
   }
 
+  test("graft_nfc composes decomposed sequences") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq("cafe\u0301", "caf\u00e9", "\u212B", "plain")
+      .toDF("s")
+      .select(call_function("graft_nfc", col("s"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("caf\u00e9", "caf\u00e9", "\u00C5", "plain"))
+  }
+
   test("native functions are callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     val (sim, dot) = spark.sql(
