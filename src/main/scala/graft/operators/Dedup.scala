@@ -234,11 +234,30 @@ object Dedup {
     * formulation: the 64-bit fingerprint is split into 4 x 16-bit
     * bands; by pigeonhole, any pair with hamming distance <= 3 shares
     * at least one intact band, so a bucket equi-join on (band, bits)
-    * finds ALL such pairs (exact, not approximate, for maxHamming <= 3;
-    * a candidate-generation heuristic beyond that). Buckets above
-    * `bucketCap` are dropped — a degenerate band value (e.g. all-zero
-    * from short docs) is skew, not signal.
+    * finds ALL such pairs — exact for maxHamming <= 3 PROVIDED no
+    * bucket exceeds `bucketCap` (a candidate-generation heuristic
+    * beyond hamming 3). Buckets above `bucketCap` are dropped — a
+    * degenerate band value (e.g. all-zero from short docs) is skew,
+    * not signal — and a pair whose only intact shared band lands in a
+    * dropped bucket is missed, so the cap trades recall for skew
+    * safety. Audit that loss with [[simhashDroppedBuckets]] (same
+    * inputs): empty result => the exactness guarantee holds intact.
     */
+  /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
+    * the same `bucketCap` — run it when recall loss must be visible
+    * (each dropped bucket of size s forfeits up to s*(s-1)/2 pairs).
+    */
+  def simhashDroppedBuckets(docs: DataFrame, idCol: String, toks: Column,
+                            bucketCap: Int = 10000): DataFrame =
+    docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
+      .select(col("doc"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sim"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+      .groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, toks: Column,
                             maxHamming: Int,
                             bucketCap: Int = 10000): DataFrame = {
@@ -332,6 +351,15 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Unconverged labels are WRONG roots (partial clusters) and the
+    // keep/drop decisions downstream would silently split clusters —
+    // fail loudly instead. Pointer jumping converges in O(log n)
+    // rounds, so the default 25 covers ~2^25-node chains; hitting the
+    // cap means maxIter was set far too low for the graph.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels.select(col("node"), col("label").as("root"))
   }
 

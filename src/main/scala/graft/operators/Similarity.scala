@@ -55,18 +55,30 @@ object Similarity {
     * vector by 127 and round half-up — the standard storage shrink
     * (4 bytes -> 1 byte per dim) before ANN indexing; cosine on the
     * int8 vectors approximates cosine on the originals. Pure codegen
-    * lambdas; round via floor(x+0.5) so external engines reproduce it
-    * bit-exactly (see graft.rnd notes).
+    * lambdas.
     *
-    * The norm is rounded to 6 decimals BEFORE dividing: summation
-    * order differs across engines, and an unrounded norm differing in
-    * its 16th digit could flip a code sitting on a rounding boundary.
-    * Reproducible codes across engines/runs are the point of
-    * deterministic quantization (the artifact is stored).
+    * Codes must be reproducible bit-exactly across engines/runs (the
+    * artifact is stored), so the whole pipeline is integer-exact:
+    * each element is first snapped to micro-units
+    * `m = floor(x*1e6 + 0.5)` (a long), the norm comes from the
+    * EXACT integer sum of squares `sum(m*m)` (order-independent —
+    * a floating-point sum would depend on summation order, and a
+    * last-ulp norm difference flips codes sitting on a rounding
+    * boundary), and each code is `floor(m*127/sqrt(sum) + 0.5)`:
+    * single correctly-rounded IEEE ops on identical inputs, so any
+    * engine reproduces every code. Assumes |x| <= ~1e3 per element
+    * (sum of 64 squared micro-unit longs stays far below 2^63).
     */
-  def quantizeInt8(v: Column): Column =
-    transform(normalizeBy(v, graft.rnd(sqrt(normSq(v)), 6)),
-      x => floor(x * 127.0d + 0.5d).cast("long"))
+  def quantizeInt8(v: Column): Column = {
+    val micro = transform(v, x => floor(x * 1000000.0d + 0.5d).cast("long"))
+    val nrmMicro =
+      sqrt(aggregate(micro, lit(0L), (acc, m) => acc + m * m).cast("double"))
+    when(nrmMicro === 0.0d,
+      transform(micro,
+        m => floor(m.cast("double") / 1000000.0d * 127.0d + 0.5d).cast("long")))
+      .otherwise(transform(micro,
+        m => floor(m.cast("double") * 127.0d / nrmMicro + 0.5d).cast("long")))
+  }
 
   /** Exact brute-force cosine top-k: for each query row (small set,
     * broadcast), the k nearest candidate rows by cosine, deterministic

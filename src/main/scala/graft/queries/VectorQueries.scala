@@ -141,17 +141,24 @@ object VectorQueries {
           |ORDER BY id_a, id_b""".stripMargin),
 
     "q_embed_quantize" ->
+      // Mirrors Similarity.quantizeInt8's integer-exact pipeline:
+      // micro-unit longs -> exact integer sum of squares (order-
+      // independent) -> single correctly-rounded IEEE divide/multiply
+      // per code. See the operator's Scaladoc.
       """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |n AS (
-        |  SELECT vec_id,
-        |    floor(sqrt(sum(CAST(embedding[i] AS DOUBLE)
-        |      * CAST(embedding[i] AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nrm
-        |  FROM embeddings, dims GROUP BY vec_id),
-        |q AS (
+        |m AS (
         |  SELECT e.vec_id, d.i,
-        |    CAST(floor((CASE WHEN n.nrm = 0 THEN CAST(e.embedding[d.i] AS DOUBLE)
-        |      ELSE CAST(e.embedding[d.i] AS DOUBLE) / n.nrm END) * 127.0 + 0.5) AS BIGINT) AS qi
-        |  FROM embeddings e JOIN n ON n.vec_id = e.vec_id, dims d)
+        |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM embeddings e, dims d),
+        |n AS (
+        |  SELECT vec_id, sqrt(CAST(sum(mi * mi) AS DOUBLE)) AS nrm_micro
+        |  FROM m GROUP BY vec_id),
+        |q AS (
+        |  SELECT m.vec_id, m.i,
+        |    CAST(floor(CASE WHEN n.nrm_micro = 0
+        |      THEN CAST(m.mi AS DOUBLE) / 1000000.0 * 127.0
+        |      ELSE CAST(m.mi AS DOUBLE) * 127.0 / n.nrm_micro END + 0.5) AS BIGINT) AS qi
+        |  FROM m JOIN n ON n.vec_id = m.vec_id)
         |SELECT vec_id, sum(qi) AS q_sum, min(qi) AS q_min, max(qi) AS q_max,
         |  max(CASE WHEN i = 1 THEN qi END) AS q_first
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin

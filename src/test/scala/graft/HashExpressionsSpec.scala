@@ -21,6 +21,9 @@ class HashExpressionsSpec extends SparkSpec {
   }
 
   test("graft_minhash_bands matches the Seq kernel") {
+    // registration must not depend on suite ordering (Dedup.simhash64
+    // in the previous test registers as a side effect)
+    graft.functions.GraftFunctions.register(spark)
     val df = fixtures.toDF("toks")
     val got = df.select(call_function("graft_minhash_bands",
         col("toks"), lit(8), lit(4))).as[Seq[Long]].collect().toSeq

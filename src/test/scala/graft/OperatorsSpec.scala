@@ -219,6 +219,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("int8 quantization: unit vectors hit ±127, codes bounded, zero passes through") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),           // unit axis → (127, 0)
+      (1L, Array(0.0f, -1.0f)),          // negative unit axis → (0, -127)
+      (2L, Array(3.0f, 4.0f)),           // 3-4-5 → (76, 102) after L2 norm
+      (3L, Array(0.0f, 0.0f)))           // zero norm → passthrough → (0, 0)
+      .toDF("vec_id", "embedding")
+    val got = df
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.toDouble(col("embedding"))).as("q"))
+      .orderBy("vec_id").select("q").as[Seq[Long]].collect().toSeq
+    assert(got == Seq(
+      Seq(127L, 0L), Seq(0L, -127L),
+      Seq(math.floor(0.6 * 127.0 + 0.5).toLong,   // 76
+          math.floor(0.8 * 127.0 + 0.5).toLong),  // 102
+      Seq(0L, 0L)))
+    assert(got.flatten.forall(c => c >= -127L && c <= 127L))
+  }
+
   test("LSH top-k returns same-bucket neighbours with exact rerank") {
     val top = Similarity.lshTopK(spark, vecs.filter(col("vec_id") === 0),
       vecs, "vec_id", "embedding", 2, nPlanes = 2)
