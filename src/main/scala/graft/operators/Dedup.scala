@@ -317,40 +317,67 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"),
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"),
         col(aCol).cast("long").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // The per-round state is one (node, label) row per node and the
+    // join moves |edges| rows — size the LOOP's shuffles to the graph
+    // (~4M rows/partition), not to the session default: an iterative
+    // algorithm over a few thousand survivors pays 32-partition
+    // scheduling overhead ~4 stages x rounds times otherwise, while a
+    // 100 TB pair graph still fans out to the full session setting.
+    val sessP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L, math.min(sessP.toLong,
+      edges0.count() / 4000000L + 1)).toInt
+    // Pre-partition the cached edge set by the join key once: every
+    // round's edges-to-labels join then reuses the cached layout
+    // instead of re-shuffling the (at scale, dominant) edge set.
+    val edges = edges0.repartition(p, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    var labels: DataFrame = null
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("v"), col("label")), "v")
-        .groupBy(col("u").as("node")).agg(min(col("label")).as("nbr"))
-      // carry the pre-round label through the round so convergence is
-      // a filter on the checkpointed result, not an extra join job
-      val stepped = labels.withColumnRenamed("label", "old")
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("old"),
-          least(col("old"), coalesce(col("nbr"), col("old")))
-            .as("label"))
-      val jumped = stepped
-        .join(stepped.select(col("node").as("pn"), col("label").as("pl")),
-          stepped("label") === col("pn"), "left")
-        .select(stepped("node"),
-          coalesce(col("pl"), stepped("label")).as("label"),
-          (coalesce(col("pl"), stepped("label")) =!= col("old"))
-            .as("chg"))
+    try {
+      // seed label = min(node, min neighbour): one aggregate over the
+      // (bidirectional) edges replaces distinct-then-propagate and
+      // starts the loop a full round ahead.
+      labels = edges.groupBy(col("u").as("node"))
+        .agg(min(col("v")).as("nbr"))
+        .select(col("node"), least(col("node"), col("nbr")).as("label"))
         .localCheckpoint()
-      changed = jumped.filter(col("chg")).count()
-      labels = jumped.select(col("node"), col("label"))
-      i += 1
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u").as("node")).agg(min(col("label")).as("nbr"))
+        // carry the pre-round label through the round so convergence is
+        // a filter on the checkpointed result, not an extra join job
+        val stepped = labels.withColumnRenamed("label", "old")
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("nbr"), col("old")))
+              .as("label"))
+        val jumped = stepped
+          .join(stepped.select(col("node").as("pn"), col("label").as("pl")),
+            stepped("label") === col("pn"), "left")
+          .select(stepped("node"),
+            coalesce(col("pl"), stepped("label")).as("label"),
+            (coalesce(col("pl"), stepped("label")) =!= col("old"))
+              .as("chg"))
+          .localCheckpoint()
+        changed = jumped.filter(col("chg")).count()
+        labels = jumped.select(col("node"), col("label"))
+        i += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
     }
     edges.unpersist()
+    edges0.unpersist()
     // Unconverged labels are WRONG roots (partial clusters) and the
     // keep/drop decisions downstream would silently split clusters —
     // fail loudly instead. Pointer jumping converges in O(log n)
