@@ -159,7 +159,7 @@ object VectorQueries {
         |      THEN CAST(m.mi AS DOUBLE) / 1000000.0 * 127.0
         |      ELSE CAST(m.mi AS DOUBLE) * 127.0 / n.nrm_micro END + 0.5) AS BIGINT) AS qi
         |  FROM m JOIN n ON n.vec_id = m.vec_id)
-        |SELECT vec_id, sum(qi) AS q_sum, min(qi) AS q_min, max(qi) AS q_max,
+        |SELECT vec_id, CAST(sum(qi) AS BIGINT) AS q_sum, min(qi) AS q_min, max(qi) AS q_max,
         |  max(CASE WHEN i = 1 THEN qi END) AS q_first
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
