@@ -7,8 +7,12 @@ object Bench {
     // Machine noise on this box is large (observed ±50% run-to-run);
     // the median of SPARK_GRAFT_REPS runs per query makes round-over-
     // round regressions attributable to code, not scheduling luck.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    // Optional comma-separated query-name filter for local iteration
+    // on a single operator (full sweep when unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +24,9 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     var errors = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         // every rep pays its own cache builds (operators persist
         // narrow indexes): measures the operator, not a warm cache

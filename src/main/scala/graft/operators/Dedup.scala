@@ -350,6 +350,19 @@ object Dedup {
         .agg(min(col("v")).as("nbr"))
         .select(col("node"), least(col("node"), col("nbr")).as("label"))
         .localCheckpoint()
+      // One distributed JOB per round: the checkpoint is lazy, so the
+      // convergence count below is the action that materializes it —
+      // an eager checkpoint would pay a second job per round just to
+      // count `chg` over blocks the first job already wrote. Each
+      // round also applies the pointer jump TWICE (label <- label^2,
+      // then again), quartering the pointer distance per materialized
+      // round — rounds ~halve vs a single jump, and the extra join is
+      // far cheaper than an extra scheduled round at any scale.
+      def jump(df: DataFrame): DataFrame = df
+        .join(df.select(col("node").as("pn"), col("label").as("pl")),
+          df("label") === col("pn"), "left")
+        .select(df("node"), df("old"),
+          coalesce(col("pl"), df("label")).as("label"))
       while (changed > 0 && i < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("node").as("v"), col("label")), "v")
@@ -361,14 +374,10 @@ object Dedup {
           .select(col("node"), col("old"),
             least(col("old"), coalesce(col("nbr"), col("old")))
               .as("label"))
-        val jumped = stepped
-          .join(stepped.select(col("node").as("pn"), col("label").as("pl")),
-            stepped("label") === col("pn"), "left")
-          .select(stepped("node"),
-            coalesce(col("pl"), stepped("label")).as("label"),
-            (coalesce(col("pl"), stepped("label")) =!= col("old"))
-              .as("chg"))
-          .localCheckpoint()
+        val jumped = jump(jump(stepped))
+          .select(col("node"), col("label"),
+            (col("label") =!= col("old")).as("chg"))
+          .localCheckpoint(eager = false)
         changed = jumped.filter(col("chg")).count()
         labels = jumped.select(col("node"), col("label"))
         i += 1
