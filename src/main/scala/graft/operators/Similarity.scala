@@ -200,6 +200,30 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
 
+  /** Recall@k of an ANN result against the exact brute-force result:
+    * the fraction of `exact`'s (q_id, c_id) pairs that `ann` also
+    * returned. Both inputs use the top-k output shape of
+    * [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]]. The denominator is
+    * |exact| (per-query lists may be shorter than k on a small
+    * corpus), so recall is always in [0, 1]. One row out:
+    * (method, n_exact, hits, recall) — approximation quality as a
+    * number the harness can track, not a vibe.
+    *
+    * Scale: both inputs are top-k lists (|queries| * k rows), already
+    * tiny relative to the corpus; the semi-join and the two count
+    * aggregates are over those lists only.
+    */
+  def recallAtK(exact: DataFrame, ann: DataFrame, method: String): DataFrame = {
+    val e = exact.select(col("q_id"), col("c_id"))
+    val hits = ann.select(col("q_id"), col("c_id"))
+      .join(e, Seq("q_id", "c_id"), "left_semi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .select(lit(method).as("method"), col("n_exact"), col("hits"),
+        graft.rnd(col("hits").cast("double") / col("n_exact").cast("double"),
+          4).as("recall"))
+  }
+
   /** LSH-bucketed approximate top-k: queries join only candidates in
     * the same bucket, then exact cosine re-rank inside the bucket.
     * Buckets larger than `bucketCap` are dropped (standard skew guard —

@@ -131,6 +131,16 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_dedup_simhash_audit" -> ((s, d) => {
+      // Recall audit for q_dedup_simhash_banded at the SAME bucketCap:
+      // every (band, bits, bsz) bucket the banded join dropped. Empty
+      // result = the pigeonhole exactness guarantee holds intact;
+      // each listed bucket of size s forfeits up to s*(s-1)/2 pairs.
+      Dedup.simhashDroppedBuckets(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")))
+        .orderBy("band", "bits")
+    }),
+
     "q_text_redact" -> ((s, d) => {
       t(s, d, "events").select(
         col("event_id"),

@@ -65,6 +65,22 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_sim_ann_recall" -> ((s, d) => {
+      // recall@k of both ANN paths vs the exact brute-force twin on
+      // the SAME queries — the approximation error as a first-class
+      // number (rows-only: the LSH/IVF hashes aren't oracle-
+      // expressible, but determinism is spec-covered).
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      val k = 3
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
+      val lsh = Similarity.lshTopK(s, q, emb, "vec_id", "embedding", k)
+      val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k)
+      Similarity.recallAtK(exact, lsh, "lsh")
+        .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
+        .orderBy("method")
+    }),
+
     "q_embed_quantize" -> ((s, d) => {
       // Int8 storage quantization, summarized per vector (scalar
       // outputs keep the oracle hash exact while covering every code).

@@ -101,6 +101,25 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
   }
 
+  test("simhash dropped-bucket audit makes the cap's recall loss visible") {
+    // 20 identical docs -> one degenerate fingerprint -> every band is
+    // one bucket of size 20
+    val same = (0L until 20L).map(i => (i, "same same same"))
+      .toDF("doc_id", "text")
+    val toks = TA.tokens(col("text"))
+    val dropped = Dedup.simhashDroppedBuckets(same, "doc_id", toks,
+        bucketCap = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(dropped.length == 4)
+    assert(dropped.forall(_._3 == 20L))
+    // with that same cap the banded join finds NOTHING — exactly the
+    // loss the audit reports
+    assert(Dedup.simhashNearDupsBanded(same, "doc_id", toks,
+      maxHamming = 3, bucketCap = 5).count() == 0L)
+    // at the default cap nothing is dropped and the guarantee holds
+    assert(Dedup.simhashDroppedBuckets(same, "doc_id", toks).count() == 0L)
+  }
+
   test("connected components: chains, bridges, singleton pairs") {
     // chain 1-2-3-4, bridge {10,11}+{11,12}, isolated pair {20,21};
     // a long chain exercises the pointer-jumping path (log rounds)
@@ -247,6 +266,40 @@ class SimilaritySpec extends SparkSpec {
     val rows = top.select("c_id", "cos").as[(Long, Double)].collect()
     assert(!rows.map(_._1).contains(0L))
     assert(rows.map(_._2).sorted.reverse.toSeq == rows.map(_._2).toSeq)
+  }
+
+  test("ANN recall@k floor: lsh and ivf >= 0.9 on clustered vectors") {
+    // two tight clusters around orthogonal axes; hyperplanes and
+    // centroids are deterministic, so recall is a stable number
+    val base = Seq(
+      Array(1.0f, 0.02f, 0.01f, 0.0f),
+      Array(0.0f, 0.01f, 0.02f, 1.0f))
+    val all = (0 until 40).map { i =>
+      val c = base(i % 2)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = all.filter(col("vec_id") < 6)
+    val k = 3
+    val exact = Similarity.bruteForceTopK(q, all, "vec_id", "embedding", k)
+    val lsh = Similarity.lshTopK(spark, q, all, "vec_id", "embedding", k)
+    val ivf = Similarity.ivfTopK(q, all, "vec_id", "embedding", k,
+      nCentroids = 2, nProbe = 2)
+    val rec = Similarity.recallAtK(exact, lsh, "lsh")
+      .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
+      .select("method", "recall").as[(String, Double)].collect().toMap
+    assert(rec("lsh") >= 0.9, s"lsh recall ${rec("lsh")}")
+    assert(rec("ivf") >= 0.9, s"ivf recall ${rec("ivf")}")
+  }
+
+  test("recallAtK arithmetic: hits over |exact|, bounded by 1") {
+    val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 12L))
+      .toDF("q_id", "rank", "c_id")
+    val ann = Seq((0L, 1, 10L), (0L, 2, 99L), (1L, 1, 12L))
+      .toDF("q_id", "rank", "c_id")
+    val r = Similarity.recallAtK(exact, ann, "m")
+      .as[(String, Long, Long, Double)].head()
+    assert(r == (("m", 3L, 2L, 0.6667d)))
   }
 }
 

@@ -17,17 +17,20 @@ class QueriesSmokeSpec extends SparkSpec {
     // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
       "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_agg_percentile_approx"))
+      "q_sim_ann_ivf", "q_agg_percentile_approx", "q_sim_ann_recall",
+      "q_dedup_simhash_audit"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val n = fn(spark, sf).count()
       assert(n >= 0)
-      // queries that must be non-empty to demonstrate anything:
+      // queries that must be non-empty to demonstrate anything
+      // (q_dedup_simhash_audit's CORRECT steady-state output is empty —
+      // a non-empty audit means the bucket cap is forfeiting recall):
       if (!Set("q_except", "q_dedup_ngram_jaccard", "q_minhash_neardup",
           "q_dedup_simhash", "q_dedup_simhash_banded",
-          "q_dedup_embedding").contains(name))
+          "q_dedup_embedding", "q_dedup_simhash_audit").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
