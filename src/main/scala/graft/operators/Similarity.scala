@@ -214,14 +214,19 @@ object Similarity {
     * aggregates are over those lists only.
     */
   def recallAtK(exact: DataFrame, ann: DataFrame, method: String): DataFrame = {
-    val e = exact.select(col("q_id"), col("c_id"))
-    val hits = ann.select(col("q_id"), col("c_id"))
-      .join(e, Seq("q_id", "c_id"), "left_semi")
-    e.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+    // one pass over `exact`: left-join the ANN pairs onto it and count
+    // matches and totals in the same aggregate (a semi-join + separate
+    // count would evaluate the exact plan twice). Top-k producers emit
+    // duplicate-free (q_id, c_id) pairs, so the left join is 1:0-or-1.
+    val hit = ann.select(col("q_id"), col("c_id")).withColumn("hit", lit(1))
+    exact.select(col("q_id"), col("c_id"))
+      .join(hit, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
       .select(lit(method).as("method"), col("n_exact"), col("hits"),
-        graft.rnd(col("hits").cast("double") / col("n_exact").cast("double"),
-          4).as("recall"))
+        when(col("n_exact") === 0L, lit(1.0d)) // vacuous recall
+          .otherwise(graft.rnd(
+            col("hits").cast("double") / col("n_exact").cast("double"), 4))
+          .as("recall"))
   }
 
   /** LSH-bucketed approximate top-k: queries join only candidates in

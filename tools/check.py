@@ -40,21 +40,16 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWCOUNT spark={len(s)} duck={len(d)}"
             continue
         bad = None
-        # dtype-strict: the driver hashes serialized values, so a dtype
-        # difference (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64 vs
-        # Spark int64) fails its hash even when tolist() values compare
-        # equal. Normalize pandas nullable ints to their numpy base.
-        def _norm(dt):
-            n = str(dt)
-            return n.lower().lstrip("u").replace("int8", "int64") \
-                    .replace("int16", "int64").replace("int32", "int64")
+        # dtype-strict: the driver hashes serialized values, so ANY
+        # dtype difference (HUGEINT->float64 vs int64, int32 vs int64,
+        # ...) can fail its hash even when tolist() values compare
+        # equal. Exact string compare — as of r4 every oracled query
+        # matches raw dtypes on both sides, so there is nothing to
+        # normalize away and strictness is free insurance.
         for c in s.columns:
-            if _norm(s[c].dtype) != _norm(d[c].dtype):
+            if str(s[c].dtype) != str(d[c].dtype):
                 bad = (f"DTYPE col={c}: spark={s[c].dtype} duck={d[c].dtype}"
                        " (driver hash is dtype-sensitive)")
-                break
-        for c in s.columns:
-            if bad:
                 break
             sv, dv = s[c].tolist(), d[c].tolist()
             if sv != dv:
