@@ -59,7 +59,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errors}""")
+    // n_queries (and filtered:true when SPARK_GRAFT_ONLY is set) keep
+    // a filtered run distinguishable from a full sweep — a one-query
+    // "total" must never read as a fleet-wide speedup downstream.
+    val filtered = if (only.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors$filtered}""")
     spark.stop()
     if (errors > 0) sys.exit(2)
   }

@@ -243,17 +243,28 @@ object Dedup {
     * safety. Audit that loss with [[simhashDroppedBuckets]] (same
     * inputs): empty result => the exactness guarantee holds intact.
     */
-  /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
-    * the same `bucketCap` — run it when recall loss must be visible
-    * (each dropped bucket of size s forfeits up to s*(s-1)/2 pairs).
+  /** The single source of truth for the simhash banding scheme: the
+    * 64-bit fingerprint split into 4 x 16-bit (band, bits) rows per
+    * doc. BOTH [[simhashNearDupsBanded]] and [[simhashDroppedBuckets]]
+    * derive from this helper, so the audit can never censuses a
+    * different banding than the join it audits.
     */
-  def simhashDroppedBuckets(docs: DataFrame, idCol: String, toks: Column,
-                            bucketCap: Int = 10000): DataFrame =
+  private def simhashBandedIndex(docs: DataFrame, idCol: String,
+                                 toks: Column): DataFrame =
     docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
-      .select(col("doc"),
+      .select(col("doc"), col("sim"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("sim"), b * 16)
             .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+
+  /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
+    * the same `bucketCap` — run it when recall loss must be visible
+    * (each dropped bucket of size s forfeits up to s*(s-1)/2 pairs).
+    * Callers auditing a tuned join MUST pass the same cap they tuned.
+    */
+  def simhashDroppedBuckets(docs: DataFrame, idCol: String, toks: Column,
+                            bucketCap: Int = 10000): DataFrame =
+    simhashBandedIndex(docs, idCol, toks)
       .groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap)
@@ -261,15 +272,11 @@ object Dedup {
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, toks: Column,
                             maxHamming: Int,
                             bucketCap: Int = 10000): DataFrame = {
-    val h = docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
     // Materialized BEFORE the census: its three consumers (hot-bucket
     // census + both self-join sides) would otherwise each re-tokenize
     // and re-simhash the corpus — the dominant per-row cost. The
     // anti-join below is a cheap broadcast filter over this cache.
-    val banded = h.select(col("doc"), col("sim"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("sim"), b * 16)
-            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+    val banded = simhashBandedIndex(docs, idCol, toks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Skew guard as census + broadcast anti-join (no corpus-wide
     // sort — see minhashNearDups).

@@ -210,15 +210,19 @@ object Similarity {
     * number the harness can track, not a vibe.
     *
     * Scale: both inputs are top-k lists (|queries| * k rows), already
-    * tiny relative to the corpus; the semi-join and the two count
-    * aggregates are over those lists only.
+    * tiny relative to the corpus; one left join feeding a single
+    * aggregate over those lists only.
     */
   def recallAtK(exact: DataFrame, ann: DataFrame, method: String): DataFrame = {
     // one pass over `exact`: left-join the ANN pairs onto it and count
     // matches and totals in the same aggregate (a semi-join + separate
-    // count would evaluate the exact plan twice). Top-k producers emit
-    // duplicate-free (q_id, c_id) pairs, so the left join is 1:0-or-1.
-    val hit = ann.select(col("q_id"), col("c_id")).withColumn("hit", lit(1))
+    // count would evaluate the exact plan twice). dropDuplicates
+    // enforces the 1:0-or-1 join the denominator depends on — an ANN
+    // producer emitting duplicate (q_id, c_id) pairs (e.g. multi-probe
+    // without dedup) would otherwise inflate n_exact AND hits and bias
+    // recall toward 1 with no error.
+    val hit = ann.select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id").withColumn("hit", lit(1))
     exact.select(col("q_id"), col("c_id"))
       .join(hit, Seq("q_id", "c_id"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))

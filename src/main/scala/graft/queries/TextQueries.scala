@@ -18,6 +18,11 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
+  // ONE cap shared by q_dedup_simhash_banded and its audit query —
+  // tuning the join without the audit following would make the audit
+  // report "no recall loss" about a different configuration.
+  private val simhashBucketCap = 10000
+
   val queries: Map[String, QueryFn] = Map(
 
     "q_text_tokenize" -> ((s, d) => {
@@ -127,7 +132,8 @@ object TextQueries {
       // buckets — exact for maxHamming <= 3 by pigeonhole, no id
       // window, no all-pairs anywhere.
       Dedup.simhashNearDupsBanded(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")), maxHamming = 3)
+          TA.tokens(col("text")), maxHamming = 3,
+          bucketCap = simhashBucketCap)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -137,7 +143,7 @@ object TextQueries {
       // result = the pigeonhole exactness guarantee holds intact;
       // each listed bucket of size s forfeits up to s*(s-1)/2 pairs.
       Dedup.simhashDroppedBuckets(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")))
+          TA.tokens(col("text")), bucketCap = simhashBucketCap)
         .orderBy("band", "bits")
     }),
 
