@@ -205,6 +205,23 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q_pack_sequences" -> ((s, d) => {
+      // Chunk -> pack into 64-token bins across 8 deterministic
+      // shards (next-fit by running sum; see Packing). Summarized per
+      // (shard, bin) so the oracle verifies every packing decision
+      // without hashing full chunk text twice.
+      val chunks = graft.operators.Chunking
+        .chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 6, overlap = 2)
+      graft.operators.Packing
+        .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
+          maxTokens = 64, nShards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("sum_tokens"))
+        .orderBy("shard", "bin")
+    }),
+
     "q_sample_stratified" -> ((s, d) => {
       // Deterministic per-stratum sampling rates (out of 256):
       // clicks 25%, views 12.5%, purchases 100%, signups 50%,
@@ -421,6 +438,42 @@ object TextQueries {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack_sequences" ->
+      // Same chunking CTEs as q_text_chunk, then next-fit packing as
+      // a windowed running sum per shard (doc_id % 8). sum(BIGINT)
+      // widens to HUGEINT in DuckDB -> CAST back (SURVEY 7.4).
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks) - 2, 1), 4)) AS s
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST((s - 1) // 4 AS BIGINT) AS chunk_idx,
+        |    array_to_string(list_slice(toks, s, s + 5), ' ') AS chunk
+        |  FROM starts),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(doc_id % 8 AS BIGINT) AS shard
+        |  FROM c),
+        |p AS (
+        |  SELECT shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ASC, chunk_idx ASC
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS bin_offset
+        |  FROM ch),
+        |b AS (
+        |  SELECT shard,
+        |    CAST(floor(CAST(bin_offset AS DOUBLE) / 64.0) AS BIGINT) AS bin,
+        |    n_tok
+        |  FROM p)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

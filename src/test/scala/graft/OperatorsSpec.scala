@@ -303,6 +303,56 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("next-fit packing bins by exclusive running sum per shard") {
+    val chunks = Seq(
+      (0L, 0L, 4L), (0L, 1L, 4L), (0L, 2L, 4L), (0L, 3L, 4L),
+      (2L, 0L, 9L),              // shard 0, after doc 0 in sort order
+      (1L, 0L, 10L), (1L, 1L, 1L)) // shard 1
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = graft.operators.Packing
+      .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
+        maxTokens = 10, nShards = 2)
+      .select("doc_id", "chunk_idx", "shard", "bin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // shard 0 offsets: 0,4,8,12,16 -> bins 0,0,0,1,1 (the offset-8
+    // chunk straddles the boundary and stays in bin 0 — documented
+    // next-fit overflow); shard 1 offsets: 0,10 -> bins 0,1
+    assert(packed == Set(
+      (0L, 0L, 0L, 0L), (0L, 1L, 0L, 0L), (0L, 2L, 0L, 0L),
+      (0L, 3L, 0L, 1L), (2L, 0L, 0L, 1L),
+      (1L, 0L, 1L, 0L), (1L, 1L, 1L, 1L)))
+  }
+
+  test("bin overflow is bounded by one chunk; bad args rejected") {
+    val maxTok = 10
+    val chunks = (0L until 200L).map(i =>
+      (i % 13, i / 13, 1L + (i * 5 % 7))) // sizes 1..7, many docs
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val sums = graft.operators.Packing
+      .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
+        maxTokens = maxTok, nShards = 4)
+      .groupBy("shard", "bin")
+      .agg(org.apache.spark.sql.functions.sum("n_chunk_tokens").as("s"),
+        org.apache.spark.sql.functions.max("n_chunk_tokens").as("m"))
+      .select("s", "m").as[(Long, Long)].collect()
+    assert(sums.nonEmpty)
+    // a bin holds every chunk whose FIRST token lands inside its
+    // budget, so sum < maxTokens + last chunk's size <= maxTokens + m
+    assert(sums.forall { case (s, m) => s < maxTok + m })
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packChunks(chunks, "doc_id", "chunk_idx",
+        "n_chunk_tokens", maxTokens = 0, nShards = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packChunks(chunks, "doc_id", "chunk_idx",
+        "n_chunk_tokens", maxTokens = 10, nShards = 0)
+    }
+  }
+}
+
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 
