@@ -205,6 +205,24 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q_text_repetition" -> ((s, d) => {
+      // Duplicate n-gram ratios (1 - distinct/total) — the standard
+      // boilerplate/repetition quality signal next to q_text_quality;
+      // pure codegen array expressions, one corpus scan, no shuffle
+      // before the final order.
+      val toks = TA.tokens(col("text"))
+      def dupRatio(n: Int) = {
+        val g = TA.shingles(toks, n)
+        when(size(g) === 0, lit(0.0d))
+          .otherwise(rnd(lit(1.0d) -
+            size(array_distinct(g)).cast("double") /
+              size(g).cast("double"), 4))
+      }
+      t(s, d, "documents").select(col("doc_id"),
+          dupRatio(2).as("dup_2gram"), dupRatio(3).as("dup_3gram"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Chunk -> pack into 64-token bins across 8 deterministic
       // shards (next-fit by running sum; see Packing). Summarized per
@@ -438,6 +456,28 @@ object TextQueries {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i + 1]) AS g2,
+        |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+        |      / CAST(len(g2) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
+        |    AS dup_2gram,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE floor((1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+        |      / CAST(len(g3) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
+        |    AS dup_3gram
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       // Same chunking CTEs as q_text_chunk, then next-fit packing as
