@@ -85,6 +85,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing plans one sharded exchange, no global window") {
+    val chunks = (0L until 500L).map(i => (i % 37, i / 37, 1L + i % 7))
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = graft.operators.Packing
+      .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
+        maxTokens = 32, nShards = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    // the window must partition by shard — a SinglePartition window
+    // over the whole corpus is the classic packing scale-killer
+    assert(!plan.contains("SinglePartition"),
+      s"packing window must be sharded, not global:\n$plan")
+    // exactly one data shuffle: the hash exchange on shard
+    val exchanges = "hashpartitioning\\(shard".r
+      .findAllIn(plan).length
+    assert(exchanges >= 1, s"expected a shard hash exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no sort-shuffle belongs in packing:\n$plan")
+  }
+
   test("TopKPerGroupExec matches the window formulation exactly") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val native = graft.plans.TopKPerGroup(orders,
