@@ -321,14 +321,31 @@ object Dedup {
     * localCheckpoint blocks live on executors — on a real cluster
     * with executor churn, swap in reliable `checkpoint()` against the
     * checkpoint dir (same shape, survives loss).
+    *
+    * Small graphs take a different path entirely: when the pair list
+    * fits the same per-partition row budget the loop sizes its
+    * shuffles to (`localEdgeBudget`, default 4M rows ≈ one healthy
+    * shuffle partition), the component structure is computed by a
+    * single-task union-find inside `mapPartitions` — one job, no
+    * rounds. A near-dup pair graph is the SURVIVORS of banding, so
+    * even at 100 TB corpus scale it is often orders of magnitude
+    * smaller than the corpus; paying O(log n) scheduled rounds of
+    * distributed joins to label a few thousand edges is pure
+    * overhead. The cutoff is exact (edge count, not a guess), the
+    * result is identical (root = component min id), and graphs over
+    * the budget still take the iterative distributed path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeBudget: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges0 = pairs.select(col(aCol).cast("long").as("u"),
+    val raw = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = raw.count()
+    if (nPairs <= localEdgeBudget) return localUnionFind(raw)
+    val edges0 = raw
+      .union(raw.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The per-round state is one (node, label) row per node and the
     // join moves |edges| rows — size the LOOP's shuffles to the graph
@@ -338,7 +355,7 @@ object Dedup {
     // 100 TB pair graph still fans out to the full session setting.
     val sessP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L, math.min(sessP.toLong,
-      edges0.count() / 4000000L + 1)).toInt
+      2L * nPairs / 4000000L + 1)).toInt
     // Pre-partition the cached edge set by the join key once: every
     // round's edges-to-labels join then reuses the cached layout
     // instead of re-shuffling the (at scale, dominant) edge set.
@@ -394,6 +411,7 @@ object Dedup {
     }
     edges.unpersist()
     edges0.unpersist()
+    raw.unpersist()
     // Unconverged labels are WRONG roots (partial clusters) and the
     // keep/drop decisions downstream would silently split clusters —
     // fail loudly instead. Pointer jumping converges in O(log n)
@@ -404,6 +422,45 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter")
     labels.select(col("node"), col("label").as("root"))
+  }
+
+  /** Exact union-find over a bounded edge list in ONE executor task.
+    * The caller has already counted the edges and proven they fit a
+    * single shuffle partition's row budget, so `repartition(1)` here
+    * is a bounded fan-in, not a scalability hole — the same
+    * size-to-the-data move AQE makes when it coalesces a small
+    * shuffle. Path-compressed, union-by-min-id, so the returned root
+    * is the component's minimum node id — byte-identical to what the
+    * iterative min-label loop converges to.
+    */
+  private def localUnionFind(rawEdges: DataFrame): DataFrame = {
+    val spark = rawEdges.sparkSession
+    import spark.implicits._
+    rawEdges.repartition(1).as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def root(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (u, v) =>
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = root(u); val rv = root(v)
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      // Copy keys first: path compression in root() rewrites values
+      // mid-iteration (non-structural for HashMap, but keep it safe).
+      val keys = new Array[Long](parent.size())
+      val kit = parent.keySet().iterator()
+      var i = 0
+      while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
+      keys.iterator.map(k => (k, root(k)))
+    }.toDF("node", "root")
   }
 
   /** Embedding-cosine near-dup pairs within an id-gap candidate window

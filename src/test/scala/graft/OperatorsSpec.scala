@@ -133,6 +133,12 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(roots(_) == 20L))
     assert((100L until 160L).forall(roots(_) == 100L))
     assert(roots.size == 9 + 60)
+    // localEdgeBudget=0 forces the iterative pointer-jumping path on
+    // the same graph; both paths must agree root-for-root
+    val loopRoots = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        localEdgeBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(loopRoots == roots)
   }
 
   test("chunking: overlap, short docs, tail chunks, no duplicate tails") {
