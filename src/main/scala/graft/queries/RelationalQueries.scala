@@ -418,6 +418,49 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    "q_unpivot" -> ((s, d) => {
+      // wide→long melt (the inverse of pivot): a map-only Expand node,
+      // no shuffle — each input row emits one row per value column, so
+      // it streams at any scale. Values are cast to one common type
+      // first (unpivot requires it), ids stay as-is.
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")
+        .orderBy("c_custkey", "metric")
+    }),
+
+    "q_agg_stats" -> ((s, d) => {
+      // Statistical aggregates (stddev / variance / correlation) from
+      // EXACT decimal moment sums: built-in stddev/corr accumulate
+      // doubles whose merge order differs between engines (and between
+      // partitionings!), so the result would not hash-match — and at
+      // scale would not even reproduce run-to-run. Decimal sums of
+      // x, x², xy are order-independent and map-side-combinable; the
+      // closed-form moments are then identical scalar double math in
+      // both engines. Same SQL text as the oracle modulo the D-suffix
+      // literal rule (§7.4).
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_st")
+      s.sql("""
+        WITH m AS (
+          SELECT l_returnflag,
+            count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp
+          FROM lineitem_st GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          floor(sqrt((sqq - sq*sq/n) / (n-1)) * 1000000.0D + 0.5D) / 1000000.0D AS stddev_qty,
+          floor(((sqq - sq*sq/n) / (n-1)) * 1000000.0D + 0.5D) / 1000000.0D AS var_qty,
+          floor(sqrt((spp - sp*sp/n) / (n-1)) * 10000.0D + 0.5D) / 10000.0D AS stddev_price,
+          floor(((n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp))) * 1000000.0D + 0.5D) / 1000000.0D AS corr_qty_price
+        FROM m ORDER BY l_returnflag""")
+    }),
+
     "q_agg_percentile" -> ((s, d) => {
       // Exact percentile: the small-sf ORACLE form. It buffers every
       // value of a group in executor memory, and with 3 groups one
@@ -923,6 +966,32 @@ object RelationalQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric,
+        |         CAST(c_acctbal AS DOUBLE) AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey' AS metric,
+        |         CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |) ORDER BY c_custkey, metric""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor(sqrt((sqq - sq*sq/n) / (n-1)) * 1000000.0 + 0.5) / 1000000.0 AS stddev_qty,
+        |  floor(((sqq - sq*sq/n) / (n-1)) * 1000000.0 + 0.5) / 1000000.0 AS var_qty,
+        |  floor(sqrt((spp - sp*sp/n) / (n-1)) * 10000.0 + 0.5) / 10000.0 AS stddev_price,
+        |  floor(((n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp))) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

@@ -45,3 +45,49 @@ class PercentileSpec extends SparkSpec {
       plan.toLowerCase.contains("partial"))
   }
 }
+
+/** q_agg_stats derives stddev/variance/correlation from exact decimal
+  * moment sums (order-independent, so cross-engine and cross-
+  * partitioning deterministic); this spec pins the closed form to
+  * Spark's native statistical aggregates within float tolerance.
+  */
+class AggStatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("moment-sum stats match native stddev/var/corr") {
+    import org.apache.spark.sql.functions._
+    val got = queries.RelationalQueries.queries("q_agg_stats")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val want = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd_q"),
+        var_samp(col("l_quantity")).as("v_q"),
+        stddev_samp(col("l_extendedprice")).as("sd_p"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    for ((flag, (sdq, vq, sdp, c)) <- got) {
+      val (wsdq, wvq, wsdp, wc) = want(flag)
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= math.max(1e-6, math.abs(b) * 1e-9)
+      assert(close(sdq, wsdq) && close(vq, wvq) && close(sdp, wsdp) &&
+        close(c, wc), s"$flag: $sdq/$vq/$sdp/$c vs $wsdq/$wvq/$wsdp/$wc")
+    }
+  }
+
+  test("unpivot is the exact inverse shape of the wide projection") {
+    val long = queries.RelationalQueries.queries("q_unpivot")(spark, sf)
+    val n = Tables.load(spark, sf, "customer").count()
+    assert(long.count() == 2 * n)
+    // map-only: an unpivot must never shuffle
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") ||
+      plan.indexOf("Exchange") > plan.indexOf("Sort"),
+      "unpivot introduced a shuffle before the final order")
+  }
+}
