@@ -223,6 +223,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: doc_id % 97 == 0 plays the role of
+      // the held-out eval suite; every other doc is scored by the
+      // fraction of its distinct trigrams that appear anywhere in the
+      // eval set (broadcast eval shingles, one corpus pass).
+      graft.operators.Decontaminate
+        .contamination(t(s, d, "documents"), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, n = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Chunk -> pack into 64-token bins across 8 deterministic
       // shards (next-fit by running sum; see Packing). Summarized per
@@ -478,6 +489,23 @@ object TextQueries {
         |      / CAST(len(g3) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
         |    AS dup_3gram
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |          FROM documents) d,
+        |         LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, sh.g, ev.g AS hit FROM sh
+        |       LEFT JOIN ev ON sh.g = ev.g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id,
+        |  count(*) AS n_shingles,
+        |  count(hit) AS n_eval_hits,
+        |  floor((CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS contamination,
+        |  floor((CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.5 AS contaminated
+        |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       // Same chunking CTEs as q_text_chunk, then next-fit packing as

@@ -429,3 +429,30 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("out_w") > 0 && r.getAs[Int]("out_h") > 0)
   }
 }
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("contamination counts distinct trigram overlap with the eval set") {
+    val docs = Seq(
+      (100L, "a b c d e"), // eval: trigrams {a b c, b c d, c d e}
+      (1L, "a b c x"),     // train: {a b c, b c x} -> 1/2 hit
+      (2L, "x y z w"),     // train: {x y z, y z w} -> 0/2
+      (3L, "ab")           // train: no trigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .contamination(docs, "doc_id", "text",
+        isEval = col("doc_id") >= 100, n = 3, threshold = 0.5)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rows == Map(
+      1L -> (2L, 1L, 0.5d, true),
+      2L -> (2L, 0L, 0.0d, false)))
+    // the eval shingle set must reach the probe as a broadcast —
+    // shuffling a corpus-sized train shingle index would be the
+    // 100 TB scale-killer this operator exists to avoid
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
