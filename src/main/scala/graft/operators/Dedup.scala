@@ -335,15 +335,28 @@ object Dedup {
     * result is identical (root = component min id), and graphs over
     * the budget still take the iterative distributed path.
     */
+  /** One healthy shuffle partition's worth of edge rows — the loop
+    * sizes its per-round shuffles to this, and it is the default
+    * cutoff below which the single-task union-find path engages. */
+  val EdgeRowBudget: Long = 4000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          localEdgeBudget: Long = 4000000L): DataFrame = {
+                          localEdgeBudget: Long = EdgeRowBudget): DataFrame = {
     val spark = pairs.sparkSession
     val raw = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = raw.count()
-    if (nPairs <= localEdgeBudget) return localUnionFind(raw)
+    if (nPairs <= localEdgeBudget) {
+      // eager localCheckpoint materializes the result (one job — the
+      // same job a caller's first action would run anyway), so the
+      // cached edge set can be released HERE instead of leaking one
+      // pinned DataFrame per call until a session-wide clearCache
+      val out = localUnionFind(raw).localCheckpoint()
+      raw.unpersist()
+      return out
+    }
     val edges0 = raw
       .union(raw.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -355,7 +368,7 @@ object Dedup {
     // 100 TB pair graph still fans out to the full session setting.
     val sessP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L, math.min(sessP.toLong,
-      2L * nPairs / 4000000L + 1)).toInt
+      2L * nPairs / EdgeRowBudget + 1)).toInt
     // Pre-partition the cached edge set by the join key once: every
     // round's edges-to-labels join then reuses the cached layout
     // instead of re-shuffling the (at scale, dominant) edge set.
@@ -437,29 +450,73 @@ object Dedup {
     val spark = rawEdges.sparkSession
     import spark.implicits._
     rawEdges.repartition(1).as[(Long, Long)].mapPartitions { it =>
-      val parent = new java.util.HashMap[Long, Long]()
+      // Primitive-long open-addressing parent map: a budget-sized
+      // graph (4M edges, up to 8M nodes) in a boxed java HashMap is
+      // ~1 GB of Long objects and entry nodes; flat long arrays at
+      // 0.75 load are ~270 MB worst-case and GC-invisible.
+      var cap = 1 << 16
+      var mask = cap - 1
+      var keys = new Array[Long](cap)
+      var vals = new Array[Long](cap)
+      var used = new Array[Boolean](cap)
+      var size = 0
+      def idx(k: Long): Int = {
+        var h = k * -7046029254386353131L // splitmix64 odd constant
+        h ^= (h >>> 32)
+        var i = (h & mask).toInt
+        while (used(i) && keys(i) != k) i = (i + 1) & mask
+        i
+      }
+      def grow(): Unit = {
+        val ok = keys; val ov = vals; val ou = used
+        cap <<= 1; mask = cap - 1
+        keys = new Array[Long](cap)
+        vals = new Array[Long](cap)
+        used = new Array[Boolean](cap)
+        var i = 0
+        while (i < ok.length) {
+          if (ou(i)) {
+            val j = idx(ok(i)); keys(j) = ok(i); vals(j) = ov(i)
+            used(j) = true
+          }
+          i += 1
+        }
+      }
+      def get(k: Long): Long = vals(idx(k)) // present keys only
+      // grows ONLY when inserting a new key — puts to existing keys
+      // (path compression) never rehash, so emission below can walk
+      // a stable table while compressing
+      def put(k: Long, v: Long): Unit = {
+        var i = idx(k)
+        if (!used(i)) {
+          if ((size + 1) * 4 > cap * 3) { grow(); i = idx(k) }
+          used(i) = true; keys(i) = k; size += 1
+        }
+        vals(i) = v
+      }
       def root(x0: Long): Long = {
         var r = x0
-        while (parent.get(r) != r) r = parent.get(r)
+        while (get(r) != r) r = get(r)
         var c = x0
-        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        while (c != r) { val nx = get(c); put(c, r); c = nx }
         r
       }
       it.foreach { case (u, v) =>
-        if (!parent.containsKey(u)) parent.put(u, u)
-        if (!parent.containsKey(v)) parent.put(v, v)
+        if (!used(idx(u))) put(u, u)
+        if (!used(idx(v))) put(v, v)
         val ru = root(u); val rv = root(v)
         if (ru != rv) {
-          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          if (ru < rv) put(rv, ru) else put(ru, rv)
         }
       }
-      // Copy keys first: path compression in root() rewrites values
-      // mid-iteration (non-structural for HashMap, but keep it safe).
-      val keys = new Array[Long](parent.size())
-      val kit = parent.keySet().iterator()
+      val all = new Array[Long](size)
       var i = 0
-      while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
-      keys.iterator.map(k => (k, root(k)))
+      var o = 0
+      while (i < cap) {
+        if (used(i)) { all(o) = keys(i); o += 1 }
+        i += 1
+      }
+      all.iterator.map(k => (k, root(k)))
     }.toDF("node", "root")
   }
 

@@ -223,7 +223,11 @@ object Similarity {
     // recall toward 1 with no error.
     val hit = ann.select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id").withColumn("hit", lit(1))
+    // the exact side gets the same guard: a ground-truth list built
+    // from concatenated/unioned sources would otherwise double-count
+    // pairs in BOTH the denominator and the hits, silently biasing
     exact.select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id")
       .join(hit, Seq("q_id", "c_id"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
       .select(lit(method).as("method"), col("n_exact"), col("hits"),

@@ -440,8 +440,14 @@ object RelationalQueries {
       // scale would not even reproduce run-to-run. Decimal sums of
       // x, x², xy are order-independent and map-side-combinable; the
       // closed-form moments are then identical scalar double math in
-      // both engines. Same SQL text as the oracle modulo the D-suffix
-      // literal rule (§7.4).
+      // both engines. Same SQL text as the oracle modulo two dialect
+      // rules: the D-suffix on literals (§7.4), and the product's
+      // first cast width — (18,6)x(18,6) here (Spark result (37,12),
+      // exact; widening to (20,6) would hit precision 39 > 38 and
+      // silently ROUND), but (20,6)x(18,6) in the oracle (DuckDB
+      // multiplies in the operand's int64 storage and overflows
+      // unless one side is widened into int128; result width 38,
+      // exact). Both sides stay exact, which is all the hash needs.
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_st")
       s.sql("""
         WITH m AS (
@@ -977,6 +983,10 @@ object RelationalQueries {
         |) ORDER BY c_custkey, metric""".stripMargin,
 
     "q_agg_stats" ->
+      // (20,6)x(18,6): DuckDB must multiply in int128 (one operand
+      // widened past 18) or its int64 storage overflows; Spark's side
+      // stays (18,6)x(18,6) because 39 > 38 precision would round.
+      // Both exact — see the query-side comment.
       """WITH m AS (
         |  SELECT l_returnflag,
         |    count(*) AS n,

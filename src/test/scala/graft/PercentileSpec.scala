@@ -73,10 +73,15 @@ class AggStatsSpec extends SparkSpec {
     assert(got.keySet == want.keySet && got.nonEmpty)
     for ((flag, (sdq, vq, sdp, c)) <- got) {
       val (wsdq, wvq, wsdp, wc) = want(flag)
-      def close(a: Double, b: Double) =
-        math.abs(a - b) <= math.max(1e-6, math.abs(b) * 1e-9)
-      assert(close(sdq, wsdq) && close(vq, wvq) && close(sdp, wsdp) &&
-        close(c, wc), s"$flag: $sdq/$vq/$sdp/$c vs $wsdq/$wvq/$wsdp/$wc")
+      // tolerance = the query's OWN rounding half-quantum (1e-6 cols
+      // round at 1e-6 -> 5e-7; stddev_price rounds at 1e-4 -> 5e-5)
+      // plus float slack — the native aggregate is NOT on that grid,
+      // so comparing tighter than the quantum is flaky by design
+      def close(a: Double, b: Double, quantum: Double) =
+        math.abs(a - b) <= quantum / 2 + math.abs(b) * 1e-9
+      assert(close(sdq, wsdq, 1e-6) && close(vq, wvq, 1e-6) &&
+        close(sdp, wsdp, 1e-4) && close(c, wc, 1e-6),
+        s"$flag: $sdq/$vq/$sdp/$c vs $wsdq/$wvq/$wsdp/$wc")
     }
   }
 
@@ -84,10 +89,14 @@ class AggStatsSpec extends SparkSpec {
     val long = queries.RelationalQueries.queries("q_unpivot")(spark, sf)
     val n = Tables.load(spark, sf, "customer").count()
     assert(long.count() == 2 * n)
-    // map-only: an unpivot must never shuffle
+    // map-only: the ONLY exchange in the whole plan is the final
+    // orderBy's range partitioning — any second one means the unpivot
+    // itself shuffled (an index comparison against "Sort" would be
+    // vacuous: the topmost Sort always prints before its exchange)
     val plan = long.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") ||
-      plan.indexOf("Exchange") > plan.indexOf("Sort"),
-      "unpivot introduced a shuffle before the final order")
+    assert(plan.contains("Expand"), "unpivot should plan an Expand node")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"unpivot must not add a shuffle beyond the final sort:\n$plan")
   }
 }

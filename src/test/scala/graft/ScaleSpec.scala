@@ -96,10 +96,12 @@ class ScaleSpec extends SparkSpec {
     // over the whole corpus is the classic packing scale-killer
     assert(!plan.contains("SinglePartition"),
       s"packing window must be sharded, not global:\n$plan")
-    // exactly one data shuffle: the hash exchange on shard
-    val exchanges = "hashpartitioning\\(shard".r
-      .findAllIn(plan).length
-    assert(exchanges >= 1, s"expected a shard hash exchange:\n$plan")
+    // exactly one data shuffle: the hash exchange on shard — count
+    // ALL exchanges so an accidental second one can't hide
+    val shardEx = "hashpartitioning\\(shard".r.findAllIn(plan).length
+    assert(shardEx == 1, s"expected the shard hash exchange:\n$plan")
+    val allEx = "Exchange".r.findAllIn(plan).length
+    assert(allEx == 1, s"packing must plan exactly one exchange:\n$plan")
     assert(!plan.contains("rangepartitioning"),
       s"no sort-shuffle belongs in packing:\n$plan")
   }
