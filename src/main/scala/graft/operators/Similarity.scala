@@ -271,4 +271,127 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
+
+  /** Lloyd's k-means over the embedding column — the curation
+    * workhorse behind semantic grouping / SemDeDup-style dataset
+    * pruning (cluster first, then dedup or downsample WITHIN
+    * clusters). Returns one row per vector: (id, cluster, d2) where
+    * d2 is the squared L2 distance to its final centroid (so inertia
+    * is one aggregate away).
+    *
+    * Distributed shape, per round (ONE job):
+    *  - assignment is a broadcast NLJ against the k-row centroid
+    *    table + a `max_by` hash aggregate (partial combine map-side;
+    *    the corpus is never sort-shuffled) — same pattern as
+    *    [[ivfTopK]]'s list assignment;
+    *  - the centroid update aggregates per-dimension sums in ONE
+    *    shuffle of k·dim partially-combined rows. Driver state is
+    *    O(k·dim) — the centroid table itself, independent of corpus
+    *    size (the same bounded-scalar shape as the CC loop's
+    *    convergence count; this is how MLlib's KMeans iterates too).
+    *
+    * Seeding is deterministic farthest-first (k-center) over a
+    * bounded uniform sample: the `sampleSize` smallest-xxhash64(id)
+    * vectors are collected ONCE (O(sample·dim) driver memory, one
+    * job) and the k seeds are picked in driver memory — plain
+    * uniform seeding routinely drops all k seeds into one dense blob
+    * and Lloyd's then converges to a merged/split local optimum,
+    * while distributed farthest-first would pay one corpus pass per
+    * seed in job overhead. A hash-uniform sample of 10k dwarfs any
+    * realistic k, so seed quality matches whole-corpus seeding for
+    * separated clusters.
+    *
+    * Determinism: no Random anywhere, and centroid sums accumulate
+    * in EXACT integer micro-units (snap to 1e-6, sum as
+    * DECIMAL(38,0)) — a plain double sum would vary with partition
+    * merge order, drifting centroids by ulps and flipping borderline
+    * assignments between runs/retries. Lineage stays flat: every
+    * round re-derives from the persisted input and a LITERAL
+    * centroid table, so no checkpointing is needed.
+    */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+             maxIter: Int = 10, tol: Double = 1e-6,
+             sampleSize: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sqDist(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    // one job: bounded hash-uniform sample (ordered so ties and
+    // reruns are stable), seeded farthest-first in driver memory
+    val sample = v.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(math.max(k, sampleSize))
+      .select(col("v")).as[Seq[Double]].collect()
+    require(sample.nonEmpty, "kmeans needs at least one vector")
+    val dim = sample.head.length
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val dmin = Array.fill(sample.length)(Double.MaxValue)
+    while (seeds.size < math.min(k, sample.length)) {
+      var best = 0; var i = 0
+      while (i < sample.length) {
+        dmin(i) = math.min(dmin(i), d2(sample(i), seeds.last))
+        if (dmin(i) > dmin(best)) best = i
+        i += 1
+      }
+      seeds += sample(best)
+    }
+    var cents: Array[(Long, Seq[Double])] =
+      seeds.toArray.zipWithIndex.map { case (vec, i) => (i.toLong, vec) }
+
+    def assign(): DataFrame = {
+      val centDF = broadcast(
+        cents.toSeq.toDF("cent_id", "cent_vec"))
+      // group by the LONG id only and carry the vector through the
+      // max_by state — a 64-double array in the grouping key would be
+      // hashed and compared on every exchange row
+      v.crossJoin(centDF)
+        .withColumn("d2", sqDist(col("v"), col("cent_vec")))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cent_id"), col("d2"), col("v")),
+          struct(-col("d2"), -col("cent_id"))).as("best"))
+        .select(col("id"), col("best.v").as("v"),
+          col("best.cent_id").as("cluster"), col("best.d2").as("d2"))
+    }
+
+    var moved = Double.MaxValue
+    var i = 0
+    while (moved > tol && i < maxIter) {
+      val micro = transform(col("v"),
+        x => floor(x * 1000000.0d + 0.5d).cast("long"))
+      val sums = (0 until dim).map(d =>
+        sum(element_at(col("m"), d + 1).cast("decimal(38,0)")).as(s"s$d"))
+      val agg = assign().withColumn("m", micro)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val prev = cents.toMap
+      val next = agg.map { row =>
+        val cl = row.getLong(0)
+        val n = row.getLong(1).toDouble
+        cl -> (0 until dim).map(d =>
+          row.getDecimal(2 + d).doubleValue() / 1000000.0d / n)
+      }.toMap
+      // empty clusters keep their old centroid rather than vanish
+      cents = cents.map { case (cl, old) => (cl, next.getOrElse(cl, old)) }
+      moved = cents.map { case (cl, c) =>
+        math.sqrt(c.zip(prev(cl)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+      }.max
+      i += 1
+    }
+    val out = assign().select(col("id"), col("cluster"), col("d2"))
+      .localCheckpoint()
+    v.unpersist()
+    out
+  }
 }

@@ -86,6 +86,22 @@ object VectorQueries {
         .orderBy("method")
     }),
 
+    "q_embed_cluster" -> ((s, d) => {
+      // Semantic grouping: k-means over the embeddings, summarized
+      // per cluster (size + inertia). Rows-only — an iterative
+      // clustering isn't oracle-expressible — with spec coverage for
+      // cluster recovery and run-to-run determinism; d2 sums go
+      // through DECIMAL so the inertia is partition-order-exact.
+      graft.operators.Similarity
+        .kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, maxIter = 5)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          rnd(sum(col("d2").cast("decimal(30,6)")).cast("double"), 4)
+            .as("inertia"))
+        .orderBy("cluster")
+    }),
+
     "q_embed_quantize" -> ((s, d) => {
       // Int8 storage quantization, summarized per vector (scalar
       // outputs keep the oracle hash exact while covering every code).

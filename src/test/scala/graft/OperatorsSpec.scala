@@ -456,3 +456,51 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 }
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // three well-separated 2-D blobs, 6 points each
+  private val blobs = (0 until 18).map { i =>
+    val (cx, cy) = (i % 3) match {
+      case 0 => (0.0f, 0.0f)
+      case 1 => (10.0f, 10.0f)
+      case _ => (-10.0f, 10.0f)
+    }
+    (i.toLong, Array(cx + (i / 3) * 0.1f, cy + (i / 3) * 0.1f))
+  }.toDF("vec_id", "embedding")
+
+  test("kmeans recovers well-separated clusters") {
+    val a = graft.operators.Similarity
+      .kmeans(blobs, "vec_id", "embedding", k = 3, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every point must share its cluster with exactly the other
+    // points of its blob (cluster ids themselves are arbitrary)
+    val byBlob = (0 until 18).groupBy(_ % 3)
+      .map { case (_, ids) => ids.map(i => a(i.toLong)).toSet }
+    assert(byBlob.forall(_.size == 1), s"blob split across clusters: $a")
+    assert(byBlob.toSet.flatten.size == 3, s"blobs merged: $a")
+  }
+
+  test("kmeans is deterministic across runs and partitionings") {
+    def run(parts: Int) = graft.operators.Similarity
+      .kmeans(blobs.repartition(parts), "vec_id", "embedding",
+        k = 3, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(run(2) == run(7)) // exact: micro-unit decimal centroid sums
+  }
+
+  test("kmeans d2 feeds inertia and empty clusters keep centroids") {
+    // k larger than distinct points: extra clusters stay parked on
+    // their seed rather than crashing the update
+    val tiny = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val a = graft.operators.Similarity
+      .kmeans(tiny, "vec_id", "embedding", k = 2, maxIter = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(a.length == 2)
+    assert(a.forall(_._2 <= 1e-12)) // each point sits on its centroid
+  }
+}
