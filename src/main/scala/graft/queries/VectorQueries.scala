@@ -102,6 +102,20 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    "q_semdedup" -> ((s, d) => {
+      // Cluster-then-dedup curation capstone: k-means clusters, then
+      // cosine-near-identical members collapse to their group's min
+      // id. Rows-only (k-means upstream); the SemDedupSpec pins the
+      // keep/drop semantics on a constructed fixture.
+      graft.operators.SemDedup
+        .semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, cosThreshold = 0.99, maxIter = 5)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy("cluster")
+    }),
+
     "q_embed_quantize" -> ((s, d) => {
       // Int8 storage quantization, summarized per vector (scalar
       // outputs keep the oracle hash exact while covering every code).

@@ -504,3 +504,41 @@ class KMeansSpec extends SparkSpec {
     assert(a.forall(_._2 <= 1e-12)) // each point sits on its centroid
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("semdedup drops within-cluster near-identicals, keeps min id") {
+    // blob A at (0,0)-ish: 0 and 1 identical (dup), 2 distinct;
+    // blob B at (10,10)-ish: 10 and 11 identical (dup), 12 distinct
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),      // dup of 0
+      (2L, Array(0.6f, 0.8f)),      // same blob, not a dup
+      (10L, Array(10.0f, 10.0f)),
+      (11L, Array(10.0f, 10.0f)),   // dup of 10
+      (12L, Array(14.0f, 7.0f)))    // same blob, not a dup
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SemDedup
+      .semDedup(vecs, "vec_id", "embedding", k = 2,
+        cosThreshold = 0.999, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(out(1L) == (0L, false)) // dropped in favor of 0
+    assert(out(11L) == (10L, false))
+    assert(Seq(0L, 2L, 10L, 12L).forall(out(_)._2 == true))
+  }
+
+  test("clusterCap parks degenerate clusters instead of probing them") {
+    // 30 identical vectors -> one cluster of 30 > cap of 10: the
+    // pairwise probe must skip it and keep EVERY member
+    val vecs = (0L until 30L).map(i => (i, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SemDedup
+      .semDedup(vecs, "vec_id", "embedding", k = 2,
+        cosThreshold = 0.9, maxIter = 2, clusterCap = 10L)
+    assert(out.filter(col("keep")).count() == 30L)
+  }
+}
