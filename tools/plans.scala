@@ -14,7 +14,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_topk_per_group_native", "q_win_ntile", "q_sim_ann_ivf",
               "q_minhash_neardup", "q_text_pipeline",
               "q_join_theta_banded", "q_pack_sequences",
-              "q_sim_ann_recall", "q_decontaminate", "q_agg_stats")) {
+              "q_sim_ann_recall", "q_decontaminate", "q_agg_stats",
+              "q_embed_cluster", "q_semdedup")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
