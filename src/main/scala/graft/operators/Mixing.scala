@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted corpus mixing — the "epochs per source" knob
+  * of a training-data pipeline (e.g. wiki ×2.25, web ×0.5).
+  *
+  * A weight w for a stratum means: every row appears floor(w) times,
+  * plus one more copy iff its content hash falls under the fractional
+  * remainder (in 1/256 units). Membership is a pure function of the
+  * row id, so the mix reproduces across engines, partitionings, and
+  * backfills — same guarantee as [[DataSplit.stratifiedSample]], which
+  * covers only w ≤ 1. Upsampling is a generator (`explode(sequence)`),
+  * not a shuffle: the whole operator is map-only and the copy index is
+  * explicit in the output, so downstream packing/shuffling can spread
+  * replicas deterministically.
+  *
+  * The hash is salted with ":mix" so mix membership is independent of
+  * the train/val/test split buckets ([[DataSplit.hashBucket256]]) — an
+  * unsalted reuse would correlate "gets an extra epoch" with "lands in
+  * the test split".
+  */
+object Mixing {
+
+  /** 256-way bucket of md5(id || salt) — decorrelated from other
+    * hash-bucket uses of the same id. */
+  def saltedBucket256(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")),
+      1, 2), 16, 10).cast("long")
+
+  /** Weight → (full copies, fractional remainder out of 256). */
+  private[graft] def weightParts(w: Double): (Int, Int) = {
+    require(w >= 0.0 && w <= 16.0, s"weight out of range [0,16]: $w")
+    val copies = math.floor(w).toInt
+    val frac = math.round((w - copies) * 256).toInt
+    if (frac == 256) (copies + 1, 0) else (copies, frac)
+  }
+
+  /** Rows of `df` replicated per-stratum by `weights` (missing strata
+    * get `defaultWeight`), with a 0-based `copy` index column. Output
+    * rows: one per (row, copy) kept. Map-only: a when-chain projection,
+    * one generator, one codegen filter — no shuffle, no driver state.
+    */
+  def mixWeighted(df: DataFrame, idCol: String, strataCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 0.0,
+                  copyName: String = "copy"): DataFrame = {
+    val (dCopies, dFrac) = weightParts(defaultWeight)
+    // sorted for a deterministic when-chain (Map order is not stable)
+    val parts = weights.toSeq.sortBy(_._1).map { case (k, w) =>
+      (k, weightParts(w))
+    }
+    val copiesCol = parts.foldLeft(lit(dCopies)) { case (acc, (k, (c, _))) =>
+      when(col(strataCol) === k, lit(c)).otherwise(acc)
+    }
+    val fracCol = parts.foldLeft(lit(dFrac)) { case (acc, (k, (_, f))) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.withColumn("graft_copies", copiesCol)
+      .withColumn("graft_frac", fracCol)
+      // sequence is inclusive: indices 0..copies; index `copies` is the
+      // fractional copy, kept only when the salted bucket clears frac.
+      .withColumn(copyName,
+        explode(sequence(lit(0), col("graft_copies"))).cast("long"))
+      .filter(col(copyName) < col("graft_copies") ||
+        saltedBucket256(col(idCol), ":mix") < col("graft_frac"))
+      .drop("graft_copies", "graft_frac")
+  }
+}

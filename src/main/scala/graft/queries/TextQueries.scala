@@ -267,6 +267,31 @@ object TextQueries {
         .orderBy("event_type")
     }),
 
+    "q_text_heavy_hitters" -> ((s, d) => {
+      // Tokens holding > 1/32 of the whole corpus — exact counts, but
+      // the shuffle is bounded by the Misra-Gries prefilter, not by
+      // vocabulary size.
+      graft.operators.HeavyHitters.exactHeavyHitters(
+          t(s, d, "documents")
+            .select(explode(TA.tokens(col("text"))).as("token")),
+          "token", k = 32)
+        .orderBy("token")
+    }),
+
+    "q_mix_weighted" -> ((s, d) => {
+      // Epochs per source: src0 ×2.25, src1 ×1, src2 ×0.5, src3 ×3,
+      // everything else ×0.25. Row-level output (doc, copy) so the
+      // oracle verifies membership and replica counts, not just sizes.
+      graft.operators.Mixing.mixWeighted(
+          t(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 2.25, "src1" -> 1.0, "src2" -> 0.5,
+            "src3" -> 3.0),
+          defaultWeight = 0.25)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -560,6 +585,35 @@ object TextQueries {
         |SELECT event_type, count(*) AS n_sampled,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+        |SELECT token, cnt FROM c
+        |WHERE cnt * 32 > (SELECT count(*) FROM t)
+        |ORDER BY token""".stripMargin,
+
+    "q_mix_weighted" ->
+      """WITH w(source, copies, frac) AS (
+        |  VALUES ('src0', 2, 64), ('src1', 1, 0), ('src2', 0, 128),
+        |         ('src3', 3, 0)),
+        |d AS (
+        |  SELECT doc_id, docs.source,
+        |    coalesce(w.copies, 0) AS copies, coalesce(w.frac, 64) AS frac,
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1) * 16 +
+        |    strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 2, 1)) - 1 AS bucket
+        |  FROM documents docs LEFT JOIN w ON docs.source = w.source),
+        |e AS (
+        |  SELECT d.*, c.i AS copy
+        |  FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) c(i)
+        |  WHERE c.i <= copies)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM e WHERE copy < copies OR bucket < frac
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

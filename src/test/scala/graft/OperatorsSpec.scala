@@ -182,6 +182,62 @@ class DedupSpec extends SparkSpec {
     assert(frac > 0.4 && frac < 0.6, s"~50% expected, got $frac")
   }
 
+  test("heavy hitters: MG prefilter is a superset, result is exact") {
+    import graft.operators.HeavyHitters
+    // skewed stream: token "hot" is 40%, "warm" 15%, rest a long tail
+    val rng = new scala.util.Random(7)
+    val data = (0 until 20000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 40) "hot" else if (r < 55) "warm" else s"t${rng.nextInt(5000)}"
+    }
+    // MG kernel property: every item over n/k survives a single pass
+    val k = 8
+    val cands = HeavyHitters.mgCandidates(data.iterator, k).toSet
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = exact.filter(_._2 * k > data.size).keySet
+    assert(truth.subsetOf(cands), s"MG missed ${truth -- cands}")
+    assert(cands.size <= k - 1) // budget respected
+    // end-to-end over many partitions: exact agreement with groupBy
+    val df = spark.createDataset(data).repartition(13).toDF("token")
+    val got = HeavyHitters.exactHeavyHitters(df, "token", k)
+      .as[(String, Long)].collect().toMap
+    val want = exact.filter(_._2 * k > data.size).toMap
+    assert(got == want)
+    // and the threshold is strict: nothing at/below n/k leaks in
+    assert(got.values.forall(_ * k > data.size))
+  }
+
+  test("weighted mix replicates by epoch weight, deterministically") {
+    val df = (0 until 1200)
+      .map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "src")
+    def run() = graft.operators.Mixing
+      .mixWeighted(df, "id", "src",
+        Map("a" -> 2.5, "b" -> 1.0), defaultWeight = 0.0)
+      .select("id", "src", "copy").as[(Long, String, Long)]
+      .collect().toSeq
+    val out = run()
+    assert(out == run()) // bit-deterministic, same ids AND copies
+    val byId = out.groupBy(_._1)
+    // integer weights are exact: every 'b' row appears exactly once,
+    // every 'a' row 2 or 3 times, default-weight rows never
+    assert(out.forall(_._2 != "c"))
+    val bCopies = out.filter(_._2 == "b").map(_._1).distinct
+    assert(bCopies.size == 400 &&
+      bCopies.forall(id => byId(id).map(_._3) == Seq(0L)))
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    assert(aCounts.size == 400) // every 'a' row kept at least twice
+    assert(aCounts.values.forall(c =>
+      c == Seq(0L, 1L) || c == Seq(0L, 1L, 2L)))
+    // fractional half-epoch lands near 50% of 'a' rows
+    val extra = aCounts.values.count(_.size == 3) / 400.0
+    assert(extra > 0.4 && extra < 0.6, s"~50% expected, got $extra")
+    // weight parts: .9999… rounds up to a clean extra copy
+    assert(graft.operators.Mixing.weightParts(2.9999999) == ((3, 0)))
+    assert(graft.operators.Mixing.weightParts(0.25) == ((0, 64)))
+  }
+
   test("embedding near-dups by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
