@@ -61,8 +61,11 @@ object Mixing {
       .withColumn("graft_frac", fracCol)
       // sequence is inclusive: indices 0..copies; index `copies` is the
       // fractional copy, kept only when the salted bucket clears frac.
-      .withColumn(copyName,
-        explode(sequence(lit(0), col("graft_copies"))).cast("long"))
+      // The generator must be the TOP-level expression of its projection
+      // (no cast around it) or the analyzer rejects the plan; widen to
+      // long in a separate projection after.
+      .withColumn(copyName, explode(sequence(lit(0), col("graft_copies"))))
+      .withColumn(copyName, col(copyName).cast("long"))
       .filter(col(copyName) < col("graft_copies") ||
         saltedBucket256(col(idCol), ":mix") < col("graft_frac"))
       .drop("graft_copies", "graft_frac")
