@@ -292,6 +292,25 @@ object TextQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    "q_text_tfidf" -> ((s, d) => {
+      // Top-5 TF-IDF keywords per document — topic signal for
+      // curation. All counts integer-exact; ln() rounded at 4dp.
+      graft.operators.Keywords.tfidfTopK(
+          t(s, d, "documents"), "doc_id", TA.tokens(col("text")), k = 5)
+        .select(col("doc").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    "q_global_shuffle" -> ((s, d) => {
+      // Reproducible global shuffle: every doc gets a (shard, pos)
+      // address that is a pure function of (doc_id, seed).
+      graft.operators.Shuffling.shuffleShard(
+          t(s, d, "documents").select("doc_id"),
+          "doc_id", nShards = 8, seed = "epoch0")
+        .orderBy("shard", "pos")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -614,6 +633,43 @@ object TextQueries {
         |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
         |FROM e WHERE copy < copies OR bucket < frac
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+        |      * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank
+        |  FROM s) r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hex
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, hex,
+        |    ((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096 +
+        |     (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256 +
+        |     (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 8
+        |      AS shard
+        |  FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM v ORDER BY shard, pos""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

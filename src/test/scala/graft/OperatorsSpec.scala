@@ -238,6 +238,58 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Mixing.weightParts(0.25) == ((0, 64)))
   }
 
+  test("tfidf top-k: counts exact, ranking rare-term-first, k bound") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    val toks = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.lower($"text"), " ")
+    val out = graft.operators.Keywords.tfidfTopK(docs, "doc_id", toks, 5)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // integer pieces are exact: df(apple)=2, df(date)=1, tf checks
+    val d3 = out(3L)
+    assert(d3.map(r => (r._2, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, "date", 1L, 1L),    // 1*ln(3/1)=1.0986 — rare term wins
+      (2L, "cherry", 2L, 2L),  // 2*ln(3/2)=0.8109
+      (3L, "apple", 1L, 2L)))  // 1*ln(3/2)=0.4055
+    assert(d3.map(_._6).toSeq == Seq(1.0986, 0.8109, 0.4055))
+    // doc 1: apple tf=2 outranks banana despite equal df
+    assert(out(1L).map(_._3).toSeq == Seq("apple", "banana"))
+    // k truncates: with k=1 only the top term survives per doc
+    val k1 = graft.operators.Keywords.tfidfTopK(docs, "doc_id", toks, 1)
+    assert(k1.count() == 3 &&
+      k1.agg(org.apache.spark.sql.functions.max($"rank")).head.getLong(0) == 1L)
+  }
+
+  test("global shuffle: addresses are pure functions of (id, seed)") {
+    val df = (0L until 500L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Shuffling
+      .shuffleShard(d, "doc_id", nShards = 8, seed = "s0")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val out = run(df)
+    // bit-deterministic and partitioning-independent
+    assert(out == run(df.repartition(13)))
+    // every row addressed exactly once; shards in range
+    assert(out.map(_._1) == (0L until 500L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // pos is a contiguous 1-based sequence inside each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size))
+    }
+    // shard is per-row stable: dropping other rows never moves a doc
+    val subset = run(df.filter($"doc_id" % 5 === 0))
+    val full = out.map(r => r._1 -> r._2).toMap
+    assert(subset.forall(r => full(r._1) == r._2))
+    // a different seed produces a different permutation
+    val reseeded = graft.operators.Shuffling
+      .shuffleShard(df, "doc_id", 8, "s1")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert((0L until 500L).exists(id => reseeded(id) != full(id)))
+  }
+
   test("embedding near-dups by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
