@@ -1,9 +1,10 @@
 package graft.sources.mq
 
 import java.util
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -123,15 +124,24 @@ case class MQOptions(raw: Map[String, String]) {
   }
 }
 
-class MQTable(options: MQOptions) extends Table with SupportsRead {
+class MQTable(options: MQOptions) extends Table
+  with SupportsRead with SupportsWrite {
   override def name(): String =
     s"ibmmq(${options.queue.orElse(options.path).getOrElse("?")})"
   override def schema(): StructType = MQSourceProvider.Schema
+  // ACCEPT_ANY_SCHEMA: the write side takes any relation carrying a
+  // STRING `value` column (Kafka-sink convention) rather than the
+  // read envelope; MQWriteBuilder validates it at plan time.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
   : ScanBuilder = () => new MQScan(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MQWriteBuilder(options, info)
 }
 
 class MQScan(options: MQOptions) extends Scan {

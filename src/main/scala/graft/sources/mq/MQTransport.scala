@@ -40,6 +40,16 @@ trait MQTransport extends Serializable {
 
   /** MQQA_GET_INHIBITED analogue (IBMMQReceiver.java:232-235). */
   def inhibited: Boolean = false
+
+  /** Write side of the seam: append `payloads` to the queue atomically
+    * under transaction id `txnId`; re-applying an already-applied
+    * txnId must be a no-op. The real client maps this onto a syncpoint
+    * unit of work (PUT*n + a txn-ledger marker, one commit); replays
+    * after a failure therefore never double-deliver. Read-only
+    * transports may leave this unimplemented.
+    */
+  def put(txnId: String, payloads: Seq[String]): Unit =
+    throw new UnsupportedOperationException("transport is read-only")
 }
 
 /** IBM CCSID (coded character set id) → JVM charset. The reference
@@ -84,7 +94,8 @@ object MQCcsid {
   * machinery fully testable offline.
   */
 class FileMQTransport(dir: String,
-                      charset: Charset = StandardCharsets.UTF_8)
+                      charset: Charset = StandardCharsets.UTF_8,
+                      clock: () => Long = () => System.currentTimeMillis())
   extends MQTransport {
   private def queueFile = Paths.get(dir, "queue.jsonl")
   private def committedFile = Paths.get(dir, "committed")
@@ -137,6 +148,47 @@ class FileMQTransport(dir: String,
     * exercised end-to-end offline. */
   override def inhibited: Boolean =
     Files.exists(Paths.get(dir, "inhibited"))
+
+  private def txnsFile = Paths.get(dir, "txns")
+
+  /** Applied-transaction ledger (the fake's syncpoint log). */
+  def txnApplied(txnId: String): Boolean =
+    Files.exists(txnsFile) &&
+      new String(Files.readAllBytes(txnsFile), StandardCharsets.UTF_8)
+        .split("\n", -1).contains(txnId)
+
+  /** Idempotent transactional put. Queue lines land before the ledger
+    * marker, so a crash between the two replays the txn — at-least-
+    * once in the fake's crash window; the real client's syncpoint UOW
+    * closes that window (PUTs + marker commit atomically). Payloads
+    * are encoded with the transport charset, mirroring the read-side
+    * decode (A3).
+    */
+  override def put(txnId: String, payloads: Seq[String]): Unit =
+    FileMQTransport.lock.synchronized {
+      require(!txnId.contains("\n"), "txnId must be single-line")
+      if (!txnApplied(txnId)) {
+        if (payloads.nonEmpty) {
+          val now = clock()
+          val block = payloads.map { p =>
+            require(!p.contains("\n"), "payload must be single-line in " +
+              "the file fake (real MQ payloads are arbitrary bytes)")
+            s"$now\t$p\n"
+          }.mkString
+          Files.createDirectories(Paths.get(dir))
+          Files.write(queueFile, block.getBytes(charset),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        }
+        Files.write(txnsFile, s"$txnId\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+}
+
+object FileMQTransport {
+  /** One JVM-wide put lock: the fake's stand-in for the queue
+    * manager's serialization of puts. */
+  private val lock = new Object
 }
 
 /** A13: retry-with-backoff around any transport. The reference reacts
@@ -198,4 +250,7 @@ class RetryingTransport(underlying: MQTransport, maxAttempts: Int,
   override def sameMillisPrefix(pos: Long): Int =
     withRetry(underlying.sameMillisPrefix(pos))
   override def inhibited: Boolean = underlying.inhibited
+  // safe to retry blindly: put is idempotent by txnId
+  override def put(txnId: String, payloads: Seq[String]): Unit =
+    withRetry(underlying.put(txnId, payloads))
 }
