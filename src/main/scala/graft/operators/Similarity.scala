@@ -311,7 +311,16 @@ object Similarity {
     */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              maxIter: Int = 10, tol: Double = 1e-6,
-             sampleSize: Int = 10000): DataFrame = {
+             sampleSize: Int = 10000): DataFrame =
+    kmeansWithCentroids(vecs, idCol, vecCol, k, maxIter, tol, sampleSize)._1
+
+  /** [[kmeans]] plus the final centroid table — the training entry
+    * point for quantizers ([[pqTrain]]) that need the codebook, not
+    * the assignments. */
+  private[graft] def kmeansWithCentroids(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 10, tol: Double = 1e-6,
+      sampleSize: Int = 10000): (DataFrame, Array[(Long, Seq[Double])]) = {
     require(k > 0, s"k must be positive, got $k")
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = vecs.sparkSession
@@ -392,6 +401,130 @@ object Similarity {
     val out = assign().select(col("id"), col("cluster"), col("d2"))
       .localCheckpoint()
     v.unpersist()
-    out
+    (out, cents)
+  }
+
+  /** Product-quantization codebook: the vector space is split into `m`
+    * contiguous subspaces and each gets its own `ksub`-centroid
+    * codebook, trained by the same deterministic k-means as
+    * [[kmeans]] on a bounded hash-uniform sample (`trainSize` rows —
+    * the FAISS stance: codebooks train on a sample, encode the
+    * corpus). Returns codebook(sub)(code) = centroid subvector.
+    *
+    * PQ is the storage half of billion-scale ANN (IVF+PQ): a dim-64
+    * float vector (256 B) becomes m=8 4-bit-ish codes (8 B here) —
+    * a 32× shrink that decides whether a 100 TB embedding corpus'
+    * index fits a cluster's RAM.
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
+              trainSize: Int = 4096): Array[Array[Seq[Double]]] = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"))
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val train = v.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(trainSize)
+      .select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    train.count() // materialize once; every subspace trains off it
+    val book = (0 until m).map { s =>
+      val subv = train.select(col("id"),
+        slice(col("v"), s * sub + 1, sub).as("v"))
+      val cents = kmeansWithCentroids(subv, "id", "v", ksub, maxIter)._2
+      // pad rare under-full codebooks (sample had < ksub distinct
+      // points) by repeating the last centroid — keeps code range
+      // dense so the encoder's argmin stays total
+      val sorted = cents.sortBy(_._1).map(_._2)
+      Array.tabulate(ksub)(i => sorted(math.min(i, sorted.length - 1)))
+    }.toArray
+    train.unpersist()
+    book
+  }
+
+  /** Encode every vector into its `m` nearest-codeword ids + exact
+    * norm. Pure codegen projection (the codebook is literal), map-only
+    * — the corpus is scanned once and never shuffled. Output:
+    * (c_id, codes array<int>, c_norm).
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Seq[Double]]]): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val v = toDouble(col(vecCol))
+    val zero = struct(lit(-1).as("c"), lit(Double.MaxValue).as("d2"))
+    val codes = array((0 until m).map { s =>
+      val subv = slice(v, s * sub + 1, sub)
+      val cands = array(codebook(s).zipWithIndex.map { case (cw, ci) =>
+        struct(lit(ci).as("c"),
+          aggregate(zip_with(subv, typedLit(cw), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x).as("d2"))
+      }: _*)
+      // argmin d2; strict < keeps the SMALLEST code id on ties
+      aggregate(cands, zero, (acc, x) =>
+        when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
+        .getField("c")
+    }: _*)
+    vecs.select(col(idCol).as("c_id"), codes.as("codes"),
+      sqrt(normSq(v)).as("c_norm"))
+  }
+
+  /** PQ asymmetric-distance (ADC) approximate top-k: train codebooks,
+    * encode the corpus once, then score each (query, candidate) pair
+    * as `Σ_s LUT[s][code_s]` — the query's dot product against each
+    * CODEWORD is precomputed into a per-query lookup table, so the
+    * corpus-side scan does m table lookups per pair instead of a
+    * dim-length dot product, over an index 32× smaller than the raw
+    * vectors. The `rerank`-deep shortlist per query is then re-scored
+    * exactly against the raw vectors (an equi-join on c_id touching
+    * only |Q|·rerank rows) — standard two-stage ADC+rerank.
+    *
+    * Same output shape as [[bruteForceTopK]], so [[recallAtK]]
+    * measures it directly.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+             trainSize: Int = 4096): DataFrame = {
+    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub,
+      trainSize = trainSize)
+    val sub = codebook(0)(0).length
+    val encoded = pqEncode(candidates, idCol, vecCol, codebook)
+    val qv = toDouble(col(vecCol))
+    // per-query LUT: lut[s][c] = dot(query_sub_s, codeword_sc); built
+    // on the SMALL broadcast query side (m·ksub short dot products)
+    val lut = array((0 until m).map { s =>
+      val subq = slice(qv, s * sub + 1, sub)
+      array(codebook(s).map { cw =>
+        aggregate(zip_with(subq, typedLit(cw), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"), lut.as("lut")))
+    val adc = q.join(encoded, col("q_id") =!= col("c_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (code, row) => element_at(row, code + 1)),
+          lit(0.0d), (acc, x) => acc + x) /
+          (col("q_norm") * col("c_norm")))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id").asc)
+    val shortlist = adc.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("c_id"))
+    // exact rerank on the shortlist only
+    val cands = candidates.select(col(idCol).as("c_id"),
+      toDouble(col(vecCol)).as("c_vec"),
+      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(shortlist).join(cands, "c_id")
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
 }

@@ -50,7 +50,7 @@ object VectorQueries {
     "q_sim_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.lshTopK(s, q, emb, "vec_id", "embedding", 3)
+      Similarity.lshTopK(s, q, emb, "vec_id", "embedding", 3, nPlanes = 4)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -59,17 +59,30 @@ object VectorQueries {
     "q_sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3, nProbe = 4)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_sim_ann_pq" -> ((s, d) => {
+      // Product-quantization ADC top-k: codes are 32× smaller than
+      // the raw vectors, scan does m table lookups per pair, exact
+      // rerank on the shortlist. Rows-only (trained codebook isn't
+      // oracle-expressible); PQSpec pins determinism + recall floor.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.pqTopK(q, emb, "vec_id", "embedding", 3)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
     }),
 
     "q_sim_ann_recall" -> ((s, d) => {
-      // recall@k of both ANN paths vs the exact brute-force twin on
-      // the SAME queries — the approximation error as a first-class
-      // number (rows-only: the LSH/IVF hashes aren't oracle-
-      // expressible, but determinism is spec-covered).
+      // recall@k of all three ANN paths vs the exact brute-force twin
+      // on the SAME queries — the approximation error as a
+      // first-class number (rows-only: the LSH/IVF/PQ index structures
+      // aren't oracle-expressible, but determinism is spec-covered).
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
       val k = 3
@@ -79,10 +92,12 @@ object VectorQueries {
       // other operators' narrow indexes)
       val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lsh = Similarity.lshTopK(s, q, emb, "vec_id", "embedding", k)
-      val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k)
+      val lsh = Similarity.lshTopK(s, q, emb, "vec_id", "embedding", k, nPlanes = 4)
+      val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k, nProbe = 4)
+      val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", k)
       Similarity.recallAtK(exact, lsh, "lsh")
         .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
+        .unionByName(Similarity.recallAtK(exact, pq, "pq"))
         .orderBy("method")
     }),
 

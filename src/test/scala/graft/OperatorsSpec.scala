@@ -406,6 +406,54 @@ class SimilaritySpec extends SparkSpec {
     assert(rec("ivf") >= 0.9, s"ivf recall ${rec("ivf")}")
   }
 
+  test("PQ encode: argmin codeword per subspace from a hand codebook") {
+    // m=2 subspaces of 1 dim each; codewords chosen so the argmin is
+    // unambiguous: sub0 {0.0, 1.0}, sub1 {0.0, 2.0}
+    val book = Array(
+      Array(Seq(0.0), Seq(1.0)),
+      Array(Seq(0.0), Seq(2.0)))
+    val df = Seq(
+      (0L, Array(0.9f, 0.1f)),  // → codes (1, 0)
+      (1L, Array(0.1f, 1.9f)),  // → codes (0, 1)
+      (2L, Array(0.5f, 1.0f)))  // both dims equidistant → ties keep code 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", book)
+      .orderBy("c_id").select("codes").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(1, 0), Seq(0, 1), Seq(0, 0)))
+    val norms = Similarity.pqEncode(df, "vec_id", "embedding", book)
+      .orderBy("c_id").select("c_norm").as[Double].collect()
+    assert(math.abs(norms(0) - math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("PQ ADC top-k: recall floor on clustered vectors, deterministic") {
+    val base = Seq(
+      Array(1.0f, 0.02f, 0.01f, 0.0f),
+      Array(0.0f, 0.01f, 0.02f, 1.0f))
+    val all = (0 until 40).map { i =>
+      val c = base(i % 2)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = all.filter(col("vec_id") < 6)
+    val k = 3
+    def run() = Similarity.pqTopK(q, all, "vec_id", "embedding", k,
+      m = 2, ksub = 4)
+    val exact = Similarity.bruteForceTopK(q, all, "vec_id", "embedding", k)
+    val rec = Similarity.recallAtK(exact, run(), "pq")
+      .select("recall").as[Double].head()
+    assert(rec >= 0.9, s"pq recall $rec")
+    // trained codebook + encode + ADC is Random-free → bit-stable
+    val a = run().orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val b = run().orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b)
+    // dim 4 does not split into 8 subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(all, "vec_id", "embedding", m = 8)
+    }
+  }
+
   test("recallAtK arithmetic: hits over |exact|, bounded by 1") {
     val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 12L))
       .toDF("q_id", "rank", "c_id")

@@ -17,8 +17,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
       "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_agg_percentile_approx", "q_sim_ann_recall",
-      "q_dedup_simhash_audit", "q_embed_cluster", "q_semdedup"))
+      "q_sim_ann_ivf", "q_sim_ann_pq", "q_agg_percentile_approx",
+      "q_sim_ann_recall", "q_dedup_simhash_audit", "q_embed_cluster",
+      "q_semdedup"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
