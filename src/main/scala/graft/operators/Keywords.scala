@@ -35,7 +35,12 @@ object Keywords {
   def tfidfTopK(docs: DataFrame, idCol: String, toks: Column,
                 k: Int): DataFrame = {
     val terms = docs.select(col(idCol).as("doc"), explode(toks).as("term"))
+    // the tf table feeds BOTH the df aggregate and the score join —
+    // persist it (narrow: doc, term, count) so the corpus is
+    // tokenized+aggregated once, not once per consumer (lifecycle:
+    // session clearCache, same stance as the dedup indexes)
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

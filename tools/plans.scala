@@ -15,7 +15,9 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_minhash_neardup", "q_text_pipeline",
               "q_join_theta_banded", "q_pack_sequences",
               "q_sim_ann_recall", "q_decontaminate", "q_agg_stats",
-              "q_embed_cluster", "q_semdedup")) {
+              "q_embed_cluster", "q_semdedup", "q_text_tfidf",
+              "q_global_shuffle", "q_sim_ann_pq", "q_mix_weighted",
+              "q_text_heavy_hitters")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
