@@ -69,7 +69,8 @@ object VectorQueries {
       // Product-quantization ADC top-k: codes are 32× smaller than
       // the raw vectors, scan does m table lookups per pair, exact
       // rerank on the shortlist. Rows-only (trained codebook isn't
-      // oracle-expressible); PQSpec pins determinism + recall floor.
+      // oracle-expressible); SimilaritySpec pins the hand-codebook
+      // argmin, determinism, and a recall floor.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
       Similarity.pqTopK(q, emb, "vec_id", "embedding", 3)

@@ -101,6 +101,40 @@ class MQSinkSpec extends SparkSpec {
     assert(back == Seq("r1", "r2", "r3", "r4"))
   }
 
+  test("MQ→transform→MQ: full pipeline is exactly-once on both edges") {
+    // queue A (pre-loaded) → ibmmq source → uppercase transform →
+    // ibmmq sink → queue B; the reply/forward topology the reference's
+    // receive-only design can't express.
+    val a = tmpDir("mq-pipe-a")
+    val b = tmpDir("mq-pipe-b")
+    val ckpt = tmpDir("mq-pipe-ckpt").toString
+    Files.write(a.resolve("queue.jsonl"),
+      "1000\talpha\n1000\tbeta\n1001\tgamma\n".getBytes(StandardCharsets.UTF_8))
+    def run(): Unit = {
+      val q = spark.readStream.format("ibmmq")
+        .option("path", a.toString).load()
+        .selectExpr("upper(value) AS value")
+        .writeStream.format("ibmmq")
+        .option("path", b.toString)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(queued(b) == Seq("ALPHA", "BETA", "GAMMA"))
+    // restart: source resumes at its checkpointed offset, sink txns
+    // are ledgered — nothing is re-delivered on either edge
+    run()
+    assert(queued(b) == Seq("ALPHA", "BETA", "GAMMA"))
+    // new upstream messages flow through incrementally
+    Files.write(a.resolve("queue.jsonl"),
+      "1002\tdelta\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+    assert(queued(b) == Seq("ALPHA", "BETA", "GAMMA", "DELTA"))
+  }
+
   test("schema is validated at plan time: value column required") {
     val dir = tmpDir("mq-sink-bad")
     val in = MemoryStream[Int](spark)
