@@ -406,8 +406,8 @@ object Similarity {
 
   /** Product-quantization codebook: the vector space is split into `m`
     * contiguous subspaces and each gets its own `ksub`-centroid
-    * codebook, trained by the same deterministic k-means as
-    * [[kmeans]] on a bounded hash-uniform sample (`trainSize` rows —
+    * codebook, trained by deterministic sequential Lloyd's in DRIVER
+    * memory over a bounded hash-uniform sample (`trainSize` rows —
     * the FAISS stance: codebooks train on a sample, encode the
     * corpus). Returns codebook(sub)(code) = centroid subvector.
     *
@@ -419,28 +419,75 @@ object Similarity {
   def pqTrain(vecs: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
               trainSize: Int = 4096): Array[Array[Seq[Double]]] = {
-    val v = vecs.select(col(idCol).cast("long").as("id"),
-      toDouble(col(vecCol)).as("v"))
-    val dim = v.select(size(col("v"))).head().getInt(0)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // ONE distributed job: the bounded hash-uniform training sample
+    // (the same deterministic sampling as kmeans seeding). Everything
+    // after is driver math over O(trainSize·dim) doubles — a few MB;
+    // 8 subspaces × maxIter distributed rounds would cost ~40 job
+    // schedules to cluster 4096 rows, pure overhead at any scale.
+    val sample: Array[Seq[Double]] = vecs
+      .select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(trainSize)
+      .select(col("v")).as[Seq[Double]].collect()
+    require(sample.nonEmpty, "pqTrain needs at least one vector")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val train = v.withColumn("h", xxhash64(col("id")))
-      .orderBy(col("h"), col("id")).limit(trainSize)
-      .select(col("id"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    train.count() // materialize once; every subspace trains off it
-    val book = (0 until m).map { s =>
-      val subv = train.select(col("id"),
-        slice(col("v"), s * sub + 1, sub).as("v"))
-      val cents = kmeansWithCentroids(subv, "id", "v", ksub, maxIter)._2
-      // pad rare under-full codebooks (sample had < ksub distinct
-      // points) by repeating the last centroid — keeps code range
-      // dense so the encoder's argmin stays total
-      val sorted = cents.sortBy(_._1).map(_._2)
-      Array.tabulate(ksub)(i => sorted(math.min(i, sorted.length - 1)))
+    (0 until m).map { s =>
+      val pts = sample.map(v =>
+        v.slice(s * sub, s * sub + sub).toArray)
+      lloydDriver(pts, ksub, maxIter).map(_.toSeq)
     }.toArray
-    train.unpersist()
-    book
+  }
+
+  /** Sequential Lloyd's over an in-memory sample: farthest-first
+    * seeding + argmin/mean rounds. Deterministic by construction
+    * (fixed iteration order, no Random, no partition merge order).
+    * Under-full codebooks (fewer distinct points than k) pad by
+    * repeating the last centroid so the code range stays dense.
+    */
+  private def lloydDriver(pts: Array[Array[Double]], k: Int,
+                          maxIter: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(pts.head)
+    val dmin = Array.fill(pts.length)(Double.MaxValue)
+    while (seeds.size < math.min(k, pts.length)) {
+      var best = 0; var i = 0
+      while (i < pts.length) {
+        dmin(i) = math.min(dmin(i), d2(pts(i), seeds.last))
+        if (dmin(i) > dmin(best)) best = i
+        i += 1
+      }
+      seeds += pts(best)
+    }
+    var cents = Array.tabulate(k)(i => seeds(math.min(i, seeds.size - 1)))
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(k, dim)(0.0d)
+      val counts = Array.fill(k)(0L)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = d2(p, cents(c))
+          if (d < bd) { bd = d; best = c }  // strict < keeps min index
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)))
+    }
+    cents
   }
 
   /** Encode every vector into its `m` nearest-codeword ids + exact
