@@ -311,16 +311,7 @@ object Similarity {
     */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              maxIter: Int = 10, tol: Double = 1e-6,
-             sampleSize: Int = 10000): DataFrame =
-    kmeansWithCentroids(vecs, idCol, vecCol, k, maxIter, tol, sampleSize)._1
-
-  /** [[kmeans]] plus the final centroid table — the training entry
-    * point for quantizers ([[pqTrain]]) that need the codebook, not
-    * the assignments. */
-  private[graft] def kmeansWithCentroids(
-      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxIter: Int = 10, tol: Double = 1e-6,
-      sampleSize: Int = 10000): (DataFrame, Array[(Long, Seq[Double])]) = {
+             sampleSize: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = vecs.sparkSession
@@ -401,7 +392,7 @@ object Similarity {
     val out = assign().select(col("id"), col("cluster"), col("d2"))
       .localCheckpoint()
     v.unpersist()
-    (out, cents)
+    out
   }
 
   /** Product-quantization codebook: the vector space is split into `m`
