@@ -55,6 +55,28 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Incremental-ingest content dedup — the streaming half of the
+    * batch exact-dedup story: drop arriving documents whose
+    * [[graft.operators.Dedup.exactDigest]] already exists in the
+    * static corpus index (left-anti equi-join, re-planned per
+    * micro-batch so index refreshes between batches are picked up;
+    * in production the static side is the bucketed digest table the
+    * batch dedup maintains, so the join is exchange-free on the
+    * corpus side), then drop in-stream repeats with digest-keyed
+    * state bounded by the watermark. Same digest on both paths ⇒
+    * batch and streaming agree on what "duplicate" means.
+    */
+  def dedupAgainstCorpus(stream: DataFrame, textCol: String,
+                         tsCol: String, corpusDigests: DataFrame,
+                         lateness: String): DataFrame =
+    stream
+      .withColumn("digest",
+        graft.operators.Dedup.exactDigest(col(textCol)))
+      .join(corpusDigests.select(col("digest")), Seq("digest"),
+        "left_anti")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per
     * micro-batch). The MQ payload enriched with reference data is the

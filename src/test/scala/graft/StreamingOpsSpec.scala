@@ -85,6 +85,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpus drops known digests and in-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus already contains "old doc" (normalized digest)
+    val corpus = Seq("old doc").toDF("text")
+      .select(graft.operators.Dedup.exactDigest(
+        org.apache.spark.sql.functions.col("text")).as("digest"))
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.dedupAgainstCorpus(
+      input.toDF().toDF("ts", "text"), "text", "ts", corpus, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "old doc"),      // in corpus → drop
+        (ts("2024-01-01 10:00:01"), "  OLD DOC  "),  // normalizes to same → drop
+        (ts("2024-01-01 10:00:02"), "fresh doc"),    // keep
+        (ts("2024-01-01 10:00:03"), "fresh doc"),    // in-stream repeat → drop
+        (ts("2024-01-01 10:00:04"), "another"))      // keep
+      q.processAllAvailable()
+      // a later batch repeating a survivor is also dropped (state)
+      input.addData((ts("2024-01-01 10:01:00"), "fresh doc"))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_dedup")
+        .select("text").as[String].collect().sorted.toSeq
+      assert(kept == Seq("another", "fresh doc"))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int)]
