@@ -311,6 +311,31 @@ object TextQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q_source_cap" -> ((s, d) => {
+      // Domain balancing: at most 10 docs per source, kept as a
+      // deterministic salted-hash sample.
+      graft.operators.Budget.capPerGroup(
+          t(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source", cap = 10)
+        .orderBy("doc_id")
+    }),
+
+    "q_token_budget" -> ((s, d) => {
+      // Fixed token budget: keep docs in quality order until 20k
+      // whitespace tokens are spent — the ablation-cut shape.
+      val toks = TA.tokens(col("text"))
+      val scored = t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        TA.qualityScore(col("text"), toks, stopwords).as("score"))
+      graft.operators.Budget.takeWeightBudget(
+          scored, "n_tok", budget = 20000L,
+          bucket = -floor(col("score") * 8).cast("long"),
+          order = Seq(col("score").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("n_tok"), col("score"), col("running"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents").select(
         col("doc_id"),
@@ -670,6 +695,32 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
         |    AS BIGINT) AS pos
         |FROM v ORDER BY shard, pos""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |    floor((CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(t), 1) AS DOUBLE) * 0.5
+        |      + CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.5) * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM q),
+        |r AS (
+        |  SELECT doc_id, n_tok, score,
+        |    CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS running
+        |  FROM s)
+        |SELECT doc_id, n_tok, score, running FROM r
+        |WHERE running <= 20000 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

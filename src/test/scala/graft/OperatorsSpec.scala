@@ -290,6 +290,46 @@ class DedupSpec extends SparkSpec {
     assert((0L until 500L).exists(id => reseeded(id) != full(id)))
   }
 
+  test("per-group cap keeps a deterministic hash sample of each group") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    def run() = graft.operators.Budget.capPerGroup(df, "id", "grp", 7)
+      .select("id", "grp").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val out = run()
+    assert(out == run()) // deterministic
+    val byGrp = out.groupBy(_._2)
+    assert(byGrp.keySet == Set("g0", "g1", "g2"))
+    assert(byGrp.values.forall(_.size == 7))
+    // under-cap groups pass through whole
+    val small = graft.operators.Budget.capPerGroup(
+      df.filter($"id" < 10), "id", "grp", 7)
+    assert(small.count() == 10)
+    // membership is per-row stable: a kept id stays kept when the cap rises
+    val wider = graft.operators.Budget.capPerGroup(df, "id", "grp", 20)
+      .select("id").as[Long].collect().toSet
+    assert(out.forall(r => wider.contains(r._1)))
+  }
+
+  test("weight budget: exact prefix cut in priority order, any bucketing") {
+    // weights 1..20, priority = id asc (bucket = id / 5 is monotone)
+    val df = (1L to 20L).map(i => (i, i)).toDF("id", "w")
+    val out = graft.operators.Budget.takeWeightBudget(
+        df, "w", budget = 21L,
+        bucket = floor($"id" / 5).cast("long"),
+        order = Seq($"id".asc))
+      .select("id", "running").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // 1+2+3+4+5+6=21 fits exactly; 7 would push past the budget
+    assert(out == Seq(1L -> 1L, 2L -> 3L, 3L -> 6L, 4L -> 10L,
+      5L -> 15L, 6L -> 21L))
+    // same cut under a different (still monotone) bucketing and
+    // partitioning — the running sum is partitioning-independent
+    val out2 = graft.operators.Budget.takeWeightBudget(
+        df.repartition(7), "w", budget = 21L,
+        bucket = floor($"id" / 3).cast("long"),
+        order = Seq($"id".asc))
+      .select("id", "running").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 == out)
+  }
+
   test("embedding near-dups by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
