@@ -106,6 +106,66 @@ class ScaleSpec extends SparkSpec {
       s"no sort-shuffle belongs in packing:\n$plan")
   }
 
+  test("weighted mix plans map-only: generator, zero exchanges") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val mixed = graft.operators.Mixing.mixWeighted(
+      df, "id", "src", Map("s0" -> 2.5, "s1" -> 1.0), defaultWeight = 0.25)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsampling must be a generator, never a shuffle:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected the explode(sequence) generator:\n$plan")
+  }
+
+  test("global shuffle plans one hash exchange + per-shard sort") {
+    val df = (0L until 500L).toDF("doc_id")
+    val out = graft.operators.Shuffling.shuffleShard(df, "doc_id", 8, "s")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"shard windows must be partitioned by shard:\n$plan")
+    // one hash exchange on shard — rank within shard needs no range
+    // (rangepartitioning would mean an accidental global sort)
+    assert("hashpartitioning\\(shard".r.findAllIn(plan).length == 1,
+      s"expected the shard hash exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort-shuffle belongs in shuffleShard:\n$plan")
+  }
+
+  test("token budget: the only unpartitioned window is the bucket table") {
+    val df = (1L to 400L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val out = graft.operators.Budget.takeWeightBudget(
+      df, "w", budget = 100L,
+      bucket = floor(col("id") / 50).cast("long"),
+      order = Seq(col("id").asc))
+    val plan = out.queryExecution.executedPlan.toString
+    // the data-side window partitions by __b; at most ONE
+    // SinglePartition spot is allowed — the offsets window, which
+    // runs over one row per bucket and feeds the broadcast side
+    assert("hashpartitioning\\(__b".r.findAllIn(plan).nonEmpty,
+      s"data window must be partitioned by bucket:\n$plan")
+    assert("SinglePartition".r.findAllIn(plan).length <= 1,
+      s"only the per-bucket offsets window may be unpartitioned:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast onto the data side:\n$plan")
+  }
+
+  test("TF-IDF: df side joins broadcast; corpus tokenized once (cached tf)") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} the a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Keywords.tfidfTopK(
+      docs, "doc_id", split(lower(col("text")), " "), 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // tf is persisted: the plan reads InMemoryTableScan, and the
+    // vocabulary-sized df side arrives over a BroadcastExchange
+    assert(plan.contains("InMemoryTableScan"),
+      s"tf index must be cached, not recomputed per consumer:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"df/count sides should broadcast at this size:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("TopKPerGroupExec matches the window formulation exactly") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val native = graft.plans.TopKPerGroup(orders,
