@@ -144,43 +144,70 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN
-    * scale path next to LSH. Coarse quantizer: `nCentroids` centroids
-    * picked deterministically (smallest xxhash64 of the id — a seeded
-    * uniform sample, no Random); every candidate is assigned to its
-    * nearest centroid (its "list"); a query probes its `nProbe` nearest
-    * centroid lists and exact-reranks only inside them.
-    *
-    * Scale notes: the centroid table is tiny and broadcast to both
-    * assignment and probe stages — the corpus is touched exactly once
-    * for assignment (in a real deployment that materializes as a
-    * bucketed table, amortized over all queries), and the probe join is
-    * an equi-join on centroid id.
+  /** Staged IVF index: the coarse-quantizer centroid table (driver
+    * state — nCentroids·dim doubles, the bounded-collect stance shared
+    * with [[kmeans]] seeding) plus the corpus assigned to its nearest
+    * list, persisted so every consumer (probe join, recall audit)
+    * reads one materialization. */
+  final case class IvfIndex(cents: Seq[(Long, Seq[Double])],
+                            assigned: DataFrame)
+
+  /** Build the IVF index: `nCentroids` centroids picked
+    * deterministically (smallest xxhash64 of the id — a seeded uniform
+    * sample, no Random), then every candidate assigned to its nearest
+    * centroid by a MAP-ONLY argmax fold over the literal centroid
+    * array — zero corpus exchange, same pattern as
+    * [[assignToCentroids]]. Ranking inside the fold is
+    * dot(v, centroid)/‖centroid‖: ordering-identical to cosine (the
+    * candidate's own norm is a positive constant across centroids);
+    * ties keep the smallest cent_id, matching the max_by form this
+    * replaces. In a real deployment `assigned` materializes as a table
+    * bucketed by cent_id, amortized over all queries.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+  def ivfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 16): IvfIndex = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val cands = candidates.select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
-    val cents = broadcast(
-      cands.withColumn("h", xxhash64(col("c_id")))
-        .orderBy(col("h"), col("c_id")).limit(nCentroids)
-        .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec")))
-    // assignment: nearest centroid per candidate (broadcast NLJ +
-    // max_by top-1). A hash aggregate, NOT a row_number window: the
-    // partial max combines map-side, so the corpus is never
-    // sort-shuffled — the exchange carries one row per candidate.
-    // Tiebreak = smallest cent_id on equal distance (negated id under
-    // max = min), matching the window form it replaced.
-    val assigned = cands.crossJoin(cents)
-      .withColumn("cd", cosine(col("c_vec"), col("cent_vec")))
-      .groupBy(col("c_id"), col("c_vec"))
-      .agg(max_by(col("cent_id"),
-        struct(col("cd"), -col("cent_id"))).as("cent_id"))
-      .select(col("c_id"), col("c_vec"), col("cent_id"))
-    // probe: each query's nProbe nearest centroid lists. This one
-    // stays a row_number window (top-nProbe, not top-1) — it runs over
-    // queries x centroids, the SMALL broadcast side, never the corpus.
+    val cents: Seq[(Long, Seq[Double])] = cands
+      .withColumn("h", xxhash64(col("c_id")))
+      .orderBy(col("h"), col("c_id")).limit(nCentroids)
+      .select(col("c_id"), col("c_vec"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val ids = typedLit(cents.map(_._1))
+    val centsL = typedLit(cents.map(_._2))
+    // index-order driver sum — bit-identical to the zip_with fold
+    val norms = typedLit(cents.map(c =>
+      math.sqrt(c._2.foldLeft(0.0d)((a, x) => a + x * x))))
+    val zero = struct(lit(-1L).as("c"),
+      lit(Double.NegativeInfinity).as("s"))
+    val best = aggregate(sequence(lit(0), lit(cents.size - 1)), zero,
+      (acc, i) => {
+        val s = aggregate(
+          zip_with(col("c_vec"), element_at(centsL, i + lit(1)),
+            (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x) / element_at(norms, i + lit(1))
+        when(s > acc.getField("s"),
+          struct(element_at(ids, i + lit(1)).as("c"), s.as("s")))
+          .otherwise(acc)
+      })
+    val assigned = cands.withColumn("cent_id", best.getField("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(cents, assigned)
+  }
+
+  /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each
+    * query probes its `nProbe` nearest centroid lists and
+    * exact-reranks only inside them. The probe ranking runs over
+    * queries × centroids — the SMALL side — and the list join is an
+    * equi-join on cent_id. */
+  def ivfTopKWith(index: IvfIndex, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
     val qs = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("q_vec"))
     val wq = Window.partitionBy(col("q_id"))
@@ -192,13 +219,22 @@ object Similarity {
     // exact rerank inside probed lists
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    broadcast(probes).join(assigned, "cent_id")
+    broadcast(probes).join(index.assigned, "cent_id")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path next to LSH: [[ivfIndex]] + [[ivfTopKWith]] in one
+    * call for single-shot use. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(ivfIndex(candidates, idCol, vecCol, nCentroids),
+      queries, idCol, vecCol, k, nProbe)
 
   /** Recall@k of an ANN result against the exact brute-force result:
     * the fraction of `exact`'s (q_id, c_id) pairs that `ann` also
@@ -237,32 +273,37 @@ object Similarity {
           .as("recall"))
   }
 
-  /** LSH-bucketed approximate top-k: queries join only candidates in
-    * the same bucket, then exact cosine re-rank inside the bucket.
-    * Buckets larger than `bucketCap` are dropped (standard skew guard —
-    * a degenerate bucket means the planes don't discriminate there).
-    */
-  def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame = {
-    // Bucketed corpus index materialized once (in a real deployment
-    // this is a bucketed TABLE amortized over all queries): the
-    // bucket-size census and the probe join both read it without
-    // re-running the nPlanes-projection kernel.
+  /** Bucketed-and-capped LSH corpus index, materialized once (in a
+    * real deployment this is a bucketed TABLE amortized over all
+    * queries): the bucket-size census and every probe join read the
+    * persisted projection without re-running the nPlanes kernel.
+    * Buckets larger than `bucketCap` are dropped (standard skew
+    * guard — a degenerate bucket means the planes don't discriminate
+    * there); the census + broadcast anti-join form avoids
+    * sort-shuffling every (vector, bucket) row. */
+  def lshIndex(candidates: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame = {
     val cb = candidates.select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Skew guard via census + broadcast anti-join — the count()-window
-    // form it replaces sort-shuffled every (vector, bucket) row.
     val hotBuckets = cb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("bucket")
-    val capped = cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
+    cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
+  }
+
+  /** Query stage of LSH top-k against a prebuilt [[lshIndex]]:
+    * queries join only candidates in the same bucket, then exact
+    * cosine re-rank inside the bucket. `nPlanes` must match the value
+    * the index was built with. */
+  def lshTopKWith(index: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nPlanes: Int = 6): DataFrame = {
     val qb = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("q_vec"))
       .withColumn("bucket", lshBucket(col("q_vec"), nPlanes))
-    val scored = broadcast(qb).join(capped, "bucket")
+    val scored = broadcast(qb).join(index, "bucket")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
@@ -272,6 +313,61 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
 
+  /** LSH-bucketed approximate top-k: [[lshIndex]] + [[lshTopKWith]]
+    * in one call for single-shot use. */
+  def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame =
+    lshTopKWith(lshIndex(candidates, idCol, vecCol, nPlanes, bucketCap),
+      queries, idCol, vecCol, k, nPlanes)
+
+  /** Map-only nearest-centroid assignment: an argmin fold over the
+    * LITERAL centroid array (the same pattern as [[pqEncode]]). The
+    * centroid table is driver state (k·dim doubles) and rides into
+    * the plan as ONE literal, so assignment is a pure projection —
+    * the corpus is scanned once and NEVER shuffled. d2 is the same
+    * index-order zip_with fold as the crossJoin+max_by form this
+    * replaces, so assignments are bit-identical to it; ties keep the
+    * smallest centroid id (strict `<` scanning ids in order).
+    * `cents(i)` is the centroid of cluster id `i`.
+    * Output: (id, v, cluster, d2).
+    */
+  def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[Seq[Double]]): DataFrame =
+    assignLiteral(vecs.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v")), cents)
+
+  private def assignLiteral(v: DataFrame,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignLiteral needs at least one centroid")
+    val centsL = typedLit(cents.map(_.toSeq))
+    val zero = struct(lit(-1L).as("c"), lit(Double.MaxValue).as("d2"))
+    val best = aggregate(sequence(lit(0), lit(cents.size - 1)), zero,
+      (acc, i) => {
+        val d2 = aggregate(
+          zip_with(col("v"), element_at(centsL, i + lit(1)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (a, x) => a + x)
+        when(d2 < acc.getField("d2"),
+          struct(i.cast("long").as("c"), d2.as("d2"))).otherwise(acc)
+      })
+    // two-step projection: `best` is expensive and read twice, and
+    // CollapseProject keeps non-cheap multiply-referenced aliases in
+    // their own projection, so the fold runs once per row
+    v.select(col("id"), col("v"), best.as("best"))
+      .select(col("id"), col("v"), col("best.c").as("cluster"),
+        col("best.d2").as("d2"))
+  }
+
+  /** Per-round k-means convergence evidence: inertia (Σ d2 of the
+    * round's assignment, exact decimal sum) and the max centroid
+    * displacement of the round's update. */
+  final case class KMeansRound(round: Int, inertia: Double, moved: Double)
+
+  /** [[kmeans]] plus the per-round audit trail. */
+  final case class KMeansResult(assignments: DataFrame,
+                                audit: Seq[KMeansRound])
+
   /** Lloyd's k-means over the embedding column — the curation
     * workhorse behind semantic grouping / SemDeDup-style dataset
     * pruning (cluster first, then dedup or downsample WITHIN
@@ -280,12 +376,12 @@ object Similarity {
     * is one aggregate away).
     *
     * Distributed shape, per round (ONE job):
-    *  - assignment is a broadcast NLJ against the k-row centroid
-    *    table + a `max_by` hash aggregate (partial combine map-side;
-    *    the corpus is never sort-shuffled) — same pattern as
-    *    [[ivfTopK]]'s list assignment;
-    *  - the centroid update aggregates per-dimension sums in ONE
-    *    shuffle of k·dim partially-combined rows. Driver state is
+    *  - assignment is the MAP-ONLY literal-centroid argmin of
+    *    [[assignToCentroids]] — zero corpus exchange per round;
+    *  - the centroid update keys its aggregate on `cluster` (k
+    *    groups), so the map-side partial combine reduces each input
+    *    partition to ≤ k rows and the only exchange of the round
+    *    carries ≤ k·partitions tiny sum rows. Driver state is
     *    O(k·dim) — the centroid table itself, independent of corpus
     *    size (the same bounded-scalar shape as the CC loop's
     *    convergence count; this is how MLlib's KMeans iterates too).
@@ -311,7 +407,18 @@ object Similarity {
     */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
              maxIter: Int = 10, tol: Double = 1e-6,
-             sampleSize: Int = 10000): DataFrame = {
+             sampleSize: Int = 10000): DataFrame =
+    kmeansWithAudit(vecs, idCol, vecCol, k, maxIter, tol, sampleSize)
+      .assignments
+
+  /** [[kmeans]], also returning the per-round (inertia, moved) audit
+    * so convergence is a query result, not a log line. Lloyd's
+    * guarantees the inertia sequence is monotone non-increasing
+    * (assignment and update each only lower it); the audit makes that
+    * checkable per run. */
+  def kmeansWithAudit(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, maxIter: Int = 10, tol: Double = 1e-6,
+                      sampleSize: Int = 10000): KMeansResult = {
     require(k > 0, s"k must be positive, got $k")
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = vecs.sparkSession
@@ -319,9 +426,6 @@ object Similarity {
     val v = vecs.select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def sqDist(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
     // one job: bounded hash-uniform sample (ordered so ties and
     // reruns are stable), seeded farthest-first in driver memory
     val sample = v.withColumn("h", xxhash64(col("id")))
@@ -345,24 +449,12 @@ object Similarity {
       }
       seeds += sample(best)
     }
-    var cents: Array[(Long, Seq[Double])] =
-      seeds.toArray.zipWithIndex.map { case (vec, i) => (i.toLong, vec) }
+    // cents(i) = centroid of cluster id i
+    var cents: Array[Seq[Double]] = seeds.toArray
 
-    def assign(): DataFrame = {
-      val centDF = broadcast(
-        cents.toSeq.toDF("cent_id", "cent_vec"))
-      // group by the LONG id only and carry the vector through the
-      // max_by state — a 64-double array in the grouping key would be
-      // hashed and compared on every exchange row
-      v.crossJoin(centDF)
-        .withColumn("d2", sqDist(col("v"), col("cent_vec")))
-        .groupBy(col("id"))
-        .agg(max_by(struct(col("cent_id"), col("d2"), col("v")),
-          struct(-col("d2"), -col("cent_id"))).as("best"))
-        .select(col("id"), col("best.v").as("v"),
-          col("best.cent_id").as("cluster"), col("best.d2").as("d2"))
-    }
+    def assign(): DataFrame = assignLiteral(v, cents.toSeq)
 
+    val audit = scala.collection.mutable.ArrayBuffer.empty[KMeansRound]
     var moved = Double.MaxValue
     var i = 0
     while (moved > tol && i < maxIter) {
@@ -370,29 +462,39 @@ object Similarity {
         x => floor(x * 1000000.0d + 0.5d).cast("long"))
       val sums = (0 until dim).map(d =>
         sum(element_at(col("m"), d + 1).cast("decimal(38,0)")).as(s"s$d"))
+      // keyed on cluster: k groups, map-combined — the round's only
+      // exchange carries ≤ k rows per input partition
       val agg = assign().withColumn("m", micro)
         .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .agg(count(lit(1)).as("n"),
+          (sum(col("d2").cast("decimal(30,6)")).as("j") +: sums): _*)
         .collect()
-      val prev = cents.toMap
+      val prev = cents
       val next = agg.map { row =>
         val cl = row.getLong(0)
         val n = row.getLong(1).toDouble
         cl -> (0 until dim).map(d =>
-          row.getDecimal(2 + d).doubleValue() / 1000000.0d / n)
+          row.getDecimal(3 + d).doubleValue() / 1000000.0d / n)
       }.toMap
+      // inertia of THIS round's assignment: exact decimal partials
+      // summed driver-side in BigDecimal, so the audit number is
+      // partition-order-independent like the centroids themselves
+      val inertia = agg.map(r => r.getDecimal(2))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
       // empty clusters keep their old centroid rather than vanish
-      cents = cents.map { case (cl, old) => (cl, next.getOrElse(cl, old)) }
-      moved = cents.map { case (cl, c) =>
-        math.sqrt(c.zip(prev(cl)).map { case (a, b) =>
+      cents = Array.tabulate(cents.length)(cl =>
+        next.getOrElse(cl.toLong, prev(cl)))
+      moved = cents.indices.map { cl =>
+        math.sqrt(cents(cl).zip(prev(cl)).map { case (a, b) =>
           (a - b) * (a - b) }.sum)
       }.max
+      audit += KMeansRound(i, inertia, moved)
       i += 1
     }
     val out = assign().select(col("id"), col("cluster"), col("d2"))
       .localCheckpoint()
     v.unpersist()
-    out
+    KMeansResult(out, audit.toSeq)
   }
 
   /** Product-quantization codebook: the vector space is split into `m`
@@ -481,35 +583,65 @@ object Similarity {
     cents
   }
 
+  /** The trained codebook as ONE 3-level literal column
+    * (m × ksub × sub). The previous form unrolled a typedLit + fold
+    * PER CODEWORD — m·ksub separate expression trees whose analysis/
+    * codegen constant cost dominated the sf0.1 bench entry (r4
+    * finding #4); a single literal keeps the tree size independent of
+    * m·ksub. */
+  private def codebookLit(codebook: Array[Array[Seq[Double]]]): Column =
+    typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+
   /** Encode every vector into its `m` nearest-codeword ids + exact
-    * norm. Pure codegen projection (the codebook is literal), map-only
-    * — the corpus is scanned once and never shuffled. Output:
-    * (c_id, codes array<int>, c_norm).
+    * norm: a map-only projection over the literal codebook — the
+    * corpus is scanned once and never shuffled. The per-subspace
+    * argmin is a fold over code ids with the same index-order d2
+    * arithmetic as before (strict < keeps the SMALLEST code id on
+    * ties). Output: (c_id, codes array<int>, c_norm).
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                codebook: Array[Array[Seq[Double]]]): DataFrame = {
     val m = codebook.length
+    val ksub = codebook(0).length
     val sub = codebook(0)(0).length
     val v = toDouble(col(vecCol))
+    val cb = codebookLit(codebook)
     val zero = struct(lit(-1).as("c"), lit(Double.MaxValue).as("d2"))
-    val codes = array((0 until m).map { s =>
-      val subv = slice(v, s * sub + 1, sub)
-      val cands = array(codebook(s).zipWithIndex.map { case (cw, ci) =>
-        struct(lit(ci).as("c"),
-          aggregate(zip_with(subv, typedLit(cw), (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (acc, x) => acc + x).as("d2"))
-      }: _*)
-      // argmin d2; strict < keeps the SMALLEST code id on ties
-      aggregate(cands, zero, (acc, x) =>
-        when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
-        .getField("c")
-    }: _*)
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val subv = slice(v, s * lit(sub) + lit(1), lit(sub))
+      val words = element_at(cb, s + lit(1))
+      aggregate(sequence(lit(0), lit(ksub - 1)), zero, (acc, ci) => {
+        val d2 = aggregate(
+          zip_with(subv, element_at(words, ci + lit(1)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (a, x) => a + x)
+        when(d2 < acc.getField("d2"),
+          struct(ci.as("c"), d2.as("d2"))).otherwise(acc)
+      }).getField("c")
+    })
     vecs.select(col(idCol).as("c_id"), codes.as("codes"),
       sqrt(normSq(v)).as("c_norm"))
   }
 
-  /** PQ asymmetric-distance (ADC) approximate top-k: train codebooks,
-    * encode the corpus once, then score each (query, candidate) pair
+  /** Staged PQ index: trained codebook + the encoded corpus,
+    * persisted — at production scale the encoded corpus IS the
+    * expensive artifact (32× smaller than the raw vectors), built
+    * once and amortized over all queries and recall audits. */
+  final case class PqIndex(codebook: Array[Array[Seq[Double]]],
+                           encoded: DataFrame)
+
+  def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
+              trainSize: Int = 4096): PqIndex = {
+    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub, maxIter,
+      trainSize)
+    val encoded = pqEncode(candidates, idCol, vecCol, codebook)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(codebook, encoded)
+  }
+
+  /** PQ asymmetric-distance (ADC) approximate top-k against a
+    * prebuilt [[PqIndex]]: score each (query, candidate) pair
     * as `Σ_s LUT[s][code_s]` — the query's dot product against each
     * CODEWORD is precomputed into a per-query lookup table, so the
     * corpus-side scan does m table lookups per pair instead of a
@@ -521,27 +653,32 @@ object Similarity {
     * Same output shape as [[bruteForceTopK]], so [[recallAtK]]
     * measures it directly.
     */
-  def pqTopK(queries: DataFrame, candidates: DataFrame,
-             idCol: String, vecCol: String, k: Int,
-             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-             trainSize: Int = 4096): DataFrame = {
-    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub,
-      trainSize = trainSize)
+  def pqTopKWith(index: PqIndex, queries: DataFrame,
+                 candidates: DataFrame, idCol: String, vecCol: String,
+                 k: Int, rerank: Int = 32): DataFrame = {
+    // k > rerank would silently truncate every result list to the
+    // shortlist depth and skew any recall audit against a deeper
+    // exact top-k
+    require(rerank >= k,
+      s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
+        "only return rows from the ADC shortlist")
+    val codebook = index.codebook
+    val m = codebook.length
     val sub = codebook(0)(0).length
-    val encoded = pqEncode(candidates, idCol, vecCol, codebook)
     val qv = toDouble(col(vecCol))
     // per-query LUT: lut[s][c] = dot(query_sub_s, codeword_sc); built
     // on the SMALL broadcast query side (m·ksub short dot products)
-    val lut = array((0 until m).map { s =>
-      val subq = slice(qv, s * sub + 1, sub)
-      array(codebook(s).map { cw =>
-        aggregate(zip_with(subq, typedLit(cw), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x)
-      }: _*)
-    }: _*)
+    // from the single codebook literal
+    val cb = codebookLit(codebook)
+    val lut = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cb, s + lit(1)), cw =>
+        aggregate(
+          zip_with(slice(qv, s * lit(sub) + lit(1), lit(sub)), cw,
+            (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x)))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"), lut.as("lut")))
-    val adc = q.join(encoded, col("q_id") =!= col("c_id"))
+    val adc = q.join(index.encoded, col("q_id") =!= col("c_id"))
       .withColumn("approx",
         aggregate(zip_with(col("codes"), col("lut"),
           (code, row) => element_at(row, code + 1)),
@@ -565,4 +702,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
+
+  /** PQ ADC top-k in one call for single-shot use: [[pqIndex]] +
+    * [[pqTopKWith]]. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+             trainSize: Int = 4096): DataFrame =
+    pqTopKWith(pqIndex(candidates, idCol, vecCol, m, ksub,
+        trainSize = trainSize),
+      queries, candidates, idCol, vecCol, k, rerank)
 }

@@ -93,9 +93,19 @@ object VectorQueries {
       // other operators' narrow indexes)
       val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lsh = Similarity.lshTopK(s, q, emb, "vec_id", "embedding", k, nPlanes = 4)
-      val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k, nProbe = 4)
-      val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", k)
+      // each ANN index (the expensive artifact) is built/persisted
+      // ONCE via the staged entry points and feeds its top-k list;
+      // the three recall aggregates union into one plan, so a single
+      // action materializes everything (r4 action item #3)
+      val lsh = Similarity.lshTopKWith(
+        Similarity.lshIndex(emb, "vec_id", "embedding", nPlanes = 4),
+        q, "vec_id", "embedding", k, nPlanes = 4)
+      val ivf = Similarity.ivfTopKWith(
+        Similarity.ivfIndex(emb, "vec_id", "embedding"),
+        q, "vec_id", "embedding", k, nProbe = 4)
+      val pq = Similarity.pqTopKWith(
+        Similarity.pqIndex(emb, "vec_id", "embedding"),
+        q, emb, "vec_id", "embedding", k)
       Similarity.recallAtK(exact, lsh, "lsh")
         .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
         .unionByName(Similarity.recallAtK(exact, pq, "pq"))
@@ -116,6 +126,24 @@ object VectorQueries {
           rnd(sum(col("d2").cast("decimal(30,6)")).cast("double"), 4)
             .as("inertia"))
         .orderBy("cluster")
+    }),
+
+    "q_embed_cluster_audit" -> ((s, d) => {
+      // Convergence as a query result (the clustering twin of
+      // q_sim_ann_recall): one row per Lloyd round with the exact-
+      // decimal inertia of that round's assignment and the max
+      // centroid displacement of its update. Rows-only — iterative
+      // clustering isn't oracle-expressible — with KMeansSpec pinning
+      // the monotone non-increasing inertia Lloyd's guarantees.
+      import s.implicits._
+      Similarity
+        .kmeansWithAudit(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, maxIter = 5)
+        .audit.toDF()
+        .select(col("round").cast("long").as("round"),
+          rnd(col("inertia"), 4).as("inertia"),
+          rnd(col("moved"), 6).as("moved"))
+        .orderBy("round")
     }),
 
     "q_semdedup" -> ((s, d) => {

@@ -688,6 +688,21 @@ class KMeansSpec extends SparkSpec {
     assert(run(2) == run(7)) // exact: micro-unit decimal centroid sums
   }
 
+  test("kmeans audit: per-round inertia is monotone non-increasing") {
+    val r = graft.operators.Similarity
+      .kmeansWithAudit(blobs, "vec_id", "embedding", k = 3, maxIter = 10)
+    assert(r.audit.nonEmpty)
+    assert(r.audit.map(_.round) == r.audit.indices.toSeq)
+    val j = r.audit.map(_.inertia)
+    // Lloyd's: assignment and update each only lower inertia; the
+    // decimal sums make the sequence exact, not partition-order noise
+    assert(j.zip(j.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"inertia increased across rounds: $j")
+    assert(r.audit.map(_.moved).forall(_ >= 0.0))
+    // the audit describes the SAME run whose assignments we got
+    assert(r.assignments.count() == 18)
+  }
+
   test("kmeans d2 feeds inertia and empty clusters keep centroids") {
     // k larger than distinct points: extra clusters stay parked on
     // their seed rather than crashing the update
