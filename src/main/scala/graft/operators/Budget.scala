@@ -51,9 +51,11 @@ object Budget {
     */
   def takeWeightBudget(df: DataFrame, weightCol: String, budget: Long,
                        bucket: Column, order: Seq[Column]): DataFrame = {
-    require(Seq("__b", "__off", "__ob")
+    // `running` is in the guard because it is the OUTPUT column:
+    // withColumn would silently clobber a same-named input column
+    require(Seq("__b", "__off", "__ob", "running")
         .forall(c => !df.columns.contains(c)),
-      "input already has a __b/__off/__ob column")
+      "input already has a __b/__off/__ob/running column")
     val b = df.withColumn("__b", bucket)
     val sums = b.groupBy(col("__b"))
       .agg(sum(col(weightCol)).as("__s"))

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * true global shuffle pays. Each shard sorts in ONE task, so size
   * nShards to the target shard row count (corpus/nShards ≈ 1-10M rows,
   * the usual training-shard file size), never a small constant. The
-  * hash prefix is uniform, so shard skew is binomial-tight; no salting
-  * needed.
+  * 60-bit hash prefix is uniform, so shard skew is binomial-tight with
+  * no salting, and modulo bias is ≤ nShards/2^60 for any Int nShards —
+  * a 100B-row corpus at ~1M rows/shard (~100k shards) stays unbiased.
   */
 object Shuffling {
 
@@ -37,9 +38,11 @@ object Shuffling {
     val w = Window.partitionBy("shard")
       .orderBy(col("graft_skey"), col(idCol))
     df.withColumn("graft_skey", skey)
-      // first 4 hex chars = 16 uniform bits, mod nShards
+      // first 15 hex chars = 60 uniform bits (fits a signed long), mod
+      // nShards — a 16-bit prefix would leave shards above 65536
+      // permanently empty and bias any non-power-of-two nShards
       .withColumn("shard",
-        pmod(conv(substring(col("graft_skey"), 1, 4), 16, 10).cast("long"),
+        pmod(conv(substring(col("graft_skey"), 1, 15), 16, 10).cast("long"),
           lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("graft_skey")

@@ -20,11 +20,16 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * of the long tail. At 100 TB, "top 3 orders per customer" sorts
   * nothing but the 3-row heaps.
   *
-  * Wiring: logical marker node → planner strategy → physical exec that
-  * declares `ClusteredDistribution(group)` so Spark inserts exactly one
-  * hash exchange (or none over bucketed input). Injected per-session
-  * via `experimental.extraStrategies` (public API) and at builder time
-  * by [[graft.GraftExtensions]].
+  * Wiring: logical marker node → planner strategy → a PARTIAL physical
+  * exec (no distribution requirement — heaps run inside each input
+  * partition, bounding what the shuffle carries at groups·k rows per
+  * partition, the aggregation partial-combine shape) under a FINAL exec
+  * that declares `ClusteredDistribution(group)` so Spark inserts exactly
+  * one hash exchange between them (or none over bucketed input).
+  * Top-k of per-partition top-k is the global top-k, so the final pass
+  * is the same heap code over the partials. Injected per-session via
+  * `experimental.extraStrategies` (public API) and at builder time by
+  * [[graft.GraftExtensions]].
   */
 case class TopKPerGroupPlan(k: Int, groupExprs: Seq[Expression],
                             order: Seq[SortOrder], child: LogicalPlan)
@@ -37,20 +42,28 @@ case class TopKPerGroupPlan(k: Int, groupExprs: Seq[Expression],
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(k, group, order, child) =>
-      TopKPerGroupExec(k, group, order, planLater(child)) :: Nil
+      TopKPerGroupExec(k, group, order, partial = false,
+        TopKPerGroupExec(k, group, order, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
-                            order: Seq[SortOrder], child: SparkPlan)
+                            order: Seq[SortOrder], partial: Boolean,
+                            child: SparkPlan)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
+  // the partial pass accepts any layout (it only bounds per-partition
+  // state); the final pass demands co-located groups, so the planner
+  // inserts the single hash exchange between the two
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial || groupExprs.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -678,23 +678,28 @@ object TextQueries {
         |  FROM s) r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
-    "q_global_shuffle" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hex
-        |  FROM documents),
-        |v AS (
-        |  SELECT doc_id, hex,
-        |    ((strpos('0123456789abcdef', substring(hex, 1, 1)) - 1) * 4096 +
-        |     (strpos('0123456789abcdef', substring(hex, 2, 1)) - 1) * 256 +
-        |     (strpos('0123456789abcdef', substring(hex, 3, 1)) - 1) * 16 +
-        |     (strpos('0123456789abcdef', substring(hex, 4, 1)) - 1)) % 8
-        |      AS shard
-        |  FROM h)
-        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
-        |    AS BIGINT) AS pos
-        |FROM v ORDER BY shard, pos""".stripMargin,
+    "q_global_shuffle" -> {
+      // the 60-bit md5 prefix as a nibble polynomial (DuckDB has no
+      // base-16 conv); coefficients are exact powers of two, the sum
+      // stays under 2^60 so BIGINT arithmetic is exact — mirrors
+      // Shuffling.shuffleShard's conv(substring(hex, 1, 15), 16, 10)
+      val prefix = (1 to 15).map { i =>
+        val coef = 1L << (4 * (15 - i))
+        s"(strpos('0123456789abcdef', substring(hex, $i, 1)) - 1) * $coef"
+      }.mkString(" +\n     ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS hex
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, hex,
+         |    ($prefix) % 8 AS shard
+         |  FROM h)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM v ORDER BY shard, pos""".stripMargin
+    },
 
     "q_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -68,14 +68,21 @@ object StreamingOps {
     */
   def dedupAgainstCorpus(stream: DataFrame, textCol: String,
                          tsCol: String, corpusDigests: DataFrame,
-                         lateness: String): DataFrame =
+                         lateness: String): DataFrame = {
+    // the working column is graft_-prefixed and dropped on return: a
+    // bare "digest" would silently overwrite a same-named user column
+    // AND leak the internal digest into the output schema
+    require(!stream.columns.contains("graft_digest"),
+      "input stream already has a graft_digest column")
     stream
-      .withColumn("digest",
+      .withColumn("graft_digest",
         graft.operators.Dedup.exactDigest(col(textCol)))
-      .join(corpusDigests.select(col("digest")), Seq("digest"),
-        "left_anti")
+      .join(corpusDigests.select(col("digest").as("graft_digest")),
+        Seq("graft_digest"), "left_anti")
       .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("digest")
+      .dropDuplicatesWithinWatermark("graft_digest")
+      .drop("graft_digest")
+  }
 
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per

@@ -226,10 +226,20 @@ class ScaleSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val execNode = plan.collectFirst {
+    val execs = plan.collect {
       case e: graft.plans.TopKPerGroupExec => e }
-    assert(execNode.isDefined, s"expected TopKPerGroupExec in:\n$plan")
-    assert(execNode.get.collect {
+    // partial → exchange → final: the shuffle must sit BETWEEN the two
+    // heap passes, so it carries at most groups·k rows per partition
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final TopKPerGroupExec pair in:\n$plan")
+    val fin = execs.find(!_.partial).get
+    assert(fin.collect {
+      case s: ShuffleExchangeExec => s }.length == 1,
+      s"final pass must sit above the single hash exchange:\n$plan")
+    assert(execs.find(_.partial).get.collect {
+      case s: ShuffleExchangeExec => s }.isEmpty,
+      s"partial pass must run before the exchange:\n$plan")
+    assert(fin.collect {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
   }
 
