@@ -375,16 +375,20 @@ object Similarity {
     * d2 is the squared L2 distance to its final centroid (so inertia
     * is one aggregate away).
     *
-    * Distributed shape, per round (ONE job):
-    *  - assignment is the MAP-ONLY literal-centroid argmin of
-    *    [[assignToCentroids]] — zero corpus exchange per round;
-    *  - the centroid update keys its aggregate on `cluster` (k
-    *    groups), so the map-side partial combine reduces each input
-    *    partition to ≤ k rows and the only exchange of the round
-    *    carries ≤ k·partitions tiny sum rows. Driver state is
-    *    O(k·dim) — the centroid table itself, independent of corpus
-    *    size (the same bounded-scalar shape as the CC loop's
-    *    convergence count; this is how MLlib's KMeans iterates too).
+    * Distributed shape, per round: ONE mapPartitions job over the
+    * cached corpus — assignment (the same index-order argmin as
+    * [[assignToCentroids]]) and the centroid-update partials fused in
+    * a single pass, ZERO exchanges: each partition emits exactly one
+    * (counts, micro-unit sums, rounded-d2 total) partial, merged by
+    * `reduce`. This is the genuine per-partition imperative case the
+    * engine reserves RDD code for — it is how MLlib's KMeans itself
+    * iterates — because a Catalyst aggregate pays per-round
+    * plan-analysis + stage constants that dominate wall-clock at
+    * small scale and buy nothing at large scale. Driver state stays
+    * O(k·dim): the centroid table, independent of corpus size.
+    *
+    * The final returned assignment IS the Catalyst literal-argmin
+    * projection (map-only, codegen-friendly, plan-assertable).
     *
     * Seeding is deterministic farthest-first (k-center) over a
     * bounded uniform sample: the `sampleSize` smallest-xxhash64(id)
@@ -432,7 +436,6 @@ object Similarity {
       .orderBy(col("h"), col("id")).limit(math.max(k, sampleSize))
       .select(col("v")).as[Seq[Double]].collect()
     require(sample.nonEmpty, "kmeans needs at least one vector")
-    val dim = sample.head.length
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0d; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -454,41 +457,87 @@ object Similarity {
 
     def assign(): DataFrame = assignLiteral(v, cents.toSeq)
 
+    // built ONCE over the persisted corpus and reused every round —
+    // no per-round Catalyst planning, the rounds are plain jobs
+    val sc = spark.sparkContext
+    val vecRdd = v.as[(Long, Seq[Double])].rdd.map(_._2.toArray)
+
+    // One fused assignment+update pass. Exactness contract (what makes
+    // results independent of partitioning and merge order, matching
+    // the Catalyst form bit for bit): per-element micro-unit longs
+    // `floor(x*1e6 + 0.5)` summed per partition (no overflow: a
+    // partition's row count × 1e7 ≪ 2^63), merged as BigInt; per-row
+    // d2 rounded HALF_UP to 6 dp exactly like CAST(d2 AS
+    // DECIMAL(30,6)) and summed in BigDecimal; the argmin scans
+    // centroid ids in order with strict <, the [[assignLiteral]]
+    // tiebreak.
+    def iterate(): (Array[Long], Array[Array[BigInt]],
+        java.math.BigDecimal) = {
+      val bc = sc.broadcast(cents.map(_.toArray))
+      val out = vecRdd.mapPartitions { it =>
+        val cs = bc.value
+        val kk = cs.length
+        val counts = new Array[Long](kk)
+        var sums: Array[Array[Long]] = null
+        var j = java.math.BigDecimal.ZERO
+        while (it.hasNext) {
+          val p = it.next()
+          val dim = p.length
+          if (sums == null) sums = Array.fill(kk)(new Array[Long](dim))
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            val cw = cs(c)
+            var s = 0.0d; var d = 0
+            while (d < dim) { val df = p(d) - cw(d); s += df * df; d += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val row = sums(best)
+          var d = 0
+          while (d < dim) {
+            row(d) += math.floor(p(d) * 1000000.0d + 0.5d).toLong
+            d += 1
+          }
+          j = j.add(java.math.BigDecimal.valueOf(bd)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        if (sums == null) Iterator.empty
+        else Iterator.single((counts, sums.map(_.map(BigInt(_))), j))
+      }.reduce { (a, b) =>
+        (a._1.zip(b._1).map { case (x, y) => x + y },
+          a._2.zip(b._2).map { case (xs, ys) =>
+            xs.zip(ys).map { case (x, y) => x + y } },
+          a._3.add(b._3))
+      }
+      bc.unpersist(blocking = false)
+      out
+    }
+
     val audit = scala.collection.mutable.ArrayBuffer.empty[KMeansRound]
     var moved = Double.MaxValue
     var i = 0
     while (moved > tol && i < maxIter) {
-      val micro = transform(col("v"),
-        x => floor(x * 1000000.0d + 0.5d).cast("long"))
-      val sums = (0 until dim).map(d =>
-        sum(element_at(col("m"), d + 1).cast("decimal(38,0)")).as(s"s$d"))
-      // keyed on cluster: k groups, map-combined — the round's only
-      // exchange carries ≤ k rows per input partition
-      val agg = assign().withColumn("m", micro)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"),
-          (sum(col("d2").cast("decimal(30,6)")).as("j") +: sums): _*)
-        .collect()
+      val (counts, sums, j) = iterate()
       val prev = cents
-      val next = agg.map { row =>
-        val cl = row.getLong(0)
-        val n = row.getLong(1).toDouble
-        cl -> (0 until dim).map(d =>
-          row.getDecimal(3 + d).doubleValue() / 1000000.0d / n)
-      }.toMap
-      // inertia of THIS round's assignment: exact decimal partials
-      // summed driver-side in BigDecimal, so the audit number is
-      // partition-order-independent like the centroids themselves
-      val inertia = agg.map(r => r.getDecimal(2))
-        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
-      // empty clusters keep their old centroid rather than vanish
-      cents = Array.tabulate(cents.length)(cl =>
-        next.getOrElse(cl.toLong, prev(cl)))
+      // empty clusters keep their old centroid rather than vanish;
+      // the centroid arithmetic mirrors the decimal form exactly:
+      // exact integer sum -> nearest double -> /1e6 -> /n
+      cents = Array.tabulate(cents.length) { cl =>
+        if (counts(cl) == 0L) prev(cl)
+        else {
+          val n = counts(cl).toDouble
+          sums(cl).toSeq.map(s =>
+            new java.math.BigDecimal(s.bigInteger).doubleValue() /
+              1000000.0d / n)
+        }
+      }
       moved = cents.indices.map { cl =>
         math.sqrt(cents(cl).zip(prev(cl)).map { case (a, b) =>
           (a - b) * (a - b) }.sum)
       }.max
-      audit += KMeansRound(i, inertia, moved)
+      audit += KMeansRound(i, j.doubleValue(), moved)
       i += 1
     }
     val out = assign().select(col("id"), col("cluster"), col("d2"))

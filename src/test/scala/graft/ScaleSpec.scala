@@ -166,7 +166,7 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("kmeans Lloyd round: map-only assignment, cluster-keyed update") {
+  test("kmeans assignment is map-only; iterate pass shuffles nothing") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(4)(j => (i % 3 + j).toFloat)))
       .toDF("vec_id", "embedding")
@@ -174,18 +174,20 @@ class ScaleSpec extends SparkSpec {
     val assigned = graft.operators.Similarity
       .assignToCentroids(vecs, "vec_id", "embedding", cents)
     // assignment is a literal-centroid argmin projection — the corpus
-    // must NEVER be exchanged for it (r4 finding #1)
+    // must NEVER be exchanged for it (r4 finding #1); the Lloyd
+    // iterate itself is a fused mapPartitions+reduce (one partial per
+    // partition), so a round runs zero exchanges by construction
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"Lloyd assignment must be map-only:\n$plan")
-    // the round's centroid update keys on cluster: its single
-    // exchange carries <= k map-combined rows per input partition
+    // any per-cluster consumer aggregate over the assignment partial-
+    // combines to <= k rows per partition before its single exchange
     val round = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("n"))
     val rplan = round.queryExecution.executedPlan.toString
     assert("hashpartitioning\\(cluster".r.findAllIn(rplan).length == 1 &&
       "Exchange".r.findAllIn(rplan).length == 1,
-      s"round update must shuffle only k combined rows:\n$rplan")
+      s"cluster consumer agg must shuffle only k combined rows:\n$rplan")
   }
 
   test("IVF list assignment is map-only over the literal centroids") {
