@@ -288,6 +288,14 @@ class DedupSpec extends SparkSpec {
       .shuffleShard(df, "doc_id", 8, "s1")
       .select("doc_id", "shard").as[(Long, Long)].collect().toMap
     assert((0L until 500L).exists(id => reseeded(id) != full(id)))
+    // the 60-bit prefix reaches shards above 65536 (a 16-bit prefix
+    // left them permanently empty) and stays in range
+    val wide = graft.operators.Shuffling
+      .shuffleShard(df, "doc_id", nShards = 1000000, seed = "s0")
+      .select("shard").as[Long].collect()
+    assert(wide.forall(s => s >= 0L && s < 1000000L))
+    assert(wide.exists(_ > 65535L),
+      "no shard above 2^16 across 500 uniform draws from 1M shards")
   }
 
   test("per-group cap keeps a deterministic hash sample of each group") {
@@ -328,6 +336,13 @@ class DedupSpec extends SparkSpec {
         order = Seq($"id".asc))
       .select("id", "running").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(out2 == out)
+    // the output column `running` is collision-guarded: an input that
+    // already has one would be silently clobbered otherwise
+    intercept[IllegalArgumentException] {
+      graft.operators.Budget.takeWeightBudget(
+        df.withColumnRenamed("w", "running"), "running", budget = 21L,
+        bucket = floor($"id" / 5).cast("long"), order = Seq($"id".asc))
+    }
   }
 
   test("embedding near-dups by cosine") {

@@ -110,7 +110,23 @@ class StreamingOpsSpec extends SparkSpec {
       val kept = spark.table("corpus_dedup")
         .select("text").as[String].collect().sorted.toSeq
       assert(kept == Seq("another", "fresh doc"))
+      // the internal digest column must not leak into the output, and
+      // the output schema must be exactly the input's
+      assert(spark.table("corpus_dedup").columns.toSeq == Seq("ts", "text"))
     } finally q.stop()
+  }
+
+  test("dedupAgainstCorpus guards its working column") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("x").toDF("text")
+      .select(graft.operators.Dedup.exactDigest(
+        org.apache.spark.sql.functions.col("text")).as("digest"))
+    val input = MemoryStream[(Timestamp, String, String)]
+    intercept[IllegalArgumentException] {
+      StreamingOps.dedupAgainstCorpus(
+        input.toDF().toDF("ts", "text", "graft_digest"),
+        "text", "ts", corpus, "10 minutes")
+    }
   }
 
   test("stream-static enrichment joins the broadcast dimension") {
