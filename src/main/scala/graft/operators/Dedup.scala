@@ -535,4 +535,74 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SPAN-level corpus dedup (boilerplate strip): remove from every
+    * document the non-overlapping `spanTokens`-token spans that occur
+    * in more than `maxDocFreqPermille`‰ of all documents, and
+    * reassemble the survivors in order — the C4/RefinedWeb move that
+    * kills nav bars, cookie banners and license headers which
+    * document-LEVEL dedup (exact or near) can never see, because the
+    * hosting documents differ.
+    *
+    * The threshold is a fraction of the corpus (integer-exact:
+    * df·1000 > n_docs·permille, the [[jaccardPairs]] dfCapPct rule) so
+    * the cut is scale-invariant — an absolute document count tuned at
+    * sf0.01 would strip the whole corpus at sf100.
+    *
+    * Scale shape: span tiling is a map-only generator over one corpus
+    * scan, persisted once for its two consumers (census + strip);
+    * the census is one (span)-keyed aggregate whose distinct-count
+    * partials combine map-side; the hot-span set is bounded above by
+    * total_spans/(n_docs·permille/1000) — the planner broadcasts it
+    * when small and falls back to a shuffle join when a low threshold
+    * makes it big (no forced broadcast hint, unlike the tiny
+    * over-cap census sets elsewhere in this file); reassembly is one
+    * (doc)-keyed aggregate. Two shuffles total, both inherent.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_dropped) — one row per
+    * input document, `clean_text` empty when every span was
+    * boilerplate.
+    */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         spanTokens: Int = 2,
+                         maxDocFreqPermille: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(maxDocFreqPermille > 0,
+      s"maxDocFreqPermille must be positive, got $maxDocFreqPermille")
+    val toks = split(lower(col(textCol)), " ")
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("long")
+    // guard empty/null token arrays: sequence(0, -1) would COUNT DOWN
+    // (note split("", " ") is [""], size 1 — a doc only hits this via
+    // a null text or a genuinely empty array column)
+    val spanArr = when(size(toks) <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (nSpans - 1).cast("int")),
+        j => array_join(
+          slice(toks, j * spanTokens + 1, lit(spanTokens)), " ")))
+    val tiles = docs.select(col(idCol).as("doc_id"),
+        posexplode(spanArr).as(Seq("pos", "span")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.select(count(lit(1)).as("__nd"))
+    val hot = tiles.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(1000L) >
+        col("__nd") * lit(maxDocFreqPermille.toLong))
+      .select("span")
+    val kept = tiles.join(hot, Seq("span"), "left_anti")
+    // collect_list order is partition-dependent; array_sort on the
+    // (pos, span) structs restores document order deterministically
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          _.getField("span")), " ").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"), nSpans.as("__n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_spans") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

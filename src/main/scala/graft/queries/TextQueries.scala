@@ -91,6 +91,17 @@ object TextQueries {
         .orderBy("keep_id")
     }),
 
+    "q_dedup_spans" -> ((s, d) => {
+      // Corpus-level boilerplate strip: 2-token spans occurring in
+      // >1% of documents are removed from every document (doc-level
+      // dedup can never see shared nav-bar/banner spans — the hosting
+      // docs differ). Threshold is integer-exact permille of the
+      // corpus so the cut is scale-invariant and oracle-reproducible.
+      Dedup.stripRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 2, maxDocFreqPermille = 10)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, d) => {
       // dfCapPct=77: tokens present in >77% of docs are stopwords for
       // near-dup purposes — dropping them shrinks the inverted-index
@@ -418,6 +429,46 @@ object TextQueries {
         |  md5(lower(trim(text))) AS digest
         |FROM documents GROUP BY md5(lower(trim(text)))
         |ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      // mirrors Dedup.stripRepeatedSpans: non-overlapping 2-token
+      // tiles, drop spans with df*1000 > n_docs*10 (integer-exact 1%),
+      // reassemble survivors in position order
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1,
+        |      CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS j
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, j - 1 AS pos,
+        |    array_to_string(
+        |      list_slice(toks, (j - 1) * 2 + 1, (j - 1) * 2 + 2), ' ')
+        |      AS span
+        |  FROM tiles),
+        |hot AS (
+        |  SELECT span FROM sp GROUP BY span
+        |  HAVING count(DISTINCT doc_id) * 1000 >
+        |    10 * (SELECT count(*) FROM documents)),
+        |kept AS (
+        |  SELECT * FROM sp WHERE span NOT IN (SELECT span FROM hot)),
+        |rb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |n AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(len(string_split(lower(text), ' ')) / 2.0) AS BIGINT)
+        |      AS n_spans
+        |  FROM documents)
+        |SELECT n.doc_id,
+        |  coalesce(rb.clean_text, '') AS clean_text,
+        |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(n.n_spans - coalesce(rb.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM n LEFT JOIN rb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH tok0 AS (

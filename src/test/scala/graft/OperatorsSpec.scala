@@ -64,6 +64,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("span strip removes corpus-wide boilerplate, keeps unique spans") {
+    // 10 docs: all share the boilerplate prefix "accept all cookies"
+    // + a sign-off span seen in 2 docs (under the 30% threshold);
+    // doc 9 is ONLY boilerplate; doc 10 is empty
+    val d = ((0L until 9L).map(i =>
+        (i, s"accept all cookies unique$i content$i" +
+          (if (i < 2) " best regards" else ""))) :+
+        (9L, "accept all cookies") :+ (10L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(d, "doc_id", "text",
+        spanTokens = 2, maxDocFreqPermille = 300)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "accept all" (df=10) and "cookies unique_i"… wait — tiling is
+    // positional: docs 0-8 tile as [accept all][cookies uniqueN]
+    // [contentN (best|·)][regards?]; only "accept all" crosses the
+    // 30% df bar, so exactly one span drops from every doc 0-8
+    assert((0L until 9L).forall { i =>
+      val (txt, kept, dropped) = out(i)
+      !txt.contains("accept all") && txt.contains(s"unique$i") &&
+        dropped == 1L && kept >= 2L
+    })
+    assert(out(9L) == (("cookies", 1L, 1L))) // partial tile survives
+    // split("", " ") = [""] in both engines: the empty doc carries one
+    // empty-string span, unique → kept, round-tripping to ""
+    assert(out(10L) == (("", 1L, 0L)))
+    // determinism under different partitioning
+    val again = Dedup.stripRepeatedSpans(d.repartition(7), "doc_id",
+        "text", spanTokens = 2, maxDocFreqPermille = 300)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("minhash LSH surfaces the same near-dup candidates") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id",
         TA.shingles(TA.tokens(col("text")), 2), threshold = 0.5)
