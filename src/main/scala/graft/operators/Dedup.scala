@@ -597,12 +597,19 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("span")))),
           _.getField("span")), " ").as("clean_text"))
-    docs.select(col(idCol).as("doc_id"), nSpans.as("__n_spans"))
+    // pre-strip span counts come from the CACHED tile index, not a
+    // second tokenize pass over the corpus text; the id-only corpus
+    // scan on the left is column-pruned. A null-text/tile-less doc
+    // coalesces to all-zero counts, consistent with clean_text = ''
+    val nSpansPerDoc = tiles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(nSpansPerDoc, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n_spans") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"))
+        (coalesce(col("__n_spans"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }

@@ -165,7 +165,8 @@ object Similarity {
     * bucketed by cent_id, amortized over all queries.
     */
   def ivfIndex(candidates: DataFrame, idCol: String, vecCol: String,
-               nCentroids: Int = 16): IvfIndex = {
+               nCentroids: Int = 16,
+               persistIndex: Boolean = true): IvfIndex = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val cands = candidates.select(col(idCol).as("c_id"),
@@ -177,23 +178,25 @@ object Similarity {
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val ids = typedLit(cents.map(_._1))
     val centsL = typedLit(cents.map(_._2))
-    // index-order driver sum — bit-identical to the zip_with fold
+    // index-order driver sum — bit-identical to the graft_dot kernel
     val norms = typedLit(cents.map(c =>
       math.sqrt(c._2.foldLeft(0.0d)((a, x) => a + x * x))))
     val zero = struct(lit(-1L).as("c"),
       lit(Double.NegativeInfinity).as("s"))
-    val best = aggregate(sequence(lit(0), lit(cents.size - 1)), zero,
-      (acc, i) => {
-        val s = aggregate(
-          zip_with(col("c_vec"), element_at(centsL, i + lit(1)),
-            (x, y) => x * y),
-          lit(0.0d), (a, x) => a + x) / element_at(norms, i + lit(1))
-        when(s > acc.getField("s"),
-          struct(element_at(ids, i + lit(1)).as("c"), s.as("s")))
-          .otherwise(acc)
-      })
-    val assigned = cands.withColumn("cent_id", best.getField("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // score once per centroid (native dot kernel), argmin-fold over
+    // the materialized structs — see assignLiteral on why not `when`
+    // over a recomputed score
+    val scored = transform(sequence(lit(0), lit(cents.size - 1)),
+      i => struct(element_at(ids, i + lit(1)).as("c"),
+        (dot(col("c_vec"), element_at(centsL, i + lit(1))) /
+          element_at(norms, i + lit(1))).as("s")))
+    val best = aggregate(scored, zero, (acc, x) =>
+      when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    val assigned0 = cands.withColumn("cent_id", best.getField("c"))
+    val assigned =
+      if (persistIndex) assigned0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
     IvfIndex(cents, assigned)
   }
 
@@ -229,11 +232,15 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path next to LSH: [[ivfIndex]] + [[ivfTopKWith]] in one
-    * call for single-shot use. */
+    * call for single-shot use. The throwaway index is NOT persisted:
+    * it has exactly one consumer here, and a cached corpus-sized DF
+    * with no caller-held handle would leak until clearCache. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
-    ivfTopKWith(ivfIndex(candidates, idCol, vecCol, nCentroids),
+    ivfTopKWith(
+      ivfIndex(candidates, idCol, vecCol, nCentroids,
+        persistIndex = false),
       queries, idCol, vecCol, k, nProbe)
 
   /** Recall@k of an ANN result against the exact brute-force result:
@@ -273,6 +280,13 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Staged LSH index: the capped bucket table plus the `nPlanes` it
+    * was hashed with — carrying the parameter in the artifact means a
+    * build/query plane-count mismatch (which would silently bucket
+    * queries into a different hash space and return garbage
+    * neighbors) cannot be expressed. */
+  final case class LshIndex(nPlanes: Int, buckets: DataFrame)
+
   /** Bucketed-and-capped LSH corpus index, materialized once (in a
     * real deployment this is a bucketed TABLE amortized over all
     * queries): the bucket-size census and every probe join read the
@@ -282,7 +296,7 @@ object Similarity {
     * there); the census + broadcast anti-join form avoids
     * sort-shuffling every (vector, bucket) row. */
   def lshIndex(candidates: DataFrame, idCol: String, vecCol: String,
-               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame = {
+               nPlanes: Int = 6, bucketCap: Int = 2000): LshIndex = {
     val cb = candidates.select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
@@ -290,20 +304,20 @@ object Similarity {
     val hotBuckets = cb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("bucket")
-    cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti")
+    LshIndex(nPlanes,
+      cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti"))
   }
 
-  /** Query stage of LSH top-k against a prebuilt [[lshIndex]]:
-    * queries join only candidates in the same bucket, then exact
-    * cosine re-rank inside the bucket. `nPlanes` must match the value
-    * the index was built with. */
-  def lshTopKWith(index: DataFrame, queries: DataFrame,
-                  idCol: String, vecCol: String, k: Int,
-                  nPlanes: Int = 6): DataFrame = {
+  /** Query stage of LSH top-k against a prebuilt [[LshIndex]]:
+    * queries join only candidates in the same bucket (hashed with the
+    * index's own plane count), then exact cosine re-rank inside the
+    * bucket. */
+  def lshTopKWith(index: LshIndex, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
     val qb = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("q_vec"))
-      .withColumn("bucket", lshBucket(col("q_vec"), nPlanes))
-    val scored = broadcast(qb).join(index, "bucket")
+      .withColumn("bucket", lshBucket(col("q_vec"), index.nPlanes))
+    val scored = broadcast(qb).join(index.buckets, "bucket")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
@@ -314,12 +328,14 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: [[lshIndex]] + [[lshTopKWith]]
-    * in one call for single-shot use. */
+    * in one call for single-shot use. (The bucket table is persisted
+    * even here: the census and the probe join are two consumers of
+    * the same projection.) */
   def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame =
     lshTopKWith(lshIndex(candidates, idCol, vecCol, nPlanes, bucketCap),
-      queries, idCol, vecCol, k, nPlanes)
+      queries, idCol, vecCol, k)
 
   /** Map-only nearest-centroid assignment: an argmin fold over the
     * LITERAL centroid array (the same pattern as [[pqEncode]]). The
@@ -342,15 +358,18 @@ object Similarity {
     require(cents.nonEmpty, "assignLiteral needs at least one centroid")
     val centsL = typedLit(cents.map(_.toSeq))
     val zero = struct(lit(-1L).as("c"), lit(Double.MaxValue).as("d2"))
-    val best = aggregate(sequence(lit(0), lit(cents.size - 1)), zero,
-      (acc, i) => {
-        val d2 = aggregate(
+    // score ONCE per centroid via transform (a `when` whose condition
+    // and branch both reference the d2 subtree would evaluate it
+    // twice — HOFs get no common-subexpression elimination), then
+    // fold an argmin over the materialized (c, d2) structs
+    val scored = transform(sequence(lit(0), lit(cents.size - 1)),
+      i => struct(i.cast("long").as("c"),
+        aggregate(
           zip_with(col("v"), element_at(centsL, i + lit(1)),
             (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (a, x) => a + x)
-        when(d2 < acc.getField("d2"),
-          struct(i.cast("long").as("c"), d2.as("d2"))).otherwise(acc)
-      })
+          lit(0.0d), (a, x) => a + x).as("d2")))
+    val best = aggregate(scored, zero, (acc, x) =>
+      when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
     // two-step projection: `best` is expensive and read twice, and
     // CollapseProject keeps non-cheap multiply-referenced aliases in
     // their own projection, so the fold runs once per row
@@ -497,7 +516,11 @@ object Similarity {
           val row = sums(best)
           var d = 0
           while (d < dim) {
-            row(d) += math.floor(p(d) * 1000000.0d + 0.5d).toLong
+            // addExact: a pathological corpus (|x| ~1e4 over ~1e8 rows
+            // in one partition) could overflow the long partial — fail
+            // LOUDLY rather than hand back plausible garbage centroids
+            row(d) = Math.addExact(row(d),
+              math.floor(p(d) * 1000000.0d + 0.5d).toLong)
             d += 1
           }
           j = j.add(java.math.BigDecimal.valueOf(bd)
@@ -656,17 +679,21 @@ object Similarity {
     val v = toDouble(col(vecCol))
     val cb = codebookLit(codebook)
     val zero = struct(lit(-1).as("c"), lit(Double.MaxValue).as("d2"))
+    // score once per codeword, argmin-fold over the materialized
+    // structs — see assignLiteral on why not `when` over a recomputed
+    // distance
     val codes = transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(v, s * lit(sub) + lit(1), lit(sub))
       val words = element_at(cb, s + lit(1))
-      aggregate(sequence(lit(0), lit(ksub - 1)), zero, (acc, ci) => {
-        val d2 = aggregate(
-          zip_with(subv, element_at(words, ci + lit(1)),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (a, x) => a + x)
-        when(d2 < acc.getField("d2"),
-          struct(ci.as("c"), d2.as("d2"))).otherwise(acc)
-      }).getField("c")
+      val scored = transform(sequence(lit(0), lit(ksub - 1)),
+        ci => struct(ci.as("c"),
+          aggregate(
+            zip_with(subv, element_at(words, ci + lit(1)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (a, x) => a + x).as("d2")))
+      aggregate(scored, zero, (acc, x) =>
+        when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
+        .getField("c")
     })
     vecs.select(col(idCol).as("c_id"), codes.as("codes"),
       sqrt(normSq(v)).as("c_norm"))
@@ -681,11 +708,15 @@ object Similarity {
 
   def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
-              trainSize: Int = 4096): PqIndex = {
+              trainSize: Int = 4096,
+              persistIndex: Boolean = true): PqIndex = {
     val codebook = pqTrain(candidates, idCol, vecCol, m, ksub, maxIter,
       trainSize)
-    val encoded = pqEncode(candidates, idCol, vecCol, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encoded0 = pqEncode(candidates, idCol, vecCol, codebook)
+    val encoded =
+      if (persistIndex) encoded0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded0
     PqIndex(codebook, encoded)
   }
 
@@ -753,12 +784,14 @@ object Similarity {
   }
 
   /** PQ ADC top-k in one call for single-shot use: [[pqIndex]] +
-    * [[pqTopKWith]]. */
+    * [[pqTopKWith]]. The throwaway encoded corpus is NOT persisted —
+    * one consumer, and an unreachable cached DF would leak until
+    * clearCache. */
   def pqTopK(queries: DataFrame, candidates: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int = 8, ksub: Int = 16, rerank: Int = 32,
              trainSize: Int = 4096): DataFrame =
     pqTopKWith(pqIndex(candidates, idCol, vecCol, m, ksub,
-        trainSize = trainSize),
+        trainSize = trainSize, persistIndex = false),
       queries, candidates, idCol, vecCol, k, rerank)
 }

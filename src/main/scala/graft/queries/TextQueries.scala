@@ -466,7 +466,8 @@ object TextQueries {
         |SELECT n.doc_id,
         |  coalesce(rb.clean_text, '') AS clean_text,
         |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(n.n_spans - coalesce(rb.n_kept, 0) AS BIGINT) AS n_dropped
+        |  CAST(coalesce(n.n_spans, 0) - coalesce(rb.n_kept, 0) AS BIGINT)
+        |    AS n_dropped
         |FROM n LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

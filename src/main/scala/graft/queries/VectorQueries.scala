@@ -99,7 +99,7 @@ object VectorQueries {
       // action materializes everything (r4 action item #3)
       val lsh = Similarity.lshTopKWith(
         Similarity.lshIndex(emb, "vec_id", "embedding", nPlanes = 4),
-        q, "vec_id", "embedding", k, nPlanes = 4)
+        q, "vec_id", "embedding", k)
       val ivf = Similarity.ivfTopKWith(
         Similarity.ivfIndex(emb, "vec_id", "embedding"),
         q, "vec_id", "embedding", k, nProbe = 4)

@@ -96,6 +96,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(again == out)
+    // round-trip invariant: with the threshold above the whole corpus
+    // nothing is hot, so reassembly must reproduce every document
+    // byte-for-byte (lowercased) with zero drops — any tiling,
+    // ordering, or join bug breaks this equality
+    val intact = Dedup.stripRepeatedSpans(d, "doc_id", "text",
+        spanTokens = 3, maxDocFreqPermille = 1001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(intact.forall { case (id, clean, dropped) =>
+      clean == texts(id).toLowerCase && dropped == 0L })
   }
 
   test("minhash LSH surfaces the same near-dup candidates") {
