@@ -207,6 +207,31 @@ class ScaleSpec extends SparkSpec {
     idx.assigned.unpersist()
   }
 
+  test("span strip: text is read only through the cached tile index") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Dedup
+      .stripRepeatedSpans(docs, "doc_id", "text", spanTokens = 2,
+        maxDocFreqPermille = 10)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // every consumer (census, strip, span counts) reads the persisted
+    // tiles; the only direct corpus scan is the id-only left side —
+    // a second tokenize pass over the text column was the r5 review
+    // finding this pins
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.metadata("ReadSchema").contains("text")),
+      s"corpus text must come from the tile cache, not a re-scan:\n" +
+        scans.map(_.metadata("ReadSchema")).mkString("\n"))
+    assert(plan.toString.contains("InMemoryTableScan"),
+      s"tile index must be cached:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("TopKPerGroupExec matches the window formulation exactly") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val native = graft.plans.TopKPerGroup(orders,
