@@ -66,6 +66,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance — the k-means / IVF / PQ assignment
+  * kernel. Same stance as [[DotProduct]]: a tight index-order
+  * primitive loop (codegen'd where the plan allows, a fast
+  * `nullSafeEval` when called from inside higher-order-function
+  * lambdas), bit-identical to the
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold
+  * it replaces and to the fused Lloyd iterate's JVM while-loop.
+  */
+case class SqDist(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist requires (array<double>, array<double>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers the engine's native functions on a session (idempotent).
   * Uses the function registry directly so it works on ANY session —
   * including the driver's — without requiring SparkSessionExtensions
@@ -77,6 +137,9 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
       registry.createOrReplaceTempFunction("graft_dot",
         (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+        "built-in")
+      registry.createOrReplaceTempFunction("graft_sqdist",
+        (exprs: Seq[Expression]) => SqDist(exprs.head, exprs(1)),
         "built-in")
       registry.createOrReplaceTempFunction("graft_simhash64",
         (exprs: Seq[Expression]) => SimHash64(exprs.head),

@@ -39,6 +39,16 @@ object Similarity {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Squared L2 distance via the native kernel
+    * (graft.functions.SqDist). Index-order summation — bit-identical
+    * to the `aggregate(zip_with((x-y)*(x-y)))` fold it replaced and
+    * to the fused Lloyd iterate's JVM loop. */
+  def sqDist(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_sqdist", a, b)
+  }
+
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
@@ -364,10 +374,7 @@ object Similarity {
     // fold an argmin over the materialized (c, d2) structs
     val scored = transform(sequence(lit(0), lit(cents.size - 1)),
       i => struct(i.cast("long").as("c"),
-        aggregate(
-          zip_with(col("v"), element_at(centsL, i + lit(1)),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (a, x) => a + x).as("d2")))
+        sqDist(col("v"), element_at(centsL, i + lit(1))).as("d2")))
     val best = aggregate(scored, zero, (acc, x) =>
       when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
     // two-step projection: `best` is expensive and read twice, and
@@ -687,10 +694,7 @@ object Similarity {
       val words = element_at(cb, s + lit(1))
       val scored = transform(sequence(lit(0), lit(ksub - 1)),
         ci => struct(ci.as("c"),
-          aggregate(
-            zip_with(subv, element_at(words, ci + lit(1)),
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (a, x) => a + x).as("d2")))
+          sqDist(subv, element_at(words, ci + lit(1))).as("d2")))
       aggregate(scored, zero, (acc, x) =>
         when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
         .getField("c")

@@ -747,6 +747,48 @@ class KMeansSpec extends SparkSpec {
     assert(run(2) == run(7)) // exact: micro-unit decimal centroid sums
   }
 
+  test("assignToCentroids mirrors the fused iterate's argmin bit-for-bit") {
+    // pseudo-random (deterministic) vectors + centroids, including
+    // exact-tie constructions; the Catalyst literal-argmin projection
+    // and a replica of the iterate's JVM loop must agree on every
+    // (cluster, d2) — this IS the contract that lets the loop iterate
+    // imperatively while the returned assignment stays declarative
+    def rnd(seed: Long): Double = {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val dim = 7
+    val vecs = (0 until 60).map { i =>
+      if (i < 6) (i.toLong, Array.fill(dim)(0.5f)) // sits on tie cases
+      else (i.toLong,
+        Array.tabulate(dim)(d => rnd(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Double]] =
+      Seq(Seq.fill(dim)(0.5), Seq.fill(dim)(0.5)) ++ // exact duplicates
+        (2 until 5).map(c => Seq.tabulate(dim)(d => rnd(c * 97 + d)))
+    val got = graft.operators.Similarity
+      .assignToCentroids(vecs, "vec_id", "embedding", cents)
+      .select("id", "cluster", "d2")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, cl, d2) => id -> ((cl, d2)) }.toMap
+    val raw = vecs.as[(Long, Array[Float])].collect()
+    raw.foreach { case (id, vf) =>
+      val p = vf.map(_.toDouble)
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0d; var d = 0
+        while (d < dim) { val df = p(d) - cents(c)(d); s += df * df; d += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      assert(got(id) == ((best.toLong, bd)),
+        s"id=$id: expression ${got(id)} != loop ($best, $bd)")
+    }
+    // ties resolved to the SMALLEST centroid id on both paths
+    assert((0L until 6L).forall(got(_)._1 == 0L))
+  }
+
   test("kmeans audit: per-round inertia is monotone non-increasing") {
     val r = graft.operators.Similarity
       .kmeansWithAudit(blobs, "vec_id", "embedding", k = 3, maxIter = 10)

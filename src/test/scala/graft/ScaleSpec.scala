@@ -302,5 +302,9 @@ class ScaleSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect().head.getDouble(0)
     assert(r == 11.0)
+    val sq = s2.sql(
+      "SELECT graft_sqdist(array(1.0D, 2.0D), array(3.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(sq == 20.0)
   }
 }
