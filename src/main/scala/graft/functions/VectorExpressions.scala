@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * replaces, this generates a tight primitive loop inside whole-stage
   * codegen: no lambda-variable boxing, no intermediate product array,
   * one pass. Summation is in index order, so results are bit-identical
-  * to the fold (and to the DuckDB oracle's widened-double sum).
+  * to the fold (and to the DuckDB oracle's widened-double sum) —
+  * including on degenerate inputs: a length mismatch or a null element
+  * yields NULL, exactly as `zip_with`'s null-padding + null-propagating
+  * lambda did, so ragged or hole-y vectors stay loud instead of
+  * silently scoring a prefix.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -30,15 +34,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on dim mismatch / null element, even with non-null children
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -52,12 +61,20 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -72,7 +89,12 @@ case class DotProduct(left: Expression, right: Expression)
   * `nullSafeEval` when called from inside higher-order-function
   * lambdas), bit-identical to the
   * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` fold
-  * it replaces and to the fused Lloyd iterate's JVM while-loop.
+  * it replaces and to the fused Lloyd iterate's JVM while-loop on
+  * well-formed vectors — and NULL on a length mismatch or null
+  * element, exactly as the fold was. NULL d2 loses every argmin
+  * comparison, so the assignment folds in [[graft.operators.
+  * Similarity]] surface a degenerate vector as their `cluster = -1` /
+  * `code = -1` sentinel instead of silently scoring a prefix.
   */
 case class SqDist(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -87,15 +109,20 @@ case class SqDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on dim mismatch / null element, even with non-null children
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_sqdist"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
       i += 1
@@ -111,13 +138,21 @@ case class SqDist(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $d = $a.getDouble($i) - $b.getDouble($i);
+         |      $s += $d * $d;
+         |    }
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -134,23 +169,20 @@ case class SqDist(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
-      registry.createOrReplaceTempFunction("graft_dot",
-        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
-        "built-in")
-      registry.createOrReplaceTempFunction("graft_sqdist",
-        (exprs: Seq[Expression]) => SqDist(exprs.head, exprs(1)),
-        "built-in")
-      registry.createOrReplaceTempFunction("graft_simhash64",
-        (exprs: Seq[Expression]) => SimHash64(exprs.head),
-        "built-in")
-      registry.createOrReplaceTempFunction("graft_nfc",
-        (exprs: Seq[Expression]) => NfcNormalize(exprs.head),
-        "built-in")
-      // bands/rows arrive as foldable int literals — plan-time consts
-      registry.createOrReplaceTempFunction("graft_minhash_bands",
-        (exprs: Seq[Expression]) => MinHashBands.build(exprs),
-        "built-in")
-    }
+    // Guard each name individually (NOT one sentinel name for the whole
+    // block): a session that registered graft_dot under an older jar
+    // must still pick up functions added since. The guard also keeps
+    // the per-call path quiet — register() runs on every Column
+    // construction, and an unconditional createOrReplace would log a
+    // "replaced a previously registered function" WARN each time.
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("graft_dot")(exprs => DotProduct(exprs.head, exprs(1)))
+    ensure("graft_sqdist")(exprs => SqDist(exprs.head, exprs(1)))
+    ensure("graft_simhash64")(exprs => SimHash64(exprs.head))
+    ensure("graft_nfc")(exprs => NfcNormalize(exprs.head))
+    // bands/rows arrive as foldable int literals — plan-time consts
+    ensure("graft_minhash_bands")(exprs => MinHashBands.build(exprs))
   }
 }

@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * column: brute-force cosine top-k (exact baseline), kNN label vote,
   * and a random-hyperplane LSH bucketed ANN (the scale path).
   *
-  * All kernels are pure column expressions (`zip_with`/`aggregate`
-  * fold), so they stay inside whole-stage codegen; floats are widened to
-  * double BEFORE arithmetic so results are bit-stable and
-  * oracle-comparable.
+  * The hot kernels (`graft_dot`, `graft_sqdist`) are native Catalyst
+  * expressions with codegen; the remaining kernels are pure column
+  * expressions (`transform`/`aggregate` folds). Either way they stay
+  * inside whole-stage codegen; floats are widened to double BEFORE
+  * arithmetic so results are bit-stable and oracle-comparable. The one
+  * imperative exception is the fused Lloyd iterate in [[kmeans]] — an
+  * RDD `mapPartitions` + reduce pass per round whose arithmetic the
+  * `assignToCentroids` expression mirrors bit-for-bit (KMeansSpec pins
+  * the contract).
   *
   * Scale notes:
   *  - brute-force top-k broadcasts the (small) query set against the

@@ -306,5 +306,17 @@ class ScaleSpec extends SparkSpec {
       "SELECT graft_sqdist(array(1.0D, 2.0D), array(3.0D, 6.0D)) AS d")
       .collect().head.getDouble(0)
     assert(sq == 20.0)
+    // degenerate inputs stay loud: dim mismatch / null element → NULL,
+    // matching the aggregate(zip_with(...)) folds the kernels replaced
+    val degenerate = s2.sql(
+      """SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS a,
+        |       graft_sqdist(array(1.0D), array(1.0D, 2.0D)) AS b,
+        |       graft_dot(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                 array(1.0D, 2.0D)) AS c,
+        |       graft_sqdist(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                    array(1.0D, 2.0D)) AS d""".stripMargin)
+      .collect().head
+    assert((0 until 4).forall(degenerate.isNullAt),
+      s"expected all NULL, got $degenerate")
   }
 }
