@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language-model scoring — the KenLM-style
+  * "does this document read like the corpus" quality signal
+  * (CCNet-family pipelines filter on LM perplexity), reduced to the
+  * unigram order so the model is purely relational (a term-count
+  * table) and the score is oracle-exact.
+  *
+  * Model: p(term) = c(term) / T, counts over the scored corpus itself
+  * — every token is in-vocabulary by construction, so no smoothing
+  * term can silently change semantics between engines.
+  * Score: mean log-likelihood per document,
+  * `avg over token occurrences of ln p(token)` (higher = more typical;
+  * boilerplate-heavy and gibberish docs land in opposite tails).
+  *
+  * Shape (all relational, no driver state):
+  *  1. tf = count per (doc, term) — ONE corpus shuffle, map-combined;
+  *     persisted, since it feeds both the vocabulary aggregate and the
+  *     score join (the [[Keywords.tfidfTopK]] stance);
+  *  2. vocabulary c = sum(tf) per term — vocabulary-sized, orders of
+  *     magnitude smaller than the corpus (Heaps' law);
+  *  3. T = 1-row broadcast total (never a driver collect-and-literal);
+  *  4. per-term log-prob in INTEGER micro-units:
+  *     `lp = floor(ln(c/T)·1e4 + 0.5)` as BIGINT — one ln() per
+  *     vocabulary term, rounded once ([[graft.rnd]] floor form), so
+  *     step 5's per-doc sum is exact integer arithmetic and therefore
+  *     independent of partitioning and combine order (the same
+  *     micro-unit trick the k-means centroid sums use);
+  *  5. per-doc `sum(tf·lp)` + one double division at the end.
+  *
+  * The tf⋈lp join keys on `term`; both sides are post-aggregation
+  * (never the raw corpus), the lp side is exactly one row per term, so
+  * AQE can broadcast it at realistic vocabularies and split hot-term
+  * (stopword) partitions freely at 100 TB.
+  */
+object LanguageModel {
+
+  /** Per-document mean unigram log-likelihood. Output:
+    * (doc, n_tok, lp_micro, avg_logp) where `lp_micro` is the exact
+    * integer sum of 1e-4-unit token log-probs and
+    * `avg_logp = lp_micro / (n_tok · 1e4)`.
+    */
+  def unigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = vocab.agg(sum("c").as("t"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .withColumn("lp",
+        floor(log(col("c").cast("double") / col("t")) * 1e4 + 0.5)
+          .cast("long"))
+    tf.join(lp.select("term", "lp"), "term")
+      .groupBy(col("doc"))
+      .agg(sum("tf").cast("long").as("n_tok"),
+        sum(col("tf") * col("lp")).cast("long").as("lp_micro"))
+      .withColumn("avg_logp",
+        col("lp_micro").cast("double") / (col("n_tok") * lit(1e4)))
+  }
+}

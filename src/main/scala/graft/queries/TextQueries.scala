@@ -234,6 +234,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_lm_score" -> ((s, d) => {
+      // Corpus-trained unigram LM mean log-likelihood per doc — the
+      // KenLM-style quality signal in relational form. Integer
+      // micro-unit log-probs keep per-doc sums exact (partitioning-
+      // independent); one ln() per vocabulary term, never per token.
+      graft.operators.LanguageModel
+        .unigramScore(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")))
+        .select(col("doc").as("doc_id"), col("n_tok"), col("lp_micro"),
+          col("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // Benchmark decontamination: doc_id % 97 == 0 plays the role of
       // the held-out eval suite; every other doc is scored by the
@@ -610,6 +623,26 @@ object TextQueries {
         |      / CAST(len(g3) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
         |    AS dup_3gram
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+        |lp AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST(c AS DOUBLE) / t) * 10000.0 + 0.5) AS BIGINT)
+        |      AS lp
+        |  FROM v, tot)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(tf.tf * lp.lp) AS BIGINT) AS lp_micro,
+        |  CAST(sum(tf.tf * lp.lp) AS BIGINT)
+        |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
+        |FROM tf JOIN lp USING (term)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH sh AS (

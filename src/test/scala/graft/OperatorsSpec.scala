@@ -34,6 +34,24 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(r == Seq(1.0, 0.0))
   }
+
+  test("unigram LM score: hand-computed micro-unit log-probs") {
+    // corpus: a:2 b:2 c:1, T=5
+    //   lp(a) = lp(b) = floor(ln(2/5)*1e4 + 0.5) = -9163
+    //   lp(c) =         floor(ln(1/5)*1e4 + 0.5) = -16094
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = graft.operators.LanguageModel
+      .unigramScore(docs, "doc_id", TA.tokens(col("text")))
+      .select("doc", "n_tok", "lp_micro", "avg_logp")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(math.floor(math.log(0.4) * 1e4 + 0.5).toLong == -9163L)
+    assert(math.floor(math.log(0.2) * 1e4 + 0.5).toLong == -16094L)
+    assert(r == Seq(
+      (1L, 3L, -27489L, -27489.0 / 30000.0),
+      (2L, 2L, -25257L, -25257.0 / 20000.0)))
+    // typicality ordering: the doc made of common tokens scores higher
+    assert(r(0)._4 > r(1)._4)
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -166,6 +166,23 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("unigram LM score: cached tf feeds vocab and scoring; total broadcasts") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} the a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel.unigramScore(
+      docs, "doc_id", split(lower(col("text")), " "))
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus is tokenized+aggregated exactly once (persisted tf);
+    // the 1-row total and the vocabulary-sized lp table broadcast —
+    // nothing corpus-sized shuffles after the tf aggregate
+    assert(plan.contains("InMemoryTableScan"),
+      s"tf index must be cached, not recomputed per consumer:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row total / vocab lp side should broadcast at this size:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("kmeans assignment is map-only; iterate pass shuffles nothing") {
     val vecs = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(4)(j => (i % 3 + j).toFloat)))
