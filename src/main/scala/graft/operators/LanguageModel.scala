@@ -60,4 +60,46 @@ object LanguageModel {
       .withColumn("avg_logp",
         col("lp_micro").cast("double") / (col("n_tok") * lit(1e4)))
   }
+
+  /** Per-document mean bigram conditional log-likelihood —
+    * `avg over transitions of ln p(cur | prev)` with
+    * `p(cur | prev) = c2(prev cur) / Σ_cur c2(prev cur)`.
+    *
+    * The second-order typicality signal: a bag of perfectly common
+    * tokens in a nonsense ORDER scores high under the unigram model
+    * but low here. MLE denominators are derived from the bigram table
+    * itself (contexts = occurrences of `prev` followed by anything),
+    * so probabilities per context sum to exactly 1 and both engines
+    * agree without any end-of-document convention.
+    *
+    * Same scale shape as [[unigramScore]]: one persisted (doc, bigram)
+    * count table off one corpus scan; the context aggregate and both
+    * joins touch only vocabulary-sized post-aggregation tables;
+    * log-probs in integer micro-units so per-doc sums are exact.
+    * Documents with fewer than two tokens have no transitions and are
+    * absent from the output (inner-join semantics, documented).
+    *
+    * Output: (doc, n_big, lp_micro, avg_logp).
+    */
+  def bigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.bigrams(toks)).as("bg"))
+    val tf2 = pairs.groupBy("doc", "bg").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = tf2.groupBy("bg").agg(sum("tf").as("c2"))
+    // tokens cannot contain the delimiter (they come from split on
+    // it), so the context is recoverable from the bigram string
+    val ctx = c2.groupBy(split(col("bg"), " ").getItem(0).as("prev"))
+      .agg(sum("c2").as("c1"))
+    val lp = c2.join(ctx, split(col("bg"), " ").getItem(0) === col("prev"))
+      .withColumn("lp",
+        floor(log(col("c2").cast("double") / col("c1")) * 1e4 + 0.5)
+          .cast("long"))
+    tf2.join(lp.select("bg", "lp"), "bg")
+      .groupBy(col("doc"))
+      .agg(sum("tf").cast("long").as("n_big"),
+        sum(col("tf") * col("lp")).cast("long").as("lp_micro"))
+      .withColumn("avg_logp",
+        col("lp_micro").cast("double") / (col("n_big") * lit(1e4)))
+  }
 }

@@ -247,6 +247,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_lm_bigram" -> ((s, d) => {
+      // Bigram conditional log-likelihood — the order-sensitive twin
+      // of q_text_lm_score: common tokens in a nonsense order score
+      // high there but low here. Docs with < 2 tokens have no
+      // transitions and are absent (documented inner-join semantics).
+      graft.operators.LanguageModel
+        .bigramScore(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")))
+        .select(col("doc").as("doc_id"), col("n_big"), col("lp_micro"),
+          col("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // Benchmark decontamination: doc_id % 97 == 0 plays the role of
       // the held-out eval suite; every other doc is scored by the
@@ -642,6 +655,34 @@ object TextQueries {
         |  CAST(sum(tf.tf * lp.lp) AS BIGINT)
         |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
         |FROM tf JOIN lp USING (term)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |ctx AS (
+        |  SELECT string_split(bg, ' ')[1] AS prev,
+        |    CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1),
+        |lp AS (
+        |  SELECT bg,
+        |    CAST(floor(ln(CAST(c2 AS DOUBLE) / c1) * 10000.0 + 0.5) AS BIGINT)
+        |      AS lp
+        |  FROM c2 JOIN ctx ON string_split(bg, ' ')[1] = ctx.prev)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_big,
+        |  CAST(sum(tf.tf * lp.lp) AS BIGINT) AS lp_micro,
+        |  CAST(sum(tf.tf * lp.lp) AS BIGINT)
+        |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
+        |FROM tf JOIN lp USING (bg)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->

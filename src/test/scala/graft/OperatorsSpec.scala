@@ -52,6 +52,28 @@ class TextAnalysisSpec extends SparkSpec {
     // typicality ordering: the doc made of common tokens scores higher
     assert(r(0)._4 > r(1)._4)
   }
+
+  test("bigram LM score: hand-computed conditional log-probs") {
+    // bigrams: doc1 "a b a b" → ab, ba, ab;  doc2 "a a b" → aa, ab
+    // c2: ab=3 ba=1 aa=1; contexts: a→4, b→1
+    //   lp(ab) = floor(ln(3/4)·1e4 + 0.5) = -2877
+    //   lp(ba) = floor(ln(1/1)·1e4 + 0.5) =  0
+    //   lp(aa) = floor(ln(1/4)·1e4 + 0.5) = -13863
+    val docs = Seq((1L, "a b a b"), (2L, "a a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.LanguageModel
+      .bigramScore(docs, "doc_id", TA.tokens(col("text")))
+      .select("doc", "n_big", "lp_micro", "avg_logp")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 3L, -5754L, -5754.0 / 30000.0),
+      (2L, 2L, -16740L, -16740.0 / 20000.0)))
+    // doc3 has no transitions → absent, not scored as zero
+    assert(!r.exists(_._1 == 3L))
+    // order sensitivity: "a a b" uses the rare a→a transition and
+    // scores below the common-transition doc
+    assert(r(0)._4 > r(1)._4)
+  }
 }
 
 class DedupSpec extends SparkSpec {
