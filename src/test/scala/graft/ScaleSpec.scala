@@ -166,6 +166,20 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bigram LM score: cached tf2 feeds context and scoring joins") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} the a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel.bigramScore(
+      docs, "doc_id", split(lower(col("text")), " "))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"tf2 index must be cached, not recomputed per consumer:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"context/lp sides should broadcast at this size:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("unigram LM score: cached tf feeds vocab and scoring; total broadcasts") {
     val docs = (0L until 200L)
       .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} the a"))
