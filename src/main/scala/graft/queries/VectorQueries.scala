@@ -172,6 +172,18 @@ object VectorQueries {
           array_max(col("q")).as("q_max"),
           element_at(col("q"), 1).as("q_first"))
         .orderBy("vec_id")
+    }),
+
+    "q_embed_outliers" -> ((s, d) => {
+      // Per-label centroid outliers (D4-style prune signal): the 10
+      // farthest vectors from their own group's centroid, distances
+      // in exact micro² integer units.
+      graft.operators.EmbeddingStats
+        .centroidOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", k = 10)
+        .select(col("grp").cast("long").as("label"), col("rank"),
+          col("id").as("vec_id"), col("dist2_micro"))
+        .orderBy("label", "rank")
     })
   )
 
@@ -256,6 +268,32 @@ object VectorQueries {
         |  FROM m JOIN n ON n.vec_id = m.vec_id)
         |SELECT vec_id, CAST(sum(qi) AS BIGINT) AS q_sum, min(qi) AS q_min, max(qi) AS q_max,
         |  max(CASE WHEN i = 1 THEN qi END) AS q_first
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_embed_outliers" ->
+      // Micro-unit quantized vectors and midpoint-rounded centroids:
+      // every sum is exact BIGINT, the single s/n division is one
+      // correctly-rounded IEEE op (see EmbeddingStats Scaladoc).
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |m AS (
+        |  SELECT e.vec_id, e.label, d.i,
+        |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM embeddings e, dims d),
+        |c AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(sum(mi) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+        |  FROM m GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT m.vec_id, m.label,
+        |    CAST(sum((m.mi - c.c) * (m.mi - c.c)) AS BIGINT) AS dist2_micro
+        |  FROM m JOIN c ON c.label = m.label AND c.i = m.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(rank AS BIGINT) AS rank,
+        |  vec_id, dist2_micro
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY dist2_micro DESC, vec_id ASC) AS rank
+        |  FROM dist) r
+        |WHERE rank <= 10 ORDER BY label, rank""".stripMargin
   )
 }

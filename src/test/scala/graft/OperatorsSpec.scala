@@ -604,6 +604,32 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class EmbeddingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroid outliers: micro-unit distances, ties by id, per group") {
+    // group 0 micro-vectors: (0,0) (1e6,0) (5e5,1e6)
+    //   centroid = (5e5, floor(1e6/3 + .5)=333333)
+    //   d²(v0) = 5e5² + 333333² = 361_110_888_889  (tie with v1 → id)
+    //   d²(v2) = 666667²        = 444_444_888_889  (farthest)
+    val vecs = Seq(
+      (0L, 0, Array(0.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.5f, 1.0f)),
+      (3L, 1, Array(0.25f, 0.25f)),
+      (4L, 1, Array(0.25f, 0.25f))).toDF("vec_id", "label", "embedding")
+    val r = graft.operators.EmbeddingStats
+      .centroidOutliers(vecs, "vec_id", "embedding", "label", k = 2)
+      .select("grp", "rank", "id", "dist2_micro")
+      .as[(Int, Long, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      (0, 1L, 2L, 444444888889L),
+      (0, 2L, 0L, 361110888889L),
+      (1, 1L, 3L, 0L),   // identical vectors: distance exactly 0,
+      (1, 2L, 4L, 0L)))  // ranked by id
+  }
+}
+
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
