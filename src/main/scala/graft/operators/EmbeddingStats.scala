@@ -40,15 +40,17 @@ object EmbeddingStats {
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
                        grpCol: String, k: Int): DataFrame = {
     val m = vecs.select(col(idCol).as("id"), col(grpCol).as("grp"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("mv"))
+      transform(col(vecCol), Similarity.microQuantize(_)).as("mv"))
     val sums = m.select(col("grp"),
         posexplode(col("mv")).as(Seq("pos", "val")))
       .groupBy("grp", "pos")
       .agg(sum("val").as("s"), count(lit(1)).as("n"))
-    // midpoint-rounded centroid component: s/n stays well inside the
-    // 2^53 double-exact range (micro-units · corpus rows), so the one
-    // division is bit-identical across engines
+    // midpoint-rounded centroid component. The cross-engine bit-
+    // identity argument needs |s| < 2^53 so the long→double cast is
+    // exact: with ~1e6-unit components that bounds rows-per-group at
+    // ~9e9 — enough for any per-label/per-cluster grouping, but a
+    // SINGLE group over a 100B-row corpus would need the division
+    // moved to exact integer arithmetic first
     val cents = sums
       .withColumn("c",
         floor(col("s").cast("double") / col("n") + 0.5).cast("long"))

@@ -32,6 +32,17 @@ object Similarity {
   /** Cast a float vector column to double elements. */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
+  /** THE micro-unit (1e-6) quantization form — every exactness-critical
+    * integer path quantizes through this one expression ([[quantizeInt8]],
+    * [[EmbeddingStats.centroidOutliers]]), and the fused Lloyd iterate's
+    * JVM loop mirrors it as `math.floor(x * 1000000.0d + 0.5d).toLong`.
+    * Keep the three in lockstep: a rounding-convention change applied to
+    * one copy but not the others silently breaks the cross-operator
+    * claim that all micro-unit paths quantize identically.
+    */
+  def microQuantize(x: Column): Column =
+    floor(x.cast("double") * 1000000.0d + 0.5d).cast("long")
+
   /** Dot product of two double-array columns via the native codegen
     * expression (graft.functions.DotProduct). Index-order summation —
     * bit-identical to the `aggregate(zip_with(...))` fold it replaced. */
@@ -85,7 +96,7 @@ object Similarity {
     * (sum of 64 squared micro-unit longs stays far below 2^63).
     */
   def quantizeInt8(v: Column): Column = {
-    val micro = transform(v, x => floor(x * 1000000.0d + 0.5d).cast("long"))
+    val micro = transform(v, microQuantize(_))
     val nrmMicro =
       sqrt(aggregate(micro, lit(0L), (acc, m) => acc + m * m).cast("double"))
     when(nrmMicro === 0.0d,

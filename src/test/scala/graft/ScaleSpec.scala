@@ -166,6 +166,22 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("centroid outliers: broadcast centroids, bounded per-group top-k") {
+    val vecs = (0L until 256L).map(i =>
+      (i, (i % 5).toInt, Array.tabulate(8)(j => (i % 7 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.EmbeddingStats
+      .centroidOutliers(vecs, "vec_id", "embedding", "label", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the documented scale contract: centroids arrive broadcast (no
+    // shuffled join of the corpus against groups·dim rows) and the
+    // per-group top-k is rank-bounded BEFORE the window sort
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid arrays must broadcast onto the corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group top-k must ride WindowGroupLimit, not a full sort:\n$plan")
+  }
+
   test("bigram LM score: cached tf2 feeds context and scoring joins") {
     val docs = (0L until 200L)
       .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} the a"))
