@@ -39,6 +39,46 @@ object Dedup {
   def tokenIndex(docs: DataFrame, idCol: String, toks: Column): DataFrame =
     docs.select(col(idCol).as("doc"), explode(array_distinct(toks)).as("token"))
 
+  /** Cross-source duplicate matrix: for every source pair
+    * (src_a <= src_b), the number of duplicate DOC PAIRS spanning them
+    * (within-source pairs = C(n,2), cross-source = n_a·n_b per shared
+    * digest) and the number of shared digests. The provenance view of
+    * dedup — "which sources copy from each other" drives source
+    * weighting and crawl dedup order in a curation pipeline. `digest`
+    * chooses the identity notion: [[exactDigest]] for byte-identical
+    * dups, [[TextAnalysis.contentFingerprint]] for token-set
+    * permutation dups, a simhash band for near-dups.
+    *
+    * Shape: one corpus shuffle to (digest, source) counts, then a
+    * self-join of that sublinear table keyed on digest — each side has
+    * at most |sources| rows per digest, so the join fan-out is bounded
+    * by |sources|² per digest regardless of how large a dup group is
+    * (the count arithmetic, not row explosion, carries group size).
+    * Pair counts stay in exact long arithmetic (`div 2`, never a
+    * double division).
+    */
+  def crossSourceMatrix(docs: DataFrame, idCol: String, digest: Column,
+                        srcCol: String): DataFrame = {
+    val g = docs.groupBy(digest.as("digest"),
+        col(srcCol).as("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = g.select(col("digest"), col("source").as("src_a"),
+      col("cnt").as("cnt_a"))
+    val b = g.select(col("digest"), col("source").as("src_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, Seq("digest"))
+      .filter(col("src_a") <= col("src_b"))
+      .withColumn("pairs", expr(
+        "CASE WHEN src_a = src_b THEN cnt_a * (cnt_a - 1) div 2 " +
+          "ELSE cnt_a * cnt_b END"))
+      .groupBy("src_a", "src_b")
+      .agg(sum("pairs").cast("long").as("dup_pairs"),
+        sum(when(col("pairs") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_digests"))
+      .filter(col("dup_pairs") > 0)
+  }
+
   /** Banded self-join on an id-gap predicate: pairs (a, b) with
     * a.id < b.id and b.id - a.id <= gap, computed as an EQUI-join on
     * block = id / gap (b-side emitted into its own and the previous

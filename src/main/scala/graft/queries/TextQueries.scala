@@ -234,6 +234,50 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_matrix" -> ((s, d) => {
+      // Cross-source duplication provenance: duplicate doc pairs and
+      // shared digests per source pair — which sources copy from whom.
+      // Keyed on the order-insensitive content fingerprint (the test
+      // corpus has permutation dups at every SF; byte-identical dups
+      // only appear at sf0.1+, which would leave the sf0.01 oracle
+      // check vacuous).
+      Dedup.crossSourceMatrix(t(s, d, "documents"), "doc_id",
+          TA.contentFingerprint(TA.tokens(col("text"))), "source")
+        .orderBy("src_a", "src_b")
+    }),
+
+    "q_corpus_stats" -> ((s, d) => {
+      // Per-(source, lang) data card: volume, length, exact-dup rate,
+      // mean heuristic quality. Every aggregate is an exact integer
+      // sum (quality pre-rounded to 1e-4 units per doc); the derived
+      // ratios are single IEEE divisions on exact operands, so the
+      // card reproduces bit-identically on any engine/partitioning.
+      val toks = TA.tokens(col("text"))
+      val q4 = floor((TA.stopwordRatio(toks, stopwords) * 0.5 +
+        least(size(toks), lit(100)).cast("double") / 100.0 * 0.5) *
+        1e4 + 0.5).cast("long")
+      val base = t(s, d, "documents").select(
+        col("source"), col("lang"),
+        size(toks).cast("long").as("ntok"),
+        col("n_chars"),
+        Dedup.exactDigest(col("text")).as("digest"),
+        q4.as("q4"))
+      base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("n_tok"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("digest").as("n_uniq"),
+          sum("q4").as("q4_sum"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tok"),
+          (col("n_tok").cast("double") / col("n_docs")).as("avg_tok"),
+          col("sum_chars"), col("n_uniq"),
+          ((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"))
+            .as("dup_ratio"),
+          (col("q4_sum").cast("double") / (col("n_docs") * lit(1e4)))
+            .as("avg_q"))
+        .orderBy("source", "lang")
+    }),
+
     "q_text_lm_score" -> ((s, d) => {
       // Corpus-trained unigram LM mean log-likelihood per doc — the
       // KenLM-style quality signal in relational form. Integer
@@ -636,6 +680,50 @@ object TextQueries {
         |      / CAST(len(g3) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
         |    AS dup_3gram
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_matrix" ->
+      """WITH g AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS digest,
+        |    source, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1) // 2
+        |         ELSE a.cnt * b.cnt END AS pairs
+        |  FROM g a JOIN g b ON a.digest = b.digest AND a.source <= b.source)
+        |SELECT src_a, src_b,
+        |  CAST(sum(pairs) AS BIGINT) AS dup_pairs,
+        |  CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_digests
+        |FROM p GROUP BY 1, 2
+        |HAVING CAST(sum(pairs) AS BIGINT) > 0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH q AS (
+        |  SELECT source, lang, n_chars,
+        |    string_split(lower(text), ' ') AS t,
+        |    md5(lower(trim(text))) AS digest
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, lang, n_chars, len(t) AS ntok, digest,
+        |    CAST(floor((CAST(len(list_filter(t,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(t), 1) AS DOUBLE) * 0.5
+        |      + CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.5)
+        |      * 10000.0 + 0.5) AS BIGINT) AS q4
+        |  FROM q)
+        |SELECT source, lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tok,
+        |  CAST(sum(ntok) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_tok,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT digest) AS n_uniq,
+        |  (count(*) - count(DISTINCT digest)) / CAST(count(*) AS DOUBLE)
+        |    AS dup_ratio,
+        |  CAST(sum(q4) AS BIGINT) / (count(*) * 10000.0) AS avg_q
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_lm_score" ->
       """WITH t AS (

@@ -604,6 +604,31 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class DedupMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-source matrix: pair counts per source pair, zeros dropped") {
+    // digest(x): A=2, B=1 → AA C(2,2)=1, AB 2·1=2
+    // digest(y): B=2      → BB 1
+    // digest(z): A=1      → contributes nothing (no pair)
+    val docs = Seq(
+      (1L, "x", "srcA"), (2L, "x", "srcA"), (3L, "x", "srcB"),
+      (4L, "y", "srcB"), (5L, "y", "srcB"),
+      (6L, "z", "srcA")).toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup
+      .crossSourceMatrix(docs, "doc_id",
+        graft.operators.Dedup.exactDigest(col("text")), "source")
+      .select("src_a", "src_b", "dup_pairs", "n_digests")
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      ("srcA", "srcA", 1L, 1L),
+      ("srcA", "srcB", 2L, 1L),
+      ("srcB", "srcB", 1L, 1L)))
+    spark.catalog.clearCache()
+  }
+}
+
 class EmbeddingStatsSpec extends SparkSpec {
   import spark.implicits._
 
