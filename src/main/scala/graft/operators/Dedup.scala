@@ -62,7 +62,7 @@ object Dedup {
     val g = docs.groupBy(digest.as("digest"),
         col(srcCol).as("source"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = g.select(col("digest"), col("source").as("src_a"),
       col("cnt").as("cnt_a"))
     val b = g.select(col("digest"), col("source").as("src_b"),

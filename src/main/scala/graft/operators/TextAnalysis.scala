@@ -59,13 +59,27 @@ object TextAnalysis {
     size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Simple quality score in [0,1]: mix of stopword presence and length
-    * saturation — the standard "heuristic quality filter" shape. */
-  def qualityScore(text: Column, toks: Column,
-                   stopwords: Seq[String]): Column = {
+  /** Quality score in integer 1e-4 units — THE single definition of
+    * the heuristic (0.5·stopword-ratio + 0.5·length-saturation at 100
+    * tokens, midpoint-rounded at 4dp). [[qualityScore]] and the
+    * corpus data card's exact quality sums both derive from this one
+    * expression; tuning weights or saturation here keeps every
+    * consumer in lockstep (the microQuantize stance).
+    */
+  def qualityScoreQ4(toks: Column, stopwords: Seq[String]): Column = {
     val lenSat = least(size(toks), lit(100)).cast("double") / 100.0
-    graft.rnd(stopwordRatio(toks, stopwords) * 0.5 + lenSat * 0.5, 4)
+    floor((stopwordRatio(toks, stopwords) * 0.5 + lenSat * 0.5) *
+      10000.0d + 0.5d).cast("long")
   }
+
+  /** Simple quality score in [0,1]: mix of stopword presence and length
+    * saturation — the standard "heuristic quality filter" shape.
+    * Exactly `qualityScoreQ4 / 1e4` (bit-identical to the historical
+    * `graft.rnd(..., 4)` form — the long round-trip is exact far below
+    * 2^53). */
+  def qualityScore(text: Column, toks: Column,
+                   stopwords: Seq[String]): Column =
+    qualityScoreQ4(toks, stopwords).cast("double") / 10000.0d
 
   /** Redaction pass for training-data hygiene: mask digit runs and
     * email-shaped spans (pure codegen'd regexps, no UDF). Real

@@ -253,9 +253,7 @@ object TextQueries {
       // ratios are single IEEE divisions on exact operands, so the
       // card reproduces bit-identically on any engine/partitioning.
       val toks = TA.tokens(col("text"))
-      val q4 = floor((TA.stopwordRatio(toks, stopwords) * 0.5 +
-        least(size(toks), lit(100)).cast("double") / 100.0 * 0.5) *
-        1e4 + 0.5).cast("long")
+      val q4 = TA.qualityScoreQ4(toks, stopwords)
       val base = t(s, d, "documents").select(
         col("source"), col("lang"),
         size(toks).cast("long").as("ntok"),
