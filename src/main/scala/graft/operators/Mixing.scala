@@ -57,17 +57,81 @@ object Mixing {
     val fracCol = parts.foldLeft(lit(dFrac)) { case (acc, (k, (_, f))) =>
       when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
-    df.withColumn("graft_copies", copiesCol)
-      .withColumn("graft_frac", fracCol)
-      // sequence is inclusive: indices 0..copies; index `copies` is the
-      // fractional copy, kept only when the salted bucket clears frac.
-      // The generator must be the TOP-level expression of its projection
-      // (no cast around it) or the analyzer rejects the plan; widen to
-      // long in a separate projection after.
-      .withColumn(copyName, explode(sequence(lit(0), col("graft_copies"))))
+    replicateByParts(
+      df.withColumn("graft_copies", copiesCol)
+        .withColumn("graft_frac", fracCol),
+      idCol, copyName, ":mix")
+  }
+
+  /** Replication tail shared by the mixing operators: expects
+    * `graft_copies` / `graft_frac` (out of 256) columns, emits one row
+    * per kept (row, copy) with the copy index explicit. Map-only.
+    */
+  private def replicateByParts(df: DataFrame, idCol: String,
+                               copyName: String, salt: String): DataFrame =
+    // sequence is inclusive: indices 0..copies; index `copies` is the
+    // fractional copy, kept only when the salted bucket clears frac.
+    // The generator must be the TOP-level expression of its projection
+    // (no cast around it) or the analyzer rejects the plan; widen to
+    // long in a separate projection after.
+    df.withColumn(copyName, explode(sequence(lit(0), col("graft_copies"))))
       .withColumn(copyName, col(copyName).cast("long"))
       .filter(col(copyName) < col("graft_copies") ||
-        saltedBucket256(col(idCol), ":mix") < col("graft_frac"))
+        saltedBucket256(col(idCol), salt) < col("graft_frac"))
       .drop("graft_copies", "graft_frac")
+
+  /** Per-stratum epochs (in 1/256 units) for temperature-based
+    * rebalancing at α = 1/2 (sampling temperature τ = 2, the common
+    * multilingual/multi-source LM training setting): sampling
+    * probability q_s ∝ sqrt(p_s), epochs e_s = q_s·N/n_s — rare strata
+    * are upsampled, dominant strata downsampled, expected output size
+    * ≈ N.
+    *
+    * Exactness: each stratum's term `floor(sqrt(n_s/N)·1e6 + 0.5)` is
+    * one correctly-rounded IEEE chain on exact integer operands
+    * (sqrt IS correctly rounded, unlike pow — which is why the
+    * exponent is fixed at 1/2 rather than a free τ), the terms sum as
+    * integers, and e256 is one exact long division — so the whole
+    * weight table reproduces bit-identically on any engine. Long
+    * bounds: needs term·256·N < 2^63 (N < ~3.6e10 rows — a 100 TB
+    * corpus at ~3 KB/doc) and S_µ·max(n_s) < 2^63 (|strata|·1e6·N);
+    * beyond that the division moves to decimal.
+    *
+    * Fully declarative: stratum counts → 1-row term sum, both
+    * broadcast; no driver collect.
+    */
+  def temperatureE256(df: DataFrame, strataCol: String,
+                      maxEpochs: Int = 16): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"maxEpochs out of range [1,16]: $maxEpochs")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum("n_s").as("n_tot"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("term",
+        floor(sqrt(col("n_s").cast("double") / col("n_tot")) * 1e6 + 0.5)
+          .cast("long"))
+    val s = terms.agg(sum("term").as("s_micro"))
+    terms.crossJoin(broadcast(s))
+      .withColumn("e256",
+        least(expr("term * 256 * n_tot div (s_micro * n_s)"),
+          lit(maxEpochs * 256L)))
+      .select(col(strataCol), col("e256"))
+  }
+
+  /** Temperature-rebalanced corpus mix (α = 1/2): [[temperatureE256]]
+    * epochs applied through the same deterministic replication as
+    * [[mixWeighted]], salted ":mixT" so membership is independent of
+    * both the weighted mix and the train/val/test split buckets.
+    */
+  def mixTemperature(df: DataFrame, idCol: String, strataCol: String,
+                     maxEpochs: Int = 16,
+                     copyName: String = "copy"): DataFrame = {
+    val w = temperatureE256(df, strataCol, maxEpochs)
+    replicateByParts(
+      df.join(broadcast(w), strataCol)
+        .withColumn("graft_copies", expr("e256 div 256").cast("int"))
+        .withColumn("graft_frac", expr("e256 % 256").cast("int"))
+        .drop("e256"),
+      idCol, copyName, ":mixT")
   }
 }

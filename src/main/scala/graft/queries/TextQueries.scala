@@ -234,6 +234,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_mix_temperature" -> ((s, d) => {
+      // Temperature rebalancing at τ=2 over `lang` (en is ~2.2× the
+      // next language in the test corpus): q_s ∝ sqrt(p_s) epochs —
+      // dominant strata downsampled, rare ones upsampled, expected
+      // output ≈ corpus size. Weights are derived from the data
+      // declaratively (no driver state), integer-exact end-to-end.
+      graft.operators.Mixing.mixTemperature(
+          t(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", maxEpochs = 16)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q_dedup_matrix" -> ((s, d) => {
       // Cross-source duplication provenance: duplicate doc pairs and
       // shared digests per source pair — which sources copy from whom.
@@ -678,6 +691,38 @@ object TextQueries {
         |      / CAST(len(g3) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END
         |    AS dup_3gram
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      // mirrors Mixing.temperatureE256: per-stratum sqrt term rounded
+      // to integer micro-units BEFORE the sum, one exact integer
+      // division to e256; then the ":mixT"-salted nibble bucket
+      // replication exactly as the q_mix_weighted oracle
+      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM n),
+        |t AS (
+        |  SELECT lang, n_s,
+        |    CAST(floor(sqrt(CAST(n_s AS DOUBLE) / n_tot) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS term
+        |  FROM n, tot),
+        |s AS (SELECT CAST(sum(term) AS BIGINT) AS s_micro FROM t),
+        |w AS (
+        |  SELECT lang,
+        |    least((term * 256 * n_tot) // (s_micro * n_s), 4096) AS e256
+        |  FROM t, s, tot),
+        |d AS (
+        |  SELECT doc_id, docs.lang, e256 // 256 AS copies, e256 % 256 AS frac,
+        |    (strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':mixT'), 1, 1)) - 1) * 16 +
+        |    strpos('0123456789abcdef',
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':mixT'), 2, 1)) - 1 AS bucket
+        |  FROM documents docs JOIN w ON docs.lang = w.lang),
+        |e AS (
+        |  SELECT d.*, c.i AS copy
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS i) c
+        |  WHERE c.i <= copies)
+        |SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy
+        |FROM e WHERE copy < copies OR bucket < frac
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q_dedup_matrix" ->
       """WITH g AS (

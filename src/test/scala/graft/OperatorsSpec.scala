@@ -322,6 +322,33 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Mixing.weightParts(0.25) == ((0, 64)))
   }
 
+  test("temperature mix: exact e256 weights, replication invariants") {
+    // strata: A 8 docs, B 2 docs, N=10
+    //   term_A = floor(sqrt(.8)·1e6+.5) = 894427
+    //   term_B = floor(sqrt(.2)·1e6+.5) = 447214, S = 1341641
+    //   e256_A = 894427·256·10 div (S·8) = 213  (0.83× downsample)
+    //   e256_B = 447214·256·10 div (S·2) = 426  (1.66× upsample)
+    val df = (0 until 10)
+      .map(i => (i.toLong, if (i < 8) "A" else "B")).toDF("id", "grp")
+    val w = graft.operators.Mixing.temperatureE256(df, "grp")
+      .as[(String, Long)].collect().toMap
+    assert(w == Map("A" -> 213L, "B" -> 426L))
+    val out = graft.operators.Mixing
+      .mixTemperature(df, "id", "grp")
+      .select("id", "grp", "copy").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(out == graft.operators.Mixing.mixTemperature(df, "id", "grp")
+      .select("id", "grp", "copy").as[(Long, String, Long)]
+      .collect().toSeq) // bit-deterministic
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // A rows (copies=0, frac=213): 0 or 1 copies each; B rows
+    // (copies=1, frac=170): 1 or 2 copies, always including copy 0
+    byId.foreach { case (id, cs) =>
+      if (id < 8) assert(cs.isEmpty || cs == Seq(0L))
+      else assert(cs == Seq(0L) || cs == Seq(0L, 1L))
+    }
+  }
+
   test("tfidf top-k: counts exact, ranking rare-term-first, k bound") {
     val docs = Seq(
       (1L, "apple banana apple"),
