@@ -85,7 +85,9 @@ object Mixing {
     * multilingual/multi-source LM training setting): sampling
     * probability q_s ∝ sqrt(p_s), epochs e_s = q_s·N/n_s — rare strata
     * are upsampled, dominant strata downsampled, expected output size
-    * ≈ N.
+    * ≈ N. A NULL stratum is a stratum like any other (groupBy keeps
+    * it; [[mixTemperature]] joins null-safely), so no row is silently
+    * dropped and n_tot always covers the whole corpus.
     *
     * Exactness: each stratum's term `floor(sqrt(n_s/N)·1e6 + 0.5)` is
     * one correctly-rounded IEEE chain on exact integer operands
@@ -97,21 +99,24 @@ object Mixing {
     * corpus at ~3 KB/doc) and S_µ·max(n_s) < 2^63 (|strata|·1e6·N);
     * beyond that the division moves to decimal.
     *
-    * Fully declarative: stratum counts → 1-row term sum, both
-    * broadcast; no driver collect.
+    * Plan shape: ONE corpus aggregation (map-combined groupBy); the
+    * corpus-total and term-sum folds run as unpartitioned windows over
+    * the STRATA-SIZED count table — the repo's established
+    * one-row-per-bucket exception, bounded by |strata| — so the corpus
+    * is never re-scanned for a total. No driver collect.
     */
   def temperatureE256(df: DataFrame, strataCol: String,
                       maxEpochs: Int = 16): DataFrame = {
     require(maxEpochs >= 1 && maxEpochs <= 16,
       s"maxEpochs out of range [1,16]: $maxEpochs")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
-    val tot = counts.agg(sum("n_s").as("n_tot"))
-    val terms = counts.crossJoin(broadcast(tot))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("n_tot", sum("n_s").over(wAll))
       .withColumn("term",
         floor(sqrt(col("n_s").cast("double") / col("n_tot")) * 1e6 + 0.5)
           .cast("long"))
-    val s = terms.agg(sum("term").as("s_micro"))
-    terms.crossJoin(broadcast(s))
+      .withColumn("s_micro", sum("term").over(wAll))
       .withColumn("e256",
         least(expr("term * 256 * n_tot div (s_micro * n_s)"),
           lit(maxEpochs * 256L)))
@@ -121,17 +126,20 @@ object Mixing {
   /** Temperature-rebalanced corpus mix (α = 1/2): [[temperatureE256]]
     * epochs applied through the same deterministic replication as
     * [[mixWeighted]], salted ":mixT" so membership is independent of
-    * both the weighted mix and the train/val/test split buckets.
+    * both the weighted mix and the train/val/test split buckets. The
+    * weight join is NULL-SAFE on the stratum, so null-stratum rows mix
+    * at their own stratum's weight instead of vanishing.
     */
   def mixTemperature(df: DataFrame, idCol: String, strataCol: String,
                      maxEpochs: Int = 16,
                      copyName: String = "copy"): DataFrame = {
     val w = temperatureE256(df, strataCol, maxEpochs)
+      .withColumnRenamed(strataCol, "graft_strata")
     replicateByParts(
-      df.join(broadcast(w), strataCol)
+      df.join(broadcast(w), col(strataCol) <=> col("graft_strata"))
         .withColumn("graft_copies", expr("e256 div 256").cast("int"))
         .withColumn("graft_frac", expr("e256 % 256").cast("int"))
-        .drop("e256"),
+        .drop("e256", "graft_strata"),
       idCol, copyName, ":mixT")
   }
 }

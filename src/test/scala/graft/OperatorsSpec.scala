@@ -323,30 +323,44 @@ class DedupSpec extends SparkSpec {
   }
 
   test("temperature mix: exact e256 weights, replication invariants") {
-    // strata: A 8 docs, B 2 docs, N=10
+    // strata: A 800 docs, B 200 docs, N=1000
     //   term_A = floor(sqrt(.8)·1e6+.5) = 894427
     //   term_B = floor(sqrt(.2)·1e6+.5) = 447214, S = 1341641
-    //   e256_A = 894427·256·10 div (S·8) = 213  (0.83× downsample)
-    //   e256_B = 447214·256·10 div (S·2) = 426  (1.66× upsample)
-    val df = (0 until 10)
-      .map(i => (i.toLong, if (i < 8) "A" else "B")).toDF("id", "grp")
+    //   e256_A = 894427·256·1000 div (S·800) = 213  (0.83× downsample)
+    //   e256_B = 447214·256·1000 div (S·200) = 426  (1.66× upsample)
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i < 800) "A" else "B")).toDF("id", "grp")
     val w = graft.operators.Mixing.temperatureE256(df, "grp")
       .as[(String, Long)].collect().toMap
     assert(w == Map("A" -> 213L, "B" -> 426L))
-    val out = graft.operators.Mixing
-      .mixTemperature(df, "id", "grp")
+    def run() = graft.operators.Mixing.mixTemperature(df, "id", "grp")
       .select("id", "grp", "copy").as[(Long, String, Long)]
       .collect().toSeq
-    assert(out == graft.operators.Mixing.mixTemperature(df, "id", "grp")
-      .select("id", "grp", "copy").as[(Long, String, Long)]
-      .collect().toSeq) // bit-deterministic
-    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
-    // A rows (copies=0, frac=213): 0 or 1 copies each; B rows
-    // (copies=1, frac=170): 1 or 2 copies, always including copy 0
-    byId.foreach { case (id, cs) =>
-      if (id < 8) assert(cs.isEmpty || cs == Seq(0L))
-      else assert(cs == Seq(0L) || cs == Seq(0L, 1L))
-    }
+    val out = run()
+    assert(out == run()) // bit-deterministic
+    // A (copies=0, frac=213): at most one copy each, ~213/256 = 83%
+    // survive — and some really are dropped
+    val aIds = out.filter(_._2 == "A").map(_._1)
+    assert(aIds.distinct.size == aIds.size)
+    assert(aIds.size < 800, "downsampling must drop some A rows")
+    val aKept = aIds.size / 800.0
+    assert(aKept > 0.75 && aKept < 0.92, s"~83% expected, got $aKept")
+    // B (copies=1, frac=170): 1 or 2 copies, always including copy 0;
+    // extra-copy fraction ~170/256 = 66%
+    val byB = out.filter(_._2 == "B").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    assert(byB.size == 200 &&
+      byB.values.forall(cs => cs == Seq(0L) || cs == Seq(0L, 1L)))
+    val bExtra = byB.values.count(_.size == 2) / 200.0
+    assert(bExtra > 0.55 && bExtra < 0.78, s"~66% expected, got $bExtra")
+    // a NULL stratum is weighted as its own stratum, never dropped:
+    // two equal halves → identity mix (e256 = 256 each side)
+    val dfN = Seq((0L, "A"), (1L, "A"),
+      (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("id", "grp")
+    val outN = graft.operators.Mixing.mixTemperature(dfN, "id", "grp")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(outN == Seq(0L, 1L, 2L, 3L))
   }
 
   test("tfidf top-k: counts exact, ranking rare-term-first, k bound") {

@@ -166,6 +166,24 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("temperature mix: one corpus agg, totals fold on the strata table") {
+    val df = (0 until 512).map(i => (i.toLong, s"s${i % 7}"))
+      .toDF("id", "grp")
+    val out = graft.operators.Mixing.mixTemperature(df, "id", "grp")
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus feeds exactly two scans — the counts aggregate and
+    // the map-only replication apply; n_tot/s_micro fold as windows
+    // over the STRATA-SIZED count table (one SinglePartition exchange,
+    // the repo's bounded one-row-per-stratum exception), and the
+    // weight table arrives broadcast
+    assert("LocalTableScan".r.findAllIn(plan).length <= 2,
+      s"corpus must be scanned at most twice:\n$plan")
+    assert("SinglePartition".r.findAllIn(plan).length <= 1,
+      s"only the strata-sized totals window may be unpartitioned:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the strata weight table must broadcast:\n$plan")
+  }
+
   test("centroid outliers: broadcast centroids, bounded per-group top-k") {
     val vecs = (0L until 256L).map(i =>
       (i, (i % 5).toInt, Array.tabulate(8)(j => (i % 7 + j).toFloat)))

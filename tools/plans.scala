@@ -19,7 +19,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_global_shuffle", "q_sim_ann_pq", "q_mix_weighted",
               "q_text_heavy_hitters", "q_source_cap", "q_token_budget",
               "q_dedup_spans", "q_text_lm_score", "q_text_lm_bigram",
-              "q_embed_outliers", "q_dedup_matrix", "q_corpus_stats")) {
+              "q_embed_outliers", "q_dedup_matrix", "q_corpus_stats",
+              "q_mix_temperature")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
