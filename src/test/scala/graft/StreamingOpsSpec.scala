@@ -172,6 +172,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("map-only curation ops run unchanged on streams, batch-identical") {
+    // The curation surface's membership/labels are pure functions of
+    // the row id, so the SAME operator calls must produce the SAME
+    // rows whether the corpus arrives as a table or as a stream in
+    // arbitrary micro-batches — the batch/stream parity contract that
+    // makes incremental ingest safe.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 300L).map(i =>
+      (i, Seq("a", "b", "c")(i.toInt % 3), s"doc $i mail$i@x.com"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.DataSplit.withSplit(
+        graft.operators.Mixing.mixWeighted(df, "id", "src",
+          Map("a" -> 1.5, "b" -> 1.0), defaultWeight = 0.25), "id")
+        .withColumn("red", graft.operators.TextAnalysis.redact(col("text")))
+        .select("id", "src", "copy", "split", "red")
+    val expected = curate(rows.toDF("id", "src", "text"))
+      .as[(Long, String, Long, String, String)].collect().sortBy(r => (r._1, r._3))
+    val input = MemoryStream[(Long, String, String)]
+    val q = curate(input.toDF().toDF("id", "src", "text"))
+      .writeStream.format("memory").queryName("stream_curate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split across micro-batches at an arbitrary boundary
+      input.addData(rows.take(117): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(117): _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_curate")
+        .as[(Long, String, Long, String, String)].collect().sortBy(r => (r._1, r._3))
+      assert(got.toSeq == expected.toSeq)
+      assert(expected.nonEmpty && expected.exists(_._5.contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("stateful per-millisecond counter (A4 streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
