@@ -81,6 +81,53 @@ object LanguageModel {
     *
     * Output: (doc, n_big, lp_micro, avg_logp).
     */
+  /** Train-side artifact: the bigram conditional log-prob table
+    * (bg, lp in integer 1e-4 units) factored out of [[bigramScore]] so
+    * ONE corpus can score ANOTHER — the real CCNet deployment (train
+    * on a clean reference corpus, score the crawl). Same MLE and
+    * micro-unit stance as [[bigramScore]].
+    */
+  def bigramLm(docs: DataFrame, toks: Column): DataFrame = {
+    val c2 = docs.select(explode(TextAnalysis.bigrams(toks)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ctx = c2.groupBy(split(col("bg"), " ").getItem(0).as("prev"))
+      .agg(sum("c2").as("c1"))
+    c2.join(ctx, split(col("bg"), " ").getItem(0) === col("prev"))
+      .withColumn("lp",
+        floor(log(col("c2").cast("double") / col("c1")) * 1e4 + 0.5)
+          .cast("long"))
+      .select("bg", "lp")
+  }
+
+  /** Score documents against a PREBUILT LM over arbitrary units
+    * (terms, bigrams, shingles): per-doc unit counts LEFT-join the
+    * model, so out-of-vocabulary units count toward `coverage` but not
+    * the likelihood — low coverage IS the off-domain signal, and the
+    * in-model mean log-prob stays uncontaminated by an arbitrary OOV
+    * penalty. All sums exact integers; `avg_logp` is over MODELED
+    * units (0 when none are modeled — the `greatest` guard keeps the
+    * division engine-exact instead of null/inf-divergent).
+    *
+    * Output: (doc, n_units, n_modeled, lp_micro, coverage, avg_logp).
+    */
+  def scoreWithLm(docs: DataFrame, idCol: String, units: Column,
+                  lm: DataFrame, unitCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc"), explode(units).as(unitCol))
+      .groupBy("doc", unitCol).agg(count(lit(1)).as("tf"))
+    tf.join(lm.select(col(unitCol), col("lp")), Seq(unitCol), "left")
+      .groupBy(col("doc"))
+      .agg(sum("tf").cast("long").as("n_units"),
+        sum(when(col("lp").isNotNull, col("tf")).otherwise(0L))
+          .cast("long").as("n_modeled"),
+        sum(col("tf") * coalesce(col("lp"), lit(0L)))
+          .cast("long").as("lp_micro"))
+      .withColumn("coverage",
+        col("n_modeled").cast("double") / col("n_units"))
+      .withColumn("avg_logp",
+        col("lp_micro").cast("double") /
+          (greatest(col("n_modeled"), lit(1L)) * lit(1e4)))
+  }
+
   def bigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
     val pairs = docs.select(col(idCol).as("doc"),
       explode(TextAnalysis.bigrams(toks)).as("bg"))

@@ -302,6 +302,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_lm_crossscore" -> ((s, d) => {
+      // Cross-corpus scoring: a bigram LM trained ONLY on src0+src1
+      // (the "clean reference corpus") scores every document — the
+      // CCNet deployment shape. OOV transitions surface as coverage,
+      // not as an arbitrary likelihood penalty; low coverage = the
+      // doc's transitions don't look like the reference.
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.LanguageModel.bigramLm(
+        docs.filter(col("source").isin("src0", "src1")),
+        TA.tokens(col("text")))
+      graft.operators.LanguageModel.scoreWithLm(
+          docs, "doc_id", TA.bigrams(TA.tokens(col("text"))), lm, "bg")
+        .select(col("doc").as("doc_id"), col("n_units").as("n_big"),
+          col("n_modeled"), col("lp_micro"), col("coverage"),
+          col("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_lm_bigram" -> ((s, d) => {
       // Bigram conditional log-likelihood — the order-sensitive twin
       // of q_text_lm_score: common tokens in a nonsense order score
@@ -786,6 +804,40 @@ object TextQueries {
         |  CAST(sum(tf.tf * lp.lp) AS BIGINT)
         |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
         |FROM tf JOIN lp USING (term)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_lm_crossscore" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgl
+        |       WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |ctx AS (
+        |  SELECT string_split(bg, ' ')[1] AS prev,
+        |    CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1),
+        |lp AS (
+        |  SELECT bg,
+        |    CAST(floor(ln(CAST(c2 AS DOUBLE) / c1) * 10000.0 + 0.5) AS BIGINT)
+        |      AS lp
+        |  FROM c2 JOIN ctx ON string_split(bg, ' ')[1] = ctx.prev),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY 1, 2)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN lp.lp IS NOT NULL THEN tf.tf ELSE 0 END)
+        |    AS BIGINT) AS n_modeled,
+        |  CAST(sum(tf.tf * coalesce(lp.lp, 0)) AS BIGINT) AS lp_micro,
+        |  CAST(sum(CASE WHEN lp.lp IS NOT NULL THEN tf.tf ELSE 0 END)
+        |    AS BIGINT) / CAST(sum(tf.tf) AS DOUBLE) AS coverage,
+        |  CAST(sum(tf.tf * coalesce(lp.lp, 0)) AS BIGINT)
+        |    / (greatest(CAST(sum(CASE WHEN lp.lp IS NOT NULL THEN tf.tf
+        |        ELSE 0 END) AS BIGINT), 1) * 10000.0) AS avg_logp
+        |FROM tf LEFT JOIN lp USING (bg)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_lm_bigram" ->

@@ -74,6 +74,35 @@ class TextAnalysisSpec extends SparkSpec {
     // scores below the common-transition doc
     assert(r(0)._4 > r(1)._4)
   }
+
+  test("cross-corpus LM scoring: OOV units hit coverage, not likelihood") {
+    // model from "a b a b b c": c2 ab=2 ba=1 bb=1 bc=1; ctx a→2, b→3
+    //   lp(ab) = 0, lp(ba) = lp(bb) = lp(bc) = floor(ln(1/3)·1e4+.5)
+    //          = -10986
+    val train = Seq((0L, "a b a b b c")).toDF("doc_id", "text")
+    val lm = graft.operators.LanguageModel
+      .bigramLm(train, TA.tokens(col("text")))
+    assert(lm.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 0L, "b a" -> -10986L, "b b" -> -10986L,
+        "b c" -> -10986L))
+    val score = Seq((1L, "a b a"), (2L, "c a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.LanguageModel
+      .scoreWithLm(score, "doc_id",
+        graft.operators.TextAnalysis.bigrams(TA.tokens(col("text"))),
+        lm, "bg")
+      .select("doc", "n_units", "n_modeled", "lp_micro", "coverage",
+        "avg_logp")
+      .as[(Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      // ab + ba, both modeled
+      (1L, 2L, 2L, -10986L, 1.0, -10986.0 / 20000.0),
+      // ca OOV, ab modeled at lp 0
+      (2L, 2L, 1L, 0L, 0.5, 0.0),
+      // fully OOV: coverage 0, likelihood untouched (greatest guard)
+      (3L, 1L, 0L, 0L, 0.0, 0.0)))
+  }
 }
 
 class DedupSpec extends SparkSpec {
