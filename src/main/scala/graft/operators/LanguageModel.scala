@@ -61,35 +61,15 @@ object LanguageModel {
         col("lp_micro").cast("double") / (col("n_tok") * lit(1e4)))
   }
 
-  /** Per-document mean bigram conditional log-likelihood —
-    * `avg over transitions of ln p(cur | prev)` with
-    * `p(cur | prev) = c2(prev cur) / Σ_cur c2(prev cur)`.
-    *
-    * The second-order typicality signal: a bag of perfectly common
-    * tokens in a nonsense ORDER scores high under the unigram model
-    * but low here. MLE denominators are derived from the bigram table
-    * itself (contexts = occurrences of `prev` followed by anything),
-    * so probabilities per context sum to exactly 1 and both engines
-    * agree without any end-of-document convention.
-    *
-    * Same scale shape as [[unigramScore]]: one persisted (doc, bigram)
-    * count table off one corpus scan; the context aggregate and both
-    * joins touch only vocabulary-sized post-aggregation tables;
-    * log-probs in integer micro-units so per-doc sums are exact.
-    * Documents with fewer than two tokens have no transitions and are
-    * absent from the output (inner-join semantics, documented).
-    *
-    * Output: (doc, n_big, lp_micro, avg_logp).
+  /** THE bigram MLE log-prob construction, shared by [[bigramLm]] and
+    * [[bigramScore]]: contexts = Σ_cur c2(prev cur) derived from the
+    * bigram count table itself (per-context probs sum to exactly 1,
+    * no end-of-document convention), log-probs in integer 1e-4 units.
+    * Tokens cannot contain the delimiter (they come from split on
+    * it), so the context is recoverable from the bigram string.
+    * Input: (bg, c2) counts. Output: (bg, lp).
     */
-  /** Train-side artifact: the bigram conditional log-prob table
-    * (bg, lp in integer 1e-4 units) factored out of [[bigramScore]] so
-    * ONE corpus can score ANOTHER — the real CCNet deployment (train
-    * on a clean reference corpus, score the crawl). Same MLE and
-    * micro-unit stance as [[bigramScore]].
-    */
-  def bigramLm(docs: DataFrame, toks: Column): DataFrame = {
-    val c2 = docs.select(explode(TextAnalysis.bigrams(toks)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c2"))
+  private def bigramLpTable(c2: DataFrame): DataFrame = {
     val ctx = c2.groupBy(split(col("bg"), " ").getItem(0).as("prev"))
       .agg(sum("c2").as("c1"))
     c2.join(ctx, split(col("bg"), " ").getItem(0) === col("prev"))
@@ -97,6 +77,21 @@ object LanguageModel {
         floor(log(col("c2").cast("double") / col("c1")) * 1e4 + 0.5)
           .cast("long"))
       .select("bg", "lp")
+  }
+
+  /** Train-side artifact: the bigram conditional log-prob table
+    * (bg, lp in integer 1e-4 units) factored out of [[bigramScore]] so
+    * ONE corpus can score ANOTHER — the real CCNet deployment (train
+    * on a clean reference corpus, score the crawl). The bigram count
+    * table is persisted because it feeds both the context aggregate
+    * and the join probe (the same reused-count-table stance as
+    * [[unigramScore]]'s tf).
+    */
+  def bigramLm(docs: DataFrame, toks: Column): DataFrame = {
+    val c2 = docs.select(explode(TextAnalysis.bigrams(toks)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigramLpTable(c2)
   }
 
   /** Score documents against a PREBUILT LM over arbitrary units
@@ -128,21 +123,28 @@ object LanguageModel {
           (greatest(col("n_modeled"), lit(1L)) * lit(1e4)))
   }
 
+  /** Per-document mean bigram conditional log-likelihood —
+    * `avg over transitions of ln p(cur | prev)` with
+    * `p(cur | prev) = c2(prev cur) / Σ_cur c2(prev cur)`.
+    *
+    * The second-order typicality signal: a bag of perfectly common
+    * tokens in a nonsense ORDER scores high under the unigram model
+    * but low here. The MLE table is [[bigramLpTable]] (self-trained:
+    * the model's c2 comes from the scored corpus's own tf2, so the
+    * persisted per-doc count table feeds training AND scoring off one
+    * corpus scan). Documents with fewer than two tokens have no
+    * transitions and are absent from the output (inner-join
+    * semantics, documented).
+    *
+    * Output: (doc, n_big, lp_micro, avg_logp).
+    */
   def bigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
     val pairs = docs.select(col(idCol).as("doc"),
       explode(TextAnalysis.bigrams(toks)).as("bg"))
     val tf2 = pairs.groupBy("doc", "bg").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c2 = tf2.groupBy("bg").agg(sum("tf").as("c2"))
-    // tokens cannot contain the delimiter (they come from split on
-    // it), so the context is recoverable from the bigram string
-    val ctx = c2.groupBy(split(col("bg"), " ").getItem(0).as("prev"))
-      .agg(sum("c2").as("c1"))
-    val lp = c2.join(ctx, split(col("bg"), " ").getItem(0) === col("prev"))
-      .withColumn("lp",
-        floor(log(col("c2").cast("double") / col("c1")) * 1e4 + 0.5)
-          .cast("long"))
-    tf2.join(lp.select("bg", "lp"), "bg")
+    val lp = bigramLpTable(tf2.groupBy("bg").agg(sum("tf").as("c2")))
+    tf2.join(lp, "bg")
       .groupBy(col("doc"))
       .agg(sum("tf").cast("long").as("n_big"),
         sum(col("tf") * col("lp")).cast("long").as("lp_micro"))

@@ -88,8 +88,7 @@ class TextAnalysisSpec extends SparkSpec {
     val score = Seq((1L, "a b a"), (2L, "c a b"), (3L, "x y"))
       .toDF("doc_id", "text")
     val r = graft.operators.LanguageModel
-      .scoreWithLm(score, "doc_id",
-        graft.operators.TextAnalysis.bigrams(TA.tokens(col("text"))),
+      .scoreWithLm(score, "doc_id", TA.bigrams(TA.tokens(col("text"))),
         lm, "bg")
       .select("doc", "n_units", "n_modeled", "lp_micro", "coverage",
         "avg_logp")
