@@ -577,71 +577,129 @@ object Dedup {
   }
 
   /** SPAN-level corpus dedup (boilerplate strip): remove from every
-    * document the non-overlapping `spanTokens`-token spans that occur
-    * in more than `maxDocFreqPermille`‰ of all documents, and
-    * reassemble the survivors in order — the C4/RefinedWeb move that
-    * kills nav bars, cookie banners and license headers which
-    * document-LEVEL dedup (exact or near) can never see, because the
-    * hosting documents differ.
+    * document the token spans that occur in more than
+    * `maxDocFreqPermille`‰ of all documents, and reassemble the
+    * survivors in order — the C4/RefinedWeb move that kills nav bars,
+    * cookie banners and license headers which document-LEVEL dedup
+    * (exact or near) can never see, because the hosting documents
+    * differ.
+    *
+    * Span boundaries are CONTENT-DEFINED, not positional: a token
+    * ends its span when (a) it ends with a sentence delimiter
+    * (`. ! ?` — the C4 line/sentence anchor), or (b) the last hex
+    * digit of its md5, read as 0..15, is ≡ 0 (mod `spanTokens`) — a
+    * content-defined-chunking breakpoint with expected span length
+    * ≈ `spanTokens`. Both rules depend only on the token itself, so
+    * the SAME boilerplate sequence chunks into the SAME spans at any
+    * token offset in any document — phase-shifted nav bars land in
+    * identical census keys, which fixed-offset tiling (anchored at
+    * token 0) structurally misses. `maxSpanTokens` caps the
+    * pathological no-breakpoint run by sub-tiling overlong spans at
+    * offsets relative to the span START (still content-anchored,
+    * still alignment-free).
+    *
+    * Matching is case-insensitive (census keys are lowercased spans)
+    * but reassembly preserves the ORIGINAL casing: each span carries
+    * both its lowered census key and its original-case text, and
+    * `clean_text` is rebuilt from the latter — a curation pipeline
+    * must emit the original text minus boilerplate, not a lowercased
+    * shadow of it. Lowercasing never adds or removes spaces, so the
+    * two token streams align positionally by construction.
     *
     * The threshold is a fraction of the corpus (integer-exact:
     * df·1000 > n_docs·permille, the [[jaccardPairs]] dfCapPct rule) so
     * the cut is scale-invariant — an absolute document count tuned at
     * sf0.01 would strip the whole corpus at sf100.
     *
-    * Scale shape: span tiling is a map-only generator over one corpus
-    * scan, persisted once for its two consumers (census + strip);
-    * the census is one (span)-keyed aggregate whose distinct-count
-    * partials combine map-side; the hot-span set is bounded above by
+    * Scale shape: tokenization is a map-only generator over one
+    * corpus scan; the breakpoint prefix-sum and span-start windows
+    * both partition by doc_id (one shuffle — millions of small
+    * per-document windows, never a single-partition window); span
+    * assembly groups by (doc_id, span_id, sub), which the doc_id
+    * partitioning already satisfies (no exchange). The span table is
+    * persisted once for its three consumers (census + strip + span
+    * counts; `persistSpans = false` opts out for one-shot callers
+    * that would otherwise leak cache in a long session). The census
+    * is one (span)-keyed aggregate whose distinct-count partials
+    * combine map-side; the hot-span set is bounded above by
     * total_spans/(n_docs·permille/1000) — the planner broadcasts it
     * when small and falls back to a shuffle join when a low threshold
-    * makes it big (no forced broadcast hint, unlike the tiny
-    * over-cap census sets elsewhere in this file); reassembly is one
-    * (doc)-keyed aggregate. Two shuffles total, both inherent.
+    * makes it big. Reassembly is one (doc)-keyed aggregate. Two
+    * inherent shuffles (doc_id window + census) plus the final
+    * doc-keyed rebuild.
     *
     * Output: (doc_id, clean_text, n_kept, n_dropped) — one row per
-    * input document, `clean_text` empty when every span was
-    * boilerplate.
+    * input document, span counts, `clean_text` empty when every span
+    * was boilerplate.
     */
   def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                          spanTokens: Int = 2,
-                         maxDocFreqPermille: Int = 10): DataFrame = {
-    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+                         maxDocFreqPermille: Int = 10,
+                         maxSpanTokens: Int = -1,
+                         persistSpans: Boolean = true): DataFrame = {
+    require(spanTokens >= 2 && spanTokens <= 16,
+      s"spanTokens must be in [2, 16] (hex-digit CDC modulus), got $spanTokens")
     require(maxDocFreqPermille > 0,
       s"maxDocFreqPermille must be positive, got $maxDocFreqPermille")
-    val toks = split(lower(col(textCol)), " ")
-    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("long")
-    // guard empty/null token arrays: sequence(0, -1) would COUNT DOWN
-    // (note split("", " ") is [""], size 1 — a doc only hits this via
-    // a null text or a genuinely empty array column)
-    val spanArr = when(size(toks) <= 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), (nSpans - 1).cast("int")),
-        j => array_join(
-          slice(toks, j * spanTokens + 1, lit(spanTokens)), " ")))
-    val tiles = docs.select(col(idCol).as("doc_id"),
-        posexplode(spanArr).as(Seq("pos", "span")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cap = if (maxSpanTokens > 0) maxSpanTokens else 4 * spanTokens
+    require(cap >= spanTokens,
+      s"maxSpanTokens ($cap) must be >= spanTokens ($spanTokens)")
+    import org.apache.spark.sql.expressions.Window
+    // one tokenize pass; the lowered census token derives per-token
+    // (lower() never changes spaces, so positions align with the
+    // original-case stream by construction)
+    val tok = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("tpos", "otok")))
+      .withColumn("ltok", lower(col("otok")))
+    // content-defined breakpoint: sentence delimiter, or last md5 hex
+    // digit ≡ 0 (mod spanTokens). conv() parses the hex digit; the
+    // DuckDB oracle mirrors it with instr('0123456789abcdef', ·)-1.
+    val hexv = conv(substring(md5(col("ltok")), 32, 1), 16, 10).cast("int")
+    val brk = when(col("ltok").rlike("[.!?]$") ||
+      pmod(hexv, lit(spanTokens)) === 0, 1L).otherwise(0L)
+    val wDoc = Window.partitionBy("doc_id").orderBy("tpos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a break token ENDS its span: span_id = #breaks strictly before
+    val withSpan = tok.withColumn("__brk", brk)
+      .withColumn("span_id", sum(col("__brk")).over(wDoc) - col("__brk"))
+    val wSpan = Window.partitionBy("doc_id", "span_id")
+    val withSub = withSpan.withColumn("sub",
+      floor((col("tpos") - min(col("tpos")).over(wSpan)) / lit(cap)))
+    // assemble spans; collect_list order is partition-dependent, so
+    // array_sort on the (tpos, …) structs restores token order. The
+    // lowered span is the census key; the original-case span is what
+    // reassembly emits.
+    val spans0 = withSub
+      .groupBy(col("doc_id"), col("span_id"), col("sub"))
+      .agg(min(col("tpos")).as("pos"),
+        array_sort(collect_list(
+          struct(col("tpos"), col("ltok"), col("otok")))).as("__ts"))
+      .select(col("doc_id"), col("pos"),
+        array_join(transform(col("__ts"), _.getField("ltok")), " ")
+          .as("span"),
+        array_join(transform(col("__ts"), _.getField("otok")), " ")
+          .as("span_orig"))
+    val spans =
+      if (persistSpans) spans0.persist(StorageLevel.MEMORY_AND_DISK)
+      else spans0
     val nDocs = docs.select(count(lit(1)).as("__nd"))
-    val hot = tiles.groupBy(col("span"))
+    val hot = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(1000L) >
         col("__nd") * lit(maxDocFreqPermille.toLong))
       .select("span")
-    val kept = tiles.join(hot, Seq("span"), "left_anti")
-    // collect_list order is partition-dependent; array_sort on the
-    // (pos, span) structs restores document order deterministically
+    val kept = spans.join(hot, Seq("span"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("span")))),
-          _.getField("span")), " ").as("clean_text"))
-    // pre-strip span counts come from the CACHED tile index, not a
+          array_sort(collect_list(struct(col("pos"), col("span_orig")))),
+          _.getField("span_orig")), " ").as("clean_text"))
+    // pre-strip span counts come from the shared span table, not a
     // second tokenize pass over the corpus text; the id-only corpus
-    // scan on the left is column-pruned. A null-text/tile-less doc
+    // scan on the left is column-pruned. A null-text/span-less doc
     // coalesces to all-zero counts, consistent with clean_text = ''
-    val nSpansPerDoc = tiles.groupBy(col("doc_id"))
+    val nSpansPerDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__n_spans"))
     docs.select(col(idCol).as("doc_id"))
       .join(nSpansPerDoc, Seq("doc_id"), "left")

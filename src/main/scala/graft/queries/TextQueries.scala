@@ -92,11 +92,15 @@ object TextQueries {
     }),
 
     "q_dedup_spans" -> ((s, d) => {
-      // Corpus-level boilerplate strip: 2-token spans occurring in
-      // >1% of documents are removed from every document (doc-level
-      // dedup can never see shared nav-bar/banner spans — the hosting
-      // docs differ). Threshold is integer-exact permille of the
-      // corpus so the cut is scale-invariant and oracle-reproducible.
+      // Corpus-level boilerplate strip with CONTENT-DEFINED span
+      // boundaries (break after sentence delimiters or when the
+      // token's md5 hex tail ≡ 0 mod spanTokens): spans occurring in
+      // >1% of documents are removed from every document, and the
+      // same boilerplate chunks identically at ANY token offset —
+      // phase-shifted nav bars can't hide the way they could from
+      // fixed-offset tiles. clean_text preserves original casing;
+      // matching stays case-insensitive. Threshold is integer-exact
+      // permille so the cut is scale-invariant and oracle-reproducible.
       Dedup.stripRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, maxDocFreqPermille = 10)
         .orderBy("doc_id")
@@ -530,44 +534,64 @@ object TextQueries {
         |ORDER BY keep_id""".stripMargin,
 
     "q_dedup_spans" ->
-      // mirrors Dedup.stripRepeatedSpans: non-overlapping 2-token
-      // tiles, drop spans with df*1000 > n_docs*10 (integer-exact 1%),
-      // reassemble survivors in position order
+      // mirrors Dedup.stripRepeatedSpans: content-defined spans (a
+      // token ENDS its span when it matches [.!?]$ or its last md5
+      // hex digit is even — spanTokens=2), overlong spans sub-tiled
+      // at 8 tokens from the span start, census on the LOWERED span,
+      // drop spans with df*1000 > n_docs*10 (integer-exact 1%),
+      // reassemble survivors in position order from the ORIGINAL-case
+      // tokens. instr('0123456789abcdef', ·)-1 is DuckDB's spelling
+      // of Spark's conv(hex_digit, 16, 10).
       """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  SELECT doc_id, string_split(text, ' ') AS otoks
         |  FROM documents),
         |tiles AS (
-        |  SELECT doc_id, toks,
-        |    unnest(generate_series(1,
-        |      CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS j
+        |  SELECT doc_id, otoks,
+        |    unnest(generate_series(1, len(otoks))) AS j
         |  FROM t),
-        |sp AS (
-        |  SELECT doc_id, j - 1 AS pos,
-        |    array_to_string(
-        |      list_slice(toks, (j - 1) * 2 + 1, (j - 1) * 2 + 2), ' ')
-        |      AS span
+        |tok AS (
+        |  SELECT doc_id, j - 1 AS tpos, otoks[j] AS otok,
+        |    lower(otoks[j]) AS ltok
         |  FROM tiles),
+        |brk AS (
+        |  SELECT *, CASE WHEN regexp_matches(ltok, '[.!?]$')
+        |      OR (instr('0123456789abcdef', substr(md5(ltok), 32, 1)) - 1)
+        |         % 2 = 0
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |sp0 AS (
+        |  SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY tpos) - b
+        |    AS span_id
+        |  FROM brk),
+        |sp1 AS (
+        |  SELECT *, (tpos - min(tpos) OVER (PARTITION BY doc_id, span_id))
+        |    // 8 AS sub
+        |  FROM sp0),
+        |spans AS (
+        |  SELECT doc_id, span_id, sub, min(tpos) AS pos,
+        |    string_agg(ltok, ' ' ORDER BY tpos) AS span,
+        |    string_agg(otok, ' ' ORDER BY tpos) AS span_orig
+        |  FROM sp1 GROUP BY doc_id, span_id, sub),
         |hot AS (
-        |  SELECT span FROM sp GROUP BY span
+        |  SELECT span FROM spans GROUP BY span
         |  HAVING count(DISTINCT doc_id) * 1000 >
         |    10 * (SELECT count(*) FROM documents)),
         |kept AS (
-        |  SELECT * FROM sp WHERE span NOT IN (SELECT span FROM hot)),
+        |  SELECT * FROM spans WHERE span NOT IN (SELECT span FROM hot)),
         |rb AS (
         |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(span, ' ' ORDER BY pos) AS clean_text
+        |    string_agg(span_orig, ' ' ORDER BY pos) AS clean_text
         |  FROM kept GROUP BY doc_id),
         |n AS (
-        |  SELECT doc_id,
-        |    CAST(ceil(len(string_split(lower(text), ' ')) / 2.0) AS BIGINT)
-        |      AS n_spans
-        |  FROM documents)
-        |SELECT n.doc_id,
+        |  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
         |  coalesce(rb.clean_text, '') AS clean_text,
         |  CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(n.n_spans, 0) - coalesce(rb.n_kept, 0) AS BIGINT)
         |    AS n_dropped
-        |FROM n LEFT JOIN rb USING (doc_id)
+        |FROM documents d
+        |LEFT JOIN n USING (doc_id)
+        |LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->

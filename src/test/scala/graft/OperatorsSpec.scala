@@ -132,29 +132,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
-  test("span strip removes corpus-wide boilerplate, keeps unique spans") {
-    // 10 docs: all share the boilerplate prefix "accept all cookies"
-    // + a sign-off span seen in 2 docs (under the 30% threshold);
-    // doc 9 is ONLY boilerplate; doc 10 is empty
-    val d = ((0L until 9L).map(i =>
-        (i, s"accept all cookies unique$i content$i" +
-          (if (i < 2) " best regards" else ""))) :+
-        (9L, "accept all cookies") :+ (10L, ""))
+  test("span strip kills phase-shifted boilerplate, preserves casing") {
+    // The banner "Subscribe To Our Newsletter" appears at a DIFFERENT
+    // token offset in each of docs 0-9 (preamble of i unique pad
+    // tokens) and as the whole of doc 11 — fixed-offset tiling would
+    // tile it differently per doc and let it survive; content-defined
+    // boundaries chunk it identically everywhere. "anchor" ends every
+    // non-empty preamble and "newsletter" ends the banner — both are
+    // hash breakpoints (even last md5 hex digit), so the banner spans
+    // start and end cleanly with NO sentence delimiters involved.
+    // Doc 10 is empty. Mixed-case survivors pin case preservation.
+    val banner = "Subscribe To Our Newsletter"
+    val d = ((0L until 10L).map { i =>
+        val preamble =
+          if (i == 0) "" else ((1L until i).map(j => s"pad${i}x$j") :+
+            "anchor").mkString("", " ", " ")
+        (i, s"$preamble$banner Uniq${i}Alpha uniq${i}beta")
+      } :+ (10L, "") :+ (11L, banner))
       .toDF("doc_id", "text")
     val out = Dedup.stripRepeatedSpans(d, "doc_id", "text",
         spanTokens = 2, maxDocFreqPermille = 300)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-    // "accept all" (df=10) and "cookies unique_i"… wait — tiling is
-    // positional: docs 0-8 tile as [accept all][cookies uniqueN]
-    // [contentN (best|·)][regards?]; only "accept all" crosses the
-    // 30% df bar, so exactly one span drops from every doc 0-8
-    assert((0L until 9L).forall { i =>
+    // banner df = 11 of 12 docs > 30%: stripped from EVERY doc at
+    // EVERY offset; the doc-unique survivors keep their original case
+    assert((0L until 10L).forall { i =>
       val (txt, kept, dropped) = out(i)
-      !txt.contains("accept all") && txt.contains(s"unique$i") &&
-        dropped == 1L && kept >= 2L
+      !txt.toLowerCase.contains("subscribe") &&
+        !txt.toLowerCase.contains("newsletter") &&
+        txt.contains(s"Uniq${i}Alpha") && txt.contains(s"uniq${i}beta") &&
+        dropped >= 1L && kept >= 1L
     })
-    assert(out(9L) == (("cookies", 1L, 1L))) // partial tile survives
+    assert(out(11L)._1 == "") // banner-only doc strips to nothing
+    assert(out(11L)._2 == 0L)
     // split("", " ") = [""] in both engines: the empty doc carries one
     // empty-string span, unique → kept, round-tripping to ""
     assert(out(10L) == (("", 1L, 0L)))
@@ -166,14 +176,14 @@ class DedupSpec extends SparkSpec {
     assert(again == out)
     // round-trip invariant: with the threshold above the whole corpus
     // nothing is hot, so reassembly must reproduce every document
-    // byte-for-byte (lowercased) with zero drops — any tiling,
-    // ordering, or join bug breaks this equality
+    // byte-for-byte — ORIGINAL casing included — with zero drops; any
+    // chunking, ordering, case, or join bug breaks this equality
     val intact = Dedup.stripRepeatedSpans(d, "doc_id", "text",
         spanTokens = 3, maxDocFreqPermille = 1001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(intact.forall { case (id, clean, dropped) =>
-      clean == texts(id).toLowerCase && dropped == 0L })
+      clean == texts(id) && dropped == 0L })
   }
 
   test("minhash LSH surfaces the same near-dup candidates") {
