@@ -58,19 +58,30 @@ object Dedup {
     * double division).
     */
   def crossSourceMatrix(docs: DataFrame, idCol: String, digest: Column,
-                        srcCol: String): DataFrame = {
-    val g = docs.groupBy(digest.as("digest"),
+                        srcCol: String,
+                        persistCounts: Boolean = true): DataFrame = {
+    val g0 = docs.groupBy(digest.as("digest"),
         col(srcCol).as("source"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persistCounts = false for one-shot calls in long-lived sessions
+    // (no caller-held handle to unpersist — same opt-out as the
+    // staged ANN indexes); default true shares the sublinear count
+    // table between the join's two sides
+    val g =
+      if (persistCounts) g0.persist(StorageLevel.MEMORY_AND_DISK)
+      else g0
     val a = g.select(col("digest"), col("source").as("src_a"),
       col("cnt").as("cnt_a"))
     val b = g.select(col("digest"), col("source").as("src_b"),
       col("cnt").as("cnt_b"))
+    // NULL source is a first-class stratum (the Mixing.mixTemperature
+    // stance): it sorts FIRST in the pair ordering and matches itself
+    // null-safely, so null-source dup provenance shows up as a
+    // (null, src) row instead of silently vanishing from the matrix
     a.join(b, Seq("digest"))
-      .filter(col("src_a") <= col("src_b"))
+      .filter(col("src_a").isNull || col("src_a") <= col("src_b"))
       .withColumn("pairs", expr(
-        "CASE WHEN src_a = src_b THEN cnt_a * (cnt_a - 1) div 2 " +
+        "CASE WHEN src_a <=> src_b THEN cnt_a * (cnt_a - 1) div 2 " +
           "ELSE cnt_a * cnt_b END"))
       .groupBy("src_a", "src_b")
       .agg(sum("pairs").cast("long").as("dup_pairs"),

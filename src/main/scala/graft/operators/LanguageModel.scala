@@ -43,10 +43,18 @@ object LanguageModel {
     * integer sum of 1e-4-unit token log-probs and
     * `avg_logp = lp_micro / (n_tok · 1e4)`.
     */
-  def unigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+  def unigramScore(docs: DataFrame, idCol: String, toks: Column,
+                   persistCounts: Boolean = true): DataFrame = {
     val terms = docs.select(col(idCol).as("doc"), explode(toks).as("term"))
-    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // persistCounts = false trades a second corpus shuffle for zero
+    // cache residue — for one-shot calls in long-lived sessions that
+    // would otherwise accumulate MEMORY_AND_DISK blocks until
+    // clearCache (same opt-out the staged ANN indexes expose)
+    val tf =
+      if (persistCounts) tf0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
     val vocab = tf.groupBy("term").agg(sum("tf").as("c"))
     val tot = vocab.agg(sum("c").as("t"))
     val lp = vocab.crossJoin(broadcast(tot))
@@ -87,10 +95,14 @@ object LanguageModel {
     * and the join probe (the same reused-count-table stance as
     * [[unigramScore]]'s tf).
     */
-  def bigramLm(docs: DataFrame, toks: Column): DataFrame = {
-    val c2 = docs.select(explode(TextAnalysis.bigrams(toks)).as("bg"))
+  def bigramLm(docs: DataFrame, toks: Column,
+               persistCounts: Boolean = true): DataFrame = {
+    val c20 = docs.select(explode(TextAnalysis.bigrams(toks)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 =
+      if (persistCounts) c20.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else c20
     bigramLpTable(c2)
   }
 
@@ -138,11 +150,15 @@ object LanguageModel {
     *
     * Output: (doc, n_big, lp_micro, avg_logp).
     */
-  def bigramScore(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+  def bigramScore(docs: DataFrame, idCol: String, toks: Column,
+                  persistCounts: Boolean = true): DataFrame = {
     val pairs = docs.select(col(idCol).as("doc"),
       explode(TextAnalysis.bigrams(toks)).as("bg"))
-    val tf2 = pairs.groupBy("doc", "bg").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf20 = pairs.groupBy("doc", "bg").agg(count(lit(1)).as("tf"))
+    val tf2 =
+      if (persistCounts) tf20.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf20
     val lp = bigramLpTable(tf2.groupBy("bg").agg(sum("tf").as("c2")))
     tf2.join(lp, "bg")
       .groupBy(col("doc"))

@@ -195,7 +195,19 @@ object Similarity {
                persistIndex: Boolean = true): IvfIndex = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cands = candidates.select(col(idCol).as("c_id"),
+    // contract: ids must be integral (the centroid literal table and
+    // IvfIndex.cents carry them as Long) — fail fast with a named
+    // requirement instead of a downstream analysis error on e.g.
+    // string ids
+    val idType = candidates.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"ivfIndex requires an integral id column (IvfIndex.cents is " +
+        s"keyed by Long); '$idCol' is ${idType.simpleString}")
+    val cands = candidates.select(col(idCol).cast("long").as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
     val cents: Seq[(Long, Seq[Double])] = cands
       .withColumn("h", xxhash64(col("c_id")))
@@ -322,11 +334,19 @@ object Similarity {
     * there); the census + broadcast anti-join form avoids
     * sort-shuffling every (vector, bucket) row. */
   def lshIndex(candidates: DataFrame, idCol: String, vecCol: String,
-               nPlanes: Int = 6, bucketCap: Int = 2000): LshIndex = {
-    val cb = candidates.select(col(idCol).as("c_id"),
+               nPlanes: Int = 6, bucketCap: Int = 2000,
+               persistIndex: Boolean = true): LshIndex = {
+    val cb0 = candidates.select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persistIndex = false trades re-running the nPlanes kernel for
+    // the census consumer against zero cache residue — the one-shot
+    // [[lshTopK]] takes it so a throwaway index can't leak until
+    // clearCache (same stance as ivfTopK/pqTopK)
+    val cb =
+      if (persistIndex) cb0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cb0
     val hotBuckets = cb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("bucket")
@@ -354,13 +374,16 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: [[lshIndex]] + [[lshTopKWith]]
-    * in one call for single-shot use. (The bucket table is persisted
-    * even here: the census and the probe join are two consumers of
-    * the same projection.) */
+    * in one call for single-shot use. The throwaway index is NOT
+    * persisted (the census consumer re-runs the map-only bucket
+    * kernel instead — a cached corpus-sized DF with no caller-held
+    * handle would leak until clearCache); callers amortizing one
+    * index over many query batches use the staged pair. */
   def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame =
-    lshTopKWith(lshIndex(candidates, idCol, vecCol, nPlanes, bucketCap),
+    lshTopKWith(lshIndex(candidates, idCol, vecCol, nPlanes, bucketCap,
+        persistIndex = false),
       queries, idCol, vecCol, k)
 
   /** Map-only nearest-centroid assignment: an argmin fold over the
@@ -461,7 +484,12 @@ object Similarity {
     * so convergence is a query result, not a log line. Lloyd's
     * guarantees the inertia sequence is monotone non-increasing
     * (assignment and update each only lower it); the audit makes that
-    * checkable per run. */
+    * checkable per run — up to quantization: centroid updates snap
+    * to 1e-6 micro-units (the determinism trade), so each component
+    * sits within 5e-7 of the exact mean and a round's inertia can
+    * exceed the previous one by at most ~n_rows·dim·(5e-7)² — a
+    * bound any monotonicity check must scale with (see KMeansSpec),
+    * not treat as exact. */
   def kmeansWithAudit(vecs: DataFrame, idCol: String, vecCol: String,
                       k: Int, maxIter: Int = 10, tol: Double = 1e-6,
                       sampleSize: Int = 10000): KMeansResult = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 
@@ -61,9 +61,14 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
 
   // the partial pass accepts any layout (it only bounds per-partition
   // state); the final pass demands co-located groups, so the planner
-  // inserts the single hash exchange between the two
+  // inserts the single hash exchange between the two. With NO group
+  // columns the "group" is the whole input, so the final pass needs
+  // every partial in one place (AllTuples) — under the old
+  // UnspecifiedDistribution no exchange was inserted and the operator
+  // silently returned per-partition top-k instead of global top-k
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial || groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -774,9 +774,11 @@ object TextQueries {
         |  FROM documents GROUP BY 1, 2),
         |p AS (
         |  SELECT a.source AS src_a, b.source AS src_b,
-        |    CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1) // 2
+        |    CASE WHEN a.source IS NOT DISTINCT FROM b.source
+        |         THEN a.cnt * (a.cnt - 1) // 2
         |         ELSE a.cnt * b.cnt END AS pairs
-        |  FROM g a JOIN g b ON a.digest = b.digest AND a.source <= b.source)
+        |  FROM g a JOIN g b ON a.digest = b.digest
+        |    AND (a.source IS NULL OR a.source <= b.source))
         |SELECT src_a, src_b,
         |  CAST(sum(pairs) AS BIGINT) AS dup_pairs,
         |  CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -965,10 +965,15 @@ class KMeansSpec extends SparkSpec {
     assert(r.audit.nonEmpty)
     assert(r.audit.map(_.round) == r.audit.indices.toSeq)
     val j = r.audit.map(_.inertia)
-    // Lloyd's: assignment and update each only lower inertia; the
-    // decimal sums make the sequence exact, not partition-order noise
-    assert(j.zip(j.tail).forall { case (a, b) => b <= a + 1e-9 },
-      s"inertia increased across rounds: $j")
+    // Lloyd's: assignment and update each only lower inertia. The
+    // decimal sums kill partition-order noise, but centroids snap to
+    // 1e-6 micro-units (within 5e-7 of the exact mean per component),
+    // so inertia may legally rise by ~n·dim·(5e-7)² per round — the
+    // slack scales with the fixture instead of pretending exactness
+    val nDim = blobs.selectExpr("size(embedding)").first().getInt(0)
+    val slack = blobs.count() * nDim * 2.5e-13 * 10 + 1e-12
+    assert(j.zip(j.tail).forall { case (a, b) => b <= a + slack },
+      s"inertia increased across rounds beyond quantization slack: $j")
     assert(r.audit.map(_.moved).forall(_ >= 0.0))
     // the audit describes the SAME run whose assignments we got
     assert(r.assignments.count() == 18)

@@ -335,6 +335,24 @@ class ScaleSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
   }
 
+  test("TopKPerGroup with no group columns is GLOBAL top-k") {
+    // empty groupExprs means one group = the whole input; the final
+    // pass must demand AllTuples or each partition returns its own
+    // top-k (the pre-r6 bug: UnspecifiedDistribution inserted no
+    // exchange). repartition(8) makes the failure mode deterministic
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(8)
+    val native = graft.plans.TopKPerGroup(orders,
+        Seq.empty, Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 5)
+      .select("o_orderkey").as[Long].collect().toSet
+    val expected = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5).select("o_orderkey").as[Long].collect().toSet
+    assert(native == expected,
+      s"global top-k mismatch: native=$native expected=$expected")
+  }
+
   test("partition pruning: hive-partitioned write reads only matching partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-part")
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
