@@ -33,11 +33,18 @@ import scala.jdk.CollectionConverters._
   * string but losslessly convertible to it with
   * [[graft.operators.Envelope.encode]].
   *
-  * Ordering: exactly one input partition, mirroring the reference's
-  * one-receiver deployment (README.md:59-64). Parallelism at 100 TB
-  * comes from many queues/sources, not from splitting one FIFO queue —
-  * splitting would break the ordered-replication contract the reference
-  * exists to preserve.
+  * Ordering: by default exactly one input partition, mirroring the
+  * reference's one-receiver deployment (README.md:59-64) — but that
+  * deployment is a CHOICE, not a law of the source. `minPartitions=N`
+  * (the Kafka-source scale story) splits each micro-batch offset
+  * range into up to N contiguous sub-ranges read in parallel:
+  * per-partition order still holds (each sub-range replays in offset
+  * order), the synthesized keys are IDENTICAL to the ordered mode's
+  * (the `<putMillis>_<seq>` counter is a pure function of absolute
+  * queue position via `sameMillisPrefix`, not of which reader emits
+  * it), and offsets/commit/metrics are untouched — only total
+  * cross-partition interleaving is given up. A 100 TB backfill
+  * ingests at executor parallelism instead of single-reader rate.
   */
 class MQSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ibmmq"
@@ -87,6 +94,10 @@ case class MQOptions(raw: Map[String, String]) {
     * and capped exponential backoff. The 600 s default cap is the
     * reference's reconnect backoff ceiling (IBMMQReceiver.java:219-225).
     */
+  /** Parallel read (Kafka-style): split each planned offset range into
+    * up to this many contiguous sub-ranges, one InputPartition each.
+    * 1 (default) = the reference's ordered single-consumer mode. */
+  val minPartitions: Int = opt("minPartitions").map(_.toInt).getOrElse(1)
   val retryAttempts: Int = opt("retryAttempts").map(_.toInt).getOrElse(3)
   val retryInitialBackoffMs: Long =
     opt("retryInitialBackoffMs").map(_.toLong).getOrElse(100L)
@@ -98,6 +109,7 @@ case class MQOptions(raw: Map[String, String]) {
     "ibmmq source requires either 'path' (file-backed transport) or " +
       "host/queueManager/channel/queue connection options")
   require(waitInterval > 0, "waitInterval must be positive")
+  require(minPartitions >= 1, "minPartitions must be >= 1")
   maxMessagesPerTrigger.foreach(m =>
     require(m > 0, "maxMessagesPerTrigger must be positive"))
   require(retryAttempts >= 1, "retryAttempts must be >= 1")
@@ -151,11 +163,13 @@ class MQScan(options: MQOptions) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String)
   : MicroBatchStream = new MQMicroBatchStream(options)
 
-  /** Batch twin: read everything currently on the queue (browse). */
+  /** Batch twin: read everything currently on the queue (browse),
+    * split across `minPartitions` readers like the streaming side. */
   override def toBatch: Batch = new Batch {
     private val transport = options.transport()
     override def planInputPartitions(): Array[InputPartition] =
-      Array(MQInputPartition(options, 0L, transport.depth()))
+      MQInputPartition.split(options, 0L, transport.depth(),
+        options.minPartitions)
     override def createReaderFactory(): PartitionReaderFactory =
       new MQReaderFactory
   }
@@ -240,8 +254,7 @@ class MQMicroBatchStream(options: MQOptions)
     // high-water mark IS the cumulative received count (max() keeps it
     // monotone under replanning/replay of an old range).
     messagesReceived = math.max(messagesReceived, e)
-    if (e <= s) Array.empty
-    else Array(MQInputPartition(options, s, e))
+    MQInputPartition.split(options, s, e, options.minPartitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -293,6 +306,29 @@ class MQMicroBatchStream(options: MQOptions)
 
 case class MQInputPartition(options: MQOptions, start: Long, end: Long)
   extends InputPartition
+
+object MQInputPartition {
+  /** Split [start, end) into at most `n` contiguous NON-EMPTY
+    * sub-ranges (fewer when the range is smaller than `n`): the union
+    * of the sub-ranges is exactly the planned range, each sub-range
+    * preserves offset order, and the proportional cut points mean no
+    * partition differs from another by more than one message. Empty
+    * planned ranges yield zero partitions, as before.
+    */
+  def split(options: MQOptions, start: Long, end: Long,
+            n: Int): Array[InputPartition] = {
+    val total = end - start
+    if (total <= 0L) Array.empty
+    else {
+      val k = math.min(n.toLong, total).toInt
+      Array.tabulate[InputPartition](k) { i =>
+        MQInputPartition(options,
+          start + total * i / k,
+          start + total * (i + 1) / k)
+      }
+    }
+  }
+}
 
 class MQReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)

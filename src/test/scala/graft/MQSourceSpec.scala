@@ -421,9 +421,8 @@ class MQSourceSpec extends SparkSpec {
   }
 
   test("multi-queue union: per-queue order preserved, queues isolated") {
-    // The 100 TB scale path: one ordered source PER QUEUE, unioned —
-    // never a split of one FIFO queue (that would break the ordering
-    // contract the reference exists to keep).
+    // One scale path: one ordered source PER QUEUE, unioned — the
+    // other is minPartitions (explicit opt-out of total order, below).
     val dirA = tmpDir("mq-union-a")
     val dirB = tmpDir("mq-union-b")
     val ckpt = tmpDir("mq-union-ckpt")
@@ -461,5 +460,61 @@ class MQSourceSpec extends SparkSpec {
     val stream = new graft.sources.mq.MQMicroBatchStream(opts)
     stream.commit(graft.sources.mq.MQOffset(3))
     assert(new FileMQTransport(dir.toString).committed() == 0L)
+  }
+
+  test("minPartitions splits the planned range; keys/commit unchanged") {
+    val dir = tmpDir("mq-par")
+    // 10 messages, some sharing a millisecond ACROSS the split points,
+    // so key synthesis must prove itself position-pure per sub-range
+    val msgs = Seq((30L, "p0"), (30L, "p1"), (30L, "p2"), (31L, "p3"),
+      (31L, "p4"), (32L, "p5"), (32L, "p6"), (32L, "p7"), (32L, "p8"),
+      (33L, "p9"))
+    append(dir, msgs: _*)
+    val ordered = MQOptions(Map("path" -> dir.toString,
+      "keepMessages" -> "false"))
+    val par = MQOptions(Map("path" -> dir.toString,
+      "keepMessages" -> "false", "minPartitions" -> "4"))
+    val base = new graft.sources.mq.MQMicroBatchStream(ordered)
+    val stream = new graft.sources.mq.MQMicroBatchStream(par)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+    val parts = stream.planInputPartitions(start, end)
+      .map(_.asInstanceOf[graft.sources.mq.MQInputPartition])
+    // 4 contiguous sub-ranges covering exactly [0, 10), balanced ±1
+    assert(parts.length == 4)
+    assert(parts.head.start == 0L && parts.last.end == 10L)
+    assert(parts.sliding(2).forall(w => w(0).end == w(1).start))
+    assert(parts.forall(p => (p.end - p.start) >= 2 && (p.end - p.start) <= 3))
+    // per-partition reads: offset order within each sub-range, and the
+    // concatenation equals the single-partition ordered read EXACTLY
+    // (same keys, same values — ordering is a pure function of queue
+    // position, not of which reader emitted the row)
+    val factory = stream.createReaderFactory()
+    val perPart = parts.toSeq.map { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString,
+          row.getUTF8String(1).toString))
+      }
+      r.close(); buf.toSeq
+    }
+    val (_, orderedRows) = drainBatch(base, base.initialOffset())
+    assert(perPart.flatten == orderedRows)
+    assert(perPart.flatten.map(_._1) == Seq("30_1", "30_2", "30_3",
+      "31_1", "31_2", "32_1", "32_2", "32_3", "32_4", "33_1"))
+    // commit semantics are untouched by the split: destructive commit
+    // of the planned end advances the transport watermark as before
+    stream.commit(end)
+    assert(new FileMQTransport(dir.toString).committed() == 10L)
+    // the batch twin honors the same option at the public boundary
+    val df = spark.read.format("ibmmq")
+      .option("path", dir.toString).option("minPartitions", "4").load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.orderBy("put_ts", "seq").select("value")
+      .as[String].collect().toSeq == msgs.map(_._2))
+    // an empty range still plans zero partitions, not N empties
+    assert(stream.planInputPartitions(end, end).isEmpty)
   }
 }
