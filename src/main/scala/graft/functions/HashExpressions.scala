@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Native Catalyst expressions over the one-pass hash kernels
   * (SURVEY.md §4.2 ladder rung (b): a codegen `Expression` beats a
@@ -32,6 +32,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"graft.functions.HashKernels.simhash64Data($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Perceptual hash of a binary payload column (HashKernels.phash64):
+  * the multimodal twin of [[SimHash64]] — same 64-bit fingerprint
+  * shape, so the banded hamming join downstream is shared code. */
+case class PHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_phash64 requires binary, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash64"
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.phash64(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.HashKernels.phash64($a)")
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)

@@ -170,4 +170,43 @@ object HashKernels {
     val f = udf((elems: Seq[String]) => minhash(elems, nHashes))
     c => f(c)
   }
+
+  /** 64-bit perceptual hash (aHash) of an opaque binary payload: the
+    * bytes fold into a deterministic 8×8 "grid" of 64 contiguous
+    * stripes — the stubbed stand-in for decode→resize→luminance, same
+    * contract: a LOCAL payload edit perturbs few cells — and bit k is
+    * `cell-k mean > mean of cell means`. Hamming distance between two
+    * payloads' hashes then approximates perceptual distance, so the
+    * simhash band join applies unchanged to image/audio blobs.
+    * Empty payloads hash to 0. One pass, no allocation beyond the two
+    * 64-slot accumulators, deterministic (retry-safe).
+    */
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val cell = (i.toLong * 64L / n).toInt
+      sums(cell) += (bytes(i) & 0xff)
+      cnts(cell) += 1
+      i += 1
+    }
+    var total = 0.0d
+    var used = 0
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0) { total += sums(k).toDouble / cnts(k); used += 1 }
+      k += 1
+    }
+    val mean = total / used
+    var h = 0L
+    k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 && sums(k).toDouble / cnts(k) > mean) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
 }

@@ -181,6 +181,7 @@ object GraftFunctions {
     ensure("graft_dot")(exprs => DotProduct(exprs.head, exprs(1)))
     ensure("graft_sqdist")(exprs => SqDist(exprs.head, exprs(1)))
     ensure("graft_simhash64")(exprs => SimHash64(exprs.head))
+    ensure("graft_phash64")(exprs => PHash64(exprs.head))
     ensure("graft_nfc")(exprs => NfcNormalize(exprs.head))
     // bands/rows arrive as foldable int literals — plan-time consts
     ensure("graft_minhash_bands")(exprs => MinHashBands.build(exprs))

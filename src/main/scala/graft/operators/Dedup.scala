@@ -294,19 +294,22 @@ object Dedup {
     * safety. Audit that loss with [[simhashDroppedBuckets]] (same
     * inputs): empty result => the exactness guarantee holds intact.
     */
-  /** The single source of truth for the simhash banding scheme: the
-    * 64-bit fingerprint split into 4 x 16-bit (band, bits) rows per
-    * doc. BOTH [[simhashNearDupsBanded]] and [[simhashDroppedBuckets]]
-    * derive from this helper, so the audit can never censuses a
-    * different banding than the join it audits.
+  /** The single source of truth for the 64-bit banding scheme: any
+    * (doc, sim) fingerprint table split into 4 x 16-bit (band, bits)
+    * rows per doc. [[simhashNearDupsBanded]], [[simhashDroppedBuckets]]
+    * AND the multimodal [[hammingNearDupsBanded]] path all derive from
+    * this helper, so an audit can never census a different banding
+    * than the join it audits.
     */
+  private def bandedIndex64(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+
   private def simhashBandedIndex(docs: DataFrame, idCol: String,
                                  toks: Column): DataFrame =
-    docs.select(col(idCol).as("doc"), simhash64(toks).as("sim"))
-      .select(col("doc"), col("sim"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("sim"), b * 16)
-            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+    bandedIndex64(docs.select(col(idCol).as("doc"), simhash64(toks).as("sim")))
 
   /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
     * the same `bucketCap` — run it when recall loss must be visible
@@ -322,12 +325,29 @@ object Dedup {
 
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, toks: Column,
                             maxHamming: Int,
+                            bucketCap: Int = 10000): DataFrame =
+    hammingNearDupsBanded(
+      docs.select(col(idCol).as("doc"), simhash64(toks).as("sim")),
+      "doc", "sim", maxHamming, bucketCap)
+
+  /** Banded hamming near-dup over ANY precomputed 64-bit fingerprint
+    * table — the engine shared by text simhash and the multimodal
+    * perceptual hash ([[Multimodal.payloadNearDups]]). Same exactness
+    * contract as [[simhashNearDupsBanded]]: complete for
+    * hamming <= 3 by pigeonhole over the 4 x 16-bit bands, candidate
+    * generation beyond that, buckets above `bucketCap` dropped as
+    * skew. Input: `hashed` with an id column and a LongType
+    * fingerprint column. Output: (doc_a, doc_b, hamming).
+    */
+  def hammingNearDupsBanded(hashed: DataFrame, idCol: String,
+                            hashCol: String, maxHamming: Int,
                             bucketCap: Int = 10000): DataFrame = {
     // Materialized BEFORE the census: its three consumers (hot-bucket
-    // census + both self-join sides) would otherwise each re-tokenize
-    // and re-simhash the corpus — the dominant per-row cost. The
-    // anti-join below is a cheap broadcast filter over this cache.
-    val banded = simhashBandedIndex(docs, idCol, toks)
+    // census + both self-join sides) would otherwise each recompute
+    // the fingerprint — the dominant per-row cost. The anti-join
+    // below is a cheap broadcast filter over this cache.
+    val banded = bandedIndex64(hashed.select(col(idCol).as("doc"),
+        col(hashCol).as("sim")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Skew guard as census + broadcast anti-join (no corpus-wide
     // sort — see minhashNearDups).

@@ -99,6 +99,34 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"),
         col("out_w"), col("out_h"))
 
+  /** 64-bit perceptual hash of a binary payload column (aHash over
+    * the deterministic decoded grid — HashKernels.phash64): native
+    * codegen expression, one pass per row, no UDF boundary. */
+  def perceptualHash(payload: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_phash64", payload)
+  }
+
+  /** Near-duplicate PAYLOAD pairs — dedup for the binary modality
+    * column, closing the text/embedding/payload triangle: perceptual
+    * hash per blob (map-only, codegen), then the SAME 4×16-bit banded
+    * hamming join the text simhash path uses
+    * ([[Dedup.hammingNearDupsBanded]] — complete for hamming <= 3 by
+    * pigeonhole, candidate generation beyond, hot buckets capped).
+    * The payload bytes are read ONCE by the hash projection; the
+    * join runs entirely on (id, 64-bit) rows, so blob size never
+    * enters the shuffle. Output: (doc_a, doc_b, hamming).
+    */
+  def payloadNearDups(withBlobs: DataFrame, idCol: String,
+                      payloadCol: String, maxHamming: Int,
+                      bucketCap: Int = 10000): DataFrame =
+    Dedup.hammingNearDupsBanded(
+      withBlobs.select(col(idCol).as("doc"),
+        perceptualHash(col(payloadCol)).as("phash")),
+      "doc", "phash", maxHamming, bucketCap)
+
   /** Batched per-partition feature extraction over the payload column —
     * the mapInPandas-shaped stage. Input must have doc_id, payload,
     * meta.modality. */

@@ -457,6 +457,24 @@ object TextQueries {
           .as("n_bytes"),
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
         .orderBy("doc_id")
+    }),
+
+    "q_dedup_phash" -> ((s, d) => {
+      // Near-dup detection for the BINARY modality column: perceptual
+      // hash per payload (map-only codegen kernel), then the same
+      // 4x16-bit banded hamming join the text simhash path uses —
+      // payload bytes never enter the shuffle. Rows-only (the hash is
+      // not oracle-expressible); MultimodalSpec pins the semantics on
+      // a byte-perturbation fixture. maxHamming matches
+      // q_dedup_simhash; candidates are band-exact to hamming <= 3.
+      // Few pairs surface on THIS corpus by design: its near-dups are
+      // token permutations, which scramble byte stripes — phash, like
+      // the image hashes it stands in for, is alignment-sensitive.
+      val blobs = graft.operators.Multimodal.withPayload(
+        t(s, d, "documents"), "doc_id", "text", "text")
+      graft.operators.Multimodal.payloadNearDups(
+          blobs, "doc_id", "payload", maxHamming = 12)
+        .orderBy("doc_a", "doc_b")
     })
   )
 

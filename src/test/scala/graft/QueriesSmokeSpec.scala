@@ -19,7 +19,7 @@ class QueriesSmokeSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_agg_percentile_approx",
       "q_sim_ann_recall", "q_dedup_simhash_audit", "q_embed_cluster",
-      "q_embed_cluster_audit", "q_semdedup"))
+      "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
