@@ -81,6 +81,25 @@ object TextAnalysis {
                    stopwords: Seq[String]): Column =
     qualityScoreQ4(toks, stopwords).cast("double") / 10000.0d
 
+  /** Model-APPLY step of a fastText-style linear quality filter: a
+    * fixed-weight classifier over already-computed feature columns,
+    * with the weights — the trained artifact — frozen into the plan
+    * as literals. Each feature arrives in integer 1e-4 units (Q4,
+    * the [[qualityScoreQ4]] convention) and each weight is Q4 too,
+    * so `score_q8 = bias_q8 + Σ w_q4·f_q4` is exact BIGINT
+    * arithmetic: partitioning-independent, oracle-exact, and the
+    * keep/drop decision downstream thresholds the INTEGER score,
+    * never a float. One map-only codegen projection per row — the
+    * apply step costs the same per document at 100 TB as at 60k
+    * rows, which is exactly why curation pipelines run trained
+    * filters this way (train once offline, apply as a scan).
+    */
+  def linearModelQ8(features: Seq[(Column, Long)], biasQ8: Long): Column = {
+    require(features.nonEmpty, "linearModelQ8 needs at least one feature")
+    features.map { case (fQ4, wQ4) => fQ4 * lit(wQ4) }
+      .reduce(_ + _) + lit(biasQ8)
+  }
+
   /** Redaction pass for training-data hygiene: mask digit runs and
     * email-shaped spans (pure codegen'd regexps, no UDF). Real
     * deployments chain more patterns; the operator shape is one linear

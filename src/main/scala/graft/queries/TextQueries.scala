@@ -220,6 +220,36 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q_text_quality_model" -> ((s, d) => {
+      // Model-APPLY quality filter: fastText-style fixed-weight linear
+      // classifier over heuristic features — stopword ratio and length
+      // saturation vote FOR a document, 2-gram repetition and the
+      // too-short indicator vote AGAINST. Q4 features × Q4 literal
+      // weights → exact Q8 integer score; `keep` thresholds the
+      // integer (0.45), so the decision is engine-exact. Map-only:
+      // one corpus scan, one codegen projection, no shuffle before
+      // the final order.
+      val toks = TA.tokens(col("text"))
+      def q4(c: org.apache.spark.sql.Column) =
+        floor(c * 10000.0d + 0.5d).cast("long")
+      val g2 = TA.shingles(toks, 2)
+      val stopQ4 = q4(TA.stopwordRatio(toks, stopwords))
+      val repQ4 = q4(when(size(g2) === 0, lit(0.0d))
+        .otherwise(lit(1.0d) -
+          size(array_distinct(g2)).cast("double") /
+            size(g2).cast("double")))
+      val lenSatQ4 = q4(least(size(toks), lit(100)).cast("double") / 100.0d)
+      val shortQ4 = when(size(toks) < 20, lit(10000L)).otherwise(lit(0L))
+      val scoreQ8 = TA.linearModelQ8(Seq(
+          (stopQ4, 8000L), (repQ4, -12000L),
+          (lenSatQ4, 6000L), (shortQ4, -5000L)),
+        biasQ8 = 20000000L)
+      t(s, d, "documents").select(col("doc_id"),
+          (scoreQ8.cast("double") / 1e8).as("score"),
+          (scoreQ8 >= lit(45000000L)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, d) => {
       // Duplicate n-gram ratios (1 - distinct/total) — the standard
       // boilerplate/repetition quality signal next to q_text_quality;
@@ -729,6 +759,43 @@ object TextQueries {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_text_quality_model" ->
+      // mirrors TA.linearModelQ8 application: Q4 features (midpoint-
+      // rounded 1e-4 units), Q4 literal weights, exact BIGINT Q8
+      // score, integer threshold for keep
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i + 1]) AS g2
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(len(list_filter(t,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(t), 1) AS DOUBLE) * 10000.0 + 0.5)
+        |      AS BIGINT) AS stop_q4,
+        |    CAST(CASE WHEN len(g2) = 0 THEN 0
+        |      ELSE floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+        |        / CAST(len(g2) AS DOUBLE)) * 10000.0 + 0.5) END
+        |      AS BIGINT) AS rep_q4,
+        |    CAST(floor(CAST(least(len(t), 100) AS DOUBLE) / 100.0
+        |      * 10000.0 + 0.5) AS BIGINT) AS lensat_q4,
+        |    CAST(CASE WHEN len(t) < 20 THEN 10000 ELSE 0 END AS BIGINT)
+        |      AS short_q4
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id,
+        |    8000 * stop_q4 - 12000 * rep_q4 + 6000 * lensat_q4
+        |      - 5000 * short_q4 + 20000000 AS score_q8
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(score_q8 AS DOUBLE) / 100000000.0 AS score,
+        |  score_q8 >= 45000000 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (

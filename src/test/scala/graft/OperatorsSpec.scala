@@ -19,6 +19,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh.contains(Seq.empty))
   }
 
+  test("linear quality model: hand-computed Q8 scores, exact keep cut") {
+    // doc 0: "the the the the" — stop 1.0 (Q4 10000), rep 1-1/3
+    // (Q4 6667), lenSat 0.04 (Q4 400), short (Q4 10000):
+    // 8000·10000 - 12000·6667 + 6000·400 - 5000·10000 + 2e7
+    //   = -27_604_000  → score -0.27604, keep = false
+    // doc 1: 20 distinct fillers + 5 stopwords — stop 0.2 (2000),
+    // rep 0, lenSat 0.25 (2500), short 0:
+    // 8000·2000 + 6000·2500 + 2e7 = 51_000_000 → 0.51, keep = true
+    val d = Seq(
+      (0L, "the the the the"),
+      (1L, ((0 until 20).map(i => s"w$i") ++
+        Seq("the", "a", "of", "and", "to")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val toks = TA.tokens(col("text"))
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0d + 0.5d).cast("long")
+    val g2 = TA.shingles(toks, 2)
+    val scoreQ8 = TA.linearModelQ8(Seq(
+        (q4(TA.stopwordRatio(toks, stopwords)), 8000L),
+        (q4(when(size(g2) === 0, lit(0.0d)).otherwise(lit(1.0d) -
+          size(array_distinct(g2)).cast("double") /
+            size(g2).cast("double"))), -12000L),
+        (q4(least(size(toks), lit(100)).cast("double") / 100.0d), 6000L),
+        (when(size(toks) < 20, lit(10000L)).otherwise(lit(0L)), -5000L)),
+      biasQ8 = 20000000L)
+    val m = d.select(col("doc_id"), scoreQ8, (scoreQ8 >= lit(45000000L)))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L) == ((-27604000L, false)), s"doc0: ${m(0L)}")
+    assert(m(1L) == ((51000000L, true)), s"doc1: ${m(1L)}")
+  }
+
   test("rolling hash is deterministic and order-sensitive") {
     val df = Seq("abc", "abc", "acb").toDF("text")
       .select(TA.rollingHash(col("text")).as("h")).as[Long].collect()
