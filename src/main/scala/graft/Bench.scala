@@ -54,6 +54,11 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
+      // clearCache() can't free localCheckpoint blocks (they live
+      // outside the CacheManager and only drop when the RDD is
+      // GC'd) — without this nudge, a full sweep accumulates them
+      // and later queries pay the memory pressure as noise.
+      System.gc()
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -341,14 +341,19 @@ object Dedup {
     */
   def hammingNearDupsBanded(hashed: DataFrame, idCol: String,
                             hashCol: String, maxHamming: Int,
-                            bucketCap: Int = 10000): DataFrame = {
+                            bucketCap: Int = 10000,
+                            persistIndex: Boolean = true): DataFrame = {
     // Materialized BEFORE the census: its three consumers (hot-bucket
     // census + both self-join sides) would otherwise each recompute
     // the fingerprint — the dominant per-row cost. The anti-join
     // below is a cheap broadcast filter over this cache.
-    val banded = bandedIndex64(hashed.select(col(idCol).as("doc"),
+    // `persistIndex = false` for one-shot callers (payloadNearDups)
+    // that would otherwise leak MEMORY_AND_DISK blocks with no handle
+    // to unpersist — same stance as Similarity.lshIndex.
+    val raw = bandedIndex64(hashed.select(col(idCol).as("doc"),
         col(hashCol).as("sim")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded =
+      if (persistIndex) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
     // Skew guard as census + broadcast anti-join (no corpus-wide
     // sort — see minhashNearDups).
     val hotBuckets = banded.groupBy(col("band"), col("bits"))
@@ -650,7 +655,9 @@ object Dedup {
     * partitioning already satisfies (no exchange). The span table is
     * persisted once for its three consumers (census + strip + span
     * counts; `persistSpans = false` opts out for one-shot callers
-    * that would otherwise leak cache in a long session). The census
+    * that would otherwise leak cache in a long session —
+    * unpersist-after-action is not possible here because the
+    * function returns a lazy plan and never runs an action itself). The census
     * is one (span)-keyed aggregate whose distinct-count partials
     * combine map-side; the hot-span set is bounded above by
     * total_spans/(n_docs·permille/1000) — the planner broadcasts it
@@ -672,9 +679,13 @@ object Dedup {
       s"spanTokens must be in [2, 16] (hex-digit CDC modulus), got $spanTokens")
     require(maxDocFreqPermille > 0,
       s"maxDocFreqPermille must be positive, got $maxDocFreqPermille")
-    val cap = if (maxSpanTokens > 0) maxSpanTokens else 4 * spanTokens
-    require(cap >= spanTokens,
-      s"maxSpanTokens ($cap) must be >= spanTokens ($spanTokens)")
+    // -1 is the only documented "use the default cap" sentinel; any
+    // other non-positive (or sub-spanTokens) value is a caller bug,
+    // not a request for the default.
+    require(maxSpanTokens == -1 || maxSpanTokens >= spanTokens,
+      s"maxSpanTokens must be -1 (default cap) or >= spanTokens " +
+        s"($spanTokens), got $maxSpanTokens")
+    val cap = if (maxSpanTokens == -1) 4 * spanTokens else maxSpanTokens
     import org.apache.spark.sql.expressions.Window
     // one tokenize pass; the lowered census token derives per-token
     // (lower() never changes spaces, so positions align with the

@@ -125,7 +125,7 @@ object Multimodal {
     Dedup.hammingNearDupsBanded(
       withBlobs.select(col(idCol).as("doc"),
         perceptualHash(col(payloadCol)).as("phash")),
-      "doc", "phash", maxHamming, bucketCap)
+      "doc", "phash", maxHamming, bucketCap, persistIndex = false)
 
   /** Batched per-partition feature extraction over the payload column —
     * the mapInPandas-shaped stage. Input must have doc_id, payload,

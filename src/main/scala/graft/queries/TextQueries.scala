@@ -23,6 +23,14 @@ object TextQueries {
   // report "no recall loss" about a different configuration.
   private val simhashBucketCap = 10000
 
+  // ONE span-size definition shared by the q_dedup_spans Spark call
+  // AND its DuckDB oracle (the SQL interpolates these, so changing
+  // spanTokens here can never desync the oracle's breakpoint modulus
+  // or sub-tile cap). Sub-tile cap mirrors stripRepeatedSpans's
+  // default of 4 * spanTokens.
+  private val dedupSpanTokens = 2
+  private val dedupSpanSubCap = 4 * dedupSpanTokens
+
   val queries: Map[String, QueryFn] = Map(
 
     "q_text_tokenize" -> ((s, d) => {
@@ -102,7 +110,7 @@ object TextQueries {
       // matching stays case-insensitive. Threshold is integer-exact
       // permille so the cut is scale-invariant and oracle-reproducible.
       Dedup.stripRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
-          spanTokens = 2, maxDocFreqPermille = 10)
+          spanTokens = dedupSpanTokens, maxDocFreqPermille = 10)
         .orderBy("doc_id")
     }),
 
@@ -495,15 +503,24 @@ object TextQueries {
       // 4x16-bit banded hamming join the text simhash path uses —
       // payload bytes never enter the shuffle. Rows-only (the hash is
       // not oracle-expressible); MultimodalSpec pins the semantics on
-      // a byte-perturbation fixture. maxHamming matches
-      // q_dedup_simhash; candidates are band-exact to hamming <= 3.
-      // Few pairs surface on THIS corpus by design: its near-dups are
-      // token permutations, which scramble byte stripes — phash, like
-      // the image hashes it stands in for, is alignment-sensitive.
+      // a byte-perturbation fixture. maxHamming = 3 keeps the query
+      // inside the band-EXACT regime (pigeonhole over 4x16-bit bands
+      // — the result is complete, not candidate-generated), which
+      // matters here because a 64-byte payload yields a coarse aHash
+      // and looser thresholds over-match. The fixture payload is the
+      // 64-char text PREFIX, not the full text: this corpus's
+      // near-dups permute later tokens (which scrambles byte stripes
+      // — phash, like the image hashes it stands in for, is
+      // alignment-sensitive) but share opening boilerplate, so the
+      // prefix payload carries real byte-level dups and the sf0.01
+      // driver check returns a meaningful pair count instead of the
+      // near-vacuous 1 row the full-text payload produced.
       val blobs = graft.operators.Multimodal.withPayload(
-        t(s, d, "documents"), "doc_id", "text", "text")
+        t(s, d, "documents").withColumn("blob_src",
+          substring(col("text"), 1, 64)),
+        "doc_id", "blob_src", "text")
       graft.operators.Multimodal.payloadNearDups(
-          blobs, "doc_id", "payload", maxHamming = 12)
+          blobs, "doc_id", "payload", maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -584,13 +601,16 @@ object TextQueries {
     "q_dedup_spans" ->
       // mirrors Dedup.stripRepeatedSpans: content-defined spans (a
       // token ENDS its span when it matches [.!?]$ or its last md5
-      // hex digit is even — spanTokens=2), overlong spans sub-tiled
-      // at 8 tokens from the span start, census on the LOWERED span,
-      // drop spans with df*1000 > n_docs*10 (integer-exact 1%),
-      // reassemble survivors in position order from the ORIGINAL-case
-      // tokens. instr('0123456789abcdef', ·)-1 is DuckDB's spelling
-      // of Spark's conv(hex_digit, 16, 10).
-      """WITH t AS (
+      // hex digit ≡ 0 mod dedupSpanTokens), overlong spans sub-tiled
+      // at dedupSpanSubCap tokens from the span start, census on the
+      // LOWERED span, drop spans with df*1000 > n_docs*10
+      // (integer-exact 1%), reassemble survivors in position order
+      // from the ORIGINAL-case tokens. The modulus and cap literals
+      // are INTERPOLATED from the same constants the Spark call
+      // uses — they cannot silently desync.
+      // instr('0123456789abcdef', ·)-1 is DuckDB's spelling of
+      // Spark's conv(hex_digit, 16, 10).
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS otoks
         |  FROM documents),
         |tiles AS (
@@ -602,9 +622,9 @@ object TextQueries {
         |    lower(otoks[j]) AS ltok
         |  FROM tiles),
         |brk AS (
-        |  SELECT *, CASE WHEN regexp_matches(ltok, '[.!?]$')
+        |  SELECT *, CASE WHEN regexp_matches(ltok, '[.!?]${"$"}')
         |      OR (instr('0123456789abcdef', substr(md5(ltok), 32, 1)) - 1)
-        |         % 2 = 0
+        |         % $dedupSpanTokens = 0
         |    THEN 1 ELSE 0 END AS b
         |  FROM tok),
         |sp0 AS (
@@ -613,7 +633,7 @@ object TextQueries {
         |  FROM brk),
         |sp1 AS (
         |  SELECT *, (tpos - min(tpos) OVER (PARTITION BY doc_id, span_id))
-        |    // 8 AS sub
+        |    // $dedupSpanSubCap AS sub
         |  FROM sp0),
         |spans AS (
         |  SELECT doc_id, span_id, sub, min(tpos) AS pos,
