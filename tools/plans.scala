@@ -20,7 +20,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_text_heavy_hitters", "q_source_cap", "q_token_budget",
               "q_dedup_spans", "q_text_lm_score", "q_text_lm_bigram",
               "q_embed_outliers", "q_dedup_matrix", "q_corpus_stats",
-              "q_mix_temperature", "q_text_lm_crossscore")) {
+              "q_mix_temperature", "q_text_lm_crossscore",
+              "q_dedup_phash", "q_text_quality_model")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
