@@ -724,16 +724,27 @@ object Similarity {
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                codebook: Array[Array[Seq[Double]]]): DataFrame = {
+    val v = toDouble(col(vecCol))
+    vecs.select(col(idCol).as("c_id"),
+      pqCodesExpr(v, codebook).as("codes"),
+      sqrt(normSq(v)).as("c_norm"))
+  }
+
+  /** The per-vector PQ code array as one expression over a double
+    * vector column: per-subspace argmin over the literal codebook.
+    * Shared by [[pqEncode]] and the composed [[ivfPqIndex]] so both
+    * produce byte-identical codes. */
+  private def pqCodesExpr(v: Column,
+                          codebook: Array[Array[Seq[Double]]]): Column = {
     val m = codebook.length
     val ksub = codebook(0).length
     val sub = codebook(0)(0).length
-    val v = toDouble(col(vecCol))
     val cb = codebookLit(codebook)
     val zero = struct(lit(-1).as("c"), lit(Double.MaxValue).as("d2"))
     // score once per codeword, argmin-fold over the materialized
     // structs — see assignLiteral on why not `when` over a recomputed
     // distance
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+    transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(v, s * lit(sub) + lit(1), lit(sub))
       val words = element_at(cb, s + lit(1))
       val scored = transform(sequence(lit(0), lit(ksub - 1)),
@@ -743,8 +754,24 @@ object Similarity {
         when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
         .getField("c")
     })
-    vecs.select(col(idCol).as("c_id"), codes.as("codes"),
-      sqrt(normSq(v)).as("c_norm"))
+  }
+
+  /** Per-query ADC lookup table over a double vector column:
+    * lut[s][c] = dot(query_sub_s, codeword_sc) — m·ksub short dot
+    * products built on the SMALL broadcast query side from the single
+    * codebook literal. Shared by [[pqTopKWith]] and
+    * [[ivfPqTopKWith]]. */
+  private def pqLutExpr(qv: Column,
+                        codebook: Array[Array[Seq[Double]]]): Column = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val cb = codebookLit(codebook)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cb, s + lit(1)), cw =>
+        aggregate(
+          zip_with(slice(qv, s * lit(sub) + lit(1), lit(sub)), cw,
+            (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x)))
   }
 
   /** Staged PQ index: trained codebook + the encoded corpus,
@@ -790,22 +817,10 @@ object Similarity {
     require(rerank >= k,
       s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
         "only return rows from the ADC shortlist")
-    val codebook = index.codebook
-    val m = codebook.length
-    val sub = codebook(0)(0).length
     val qv = toDouble(col(vecCol))
-    // per-query LUT: lut[s][c] = dot(query_sub_s, codeword_sc); built
-    // on the SMALL broadcast query side (m·ksub short dot products)
-    // from the single codebook literal
-    val cb = codebookLit(codebook)
-    val lut = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(element_at(cb, s + lit(1)), cw =>
-        aggregate(
-          zip_with(slice(qv, s * lit(sub) + lit(1), lit(sub)), cw,
-            (x, y) => x * y),
-          lit(0.0d), (a, x) => a + x)))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"), lut.as("lut")))
+      qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"),
+      pqLutExpr(qv, index.codebook).as("lut")))
     val adc = q.join(index.encoded, col("q_id") =!= col("c_id"))
       .withColumn("approx",
         aggregate(zip_with(col("codes"), col("lut"),
@@ -842,4 +857,110 @@ object Similarity {
     pqTopKWith(pqIndex(candidates, idCol, vecCol, m, ksub,
         trainSize = trainSize, persistIndex = false),
       queries, candidates, idCol, vecCol, k, rerank)
+
+  /** Composed IVF+PQ index — the standard billion-scale ANN layout
+    * (FAISS's IVFADC): the coarse quantizer confines each query to
+    * `nProbe` inverted lists, and inside those lists the scan reads PQ
+    * codes (~32× smaller than raw vectors) instead of the vectors
+    * themselves. Both halves are the SAME staged artifacts that back
+    * [[ivfIndex]] and [[pqIndex]] — the centroid table (bounded driver
+    * state) and the trained codebook — and the composed corpus table
+    * (c_id, cent_id, codes, c_norm) comes from ONE map-only projection:
+    * list assignment is [[ivfIndex]]'s literal-centroid argmax fold,
+    * code assignment [[pqEncode]]'s literal-codebook argmin fold, so
+    * the corpus is scanned once and never shuffled at build time. */
+  final case class IvfPqIndex(cents: Seq[(Long, Seq[Double])],
+                              codebook: Array[Array[Seq[Double]]],
+                              encoded: DataFrame)
+
+  def ivfPqIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                 maxIter: Int = 5, trainSize: Int = 4096,
+                 persistIndex: Boolean = true): IvfPqIndex = {
+    // the inner IVF assignment stays unpersisted: its single consumer
+    // is the composed projection below, which is what gets persisted
+    val ivf = ivfIndex(candidates, idCol, vecCol, nCentroids,
+      persistIndex = false)
+    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub, maxIter,
+      trainSize)
+    // ivf.assigned = (c_id, c_vec double[], cent_id); codes + norm ride
+    // the same projection, so building the index is one corpus scan
+    val encoded0 = ivf.assigned.select(col("c_id"), col("cent_id"),
+      pqCodesExpr(col("c_vec"), codebook).as("codes"),
+      sqrt(normSq(col("c_vec"))).as("c_norm"))
+    val encoded =
+      if (persistIndex) encoded0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded0
+    IvfPqIndex(ivf.cents, codebook, encoded)
+  }
+
+  /** Query stage of IVF+PQ: coarse-probe the `nProbe` nearest centroid
+    * lists (queries × centroids — the small side), ADC-score ONLY the
+    * probed lists via an equi-join on cent_id with the probe side
+    * broadcast (the encoded corpus is never exchanged), then
+    * exact-rerank the `rerank`-deep shortlist against the raw vectors
+    * (an equi-join touching |Q|·rerank rows). Same output shape as
+    * [[bruteForceTopK]], so [[recallAtK]] measures it directly. */
+  def ivfPqTopKWith(index: IvfPqIndex, queries: DataFrame,
+                    candidates: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 2, rerank: Int = 32): DataFrame = {
+    require(rerank >= k,
+      s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
+        "only return rows from the ADC shortlist")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qv = toDouble(col(vecCol))
+    val qs = queries.select(col(idCol).as("q_id"), qv.as("q_vec"),
+      sqrt(normSq(qv)).as("q_norm"),
+      pqLutExpr(qv, index.codebook).as("lut"))
+    // coarse probe: rank the literal centroid table per query and keep
+    // the nProbe best lists — runs over queries × nCentroids rows
+    val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qd").desc, col("cent_id").asc)
+    val probes = qs.crossJoin(cents)
+      .withColumn("qd", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
+        col("cent_id"))
+    val adc = broadcast(probes).join(index.encoded, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (code, row) => element_at(row, code + 1)),
+          lit(0.0d), (acc, x) => acc + x) /
+          (col("q_norm") * col("c_norm")))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id").asc)
+    val shortlist = adc.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("c_id"))
+    // exact rerank on the shortlist only
+    val cands = candidates.select(col(idCol).as("c_id"),
+      toDouble(col(vecCol)).as("c_vec"),
+      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(shortlist).join(cands, "c_id")
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** IVF+PQ top-k in one call for single-shot use: [[ivfPqIndex]] +
+    * [[ivfPqTopKWith]]. The throwaway composed index is NOT persisted —
+    * one consumer, and an unreachable cached DF would leak until
+    * clearCache. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                trainSize: Int = 4096): DataFrame =
+    ivfPqTopKWith(
+      ivfPqIndex(candidates, idCol, vecCol, nCentroids, m, ksub,
+        trainSize = trainSize, persistIndex = false),
+      queries, candidates, idCol, vecCol, k, nProbe, rerank)
 }

@@ -79,8 +79,23 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_sim_ann_ivfpq" -> ((s, d) => {
+      // Composed IVF+PQ (FAISS IVFADC): coarse probe confines the scan
+      // to nProbe lists, PQ codes shrink what the scan reads, exact
+      // rerank on the shortlist. Rows-only (trained coarse+fine
+      // quantizers aren't oracle-expressible); OperatorsSpec pins a
+      // recall floor + determinism, ScaleSpec the exchange-free build
+      // and all-broadcast query joins.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 3, nProbe = 4)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
     "q_sim_ann_recall" -> ((s, d) => {
-      // recall@k of all three ANN paths vs the exact brute-force twin
+      // recall@k of all four ANN paths vs the exact brute-force twin
       // on the SAME queries — the approximation error as a
       // first-class number (rows-only: the LSH/IVF/PQ index structures
       // aren't oracle-expressible, but determinism is spec-covered).
@@ -106,9 +121,13 @@ object VectorQueries {
       val pq = Similarity.pqTopKWith(
         Similarity.pqIndex(emb, "vec_id", "embedding"),
         q, emb, "vec_id", "embedding", k)
+      val ivfpq = Similarity.ivfPqTopKWith(
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding"),
+        q, emb, "vec_id", "embedding", k, nProbe = 4)
       Similarity.recallAtK(exact, lsh, "lsh")
         .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
         .unionByName(Similarity.recallAtK(exact, pq, "pq"))
+        .unionByName(Similarity.recallAtK(exact, ivfpq, "ivfpq"))
         .orderBy("method")
     }),
 

@@ -705,6 +705,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ composed top-k: recall floor on clustered vectors, deterministic") {
+    val base = Seq(
+      Array(1.0f, 0.02f, 0.01f, 0.0f),
+      Array(0.0f, 0.01f, 0.02f, 1.0f))
+    val all = (0 until 40).map { i =>
+      val c = base(i % 2)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = all.filter(col("vec_id") < 6)
+    val k = 3
+    // probe BOTH lists so the coarse quantizer can't hide a PQ-side
+    // regression behind a lucky list assignment
+    def run() = Similarity.ivfPqTopK(q, all, "vec_id", "embedding", k,
+      nCentroids = 2, nProbe = 2, m = 2, ksub = 4)
+    val exact = Similarity.bruteForceTopK(q, all, "vec_id", "embedding", k)
+    val rec = Similarity.recallAtK(exact, run(), "ivfpq")
+      .select("recall").as[Double].head()
+    assert(rec >= 0.9, s"ivfpq recall $rec")
+    // coarse centroids, codebook train, encode, ADC are all
+    // Random-free → bit-stable
+    val a = run().orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val b = run().orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b)
+    // the staged index feeds repeated queries without rebuilding
+    val idx = Similarity.ivfPqIndex(all, "vec_id", "embedding",
+      nCentroids = 2, m = 2, ksub = 4)
+    val staged = Similarity.ivfPqTopKWith(idx, q, all,
+      "vec_id", "embedding", k, nProbe = 2)
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(staged == a,
+      "staged ivfPqTopKWith must match the one-shot wrapper")
+    // codes in the composed index must be byte-identical to pqEncode's
+    // over the same codebook (the shared expression contract)
+    val composed = idx.encoded.orderBy("c_id")
+      .select("c_id", "codes").as[(Long, Seq[Int])].collect().toSeq
+    val standalone = Similarity
+      .pqEncode(all, "vec_id", "embedding", idx.codebook)
+      .orderBy("c_id").select("c_id", "codes")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(composed == standalone)
+    idx.encoded.unpersist()
+  }
+
   test("recallAtK arithmetic: hits over |exact|, bounded by 1") {
     val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 12L))
       .toDF("q_id", "rank", "c_id")

@@ -272,6 +272,45 @@ class ScaleSpec extends SparkSpec {
     idx.assigned.unpersist()
   }
 
+  test("IVF+PQ: build is one map-only scan; query joins all broadcast") {
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i % 3 + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.Similarity
+      .ivfPqIndex(vecs, "vec_id", "embedding", nCentroids = 2,
+        m = 2, ksub = 4)
+    // build side: the composed (cent_id, codes, norm) projection must
+    // materialize without any Exchange — list assignment and PQ encode
+    // are both literal-table folds riding one corpus scan
+    val imr = idx.encoded.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imr.isDefined, "composed ivfpq index must be persisted")
+    val cached = imr.get.cachedPlan.toString
+    assert(!cached.contains("Exchange"),
+      s"IVF+PQ index build must be map-only:\n$cached")
+    // query side: every join (probe→lists ADC, shortlist→raw rerank)
+    // must broadcast its small side — the encoded corpus and the raw
+    // candidate table are never shuffled for a join; the only
+    // exchanges hash-partition pair/shortlist rows on q_id for the
+    // two windows
+    val q = vecs.filter(col("vec_id") < 4)
+    val top = graft.operators.Similarity
+      .ivfPqTopKWith(idx, q, vecs, "vec_id", "embedding", 2, nProbe = 2)
+    top.count()
+    val plan = top.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"IVF+PQ query must join via broadcast only:\n$s")
+    assert("hashpartitioning\\(q_id".r.findAllIn(s).nonEmpty &&
+      "hashpartitioning\\((?!q_id)".r.findAllIn(s).isEmpty,
+      s"the only exchanges may partition on q_id:\n$s")
+    idx.encoded.unpersist()
+  }
+
   test("span strip: text is read only through the cached tile index") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = graft.operators.Dedup
