@@ -311,6 +311,20 @@ object Dedup {
                                  toks: Column): DataFrame =
     bandedIndex64(docs.select(col(idCol).as("doc"), simhash64(toks).as("sim")))
 
+  /** The banded index over ANY precomputed 64-bit fingerprint table as
+    * a public artifact: (doc, sim, band, bits) — the SAME banding
+    * [[hammingNearDupsBanded]] joins on (both call the one private
+    * helper, so batch and consumers can never band differently). This
+    * is the static corpus side of
+    * [[graft.streaming.StreamingOps.nearDupAgainstCorpus]]; in
+    * production it materializes as a table bucketed by (band, bits)
+    * and the batch dedup job appends accepted docs to it between
+    * micro-batches. */
+  def hammingBandIndex(hashed: DataFrame, idCol: String,
+                       hashCol: String): DataFrame =
+    bandedIndex64(hashed.select(col(idCol).as("doc"),
+      col(hashCol).as("sim")))
+
   /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
     * the same `bucketCap` — run it when recall loss must be visible
     * (each dropped bucket of size s forfeits up to s*(s-1)/2 pairs).

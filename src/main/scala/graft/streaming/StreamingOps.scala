@@ -84,6 +84,68 @@ object StreamingOps {
       .drop("graft_digest")
   }
 
+  /** Near-dup dedup at the ingest door — the streaming twin of the
+    * batch [[graft.operators.Dedup.hammingNearDupsBanded]] family
+    * (text simhash AND binary phash: `sim` is any 64-bit fingerprint
+    * expression, e.g. `Dedup.simhash64(toks)` or
+    * `HashKernels.phash64(payload)`). Two stages:
+    *
+    * 1. **Corpus probe**: arriving docs are checked against the static
+    *    banded index ([[graft.operators.Dedup.hammingBandIndex]]) with
+    *    one LEFT ANTI join per 16-bit band — equi-keyed on the band's
+    *    bits with the hamming cutoff as a residual condition. By the
+    *    same pigeonhole argument as the batch join, a doc within
+    *    `maxHamming` <= 3 of ANY corpus doc shares at least one band
+    *    verbatim, so the four probes drop it with NO stream-side
+    *    explode and no streaming aggregation — the query stays in
+    *    append mode with a single stateful operator. Probing the index
+    *    four times (once per band) instead of once over an exploded
+    *    stream is the deliberate trade: the re-aggregation an explode
+    *    needs would be a second stateful op, which Spark disallows
+    *    after flatMapGroupsWithState and which would carry corpus-sized
+    *    state. In production `corpusBands` is a table bucketed by
+    *    (band, bits), so each probe is exchange-free on the corpus side
+    *    — the same stance as [[dedupAgainstCorpus]]'s digest table.
+    * 2. **In-stream state**: survivors are deduped on the full 64-bit
+    *    fingerprint with watermark-bounded state, dropping same-batch
+    *    and cross-batch arrivals whose fingerprint is identical (the
+    *    hamming-0 class: token-identical or reordered-identical
+    *    content hashes to the same simhash).
+    *
+    * In-stream pairs at hamming 1..3 inside the watermark window are
+    * NOT caught by stage 2 (a near-match is not an equality, and
+    * banded state would need the disallowed second stateful op); they
+    * are caught on the next corpus-index refresh, exactly like new
+    * digests in [[dedupAgainstCorpus]] — the transform re-plans the
+    * static side every micro-batch, so the batch job folding accepted
+    * docs into the banded index closes that window.
+    */
+  def nearDupAgainstCorpus(stream: DataFrame, sim: org.apache.spark.sql.Column,
+                           tsCol: String, corpusBands: DataFrame,
+                           lateness: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"banded probe is only complete for hamming <= 3 (got $maxHamming); " +
+        "4 x 16-bit bands pigeonhole exactly that far")
+    require(!stream.columns.contains("graft_sim"),
+      "input stream already has a graft_sim column")
+    val withSim = stream.withColumn("graft_sim", sim)
+    val probed = (0 until 4).foldLeft(withSim) { (df, b) =>
+      val cb = corpusBands.filter(col("band") === b)
+        .select(col("bits").as("graft_bits"),
+          col("sim").as("graft_corpus_sim"))
+      df.join(cb,
+        shiftrightunsigned(col("graft_sim"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)) === col("graft_bits") &&
+          bit_count(col("graft_sim").bitwiseXOR(col("graft_corpus_sim")))
+            <= maxHamming,
+        "left_anti")
+    }
+    probed
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("graft_sim")
+      .drop("graft_sim")
+  }
+
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per
     * micro-batch). The MQ payload enriched with reference data is the

@@ -129,6 +129,110 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupAgainstCorpus drops banded near-dups and in-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // controlled fingerprints: corpus doc 100L has fingerprint 0xF0F0;
+    // arriving fingerprints at hamming 1 (0xF0F1), 3 (0xF0F0^0b111 in
+    // one band), 4 (no shared band guarantee — constructed to differ
+    // in every band) and far
+    val corpusHashed = Seq((100L, 0xF0F0L), (101L, 0x0FF0000L))
+      .toDF("doc_id", "fp")
+    val corpusBands = graft.operators.Dedup
+      .hammingBandIndex(corpusHashed, "doc_id", "fp")
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamingOps.nearDupAgainstCorpus(
+      input.toDF().toDF("ts", "id", "fp"), col("fp"), "ts",
+      corpusBands, "10 minutes", maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("neardup_door")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hamming(0xF0F1, 0xF0F0)=1 → drop; hamming(0xF0F7,0xF0F0)=3 → drop;
+      // 0x0F0F is hamming 16 from 0xF0F0 → keep; one band-collision
+      // (low band 0x0000 shared with 0x0FF0000L's low band) but
+      // hamming 10 > 3 → the residual condition keeps it
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 0xF0F1L),     // near corpus → drop
+        (ts("2024-01-01 10:00:01"), 2L, 0xF0F7L),     // hamming 3 → drop
+        (ts("2024-01-01 10:00:02"), 3L, 0x0F0FL),     // far → keep
+        (ts("2024-01-01 10:00:03"), 4L, 0x0F0FL),     // in-stream repeat → drop
+        (ts("2024-01-01 10:00:04"), 5L, 0xABCD1234L)) // far → keep
+      q.processAllAvailable()
+      // cross-batch repeat of a survivor's fingerprint → dropped by state
+      input.addData((ts("2024-01-01 10:01:00"), 6L, 0xABCD1234L))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_door")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(3L, 5L))
+      // the working fingerprint column must not leak
+      assert(spark.table("neardup_door").columns.toSeq ==
+        Seq("ts", "id", "fp"))
+    } finally q.stop()
+  }
+
+  test("nearDupAgainstCorpus parity: stream drops exactly the docs the batch join pairs with the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // derive fingerprints from a deterministic generator so band
+    // collisions happen naturally, then assert the streamed survivors
+    // complement the batch pairing verdicts exactly
+    val corpusHashed = (0L until 40L).map(i =>
+      (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "fp")
+    val arrivals = (0L until 30L).map { i =>
+      val base = (i % 20) * 0x9E3779B97F4A7C15L
+      // half arrive within hamming 2 of a corpus fingerprint, half far
+      val fp = if (i % 2 == 0) base ^ 0x3L else ~base
+      (i + 1000L, fp)
+    }
+    val corpusBands = graft.operators.Dedup
+      .hammingBandIndex(corpusHashed, "doc_id", "fp")
+    // batch verdict: which arrivals pair with a corpus doc?
+    val batchPairs = graft.operators.Dedup.hammingNearDupsBanded(
+      corpusHashed.unionByName(arrivals.toDF("doc_id", "fp")),
+      "doc_id", "fp", maxHamming = 3)
+    val droppedByBatch = batchPairs
+      .filter(col("doc_a") < 1000L && col("doc_b") >= 1000L)
+      .select(col("doc_b").as("id"))
+      .as[Long].collect().toSet
+    // distinct arrival fingerprints (stage-2 state dedups repeats —
+    // keep first id per fingerprint to mirror it)
+    val firstPerFp = arrivals.groupBy(_._2).map(_._2.minBy(_._1)).toSet
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamingOps.nearDupAgainstCorpus(
+      input.toDF().toDF("ts", "id", "fp"), col("fp"), "ts",
+      corpusBands, "10 minutes", maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("neardup_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(arrivals.map { case (id, fp) =>
+        (ts("2024-01-01 10:00:00"), id, fp) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("neardup_parity")
+        .select("id").as[Long].collect().toSet
+      val expected = firstPerFp.map(_._1) -- droppedByBatch
+      assert(kept == expected,
+        s"stream kept $kept, batch-complement expected $expected")
+    } finally q.stop()
+  }
+
+  test("nearDupAgainstCorpus guards: working column, hamming bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpusBands = graft.operators.Dedup.hammingBandIndex(
+      Seq((1L, 2L)).toDF("doc_id", "fp"), "doc_id", "fp")
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    intercept[IllegalArgumentException] {
+      StreamingOps.nearDupAgainstCorpus(
+        input.toDF().toDF("ts", "id", "graft_sim"), col("graft_sim"),
+        "ts", corpusBands, "10 minutes")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.nearDupAgainstCorpus(
+        input.toDF().toDF("ts", "id", "fp"), col("fp"),
+        "ts", corpusBands, "10 minutes", maxHamming = 4)
+    }
+  }
+
   test("stream-static enrichment joins the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Int)]
