@@ -186,6 +186,86 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact substring-level dedup (duplicated-passage detection, the
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" family): maximal runs of >= `minTokens` consecutive
+    * tokens shared VERBATIM between any two documents — as few as two,
+    * unlike [[stripRepeatedSpans]], whose corpus-frequency threshold
+    * targets boilerplate. The suffix-array formulation is inherently
+    * sequential; this is the bounded relational form:
+    *
+    *  1. every `k`-token shingle, with position, hashed to md5 — one
+    *     map-only pass; the 128-bit key keeps cross-doc collisions
+    *     negligible at any corpus size and is reproducible by an
+    *     external oracle (vs xxhash64)
+    *  2. shingles in more than `maxDocFreqPermille` permille of docs
+    *     are dropped by census + broadcast anti-join before pairing —
+    *     boilerplate belongs to the span strip, and an uncapped hot
+    *     shingle is quadratic join skew (the same integer-exact
+    *     percent-form guard as [[jaccardPairs]])
+    *  3. matched positions chain into maximal runs per (pair,
+    *     diagonal): two matches at (pa, pb) and (pa+1, pb+1) share the
+    *     diagonal pa-pb, so gaps-and-islands (pa - row_number) over
+    *     each diagonal finds every maximal shared interval in one
+    *     window pass — partitioned by (doc_a, doc_b, diag), whose
+    *     volume the df cap bounds
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, len_tokens), 0-based
+    * token offsets, one row per maximal shared run >= `minTokens`.
+    */
+  def sharedPassages(docs: DataFrame, idCol: String, toks: Column,
+                     k: Int = 8, minTokens: Int = 20,
+                     maxDocFreqPermille: Int = 50,
+                     persistIndex: Boolean = true): DataFrame = {
+    require(k >= 2, s"shingle width k=$k must be >= 2")
+    require(minTokens >= k,
+      s"minTokens=$minTokens below k=$k would emit sub-shingle runs")
+    import org.apache.spark.sql.expressions.Window
+    // (doc, pos, shingle-md5): docs shorter than k yield no shingles —
+    // the size guard matters because sequence(0, size-k) counts DOWN
+    // when size < k
+    val raw = docs
+      .select(col(idCol).cast("long").as("doc"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - lit(k)),
+          i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))))
+          .as(Seq("pos", "sh")))
+    // three consumers (census + both join sides); one-shot callers opt
+    // out and trade a recompute for zero cache residue
+    val sh =
+      if (persistIndex) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
+    val nDocs = sh.select(countDistinct(col("doc")).as("__nd"))
+    val hot = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(1000L) >
+        col("__nd") * lit(maxDocFreqPermille.toLong))
+      .select("sh")
+    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = capped.select(col("sh"), col("doc").as("doc_a"),
+      col("pos").as("pa"))
+    val b = capped.select(col("sh"), col("doc").as("doc_b"),
+      col("pos").as("pb"))
+    val m = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    // pa is unique within a diagonal (pb is determined by pa - diag),
+    // so pa - row_number is constant exactly along each maximal run
+    val runs = m.withColumn("grp", col("pa") - row_number().over(w))
+    runs.groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"),
+        (max(col("pa")) - min(col("pa")) + lit(k)).as("len_tokens"))
+      .filter(col("len_tokens") >= minTokens)
+      .select(col("doc_a"), col("doc_b"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_start") - col("diag")).cast("long").as("b_start"),
+        col("len_tokens").cast("long").as("len_tokens"))
+  }
+
   /** MinHash signature of a string-array column: `nHashes` independent
     * min-hashes from a one-pass JVM kernel (each element hashed once,
     * position variants derived by mixing — see HashKernels). */

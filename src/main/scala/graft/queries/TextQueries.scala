@@ -114,6 +114,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_substring" -> ((s, d) => {
+      // Duplicated-PASSAGE detection (Lee et al. substring dedup):
+      // maximal runs of >= 20 verbatim tokens shared by as few as TWO
+      // docs — the dedup family q_dedup_spans' corpus-frequency
+      // threshold cannot see. k=8 shingles, md5 keys, 50-permille df
+      // cap (never binding at sf0.01 — max shingle df is 3 docs —
+      // pure scale insurance mirrored by the oracle).
+      Dedup.sharedPassages(t(s, d, "documents"), "doc_id",
+          TA.tokens(col("text")), k = 8, minTokens = 20,
+          maxDocFreqPermille = 50)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, d) => {
       // dfCapPct=77: tokens present in >77% of docs are stopwords for
       // near-dup purposes — dropping them shrinks the inverted-index
@@ -661,6 +674,43 @@ object TextQueries {
         |LEFT JOIN n USING (doc_id)
         |LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      // Mirrors Dedup.sharedPassages: k=8 md5 shingles (DuckDB slice
+      // t[i:i+7] is the inclusive 8-token window; pos is rebased to
+      // 0), the 50-permille distinct-doc df cap in exact integers,
+      // diagonal gaps-and-islands for maximal runs >= 20 tokens.
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id AS doc, i - 1 AS pos,
+        |    md5(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+        |  WHERE len(t) >= 8),
+        |hot AS (
+        |  SELECT sh FROM sh0 GROUP BY sh
+        |  HAVING count(DISTINCT doc) * 1000 >
+        |    50 * (SELECT count(DISTINCT doc) FROM sh0)),
+        |shc AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+        |m AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+        |    a.pos - b.pos AS diag
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc < b.doc),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, pa,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |      ORDER BY pa) AS grp
+        |  FROM m),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag, grp, min(pa) AS a_start,
+        |    max(pa) - min(pa) + 8 AS len_tokens
+        |  FROM runs GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+        |  CAST(a_start - diag AS BIGINT) AS b_start,
+        |  CAST(len_tokens AS BIGINT) AS len_tokens
+        |FROM isl WHERE len_tokens >= 20
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH tok0 AS (

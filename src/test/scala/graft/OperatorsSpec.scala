@@ -156,6 +156,51 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.toSeq == Seq(0L))
   }
 
+  test("sharedPassages emits maximal planted passages with exact positions") {
+    val passage = (0 until 25).map(i => s"p$i").mkString(" ")
+    val shortRun = (0 until 10).map(i => s"s$i").mkString(" ")
+    val pas2 = (0 until 21).map(i => s"q$i").mkString(" ")
+    val fixture = Seq(
+      (0L, s"alpha beta gamma $passage tail0 end0"),
+      (1L, s"zeta eta $passage tail1 other end1"),
+      // a second, separate shared interval with doc 0 → its own row
+      (2L, s"u0 u1 $pas2 u2 u3 $shortRun u4"),
+      (3L, s"v0 $pas2 w0 w1 $shortRun v1"),
+      (4L, "completely unrelated words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedPassages(fixture, "doc_id",
+        TA.tokens(col("text")), k = 4, minTokens = 20,
+        maxDocFreqPermille = 1000, persistIndex = false)
+      .orderBy("doc_a", "doc_b", "a_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // (0,1): p0..p24 is 25 tokens, doc0 offset 3, doc1 offset 2 —
+    // maximal (the tokens flanking it differ); (2,3): q0..q20 is 21
+    // tokens at offsets 2 and 1; the 10-token s-run is below
+    // minTokens and must NOT appear
+    assert(got == Seq((0L, 1L, 3L, 2L, 25L), (2L, 3L, 2L, 1L, 21L)))
+  }
+
+  test("sharedPassages df cap cuts at the exact integer permille boundary") {
+    // the q-run's shingles live in docs {0,1,2} → df=3 of n=5 docs;
+    // 3*1000 > permille*5 flips between permille 600 (3000 > 3000
+    // false → kept) and 599 (3000 > 2995 → dropped)
+    val run = (0 until 21).map(i => s"q$i").mkString(" ")
+    val fixture = Seq(
+      (0L, s"a0 $run b0"), (1L, s"a1 $run b1"), (2L, s"a2 $run b2"),
+      (3L, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+      (4L, "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9"))
+      .toDF("doc_id", "text")
+    def n(p: Int) = Dedup.sharedPassages(fixture, "doc_id",
+      TA.tokens(col("text")), k = 4, minTokens = 20,
+      maxDocFreqPermille = p, persistIndex = false).count()
+    assert(n(600) == 3L) // pairs (0,1) (0,2) (1,2)
+    assert(n(599) == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.sharedPassages(fixture, "doc_id", TA.tokens(col("text")),
+        k = 4, minTokens = 3)
+    }
+  }
+
   test("jaccard pairs finds the near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id",
         TA.tokens(col("text")), threshold = 0.5, maxIdGap = None)
