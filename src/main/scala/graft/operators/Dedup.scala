@@ -220,6 +220,10 @@ object Dedup {
     require(k >= 2, s"shingle width k=$k must be >= 2")
     require(minTokens >= k,
       s"minTokens=$minTokens below k=$k would emit sub-shingle runs")
+    // permille 0 would mark EVERY shingle hot and silently return an
+    // empty result — fail fast like stripRepeatedSpans
+    require(maxDocFreqPermille > 0,
+      s"maxDocFreqPermille must be positive, got $maxDocFreqPermille")
     import org.apache.spark.sql.expressions.Window
     // (doc, pos, shingle-md5): docs shorter than k yield no shingles —
     // the size guard matters because sequence(0, size-k) counts DOWN
@@ -242,7 +246,13 @@ object Dedup {
       .filter(col("df") * lit(1000L) >
         col("__nd") * lit(maxDocFreqPermille.toLong))
       .select("sh")
-    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // persist the CAPPED index too (the jaccardPairs stance): both
+    // join sides consume it, and without this each side re-runs the
+    // census + anti-join — two repeated aggregate subtrees in the plan
+    val capped0 = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val capped =
+      if (persistIndex) capped0.persist(StorageLevel.MEMORY_AND_DISK)
+      else capped0
     val a = capped.select(col("sh"), col("doc").as("doc_a"),
       col("pos").as("pa"))
     val b = capped.select(col("sh"), col("doc").as("doc_b"),
@@ -381,11 +391,23 @@ object Dedup {
     * this helper, so an audit can never census a different banding
     * than the join it audits.
     */
+  /** Number of 16-bit bands in the 64-bit fingerprint layout; the
+    * pigeonhole completeness bound is `HammingBands - 1`. Shared with
+    * the streaming probe so producer and consumer can never band
+    * differently. */
+  private[graft] val HammingBands = 4
+
+  /** Band `b`'s 16 bits of a 64-bit fingerprint column — THE banding
+    * expression; [[bandedIndex64]] (batch index) and
+    * [[graft.streaming.StreamingOps.nearDupAgainstCorpus]] (stream
+    * probe) both call it. */
+  private[graft] def bandBits(sim: Column, b: Int): Column =
+    shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xFFFFL))
+
   private def bandedIndex64(hashed: DataFrame): DataFrame =
     hashed.select(col("doc"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sim"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bits")))
+      posexplode(array((0 until HammingBands).map(b =>
+        bandBits(col("sim"), b)): _*)).as(Seq("band", "bits")))
 
   private def simhashBandedIndex(docs: DataFrame, idCol: String,
                                  toks: Column): DataFrame =

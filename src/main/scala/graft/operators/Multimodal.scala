@@ -115,8 +115,15 @@ object Multimodal {
     * hamming join the text simhash path uses
     * ([[Dedup.hammingNearDupsBanded]] — complete for hamming <= 3 by
     * pigeonhole, candidate generation beyond, hot buckets capped).
-    * The payload bytes are read ONCE by the hash projection; the
-    * join runs entirely on (id, 64-bit) rows, so blob size never
+    * The payload bytes are read ONCE: the narrow (doc, phash) frame is
+    * `localCheckpoint`ed (eager — materializes the hash pass now,
+    * leaves no cache-manager residue; executor blocks are freed by the
+    * ContextCleaner when the result's reference dies, the
+    * connectedComponents stance), so the banded join's three consumers
+    * (census + both self-join sides) replay 16-byte rows instead of
+    * re-hashing blobs — at 100 TB the payload column dominates row
+    * size and a triple re-hash would dominate the query. The join
+    * itself runs entirely on (id, 64-bit) rows, so blob size never
     * enters the shuffle. Output: (doc_a, doc_b, hamming).
     */
   def payloadNearDups(withBlobs: DataFrame, idCol: String,
@@ -124,7 +131,8 @@ object Multimodal {
                       bucketCap: Int = 10000): DataFrame =
     Dedup.hammingNearDupsBanded(
       withBlobs.select(col(idCol).as("doc"),
-        perceptualHash(col(payloadCol)).as("phash")),
+        perceptualHash(col(payloadCol)).as("phash"))
+        .localCheckpoint(),
       "doc", "phash", maxHamming, bucketCap, persistIndex = false)
 
   /** Batched per-partition feature extraction over the payload column —

@@ -821,12 +821,25 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"),
       pqLutExpr(qv, index.codebook).as("lut")))
-    val adc = q.join(index.encoded, col("q_id") =!= col("c_id"))
-      .withColumn("approx",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (code, row) => element_at(row, code + 1)),
-          lit(0.0d), (acc, x) => acc + x) /
-          (col("q_norm") * col("c_norm")))
+    adcShortlistRerank(q.join(index.encoded, col("q_id") =!= col("c_id")),
+      candidates, idCol, vecCol, k, rerank)
+  }
+
+  /** Shared ADC tail of [[pqTopKWith]] and [[ivfPqTopKWith]]: LUT-score
+    * the (query, candidate) pair frame, keep the `rerank`-deep
+    * per-query shortlist, exact-rerank it against the raw vectors —
+    * ONE definition so the two ANN paths cannot diverge in ranking or
+    * tie-break semantics (the stance [[pqCodesExpr]] takes for codes).
+    * `pairs` must carry (q_id, q_vec, q_norm, lut, c_id, codes,
+    * c_norm). */
+  private def adcShortlistRerank(pairs: DataFrame, candidates: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 k: Int, rerank: Int): DataFrame = {
+    val adc = pairs.withColumn("approx",
+      aggregate(zip_with(col("codes"), col("lut"),
+        (code, row) => element_at(row, code + 1)),
+        lit(0.0d), (acc, x) => acc + x) /
+        (col("q_norm") * col("c_norm")))
     val ws = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("c_id").asc)
     val shortlist = adc.withColumn("rn", row_number().over(ws))
@@ -924,30 +937,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
         col("cent_id"))
-    val adc = broadcast(probes).join(index.encoded, "cent_id")
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("approx",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (code, row) => element_at(row, code + 1)),
-          lit(0.0d), (acc, x) => acc + x) /
-          (col("q_norm") * col("c_norm")))
-    val ws = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx").desc, col("c_id").asc)
-    val shortlist = adc.withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= rerank)
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("c_id"))
-    // exact rerank on the shortlist only
-    val cands = candidates.select(col(idCol).as("c_id"),
-      toDouble(col(vecCol)).as("c_vec"),
-      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    broadcast(shortlist).join(cands, "c_id")
-      .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    adcShortlistRerank(
+      broadcast(probes).join(index.encoded, "cent_id")
+        .filter(col("q_id") =!= col("c_id")),
+      candidates, idCol, vecCol, k, rerank)
   }
 
   /** IVF+PQ top-k in one call for single-shot use: [[ivfPqIndex]] +

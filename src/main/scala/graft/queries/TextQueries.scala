@@ -30,6 +30,11 @@ object TextQueries {
   // default of 4 * spanTokens.
   private val dedupSpanTokens = 2
   private val dedupSpanSubCap = 4 * dedupSpanTokens
+  // q_dedup_substring: ONE definition feeds the Spark call AND its
+  // DuckDB oracle (same desync-proofing as the span constants above)
+  private val substringShingleK = 8
+  private val substringMinTokens = 20
+  private val substringDfPermille = 50
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -122,8 +127,9 @@ object TextQueries {
       // cap (never binding at sf0.01 — max shingle df is 3 docs —
       // pure scale insurance mirrored by the oracle).
       Dedup.sharedPassages(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")), k = 8, minTokens = 20,
-          maxDocFreqPermille = 50)
+          TA.tokens(col("text")), k = substringShingleK,
+          minTokens = substringMinTokens,
+          maxDocFreqPermille = substringDfPermille)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
 
@@ -676,22 +682,22 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_substring" ->
-      // Mirrors Dedup.sharedPassages: k=8 md5 shingles (DuckDB slice
-      // t[i:i+7] is the inclusive 8-token window; pos is rebased to
-      // 0), the 50-permille distinct-doc df cap in exact integers,
-      // diagonal gaps-and-islands for maximal runs >= 20 tokens.
-      """WITH toks AS (
+      // Mirrors Dedup.sharedPassages via the shared constants (DuckDB
+      // slice t[i:i+k-1] is the inclusive k-token window; pos is
+      // rebased to 0), the permille distinct-doc df cap in exact
+      // integers, diagonal gaps-and-islands for maximal runs.
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t
         |  FROM documents),
         |sh0 AS (
         |  SELECT doc_id AS doc, i - 1 AS pos,
-        |    md5(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS sh
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
-        |  WHERE len(t) >= 8),
+        |    md5(list_aggregate(t[i:i+${substringShingleK - 1}], 'string_agg', ' ')) AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${substringShingleK - 1})) AS i) s
+        |  WHERE len(t) >= $substringShingleK),
         |hot AS (
         |  SELECT sh FROM sh0 GROUP BY sh
         |  HAVING count(DISTINCT doc) * 1000 >
-        |    50 * (SELECT count(DISTINCT doc) FROM sh0)),
+        |    $substringDfPermille * (SELECT count(DISTINCT doc) FROM sh0)),
         |shc AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
         |m AS (
         |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
@@ -704,12 +710,12 @@ object TextQueries {
         |  FROM m),
         |isl AS (
         |  SELECT doc_a, doc_b, diag, grp, min(pa) AS a_start,
-        |    max(pa) - min(pa) + 8 AS len_tokens
+        |    max(pa) - min(pa) + $substringShingleK AS len_tokens
         |  FROM runs GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
         |  CAST(a_start - diag AS BIGINT) AS b_start,
         |  CAST(len_tokens AS BIGINT) AS len_tokens
-        |FROM isl WHERE len_tokens >= 20
+        |FROM isl WHERE len_tokens >= $substringMinTokens
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->

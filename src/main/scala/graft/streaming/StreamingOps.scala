@@ -123,19 +123,21 @@ object StreamingOps {
   def nearDupAgainstCorpus(stream: DataFrame, sim: org.apache.spark.sql.Column,
                            tsCol: String, corpusBands: DataFrame,
                            lateness: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"banded probe is only complete for hamming <= 3 (got $maxHamming); " +
-        "4 x 16-bit bands pigeonhole exactly that far")
+    val nBands = graft.operators.Dedup.HammingBands
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"banded probe is only complete for hamming in [0, ${nBands - 1}] " +
+        s"(got $maxHamming); $nBands x 16-bit bands pigeonhole exactly " +
+        "that far, and a negative bound would silently disable the probe")
     require(!stream.columns.contains("graft_sim"),
       "input stream already has a graft_sim column")
     val withSim = stream.withColumn("graft_sim", sim)
-    val probed = (0 until 4).foldLeft(withSim) { (df, b) =>
+    val probed = (0 until nBands).foldLeft(withSim) { (df, b) =>
       val cb = corpusBands.filter(col("band") === b)
         .select(col("bits").as("graft_bits"),
           col("sim").as("graft_corpus_sim"))
       df.join(cb,
-        shiftrightunsigned(col("graft_sim"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)) === col("graft_bits") &&
+        graft.operators.Dedup.bandBits(col("graft_sim"), b) ===
+          col("graft_bits") &&
           bit_count(col("graft_sim").bitwiseXOR(col("graft_corpus_sim")))
             <= maxHamming,
         "left_anti")

@@ -3,7 +3,9 @@ spark.sparkContext.setLogLevel("ERROR")
 val src = "/root/testdata/sf0.1"
 val out = "/tmp/sf1d"
 val docs = spark.read.parquet(s"$src/documents.parquet")
-val nD = 5000L
+// stride derived from the data: hardcoding the table size would
+// silently collide ids if the source corpus is ever regenerated larger
+val nD = docs.agg(max("doc_id")).first().getLong(0) + 1L
 val d10 = (0 until 10).map { k =>
   docs.select(
     (col("doc_id") + lit(k * nD)).as("doc_id"),
@@ -14,7 +16,7 @@ val d10 = (0 until 10).map { k =>
 }.reduce(_ unionByName _)
 d10.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
 val emb = spark.read.parquet(s"$src/embeddings.parquet")
-val nE = 2000L
+val nE = emb.agg(max("vec_id")).first().getLong(0) + 1L
 val e10 = (0 until 10).map { k =>
   emb.select(
     (col("vec_id") + lit(k * nE)).as("vec_id"),

@@ -21,7 +21,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_dedup_spans", "q_text_lm_score", "q_text_lm_bigram",
               "q_embed_outliers", "q_dedup_matrix", "q_corpus_stats",
               "q_mix_temperature", "q_text_lm_crossscore",
-              "q_dedup_phash", "q_text_quality_model")) {
+              "q_dedup_phash", "q_text_quality_model",
+              "q_sim_ann_ivfpq", "q_dedup_substring")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
