@@ -197,7 +197,11 @@ object Dedup {
     *  1. every `k`-token shingle, with position, hashed to md5 — one
     *     map-only pass; the 128-bit key keeps cross-doc collisions
     *     negligible at any corpus size and is reproducible by an
-    *     external oracle (vs xxhash64)
+    *     external oracle (vs xxhash64). The scheme is also robust to
+    *     isolated collisions by construction: a spurious ISLAND needs
+    *     `minTokens - k + 1` consecutive aligned collisions, so the
+    *     key could be narrowed to 64 bits for shuffle width without
+    *     changing results in practice
     *  2. shingles in more than `maxDocFreqPermille` permille of docs
     *     are dropped by census + broadcast anti-join before pairing —
     *     boilerplate belongs to the span strip, and an uncapped hot
@@ -274,6 +278,56 @@ object Dedup {
         col("a_start").cast("long").as("a_start"),
         (col("a_start") - col("diag")).cast("long").as("b_start"),
         col("len_tokens").cast("long").as("len_tokens"))
+  }
+
+  /** The APPLY half of substring dedup (Lee et al. remove the
+    * duplicated text, not just find it): every [[sharedPassages]]
+    * interval is cut from the HIGHER-id document of its pair — the
+    * lower id keeps the only surviving copy, the deterministic
+    * survivor rule the exact-dedup family uses. A document that is
+    * `doc_b` in several pairs loses the UNION of its intervals
+    * (overlaps collapse via a distinct position set).
+    *
+    * Scale shape: intervals explode to (doc, tpos) rows — bounded by
+    * total duplicated TOKENS, not corpus size; the cut is a doc-keyed
+    * anti-join of the token stream against that set, and reassembly
+    * is the one (doc)-keyed ordered rebuild every strip operator here
+    * uses. Tokenization is `split(text, " ")` with positions, matching
+    * [[sharedPassages]]' lower-cased matching stream positionally
+    * (lower() never moves a space).
+    *
+    * Output: (doc_id, clean_text, n_tokens_dropped) — one row per
+    * input document, clean_text in original casing.
+    */
+  def stripSharedPassages(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minTokens: Int = 20,
+                          maxDocFreqPermille: Int = 50): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val islands = sharedPassages(docs, idCol, toks, k, minTokens,
+      maxDocFreqPermille)
+    // union of duplicated positions per victim doc (distinct collapses
+    // overlapping intervals from different partners)
+    val cut = islands.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("len_tokens") - lit(1))).as("tpos"))
+      .distinct()
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("tpos", "otok")))
+    val kept = tok.join(cut, Seq("doc_id", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("otok")))),
+          _.getField("otok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val sizes = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_tok"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__n_tok"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_tokens_dropped"))
   }
 
   /** MinHash signature of a string-array column: `nHashes` independent

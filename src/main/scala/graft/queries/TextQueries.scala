@@ -35,6 +35,37 @@ object TextQueries {
   private val substringShingleK = 8
   private val substringMinTokens = 20
   private val substringDfPermille = 50
+  // the island CTE chain both substring oracles build on — mirrors
+  // Dedup.sharedPassages step by step (shingle, df cap, diagonal
+  // gaps-and-islands); defined once so the find and strip oracles
+  // cannot desync
+  private def substringIslandsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id AS doc, i - 1 AS pos,
+       |    md5(list_aggregate(t[i:i+${substringShingleK - 1}], 'string_agg', ' ')) AS sh
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${substringShingleK - 1})) AS i) s
+       |  WHERE len(t) >= $substringShingleK),
+       |hot AS (
+       |  SELECT sh FROM sh0 GROUP BY sh
+       |  HAVING count(DISTINCT doc) * 1000 >
+       |    $substringDfPermille * (SELECT count(DISTINCT doc) FROM sh0)),
+       |shc AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+       |m AS (
+       |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+       |    a.pos - b.pos AS diag
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc < b.doc),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |      ORDER BY pa) AS grp
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, grp, min(pa) AS a_start,
+       |    max(pa) - min(pa) + $substringShingleK AS len_tokens
+       |  FROM runs GROUP BY 1, 2, 3, 4)""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -131,6 +162,16 @@ object TextQueries {
           minTokens = substringMinTokens,
           maxDocFreqPermille = substringDfPermille)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
+    "q_dedup_substring_strip" -> ((s, d) => {
+      // The APPLY half: every shared passage is cut from the
+      // higher-id doc of its pair (union of intervals per victim),
+      // original casing preserved — one row per document.
+      Dedup.stripSharedPassages(t(s, d, "documents"), "doc_id", "text",
+          k = substringShingleK, minTokens = substringMinTokens,
+          maxDocFreqPermille = substringDfPermille)
+        .orderBy("doc_id")
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, d) => {
@@ -685,38 +726,46 @@ object TextQueries {
       // Mirrors Dedup.sharedPassages via the shared constants (DuckDB
       // slice t[i:i+k-1] is the inclusive k-token window; pos is
       // rebased to 0), the permille distinct-doc df cap in exact
-      // integers, diagonal gaps-and-islands for maximal runs.
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id AS doc, i - 1 AS pos,
-        |    md5(list_aggregate(t[i:i+${substringShingleK - 1}], 'string_agg', ' ')) AS sh
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${substringShingleK - 1})) AS i) s
-        |  WHERE len(t) >= $substringShingleK),
-        |hot AS (
-        |  SELECT sh FROM sh0 GROUP BY sh
-        |  HAVING count(DISTINCT doc) * 1000 >
-        |    $substringDfPermille * (SELECT count(DISTINCT doc) FROM sh0)),
-        |shc AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
-        |m AS (
-        |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
-        |    a.pos - b.pos AS diag
-        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc < b.doc),
-        |runs AS (
-        |  SELECT doc_a, doc_b, diag, pa,
-        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-        |      ORDER BY pa) AS grp
-        |  FROM m),
-        |isl AS (
-        |  SELECT doc_a, doc_b, diag, grp, min(pa) AS a_start,
-        |    max(pa) - min(pa) + $substringShingleK AS len_tokens
-        |  FROM runs GROUP BY 1, 2, 3, 4)
+      // integers, diagonal gaps-and-islands for maximal runs. The
+      // island CTE chain is shared with q_dedup_substring_strip.
+      s"""$substringIslandsSql
         |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
         |  CAST(a_start - diag AS BIGINT) AS b_start,
         |  CAST(len_tokens AS BIGINT) AS len_tokens
         |FROM isl WHERE len_tokens >= $substringMinTokens
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    "q_dedup_substring_strip" ->
+      // Same islands; every interval is cut from the HIGHER-id doc
+      // (union of positions per victim), tokens reassembled in
+      // original casing.
+      s"""$substringIslandsSql,
+        |cut AS (
+        |  SELECT DISTINCT doc_b AS doc_id, b_start + j AS tpos FROM (
+        |    SELECT doc_b, a_start - diag AS b_start, len_tokens
+        |    FROM isl WHERE len_tokens >= $substringMinTokens) i,
+        |  LATERAL (SELECT unnest(generate_series(0, i.len_tokens - 1)) AS j) g),
+        |otok AS (
+        |  SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+        |kept AS (
+        |  SELECT o.* FROM otok o
+        |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+        |    WHERE c.doc_id = o.doc_id AND c.tpos = o.tpos)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |szs AS (SELECT doc_id AS sdoc, count(*) AS n_tok
+        |        FROM otok GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(coalesce(szs.n_tok, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+        |    AS n_tokens_dropped
+        |FROM documents d
+        |LEFT JOIN reb ON reb.doc_id = d.doc_id
+        |LEFT JOIN szs ON szs.sdoc = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH tok0 AS (

@@ -180,6 +180,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 3L, 2L, 25L), (2L, 3L, 2L, 1L, 21L)))
   }
 
+  test("stripSharedPassages cuts the passage from the higher-id doc only") {
+    val passage = (0 until 25).map(i => s"P$i").mkString(" ") // cased
+    val fixture = Seq(
+      (0L, s"Alpha beta gamma $passage tail0 end0"),
+      (1L, s"Zeta eta $passage tail1 other end1"),
+      (2L, "unrelated text with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripSharedPassages(fixture, "doc_id", "text",
+        k = 4, minTokens = 20, maxDocFreqPermille = 1000)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // doc 0 (lower id) keeps the only copy, original casing intact;
+    // doc 1 loses exactly the 25 passage tokens; doc 2 untouched
+    assert(got(0) == ((0L,
+      s"Alpha beta gamma $passage tail0 end0", 0L)))
+    assert(got(1) == ((1L, "Zeta eta tail1 other end1", 25L)))
+    assert(got(2) == ((2L,
+      "unrelated text with nothing shared here at all", 0L)))
+  }
+
   test("sharedPassages df cap cuts at the exact integer permille boundary") {
     // the q-run's shingles live in docs {0,1,2} → df=3 of n=5 docs;
     // 3*1000 > permille*5 flips between permille 600 (3000 > 3000
