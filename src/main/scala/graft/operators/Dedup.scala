@@ -206,7 +206,14 @@ object Dedup {
     *     are dropped by census + broadcast anti-join before pairing —
     *     boilerplate belongs to the span strip, and an uncapped hot
     *     shingle is quadratic join skew (the same integer-exact
-    *     percent-form guard as [[jaccardPairs]])
+    *     percent-form guard as [[jaccardPairs]]). The SAME census also
+    *     drops shingles with more than `maxShingleOccurrences` total
+    *     occurrences: doc frequency alone cannot bound the join (a
+    *     token repeated 10^4 times in each of TWO docs has df=2 but
+    *     would emit 10^8 match rows), so the occurrence cap bounds
+    *     per-shingle pair volume at occ² — the [[hammingNearDupsBanded]]
+    *     bucketCap stance, riding the census aggregate at no extra
+    *     shuffle
     *  3. matched positions chain into maximal runs per (pair,
     *     diagonal): two matches at (pa, pb) and (pa+1, pb+1) share the
     *     diagonal pa-pb, so gaps-and-islands (pa - row_number) over
@@ -220,6 +227,7 @@ object Dedup {
   def sharedPassages(docs: DataFrame, idCol: String, toks: Column,
                      k: Int = 8, minTokens: Int = 20,
                      maxDocFreqPermille: Int = 50,
+                     maxShingleOccurrences: Int = 10000,
                      persistIndex: Boolean = true): DataFrame = {
     require(k >= 2, s"shingle width k=$k must be >= 2")
     require(minTokens >= k,
@@ -228,12 +236,15 @@ object Dedup {
     // empty result — fail fast like stripRepeatedSpans
     require(maxDocFreqPermille > 0,
       s"maxDocFreqPermille must be positive, got $maxDocFreqPermille")
+    require(maxShingleOccurrences > 0,
+      s"maxShingleOccurrences must be positive, got $maxShingleOccurrences")
     import org.apache.spark.sql.expressions.Window
     // (doc, pos, shingle-md5): docs shorter than k yield no shingles —
     // the size guard matters because sequence(0, size-k) counts DOWN
-    // when size < k
+    // when size < k. The id column keeps its input type (the sibling
+    // operators' stance — string/UUID ids must not be cast away).
     val raw = docs
-      .select(col(idCol).cast("long").as("doc"), toks.as("t"))
+      .select(col(idCol).as("doc"), toks.as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc"),
         posexplode(transform(sequence(lit(0), size(col("t")) - lit(k)),
@@ -245,10 +256,11 @@ object Dedup {
       if (persistIndex) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
     val nDocs = sh.select(countDistinct(col("doc")).as("__nd"))
     val hot = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc")).as("df"))
+      .agg(countDistinct(col("doc")).as("df"), count(lit(1)).as("occ"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(1000L) >
-        col("__nd") * lit(maxDocFreqPermille.toLong))
+          col("__nd") * lit(maxDocFreqPermille.toLong) ||
+        col("occ") > lit(maxShingleOccurrences.toLong))
       .select("sh")
     // persist the CAPPED index too (the jaccardPairs stance): both
     // join sides consume it, and without this each side re-runs the
@@ -301,17 +313,18 @@ object Dedup {
     */
   def stripSharedPassages(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minTokens: Int = 20,
-                          maxDocFreqPermille: Int = 50): DataFrame = {
+                          maxDocFreqPermille: Int = 50,
+                          maxShingleOccurrences: Int = 10000): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val islands = sharedPassages(docs, idCol, toks, k, minTokens,
-      maxDocFreqPermille)
+      maxDocFreqPermille, maxShingleOccurrences)
     // union of duplicated positions per victim doc (distinct collapses
     // overlapping intervals from different partners)
     val cut = islands.select(col("doc_b").as("doc_id"),
         explode(sequence(col("b_start"),
           col("b_start") + col("len_tokens") - lit(1))).as("tpos"))
       .distinct()
-    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+    val tok = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("tpos", "otok")))
     val kept = tok.join(cut, Seq("doc_id", "tpos"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
@@ -319,14 +332,17 @@ object Dedup {
           array_sort(collect_list(struct(col("tpos"), col("otok")))),
           _.getField("otok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    val sizes = tok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__n_tok"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(sizes, Seq("doc_id"), "left")
+    // per-doc token counts map-only on the driver row — a groupBy over
+    // the exploded token stream would shuffle every token just to
+    // count them (size(NULL) is -1, hence the null guard)
+    docs.select(col(idCol).as("doc_id"),
+        when(col(textCol).isNotNull,
+          size(split(col(textCol), " ")).cast("long"))
+          .otherwise(lit(0L)).as("__n_tok"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (coalesce(col("__n_tok"), lit(0L)) -
+        (col("__n_tok") -
           coalesce(col("n_kept"), lit(0L))).as("n_tokens_dropped"))
   }
 

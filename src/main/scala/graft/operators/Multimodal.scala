@@ -116,8 +116,13 @@ object Multimodal {
     * ([[Dedup.hammingNearDupsBanded]] — complete for hamming <= 3 by
     * pigeonhole, candidate generation beyond, hot buckets capped).
     * The payload bytes are read ONCE: the narrow (doc, phash) frame is
-    * `localCheckpoint`ed (eager — materializes the hash pass now,
-    * leaves no cache-manager residue; executor blocks are freed by the
+    * `localCheckpoint`ed (eager — materializes the hash pass at
+    * CONSTRUCTION time, a deliberate trade: lazy checkpointing only
+    * persists after the first job finishes, so a one-shot query's
+    * three consumer stages would still re-hash the blobs within that
+    * job; the cost is that building the DataFrame without executing it
+    * runs the hash pass, and plan dumps bottom out at the checkpoint
+    * RDD. No cache-manager residue; executor blocks are freed by the
     * ContextCleaner when the result's reference dies, the
     * connectedComponents stance), so the banded join's three consumers
     * (census + both self-join sides) replay 16-byte rows instead of

@@ -35,6 +35,7 @@ object TextQueries {
   private val substringShingleK = 8
   private val substringMinTokens = 20
   private val substringDfPermille = 50
+  private val substringOccCap = 10000
   // the island CTE chain both substring oracles build on — mirrors
   // Dedup.sharedPassages step by step (shingle, df cap, diagonal
   // gaps-and-islands); defined once so the find and strip oracles
@@ -51,7 +52,8 @@ object TextQueries {
        |hot AS (
        |  SELECT sh FROM sh0 GROUP BY sh
        |  HAVING count(DISTINCT doc) * 1000 >
-       |    $substringDfPermille * (SELECT count(DISTINCT doc) FROM sh0)),
+       |      $substringDfPermille * (SELECT count(DISTINCT doc) FROM sh0)
+       |    OR count(*) > $substringOccCap),
        |shc AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
        |m AS (
        |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
@@ -160,7 +162,8 @@ object TextQueries {
       Dedup.sharedPassages(t(s, d, "documents"), "doc_id",
           TA.tokens(col("text")), k = substringShingleK,
           minTokens = substringMinTokens,
-          maxDocFreqPermille = substringDfPermille)
+          maxDocFreqPermille = substringDfPermille,
+          maxShingleOccurrences = substringOccCap)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
 
@@ -170,7 +173,8 @@ object TextQueries {
       // original casing preserved — one row per document.
       Dedup.stripSharedPassages(t(s, d, "documents"), "doc_id", "text",
           k = substringShingleK, minTokens = substringMinTokens,
-          maxDocFreqPermille = substringDfPermille)
+          maxDocFreqPermille = substringDfPermille,
+          maxShingleOccurrences = substringOccCap)
         .orderBy("doc_id")
     }),
 

@@ -221,6 +221,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sharedPassages occurrence cap parks repeated-run shingles, boundary exact") {
+    // df alone cannot bound the join: 'x' repeated 30 times in TWO
+    // docs has df=2 but 27 occurrences per doc of every x-shingle —
+    // the occ cap must park it; the distinct q-run passage survives
+    val rep = Seq.fill(30)("x").mkString(" ")
+    val run = (0 until 21).map(i => s"q$i").mkString(" ")
+    val fixture = Seq(
+      (0L, s"$rep a0 $run"),
+      (1L, s"$rep b0 $run"),
+      (2L, "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9"))
+      .toDF("doc_id", "text")
+    def runs(occCap: Int) = Dedup.sharedPassages(fixture, "doc_id",
+        TA.tokens(col("text")), k = 4, minTokens = 20,
+        maxDocFreqPermille = 1000, maxShingleOccurrences = occCap,
+        persistIndex = false)
+      .select("a_start").as[Long].collect().toSeq.sorted
+    // the all-x shingle occurs 27 times per doc = 54 total; cap 53
+    // parks it (only the q-run island at a_start 31 remains), cap 54
+    // readmits it (strictly > is the contract) — the x-run then
+    // matches on every |diag| <= 10, one >= 20-token island each
+    assert(runs(53) == Seq(31L))
+    val at54 = runs(54)
+    assert(at54.contains(0L) && at54.contains(31L) && at54.size == 22,
+      s"cap 54 must admit the x-run islands, got $at54")
+    intercept[IllegalArgumentException] {
+      Dedup.sharedPassages(fixture, "doc_id", TA.tokens(col("text")),
+        k = 4, minTokens = 20, maxShingleOccurrences = 0)
+    }
+  }
+
   test("jaccard pairs finds the near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id",
         TA.tokens(col("text")), threshold = 0.5, maxIdGap = None)
