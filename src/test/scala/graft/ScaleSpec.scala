@@ -311,6 +311,34 @@ class ScaleSpec extends SparkSpec {
     idx.encoded.unpersist()
   }
 
+  test("substring dedup: cached shingle index, no single-partition window") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.Dedup.sharedPassages(docs, "doc_id",
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(col("text")), " "),
+      k = 8, minTokens = 20)
+    out.count()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    // the run-chaining window must partition by the pair keys — an
+    // unpartitioned window here would serialize all matches through
+    // one task at any scale (the only legitimate SinglePartition
+    // exchange in this plan is the corpus-count census, which carries
+    // one combined partial per partition)
+    assert(s.contains("windowspecdefinition(doc_a"),
+      s"run window must partition by pair keys:\n$s")
+    assert(!s.contains("windowspecdefinition(pa"),
+      s"no unpartitioned window over matches:\n$s")
+    // census + both join sides read the persisted shingle index, not
+    // three re-tokenizations of the corpus
+    assert(s.contains("InMemoryTableScan"),
+      s"shingle index must be cached:\n$s")
+    spark.catalog.clearCache()
+  }
+
   test("span strip: text is read only through the cached tile index") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = graft.operators.Dedup
