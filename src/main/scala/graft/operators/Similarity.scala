@@ -821,7 +821,9 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"),
       pqLutExpr(qv, index.codebook).as("lut")))
-    adcShortlistRerank(q.join(index.encoded, col("q_id") =!= col("c_id")),
+    adcShortlistRerank(
+      q.join(index.encoded, col("q_id") =!= col("c_id"))
+        .withColumn("adc_base", lit(0.0d)),
       candidates, idCol, vecCol, k, rerank)
   }
 
@@ -831,14 +833,17 @@ object Similarity {
     * ONE definition so the two ANN paths cannot diverge in ranking or
     * tie-break semantics (the stance [[pqCodesExpr]] takes for codes).
     * `pairs` must carry (q_id, q_vec, q_norm, lut, c_id, codes,
-    * c_norm). */
+    * c_norm, adc_base) — `adc_base` is the score term the codes do
+    * not cover: 0 for plain PQ, dot(query, centroid) for residual
+    * IVFADC (dot(q, cent + r) = dot(q, cent) + Σ lut). */
   private def adcShortlistRerank(pairs: DataFrame, candidates: DataFrame,
                                  idCol: String, vecCol: String,
                                  k: Int, rerank: Int): DataFrame = {
     val adc = pairs.withColumn("approx",
-      aggregate(zip_with(col("codes"), col("lut"),
-        (code, row) => element_at(row, code + 1)),
-        lit(0.0d), (acc, x) => acc + x) /
+      (col("adc_base") +
+        aggregate(zip_with(col("codes"), col("lut"),
+          (code, row) => element_at(row, code + 1)),
+          lit(0.0d), (acc, x) => acc + x)) /
         (col("q_norm") * col("c_norm")))
     val ws = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("c_id").asc)
@@ -881,31 +886,61 @@ object Similarity {
     * (c_id, cent_id, codes, c_norm) comes from ONE map-only projection:
     * list assignment is [[ivfIndex]]'s literal-centroid argmax fold,
     * code assignment [[pqEncode]]'s literal-codebook argmin fold, so
-    * the corpus is scanned once and never shuffled at build time. */
+    * the corpus is scanned once and never shuffled at build time.
+    *
+    * `residual = true` (FAISS's default for IVFPQ) trains and encodes
+    * the RESIDUAL v − centroid(v) instead of the raw vector: residuals
+    * are centered near zero, so the same code budget quantizes them
+    * with far less error. The score decomposes exactly as
+    * dot(q, cent + r) = dot(q, cent) + dot(q, r): the probe stage
+    * already touches (query, centroid) pairs and contributes the first
+    * term; the LUT covers the second — the ADC scan shape is
+    * unchanged. `residual = false` keeps raw-vector codes, byte-
+    * identical to [[pqEncode]] over the same codebook. */
   final case class IvfPqIndex(cents: Seq[(Long, Seq[Double])],
                               codebook: Array[Array[Seq[Double]]],
-                              encoded: DataFrame)
+                              encoded: DataFrame,
+                              residual: Boolean)
+
+  /** The assigned centroid's vector, looked up from the bounded
+    * centroid table as ONE map literal — stays inside the map-only
+    * build projection. */
+  private def centVecExpr(cents: Seq[(Long, Seq[Double])]): Column =
+    element_at(typedLit(cents.toMap), col("cent_id"))
 
   def ivfPqIndex(candidates: DataFrame, idCol: String, vecCol: String,
                  nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
                  maxIter: Int = 5, trainSize: Int = 4096,
+                 residual: Boolean = true,
                  persistIndex: Boolean = true): IvfPqIndex = {
     // the inner IVF assignment stays unpersisted: its single consumer
     // is the composed projection below, which is what gets persisted
     val ivf = ivfIndex(candidates, idCol, vecCol, nCentroids,
       persistIndex = false)
-    val codebook = pqTrain(candidates, idCol, vecCol, m, ksub, maxIter,
-      trainSize)
-    // ivf.assigned = (c_id, c_vec double[], cent_id); codes + norm ride
-    // the same projection, so building the index is one corpus scan
+    // ivf.assigned = (c_id, c_vec double[], cent_id); the encoded
+    // vector is the residual or the raw vector, both map-only
+    val encCol =
+      if (residual)
+        zip_with(col("c_vec"), centVecExpr(ivf.cents), (x, c) => x - c)
+      else col("c_vec")
+    // codebook trains on what it will encode (FAISS stance): the
+    // residual frame embeds the assignment lineage, so the training
+    // sample is one bounded job over that projection
+    val codebook =
+      if (residual)
+        pqTrain(ivf.assigned.select(col("c_id"), encCol.as("r")),
+          "c_id", "r", m, ksub, maxIter, trainSize)
+      else
+        pqTrain(candidates, idCol, vecCol, m, ksub, maxIter, trainSize)
+    // codes + exact corpus norm ride one projection: one corpus scan
     val encoded0 = ivf.assigned.select(col("c_id"), col("cent_id"),
-      pqCodesExpr(col("c_vec"), codebook).as("codes"),
+      pqCodesExpr(encCol, codebook).as("codes"),
       sqrt(normSq(col("c_vec"))).as("c_norm"))
     val encoded =
       if (persistIndex) encoded0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else encoded0
-    IvfPqIndex(ivf.cents, codebook, encoded)
+    IvfPqIndex(ivf.cents, codebook, encoded, residual)
   }
 
   /** Query stage of IVF+PQ: coarse-probe the `nProbe` nearest centroid
@@ -928,15 +963,20 @@ object Similarity {
       sqrt(normSq(qv)).as("q_norm"),
       pqLutExpr(qv, index.codebook).as("lut"))
     // coarse probe: rank the literal centroid table per query and keep
-    // the nProbe best lists — runs over queries × nCentroids rows
+    // the nProbe best lists — runs over queries × nCentroids rows. The
+    // raw dot(q, cent) rides along: it is the residual decomposition's
+    // base term (0 when the index holds raw-vector codes)
     val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("qd").desc, col("cent_id").asc)
     val probes = qs.crossJoin(cents)
       .withColumn("qd", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("adc_base",
+        if (index.residual) dot(col("q_vec"), col("cent_vec"))
+        else lit(0.0d))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
-        col("cent_id"))
+        col("cent_id"), col("adc_base"))
     adcShortlistRerank(
       broadcast(probes).join(index.encoded, "cent_id")
         .filter(col("q_id") =!= col("c_id")),
@@ -951,9 +991,11 @@ object Similarity {
                 idCol: String, vecCol: String, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 2,
                 m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-                trainSize: Int = 4096): DataFrame =
+                trainSize: Int = 4096,
+                residual: Boolean = true): DataFrame =
     ivfPqTopKWith(
       ivfPqIndex(candidates, idCol, vecCol, nCentroids, m, ksub,
-        trainSize = trainSize, persistIndex = false),
+        trainSize = trainSize, residual = residual,
+        persistIndex = false),
       queries, candidates, idCol, vecCol, k, nProbe, rerank)
 }

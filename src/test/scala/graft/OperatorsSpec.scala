@@ -834,16 +834,26 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
     assert(staged == a,
       "staged ivfPqTopKWith must match the one-shot wrapper")
-    // codes in the composed index must be byte-identical to pqEncode's
-    // over the same codebook (the shared expression contract)
-    val composed = idx.encoded.orderBy("c_id")
+    idx.encoded.unpersist()
+    // with residual = false the composed codes must be byte-identical
+    // to pqEncode's over the same codebook (the shared expression
+    // contract; residual codes quantize v - centroid instead)
+    val raw = Similarity.ivfPqIndex(all, "vec_id", "embedding",
+      nCentroids = 2, m = 2, ksub = 4, residual = false)
+    val composed = raw.encoded.orderBy("c_id")
       .select("c_id", "codes").as[(Long, Seq[Int])].collect().toSeq
     val standalone = Similarity
-      .pqEncode(all, "vec_id", "embedding", idx.codebook)
+      .pqEncode(all, "vec_id", "embedding", raw.codebook)
       .orderBy("c_id").select("c_id", "codes")
       .as[(Long, Seq[Int])].collect().toSeq
     assert(composed == standalone)
-    idx.encoded.unpersist()
+    raw.encoded.unpersist()
+    // the residual path must also clear the recall floor on its own
+    val rawRec = Similarity.recallAtK(exact,
+      Similarity.ivfPqTopK(q, all, "vec_id", "embedding", k,
+        nCentroids = 2, nProbe = 2, m = 2, ksub = 4, residual = false),
+      "ivfpq_raw").select("recall").as[Double].head()
+    assert(rawRec >= 0.9, s"raw-code ivfpq recall $rawRec")
   }
 
   test("recallAtK arithmetic: hits over |exact|, bounded by 1") {
