@@ -192,7 +192,8 @@ object Similarity {
     */
   def ivfIndex(candidates: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16,
-               persistIndex: Boolean = true): IvfIndex = {
+               persistIndex: Boolean = true,
+               trainCoarse: Boolean = false): IvfIndex = {
     val spark = candidates.sparkSession
     import spark.implicits._
     // contract: ids must be integral (the centroid literal table and
@@ -209,11 +210,20 @@ object Similarity {
         s"keyed by Long); '$idCol' is ${idType.simpleString}")
     val cands = candidates.select(col(idCol).cast("long").as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
-    val cents: Seq[(Long, Seq[Double])] = cands
-      .withColumn("h", xxhash64(col("c_id")))
-      .orderBy(col("h"), col("c_id")).limit(nCentroids)
-      .select(col("c_id"), col("c_vec"))
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // trainCoarse = true replaces the hash-sampled centroids with
+    // Lloyd-trained ones (the fused distributed kmeans): costs
+    // maxIter corpus passes at build, buys balanced lists AND small
+    // residuals — the prerequisite for residual PQ codes paying off
+    val cents: Seq[(Long, Seq[Double])] =
+      if (trainCoarse)
+        kmeansWithAudit(candidates, idCol, vecCol, nCentroids,
+          maxIter = 5).centroids
+          .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      else cands
+        .withColumn("h", xxhash64(col("c_id")))
+        .orderBy(col("h"), col("c_id")).limit(nCentroids)
+        .select(col("c_id"), col("c_vec"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val ids = typedLit(cents.map(_._1))
     val centsL = typedLit(cents.map(_._2))
     // index-order driver sum — bit-identical to the graft_dot kernel
@@ -429,9 +439,12 @@ object Similarity {
     * displacement of the round's update. */
   final case class KMeansRound(round: Int, inertia: Double, moved: Double)
 
-  /** [[kmeans]] plus the per-round audit trail. */
+  /** [[kmeans]] plus the per-round audit trail and the final centroid
+    * vectors (`centroids(i)` = centroid of cluster id `i` — bounded
+    * k·dim driver state, what a trained coarse quantizer needs). */
   final case class KMeansResult(assignments: DataFrame,
-                                audit: Seq[KMeansRound])
+                                audit: Seq[KMeansRound],
+                                centroids: Seq[Seq[Double]] = Nil)
 
   /** Lloyd's k-means over the embedding column — the curation
     * workhorse behind semantic grouping / SemDeDup-style dataset
@@ -617,7 +630,7 @@ object Similarity {
     val out = assign().select(col("id"), col("cluster"), col("d2"))
       .localCheckpoint()
     v.unpersist()
-    KMeansResult(out, audit.toSeq)
+    KMeansResult(out, audit.toSeq, cents.toSeq)
   }
 
   /** Product-quantization codebook: the vector space is split into `m`
@@ -888,15 +901,22 @@ object Similarity {
     * code assignment [[pqEncode]]'s literal-codebook argmin fold, so
     * the corpus is scanned once and never shuffled at build time.
     *
-    * `residual = true` (FAISS's default for IVFPQ) trains and encodes
-    * the RESIDUAL v − centroid(v) instead of the raw vector: residuals
-    * are centered near zero, so the same code budget quantizes them
-    * with far less error. The score decomposes exactly as
-    * dot(q, cent + r) = dot(q, cent) + dot(q, r): the probe stage
-    * already touches (query, centroid) pairs and contributes the first
-    * term; the LUT covers the second — the ADC scan shape is
-    * unchanged. `residual = false` keeps raw-vector codes, byte-
-    * identical to [[pqEncode]] over the same codebook. */
+    * `residual = true` (FAISS's IVFADC form) trains and encodes the
+    * RESIDUAL v − centroid(v) instead of the raw vector; the score
+    * decomposes exactly as dot(q, cent + r) = dot(q, cent) + dot(q, r)
+    * — the probe stage contributes the first term, the LUT the second,
+    * so the ADC scan shape is unchanged. Residual needs a TRAINED
+    * coarse quantizer (`trainCoarse = true`) to be meaningful: with
+    * hash-sampled centroids the residual has roughly TWICE the
+    * variance of the raw vector (difference of two near-independent
+    * corpus vectors) and the same code budget quantizes it WORSE.
+    * Measured recall@3 at sf0.1 (nProbe 4/16): raw 0.43 sampled /
+    * 0.48 trained; residual 0.27 sampled / 0.42 trained — residual
+    * never won on this corpus, so raw codes are the DEFAULT and
+    * residual stays an option for corpora with tight cluster
+    * structure (where ‖v − cent‖ ≪ ‖v‖ actually holds).
+    * `residual = false` keeps raw-vector codes, byte-identical to
+    * [[pqEncode]] over the same codebook. */
   final case class IvfPqIndex(cents: Seq[(Long, Seq[Double])],
                               codebook: Array[Array[Seq[Double]]],
                               encoded: DataFrame,
@@ -911,12 +931,13 @@ object Similarity {
   def ivfPqIndex(candidates: DataFrame, idCol: String, vecCol: String,
                  nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
                  maxIter: Int = 5, trainSize: Int = 4096,
-                 residual: Boolean = true,
+                 residual: Boolean = false,
+                 trainCoarse: Boolean = false,
                  persistIndex: Boolean = true): IvfPqIndex = {
     // the inner IVF assignment stays unpersisted: its single consumer
     // is the composed projection below, which is what gets persisted
     val ivf = ivfIndex(candidates, idCol, vecCol, nCentroids,
-      persistIndex = false)
+      persistIndex = false, trainCoarse = trainCoarse)
     // ivf.assigned = (c_id, c_vec double[], cent_id); the encoded
     // vector is the residual or the raw vector, both map-only
     val encCol =
@@ -992,10 +1013,11 @@ object Similarity {
                 nCentroids: Int = 16, nProbe: Int = 2,
                 m: Int = 8, ksub: Int = 16, rerank: Int = 32,
                 trainSize: Int = 4096,
-                residual: Boolean = true): DataFrame =
+                residual: Boolean = false,
+                trainCoarse: Boolean = false): DataFrame =
     ivfPqTopKWith(
       ivfPqIndex(candidates, idCol, vecCol, nCentroids, m, ksub,
         trainSize = trainSize, residual = residual,
-        persistIndex = false),
+        trainCoarse = trainCoarse, persistIndex = false),
       queries, candidates, idCol, vecCol, k, nProbe, rerank)
 }

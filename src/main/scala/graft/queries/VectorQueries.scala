@@ -80,15 +80,18 @@ object VectorQueries {
     }),
 
     "q_sim_ann_ivfpq" -> ((s, d) => {
-      // Composed IVF+PQ (FAISS IVFADC): coarse probe confines the scan
-      // to nProbe lists, PQ codes shrink what the scan reads, exact
-      // rerank on the shortlist. Rows-only (trained coarse+fine
-      // quantizers aren't oracle-expressible); OperatorsSpec pins a
-      // recall floor + determinism, ScaleSpec the exchange-free build
-      // and all-broadcast query joins.
+      // Composed IVF+PQ (FAISS IVFPQ): Lloyd-trained coarse quantizer
+      // (balanced lists — measured +0.05 recall@3 over hash-sampled
+      // centroids at sf0.1), raw PQ codes (residual codes measured
+      // WORSE on this corpus — see ivfPqIndex scaladoc), exact rerank
+      // on the shortlist. Rows-only (trained coarse+fine quantizers
+      // aren't oracle-expressible); SimilaritySpec pins a recall
+      // floor + determinism, ScaleSpec the exchange-free build and
+      // all-broadcast query joins.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 3, nProbe = 4)
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 3, nProbe = 4,
+          trainCoarse = true)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -122,7 +125,8 @@ object VectorQueries {
         Similarity.pqIndex(emb, "vec_id", "embedding"),
         q, emb, "vec_id", "embedding", k)
       val ivfpq = Similarity.ivfPqTopKWith(
-        Similarity.ivfPqIndex(emb, "vec_id", "embedding"),
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          trainCoarse = true),
         q, emb, "vec_id", "embedding", k, nProbe = 4)
       Similarity.recallAtK(exact, lsh, "lsh")
         .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))

@@ -848,12 +848,15 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toSeq
     assert(composed == standalone)
     raw.encoded.unpersist()
-    // the residual path must also clear the recall floor on its own
-    val rawRec = Similarity.recallAtK(exact,
+    // the full FAISS layout — trained coarse quantizer + residual
+    // codes — must clear the floor too (the fixture's two tight
+    // clusters are exactly where residual encoding is meaningful)
+    val faissRec = Similarity.recallAtK(exact,
       Similarity.ivfPqTopK(q, all, "vec_id", "embedding", k,
-        nCentroids = 2, nProbe = 2, m = 2, ksub = 4, residual = false),
-      "ivfpq_raw").select("recall").as[Double].head()
-    assert(rawRec >= 0.9, s"raw-code ivfpq recall $rawRec")
+        nCentroids = 2, nProbe = 2, m = 2, ksub = 4,
+        residual = true, trainCoarse = true),
+      "ivfpq_residual").select("recall").as[Double].head()
+    assert(faissRec >= 0.9, s"trained+residual ivfpq recall $faissRec")
   }
 
   test("recallAtK arithmetic: hits over |exact|, bounded by 1") {
