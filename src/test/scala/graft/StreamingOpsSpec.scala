@@ -223,6 +223,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupAgainstCorpus composes with phash payloads (multimodal door)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the same transform guards BINARY ingest: corpus index over
+    // phash64 of stored blobs, arriving payloads probed by the same
+    // fingerprint expression (byte-level perturbations land within
+    // the hamming budget, unrelated payloads far outside)
+    val blob = Array.tabulate(256)(i => (i * 7 + 3).toByte)
+    val nearBlob = blob.clone(); nearBlob(40) = (nearBlob(40) + 1).toByte
+    val farBlob = Array.tabulate(256)(i => (i * 131 + 17).toByte)
+    val near = graft.functions.HashKernels.phash64(nearBlob)
+    val base = graft.functions.HashKernels.phash64(blob)
+    val far = graft.functions.HashKernels.phash64(farBlob)
+    assume(java.lang.Long.bitCount(base ^ near) <= 3 &&
+      java.lang.Long.bitCount(base ^ far) > 3)
+    val corpusBands = graft.operators.Dedup.hammingBandIndex(
+      Seq((1L, blob)).toDF("doc_id", "payload")
+        .select(col("doc_id"),
+          graft.operators.Multimodal.perceptualHash(col("payload"))
+            .as("fp")),
+      "doc_id", "fp")
+    val input = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val out = StreamingOps.nearDupAgainstCorpus(
+      input.toDF().toDF("ts", "id", "payload"),
+      graft.operators.Multimodal.perceptualHash(col("payload")), "ts",
+      corpusBands, "10 minutes", maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("phash_door")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 10L, nearBlob), // near stored blob → drop
+        (ts("2024-01-01 10:00:01"), 11L, farBlob))  // unrelated → keep
+      q.processAllAvailable()
+      val kept = spark.table("phash_door").select("id").as[Long].collect().toSeq
+      assert(kept == Seq(11L))
+    } finally q.stop()
+  }
+
   test("nearDupAgainstCorpus guards: working column, hamming bound") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
