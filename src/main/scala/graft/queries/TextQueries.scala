@@ -23,6 +23,31 @@ object TextQueries {
   // report "no recall loss" about a different configuration.
   private val simhashBucketCap = 10000
 
+  /** Training set shared by q_text_quality_fit and its distill/apply
+    * twin: per-doc Q4 heuristic features joined with the bigram-LM
+    * target in centi-nat units. Everything is INTEGER arithmetic so
+    * fit and oracle agree bit-for-bit: the stopword feature uses the
+    * integer round-half-up form `(20000·n_stop + n_tok) div (2·n_tok)`
+    * (not the float path — exactness of the downstream Cramer solve
+    * starts at exact inputs), and the target truncates `lp_q4 div
+    * (n_big·100)` identically in Spark (`div`) and DuckDB (`//`). */
+  private def qualityFitTrainSet(s: SparkSession, d: String): DataFrame = {
+    val toks = TA.tokens(col("text"))
+    val y = graft.operators.LanguageModel
+      .bigramScore(t(s, d, "documents"), "doc_id", TA.tokens(col("text")))
+      .select(col("doc").as("doc_id"),
+        expr("lp_micro div (n_big * 100)").as("y"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, x => x.isin(stopwords.map(lit): _*)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"),
+        expr("(n_stop * 20000 + n_tok) div (2 * n_tok)").as("f_stop"),
+        (least(col("n_tok"), lit(100L)) * lit(100L)).as("f_len"))
+      .join(y, "doc_id")
+  }
+
   // ONE span-size definition shared by the q_dedup_spans Spark call
   // AND its DuckDB oracle (the SQL interpolates these, so changing
   // spanTokens here can never desync the oracle's breakpoint modulus
@@ -322,6 +347,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_quality_fit" -> ((s, d) => {
+      // Model-TRAIN twin of q_text_quality_model: fit the linear
+      // quality filter's weights FROM data instead of freezing them by
+      // hand — OLS of the expensive signal (per-doc avg bigram-LM
+      // log-prob, centi-nat units, exact integer) on the two cheap Q4
+      // heuristic features, via exact integer normal equations + a
+      // driver-side BigInt Cramer solve (ModelFit scaladoc). One corpus
+      // scan reduces to 9 BIGINT moments; the artifact row carries the
+      // moments (auditable, oracle-checked) and the fitted Q4 weights
+      // (deployable through TA.linearModelQ8). Docs with < 2 tokens
+      // have no LM target and are absent from the fit (the
+      // q_text_lm_bigram inner-join stance).
+      graft.operators.ModelFit.fitLinearQ4(
+        qualityFitTrainSet(s, d),
+        Seq("f_stop" -> col("f_stop"), "f_len" -> col("f_len")),
+        col("y"))
+    }),
+
+    "q_text_quality_distill" -> ((s, d) => {
+      // The fit DEPLOYED: the weights solved by q_text_quality_fit are
+      // literalized into a map-only linearModelQ8 projection (the
+      // k-means literal-centroid stance — train once at plan time,
+      // apply as a scan), scoring every trainable doc and carrying the
+      // exact integer residual vs the true LM signal. pred/resid are
+      // in centi-nat × Q4 units; every column is engine-exact BIGINT.
+      val train = qualityFitTrainSet(s, d)
+      val w = graft.operators.ModelFit.fitWeightsQ4(
+        train,
+        Seq("f_stop" -> col("f_stop"), "f_len" -> col("f_len")),
+        col("y"))
+      train.select(col("doc_id"), col("f_stop"), col("f_len"), col("y"),
+          TA.linearModelQ8(
+            Seq((col("f_stop"), w(1)), (col("f_len"), w(2))),
+            biasQ8 = w(0)).as("pred"))
+        .withColumn("resid", col("pred") - col("y") * lit(10000L))
+        .orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, d) => {
       // Duplicate n-gram ratios (1 - distinct/total) — the standard
       // boilerplate/repetition quality signal next to q_text_quality;
@@ -589,7 +652,110 @@ object TextQueries {
     })
   )
 
+  /** Shared CTE stack for the two quality-fit oracles: the
+    * q_text_lm_bigram pipeline down to per-doc (n_big, lp_q4), the
+    * integer Q4 features, the joined train set, the exact moments
+    * (HUGEINT — products of Q4 sums stay far under the 1.7e38 HUGEINT
+    * ceiling at the sf0.01 oracle scale; the Spark side solves in
+    * BigInt and has no ceiling), and the 3×3 Cramer determinants.
+    * Weight quantization is round-half-away-from-zero via truncating
+    * division — `//` here, BigInt `/` in ModelFit.quantize — so both
+    * engines produce bit-identical Q4 weights. */
+  private def qualityFitSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |bgl AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(t) - 1, 0)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks),
+      |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY 1, 2),
+      |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+      |ctx AS (
+      |  SELECT string_split(bg, ' ')[1] AS prev,
+      |    CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |lp AS (
+      |  SELECT bg,
+      |    CAST(floor(ln(CAST(c2 AS DOUBLE) / c1) * 10000.0 + 0.5) AS BIGINT)
+      |      AS lp
+      |  FROM c2 JOIN ctx ON string_split(bg, ' ')[1] = ctx.prev),
+      |ylm AS (
+      |  SELECT tf.doc_id,
+      |    CAST(sum(tf.tf) AS BIGINT) AS n_big,
+      |    CAST(sum(tf.tf * lp.lp) AS BIGINT) AS lp_q4
+      |  FROM tf JOIN lp USING (bg) GROUP BY 1),
+      |train AS (
+      |  SELECT f.doc_id, f.f_stop, f.f_len,
+      |    ylm.lp_q4 // (ylm.n_big * 100) AS y
+      |  FROM (SELECT doc_id,
+      |          (len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |             * 20000 + len(t)) // (2 * len(t)) AS f_stop,
+      |          least(len(t), 100) * 100 AS f_len
+      |        FROM toks) f
+      |  JOIN ylm ON f.doc_id = ylm.doc_id),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(f_stop) AS HUGEINT) AS sf1,
+      |    CAST(sum(f_len) AS HUGEINT) AS sf2,
+      |    CAST(sum(f_stop * f_stop) AS HUGEINT) AS s11,
+      |    CAST(sum(f_stop * f_len) AS HUGEINT) AS s12,
+      |    CAST(sum(f_len * f_len) AS HUGEINT) AS s22,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(f_stop * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(f_len * y) AS HUGEINT) AS s2y
+      |  FROM train),
+      |cr AS (
+      |  SELECT m.*,
+      |    n * (s11 * s22 - s12 * s12)
+      |      - sf1 * (sf1 * s22 - s12 * sf2)
+      |      + sf2 * (sf1 * s12 - s11 * sf2) AS det,
+      |    sy * (s11 * s22 - s12 * s12)
+      |      - sf1 * (s1y * s22 - s12 * s2y)
+      |      + sf2 * (s1y * s12 - s11 * s2y) AS num0,
+      |    n * (s1y * s22 - s12 * s2y)
+      |      - sy * (sf1 * s22 - s12 * sf2)
+      |      + sf2 * (sf1 * s2y - s1y * sf2) AS num1,
+      |    n * (s11 * s2y - s1y * s12)
+      |      - sf1 * (sf1 * s2y - s1y * sf2)
+      |      + sy * (sf1 * s12 - s11 * sf2) AS num2
+      |  FROM m),
+      |w AS (
+      |  SELECT cr.*,
+      |    (2 * num0 * 10000 + CASE WHEN num0 < 0 THEN -det ELSE det END)
+      |      // (2 * det) AS w0,
+      |    (2 * num1 * 10000 + CASE WHEN num1 < 0 THEN -det ELSE det END)
+      |      // (2 * det) AS w1,
+      |    (2 * num2 * 10000 + CASE WHEN num2 < 0 THEN -det ELSE det END)
+      |      // (2 * det) AS w2
+      |  FROM cr)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_text_quality_fit" ->
+      s"""$qualityFitSql
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(sf1 AS BIGINT) AS s_f_stop,
+        |  CAST(sf2 AS BIGINT) AS s_f_len,
+        |  CAST(s11 AS BIGINT) AS s_f_stop_f_stop,
+        |  CAST(s12 AS BIGINT) AS s_f_stop_f_len,
+        |  CAST(s22 AS BIGINT) AS s_f_len_f_len,
+        |  CAST(sy AS BIGINT) AS s_y,
+        |  CAST(s1y AS BIGINT) AS s_f_stop_y,
+        |  CAST(s2y AS BIGINT) AS s_f_len_y,
+        |  CAST(w0 AS BIGINT) AS w_bias_q4,
+        |  CAST(w1 AS BIGINT) AS w_f_stop_q4,
+        |  CAST(w2 AS BIGINT) AS w_f_len_q4
+        |FROM w""".stripMargin,
+
+    "q_text_quality_distill" ->
+      s"""$qualityFitSql
+        |SELECT t.doc_id, t.f_stop, t.f_len, t.y,
+        |  CAST(w.w1 * t.f_stop + w.w2 * t.f_len + w.w0 AS BIGINT) AS pred,
+        |  CAST(w.w1 * t.f_stop + w.w2 * t.f_len + w.w0
+        |    - t.y * 10000 AS BIGINT) AS resid
+        |FROM train t CROSS JOIN w ORDER BY doc_id""".stripMargin,
+
     "q_text_tokenize" ->
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -441,6 +441,24 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() < allParts)
   }
 
+  test("model fit reduces in one partial+final aggregate, no window") {
+    // the OLS moment pass must be a map-side-combinable aggregate over
+    // one scan: at 100 TB the corpus reduces to O(k^2) numbers through
+    // partial aggregation, never a window or a wide shuffle of rows
+    val df = (1 to 200).map(i =>
+      (i.toLong, (i % 50).toLong, (i % 7).toLong, (3 * i % 11).toLong))
+      .toDF("id", "f1", "f2", "y")
+    val feats = Seq("f1" -> col("f1"), "f2" -> col("f2"))
+    val moments = graft.operators.ModelFit.momentsDf(df, feats, col("y"))
+    val plan = moments.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"moment aggregate must have a map-side partial phase:\n$plan")
+    assert(!plan.contains("Window"))
+    val art = graft.operators.ModelFit.fitLinearQ4(df, feats, col("y"))
+    assert(art.count() == 1)
+    assert(!art.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("GraftExtensions wires graft_dot at builder time") {
     // builder-time extensions need a fresh session; cloneSession keeps
     // the shared context but new sessionState. Simplest check: the
