@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashBands, NfcNormalize, SimHash64, SqDist}
+import graft.functions.{BloomMightContain, BpeEncode, BpeMergePass, DotProduct, MinHashBands, NfcNormalize, SimHash64, SqDist}
 
 /** Standard config-time wiring for the engine's native functions:
   *
@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName,
         "graft_minhash_bands"),
       (exprs: Seq[Expression]) => MinHashBands.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomMightContain.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergePass].getName, "graft_bpe_merge"),
+      (exprs: Seq[Expression]) => BpeMergePass.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (exprs: Seq[Expression]) => BpeEncode.build(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -185,5 +185,10 @@ object GraftFunctions {
     ensure("graft_nfc")(exprs => NfcNormalize(exprs.head))
     // bands/rows arrive as foldable int literals — plan-time consts
     ensure("graft_minhash_bands")(exprs => MinHashBands.build(exprs))
+    // words arrives as a foldable array<bigint> literal, decoded once
+    ensure("graft_bloom_contains")(exprs => BloomMightContain.build(exprs))
+    // the round's pair / the full merge table arrive as literals
+    ensure("graft_bpe_merge")(exprs => BpeMergePass.build(exprs))
+    ensure("graft_bpe_encode")(exprs => BpeEncode.build(exprs))
   }
 }

@@ -513,6 +513,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_decontaminate_bloom" -> ((s, d) => {
+      // Bloom twin of q_decontaminate: the eval trigram SET becomes a
+      // ~16-bit-per-item bit array probed by a codegen map — the
+      // corpus side has NO join and only the per-doc count shuffle
+      // (ScaleSpec pins the plan). Rows-only: the probe hash is not
+      // oracle-expressible; q_decontaminate_bloom_audit measures the
+      // divergence from exact (no false negatives, fp in permille)
+      // and BloomSpec pins the kernel semantics.
+      val docs = t(s, d, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val model = graft.operators.Decontaminate
+        .buildShingleBloom(docs, "doc_id", "text", isEval, n = 3)
+      graft.operators.Decontaminate
+        .bloomContamination(docs, "doc_id", "text", isEval, model,
+          n = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    "q_decontaminate_bloom_audit" -> ((s, d) => {
+      // One corpus pass scoring every train trigram with BOTH the
+      // exact broadcast-join verdict and the bloom probe, reduced to
+      // a single exact-integer row: n_false_neg MUST be 0 (blooms
+      // cannot miss; nonzero = build/probe hash drift) and
+      // fp_permille is the measured over-flag rate at 16 bits/item.
+      val docs = t(s, d, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val model = graft.operators.Decontaminate
+        .buildShingleBloom(docs, "doc_id", "text", isEval, n = 3)
+      graft.operators.Decontaminate
+        .bloomAudit(docs, "doc_id", "text", isEval, model, n = 3)
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Chunk -> pack into 64-token bins across 8 deterministic
       // shards (next-fit by running sum; see Packing). Summarized per

@@ -487,4 +487,26 @@ class ScaleSpec extends SparkSpec {
     assert((0 until 4).forall(degenerate.isNullAt),
       s"expected all NULL, got $degenerate")
   }
+
+  test("bloom decontamination probes with zero joins, one exchange") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} end"))
+      .toDF("doc_id", "text")
+    val isEval = col("doc_id") % 10 === 0
+    val model = graft.operators.Decontaminate
+      .buildShingleBloom(docs, "doc_id", "text", isEval, n = 3)
+    val probed = graft.operators.Decontaminate
+      .bloomContamination(docs, "doc_id", "text", isEval, model, n = 3)
+    assert(probed.count() > 0)
+    val plan = probed.queryExecution.executedPlan.toString
+    // THE point of the bloom twin: the corpus side never joins the
+    // eval set — the filter rides into codegen as a reference object,
+    // so the only exchange left is the per-doc count aggregate
+    assert(!plan.contains("Join"),
+      s"bloom probe must not join the eval side:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"bloom probe must plan exactly one exchange:\n$plan")
+    assert(plan.contains("graft_bloom_contains"),
+      s"expected the codegen bloom probe in the plan:\n$plan")
+  }
 }
