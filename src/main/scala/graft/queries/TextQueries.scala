@@ -545,6 +545,39 @@ object TextQueries {
         .bloomAudit(docs, "doc_id", "text", isEval, model, n = 3)
     }),
 
+    "q_bpe_train" -> ((s, d) => {
+      // Greedy BPE tokenizer training (Sennrich) reduced to its
+      // scale-correct relational core: ONE corpus pass builds the
+      // word-frequency table, then every merge round is a VOCAB-sized
+      // aggregate (pair explode -> sum -> 1-row argmax) applied with
+      // the codegen graft_bpe_merge literal. 16 merges keeps the
+      // round count bench-honest; the shape is round-count-linear.
+      // Rows-only (greedy iteration is not oracle-expressible);
+      // BpeSpec pins the merge sequence on the classic hand-computed
+      // fixture. Deterministic: argmax tie-breaks (count desc, pair
+      // asc), so the merge list is a pure function of the corpus.
+      val words = graft.operators.Bpe.wordFreq(
+        t(s, d, "documents"), TA.tokens(col("text")))
+      val merges = graft.operators.Bpe.train(words, numMerges = 16)
+      s.createDataFrame(merges).orderBy("rank")
+    }),
+
+    "q_bpe_tokencount" -> ((s, d) => {
+      // APPLY half: re-tokenize the corpus under the learned merges.
+      // The merge fold runs once per DISTINCT word (graft_bpe_encode
+      // with the merge table as plan-time literals); the corpus side
+      // is one tf groupBy + a broadcast probe of the (word, n_pieces)
+      // table — per-occurrence cost is a hash lookup, never a fold.
+      val docs = t(s, d, "documents")
+      val words = graft.operators.Bpe.wordFreq(docs, TA.tokens(col("text")))
+      val merges = graft.operators.Bpe.train(words, numMerges = 16)
+      graft.operators.Bpe.tokenCounts(
+          docs, "doc_id", TA.tokens(col("text")), merges)
+        .select(col("doc").as("doc_id"), col("n_words"),
+          col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Chunk -> pack into 64-token bins across 8 deterministic
       // shards (next-fit by running sum; see Packing). Summarized per

@@ -488,6 +488,30 @@ class ScaleSpec extends SparkSpec {
       s"expected all NULL, got $degenerate")
   }
 
+  test("BPE apply: merge fold on distinct words only, broadcast probe") {
+    val docs = (0L until 300L)
+      .map(i => (i, s"w${i % 13} w${i % 7} w${i % 13} tail"))
+      .toDF("doc_id", "text")
+    val merges = Seq(graft.operators.Bpe.Merge(0, "w", "1", 1L))
+    val counted = graft.operators.Bpe.tokenCounts(
+      docs, "doc_id", split(col("text"), " "), merges)
+    assert(counted.count() == 300)
+    val plan = counted.queryExecution.executedPlan.toString
+    // the expensive fold must sit on the DISTINCT-word side, arriving
+    // at the corpus tf table over a broadcast — a corpus-side
+    // graft_bpe_encode would fold per OCCURRENCE, the scale-killer
+    assert(plan.contains("BroadcastExchange"),
+      s"piece table must broadcast onto tf:\n$plan")
+    // the physical toString hides aggregate result expressions, so
+    // pin the encode's placement on the optimized LOGICAL plan: it
+    // must appear exactly once, on the distinct-word (build) side
+    val logical = counted.queryExecution.optimizedPlan.toString
+    val encodeIdx = logical.indexOf("graft_bpe_encode")
+    assert(encodeIdx >= 0, s"expected the codegen encode:\n$logical")
+    assert(logical.indexOf("graft_bpe_encode", encodeIdx + 1) < 0,
+      s"encode must appear once (distinct-word side only):\n$logical")
+  }
+
   test("bloom decontamination probes with zero joins, one exchange") {
     val docs = (0L until 200L)
       .map(i => (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} end"))
