@@ -578,6 +578,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_text_entropy" -> ((s, d) => {
+      // Shannon token entropy per doc (nats) — the gibberish/
+      // boilerplate quality axis orthogonal to LM score: H = ln(n) -
+      // (1/n)·Σ c·ln(c). Exact across engines via the LM-score trick:
+      // ln(c) is rounded ONCE per (doc, term) into integer 1e-4 units,
+      // so the per-doc sum is exact integer arithmetic and the only
+      // float ops (one division, one rnd) are order-independent.
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_tok"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("tf") *
+            floor(log(col("tf").cast("double")) * 1e4 + 0.5).cast("long"))
+            .cast("long").as("clnc_micro"))
+        .withColumn("entropy", graft.rnd(
+          (floor(log(col("n_tok").cast("double")) * 1e4 + 0.5) -
+            col("clnc_micro").cast("double") / col("n_tok")) / 1e4, 4))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Chunk -> pack into 64-token bins across 8 deterministic
       // shards (next-fit by running sum; see Packing). Summarized per
@@ -1276,6 +1298,24 @@ object TextQueries {
         |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
         |FROM tf JOIN lp USING (term)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 10000.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS clnc_micro
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_distinct, clnc_micro,
+        |  floor(((CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 10000.0 + 0.5)
+        |      AS DOUBLE) - CAST(clnc_micro AS DOUBLE) / n_tok)
+        |    / 10000.0) * 10000.0 + 0.5) / 10000.0 AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_text_lm_crossscore" ->
       """WITH toks AS (
