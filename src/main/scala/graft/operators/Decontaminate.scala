@@ -162,6 +162,13 @@ object Decontaminate {
         TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)))
         .as("g"))
 
+  /** Membership probe Column against a built filter — public so
+    * per-row composition sites (e.g. the streaming ingest door's
+    * higher-order `filter` over a shingle array) can reuse the exact
+    * build-side index derivation. */
+  def bloomContains(hash: Column, model: BloomModel): Column =
+    bloomContains(hash, model.words, model.k)
+
   private def bloomContains(hash: Column, words: Array[Long],
                             k: Int): Column = {
     graft.functions.GraftFunctions.register(SparkSession.active)

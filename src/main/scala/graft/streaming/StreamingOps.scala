@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -147,6 +147,54 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("graft_sim")
       .drop("graft_sim")
   }
+
+  /** Per-doc door scores for [[admitAtDoor]], exposed for parity
+    * testing: quality (any BIGINT Q8 score expression, typically
+    * [[graft.operators.TextAnalysis.linearModelQ8]]) plus shingle
+    * count and bloom-decontamination hits. Everything is computed
+    * ROW-LOCAL — the bloom bit array rides into codegen as a
+    * reference object and the shingle probe is a higher-order
+    * `filter` over the doc's own shingle array — so the gate needs
+    * no join, no aggregation, and no state: it composes with any
+    * downstream stateful op and costs the same per row at 100 TB/day
+    * as in a unit test. */
+  def doorScores(stream: DataFrame, textCol: String, scoreQ8: Column,
+                 bloom: graft.operators.Decontaminate.BloomModel,
+                 shingleN: Int = 3): DataFrame = {
+    Seq("graft_quality_q8", "graft_n_shingles", "graft_bloom_hits")
+      .foreach(c => require(!stream.columns.contains(c),
+        s"input stream already has a $c column"))
+    val sh = array_distinct(graft.operators.TextAnalysis.shingles(
+      graft.operators.TextAnalysis.tokens(col(textCol)), shingleN))
+    stream
+      .withColumn("graft_quality_q8", scoreQ8)
+      .withColumn("graft_n_shingles", size(sh).cast("long"))
+      .withColumn("graft_bloom_hits",
+        size(filter(sh, x => graft.operators.Decontaminate
+          .bloomContains(xxhash64(x), bloom))).cast("long"))
+  }
+
+  /** Quality + decontamination gate at the ingest door — the
+    * streaming twin of the batch pair (q_text_quality_model,
+    * bloomContamination): arriving docs are dropped when the trained
+    * linear quality score falls below `minScoreQ8` OR their
+    * benchmark-shingle contamination reaches `maxContamPermille`.
+    * Both decisions are exact-integer (Q8 score threshold; 1000·hits
+    * >= permille·shingles), so batch and stream agree bit-for-bit on
+    * every admit/drop. Docs with no shingle surface (< shingleN
+    * tokens) have contamination 0 and pass on quality alone, the
+    * batch convention. Stateless — see [[doorScores]]. */
+  def admitAtDoor(stream: DataFrame, textCol: String, scoreQ8: Column,
+                  minScoreQ8: Long,
+                  bloom: graft.operators.Decontaminate.BloomModel,
+                  shingleN: Int = 3,
+                  maxContamPermille: Long = 500L): DataFrame =
+    doorScores(stream, textCol, scoreQ8, bloom, shingleN)
+      .filter(col("graft_quality_q8") >= minScoreQ8 &&
+        lit(1000L) * col("graft_bloom_hits") <
+          lit(maxContamPermille) *
+            greatest(col("graft_n_shingles"), lit(1L)))
+      .drop("graft_quality_q8", "graft_n_shingles", "graft_bloom_hits")
 
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per

@@ -375,4 +375,53 @@ class StreamingOpsSpec extends SparkSpec {
         (1001L, 1, "c"), (1000L, 3, "d")))
     } finally q.stop()
   }
+
+  test("ingest door: quality + bloom decontamination, batch parity") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon", true))
+      .toDF("doc_id", "text", "is_eval")
+    val model = graft.operators.Decontaminate.buildShingleBloom(
+      evalDocs, "doc_id", "text", col("is_eval"), n = 3)
+    // length-saturation-only Q8 model: 6 tokens -> 6,000,000
+    def scoreQ8 = {
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val lenSatQ4 = floor(least(size(toks), lit(100)).cast("double")
+        / 100.0d * 10000.0d + 0.5d).cast("long")
+      graft.operators.TextAnalysis.linearModelQ8(
+        Seq((lenSatQ4, 10000L)), biasQ8 = 0L)
+    }
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox jumps over"),
+      (ts("2024-01-01 10:00:01"), 2L, "tiny low"), // quality drop
+      // 3 of 4 trigrams in the eval set: 750 permille -> contam drop
+      (ts("2024-01-01 10:00:02"), 3L,
+        "alpha beta gamma delta epsilon zeta"),
+      // 1 of 5 trigrams: 200 permille -> admitted
+      (ts("2024-01-01 10:00:03"), 4L,
+        "alpha beta gamma completely different now yes"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val gated = StreamingOps.admitAtDoor(
+      input.toDF().toDF("ts", "id", "text"), "text",
+      scoreQ8, minScoreQ8 = 5000000L, model)
+    val q = gated.writeStream.format("memory").queryName("door_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("door_sink")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(streamIds == Seq(1L, 4L))
+      // the gate is stateless, so the SAME call on a static frame
+      // must admit the SAME ids — batch/stream parity by construction
+      val batchIds = StreamingOps.admitAtDoor(
+          rows.toDF("ts", "id", "text"), "text",
+          scoreQ8, minScoreQ8 = 5000000L, model)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(batchIds == streamIds)
+      // gate output keeps the caller's schema: no graft_ residue
+      assert(spark.table("door_sink").columns.toSeq ==
+        Seq("ts", "id", "text"))
+    } finally q.stop()
+  }
 }
