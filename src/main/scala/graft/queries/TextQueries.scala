@@ -372,7 +372,11 @@ object TextQueries {
       // apply as a scan), scoring every trainable doc and carrying the
       // exact integer residual vs the true LM signal. pred/resid are
       // in centi-nat × Q4 units; every column is engine-exact BIGINT.
+      // Persisted: the fit's moment pass and the scoring scan are two
+      // actions over the same doc-sized 5-column frame — without the
+      // cache the full bigram-LM pipeline runs twice (measured 2x).
       val train = qualityFitTrainSet(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = graft.operators.ModelFit.fitWeightsQ4(
         train,
         Seq("f_stop" -> col("f_stop"), "f_len" -> col("f_len")),

@@ -20,7 +20,13 @@ class QueriesSmokeSpec extends SparkSpec {
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_ivfpq",
       "q_agg_percentile_approx",
       "q_sim_ann_recall", "q_dedup_simhash_audit", "q_embed_cluster",
-      "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash"))
+      "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash",
+      // bloom membership and BPE merge training are hash/iteration
+      // artifacts with no SQL form; their value-level coverage is
+      // BloomSpec (exact FP audit vs planted contamination)
+      // and BpeSpec (merge-table recovery on a planted corpus):
+      "q_decontaminate_bloom", "q_decontaminate_bloom_audit",
+      "q_bpe_train", "q_bpe_tokencount"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -23,7 +23,9 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_mix_temperature", "q_text_lm_crossscore",
               "q_dedup_phash", "q_text_quality_model",
               "q_sim_ann_ivfpq", "q_dedup_substring",
-              "q_dedup_substring_strip")) {
+              "q_dedup_substring_strip", "q_text_quality_fit",
+              "q_decontaminate_bloom", "q_bpe_tokencount",
+              "q_text_entropy")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
