@@ -506,6 +506,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dsir_weights" -> ((s, d) => {
+      // DSIR importance reweighting: src0+src1 play the clean TARGET
+      // distribution (the crossscore convention); every doc gets the
+      // hashed-n-gram log ratio target-vs-raw in exact 1e-4 units and
+      // a deterministic keep verdict (per-gram weight above the
+      // corpus mean, compared by exact integer cross-multiplication).
+      // m = 4096 hashed buckets (3 md5 hex digits).
+      graft.operators.Dsir.importanceWeights(
+          t(s, d, "documents"), "doc_id", TA.tokens(col("text")),
+          isTarget = col("source").isin("src0", "src1"))
+        .select(col("doc").as("doc_id"), col("n_grams"),
+          col("logw_micro"), col("avg_logw"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // Benchmark decontamination: doc_id % 97 == 0 plays the role of
       // the held-out eval suite; every other doc is scored by the
@@ -1382,6 +1397,51 @@ object TextQueries {
         |    / (CAST(sum(tf.tf) AS BIGINT) * 10000.0) AS avg_logp
         |FROM tf JOIN lp USING (bg)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, unnest(t || list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM toks),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 16 +
+        |    strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1 AS bucket,
+        |    count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |qm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cq
+        |       FROM feats GROUP BY 1),
+        |pm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cp
+        |       FROM feats WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(sum(cq) AS BIGINT) FROM qm) AS tq,
+        |  (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM pm) AS tp),
+        |lam AS (
+        |  SELECT qm.bucket,
+        |    CAST(floor(ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE)
+        |        / CAST(tp + 4096 AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+        |  - CAST(floor(ln(CAST(cq + 1 AS DOUBLE)
+        |        / CAST(tq + 4096 AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+        |      AS lam
+        |  FROM qm LEFT JOIN pm USING (bucket) CROSS JOIN tot),
+        |per_doc AS (
+        |  SELECT f.doc_id,
+        |    CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+        |    CAST(sum(f.cnt * lam.lam) AS BIGINT) AS logw_micro
+        |  FROM feats f JOIN lam ON f.bucket = lam.bucket
+        |  GROUP BY f.doc_id),
+        |ct AS (SELECT CAST(sum(logw_micro) AS BIGINT) AS tot_logw,
+        |              CAST(sum(n_grams) AS BIGINT) AS tot_n
+        |       FROM per_doc)
+        |SELECT doc_id, n_grams, logw_micro,
+        |  logw_micro / (n_grams * 10000.0) AS avg_logw,
+        |  logw_micro * tot_n > tot_logw * n_grams AS keep
+        |FROM per_doc CROSS JOIN ct ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH sh AS (
