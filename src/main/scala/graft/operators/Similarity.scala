@@ -146,6 +146,80 @@ object Similarity {
       .select(col("q_id"), col("c_label").as("pred_label"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * row, the `k` most-similar candidates from a DIFFERENT group
+    * (label / source / cluster) — "hard" because they look like the
+    * anchor but are labeled otherwise, exactly the negatives a
+    * contrastive or reranker objective learns the most from. Same
+    * broadcast-NLJ + per-anchor window shape as [[bruteForceTopK]]
+    * (anchors are a bounded mining batch per job), with the group
+    * inequality pushed into the join condition so same-group pairs
+    * never materialize. Exact by design — it is the oracle twin; the
+    * corpus-wide scale path is any staged ANN index with an overfetched
+    * shortlist group-filtered before the final top-k. */
+  def hardNegatives(anchors: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(
+      anchors.select(col(idCol).as("q_id"),
+        col(groupCol).as("q_grp"),
+        toDouble(col(vecCol)).as("q_vec"),
+        sqrt(normSq(toDouble(col(vecCol)))).as("q_norm")))
+    val c = candidates.select(col(idCol).as("c_id"),
+      col(groupCol).as("c_grp"),
+      toDouble(col(vecCol)).as("c_vec"),
+      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
+    val scored = q.join(c, col("q_grp") =!= col("c_grp"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** Deterministic ±1 sign for random-projection component (`outIdx`,
+    * `inIdx`) under `seed`: +1 when the first hex digit of
+    * `md5("rp_<seed>_<outIdx>_<inIdx>")` is 0-7. The digit test is the
+    * engine-portable coin flip — DuckDB's md5() reproduces it, so the
+    * whole projection is oracle-checkable. */
+  private[graft] def rpSign(seed: Int, outIdx: Int, inIdx: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${seed}_${outIdx}_${inIdx}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xF) < 8) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss random projection `dim -> outDim` with a
+    * deterministic dense ±1 sign matrix (Achlioptas 2001: ±1 entries
+    * satisfy the JL guarantee; scaling by 1/sqrt(outDim) is a
+    * monotone constant, so ranking-type consumers can stay in exact
+    * integer units and skip it). The vector is micro-quantized
+    * ([[microQuantize]]) so each output component is an exact BIGINT
+    * Σ ±x_micro — partitioning/engine independent, hash-matchable in
+    * DuckDB.
+    *
+    * Scale shape: the sign matrix depends only on (outDim, dim, seed)
+    * — outDim·dim literal longs ride the plan ONCE (the PQ-codebook
+    * stance), and the projection itself is a map-only codegen fold:
+    * no shuffle, no join, no UDF. At 100 TB this is a pure scan; the
+    * shrunken vectors then feed ANN/dedup at outDim/dim of the cost.
+    *
+    * @return input frame with `proj`: array<long> of length `outDim`
+    */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Int = 7): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got dim=$dim outDim=$outDim")
+    val signs: Seq[Seq[Long]] =
+      Seq.tabulate(outDim, dim)((j, i) => rpSign(seed, j, i))
+    val xq = transform(toDouble(col(vecCol)), microQuantize(_))
+    vecs.withColumn("proj",
+      transform(typedLit(signs), row =>
+        aggregate(zip_with(row, xq, (s, x) => s * x), lit(0L), _ + _)))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * derived from a 64-bit avalanche hash of (plane, dim) — no
     * java.util.Random, so plans are reproducible across runs/retries.

@@ -41,6 +41,35 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    "q_mine_hard_negatives" -> ((s, d) => {
+      // Contrastive-training data prep: for each anchor, the 5 most
+      // cosine-similar vectors with a DIFFERENT label — the negatives
+      // that sit closest to the decision boundary. Exact (oracle
+      // twin); corpus-wide mining rides any staged ANN index with a
+      // group-filtered overfetch.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.hardNegatives(q, emb, "vec_id", "embedding", "label", 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_embed_rproject" -> ((s, d) => {
+      // JL random projection 64 -> 16 dims with the deterministic
+      // md5-coin ±1 matrix: micro-quantized inputs make every
+      // component an exact BIGINT. Emitted one row per component
+      // (the harness compare is scalar-column), so the oracle checks
+      // EVERY projected value, not a summary. The shrink feeds ANN
+      // (see the rproject recall row in q_sim_ann_recall for the
+      // measured ranking cost of 4x fewer dims).
+      Similarity.randomProject(t(s, d, "embeddings"), "vec_id",
+          "embedding", dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "yj")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("yj"))
+        .orderBy("vec_id", "j")
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.35, maxIdGap = 50L)
@@ -128,10 +157,19 @@ object VectorQueries {
         Similarity.ivfPqIndex(emb, "vec_id", "embedding",
           trainCoarse = true),
         q, emb, "vec_id", "embedding", k, nProbe = 4)
+      // the dim-reduction path measured on the same axis: brute force
+      // in the 16-dim projected space vs the 64-dim exact twin — the
+      // ranking cost of a 4x storage/compute shrink as a number
+      val projected = Similarity.randomProject(emb, "vec_id",
+        "embedding", dim = 64, outDim = 16).select("vec_id", "proj")
+      val rp = Similarity.bruteForceTopK(
+        projected.filter(col("vec_id") < nQueries), projected,
+        "vec_id", "proj", k)
       Similarity.recallAtK(exact, lsh, "lsh")
         .unionByName(Similarity.recallAtK(exact, ivf, "ivf"))
         .unionByName(Similarity.recallAtK(exact, pq, "pq"))
         .unionByName(Similarity.recallAtK(exact, ivfpq, "ivfpq"))
+        .unionByName(Similarity.recallAtK(exact, rp, "rproject"))
         .orderBy("method")
     }),
 
@@ -261,6 +299,41 @@ object VectorQueries {
           |      ORDER BY v DESC, label ASC) AS rn
           |  FROM votes) f
           |WHERE rn = 1 ORDER BY q_id""".stripMargin),
+
+    "q_mine_hard_negatives" ->
+      (duckCosine("embeddings", "embeddings",
+        s"a.vec_id < $nQueries", "a.label <> b.label") +
+        """
+          |SELECT q_id, rank, c_id, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+          |  SELECT q_id, c_id, cos,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, c_id ASC) AS rank
+          |  FROM scored) r
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    "q_embed_rproject" ->
+      // Mirrors Similarity.randomProject exactly: micro-unit longs,
+      // md5-first-hex-digit coin (0-7 -> +1) keyed "rp_<seed>_<j>_<i-1>"
+      // (i-1: SQL list index is 1-based, the sign key 0-based), exact
+      // BIGINT component sums reassembled in j order.
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |outs AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |m AS (
+        |  SELECT e.vec_id, d.i,
+        |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM embeddings e, dims d),
+        |s AS (
+        |  SELECT o.j, d.i,
+        |    CASE WHEN strpos('01234567',
+        |      substring(md5('rp_7_' || o.j || '_' || (d.i - 1)), 1, 1)) > 0
+        |    THEN 1 ELSE -1 END AS sgn
+        |  FROM outs o, dims d),
+        |p AS (
+        |  SELECT m.vec_id, s.j, CAST(sum(s.sgn * m.mi) AS BIGINT) AS yj
+        |  FROM m JOIN s ON s.i = m.i
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, yj
+        |FROM p ORDER BY vec_id, j""".stripMargin,
 
     "q_dedup_embedding" ->
       (duckCosine("embeddings", "embeddings",
