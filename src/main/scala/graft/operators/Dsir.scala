@@ -53,6 +53,37 @@ object Dsir {
         gramBucket(col("g"), hexDigits).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** λ table (bucket, lam) and totals (tq, tp) from the feature-count
+    * table — shared by [[importanceWeights]] (joins λ) and [[fitModel]]
+    * (collects λ dense). λ in integer 1e-4 units, each ln rounded once
+    * per MODEL term, so Spark and the oracle agree bucket-by-bucket
+    * and every downstream sum is exact. */
+  private def lamAndTots(feats: DataFrame, m: Long): (DataFrame, DataFrame) = {
+    val rawM = feats.groupBy("bucket").agg(sum("cnt").as("cq"))
+    val tgtM = feats.filter(col("is_target"))
+      .groupBy("bucket").agg(sum("cnt").as("cp"))
+    val tots = rawM.agg(sum("cq").cast("long").as("tq")).crossJoin(
+      tgtM.agg(coalesce(sum("cp"), lit(0L)).cast("long").as("tp")))
+    val lam = rawM.join(tgtM, Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (floor(log((coalesce(col("cp"), lit(0L)) + lit(1L))
+            .cast("double") / (col("tp") + lit(m)).cast("double"))
+          * 1e4 + 0.5).cast("long") -
+         floor(log((col("cq") + lit(1L)).cast("double")
+            / (col("tq") + lit(m)).cast("double"))
+          * 1e4 + 0.5).cast("long")).as("lam"))
+    (lam, tots)
+  }
+
+  /** (doc, n_grams, logw_micro) — the scoring aggregate over the
+    * feature table joined with λ. */
+  private def perDocWeights(feats: DataFrame, lam: DataFrame): DataFrame =
+    feats.join(lam, "bucket")
+      .groupBy(col("doc"))
+      .agg(sum("cnt").cast("long").as("n_grams"),
+        sum(col("cnt") * col("lam")).cast("long").as("logw_micro"))
+
   /** Per-document importance weights against a target subset of the
     * same frame. Output: (doc, n_grams, logw_micro, avg_logw, keep)
     * where `logw_micro` is the exact integer Σ cnt·λ in 1e-4 units,
@@ -91,27 +122,8 @@ object Dsir {
       if (persistCounts) feats0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else feats0
-    val rawM = feats.groupBy("bucket").agg(sum("cnt").as("cq"))
-    val tgtM = feats.filter(col("is_target"))
-      .groupBy("bucket").agg(sum("cnt").as("cp"))
-    val tots = rawM.agg(sum("cq").as("tq")).crossJoin(
-      tgtM.agg(coalesce(sum("cp"), lit(0L)).as("tp")))
-    // λ in integer 1e-4 units, each ln rounded once per bucket: the
-    // rounding happens per MODEL term, so Spark and the oracle agree
-    // bucket-by-bucket and every downstream sum is exact
-    val lam = rawM.join(tgtM, Seq("bucket"), "left")
-      .crossJoin(broadcast(tots))
-      .select(col("bucket"),
-        (floor(log((coalesce(col("cp"), lit(0L)) + lit(1L))
-            .cast("double") / (col("tp") + lit(m)).cast("double"))
-          * 1e4 + 0.5).cast("long") -
-         floor(log((col("cq") + lit(1L)).cast("double")
-            / (col("tq") + lit(m)).cast("double"))
-          * 1e4 + 0.5).cast("long")).as("lam"))
-    val perDoc0 = feats.join(lam, "bucket")
-      .groupBy(col("doc"))
-      .agg(sum("cnt").cast("long").as("n_grams"),
-        sum(col("cnt") * col("lam")).cast("long").as("logw_micro"))
+    val (lam, _) = lamAndTots(feats, m)
+    val perDoc0 = perDocWeights(feats, lam)
     // feeds the corpus-total aggregate AND the keep join — persisted
     // under the same opt-out (narrow: 3 columns, one row per doc)
     val perDoc =
@@ -128,5 +140,76 @@ object Dsir {
         col("logw_micro") * col("tot_n") >
           col("tot_logw") * col("n_grams"))
       .drop("tot_logw", "tot_n")
+  }
+
+  /** Collected DSIR artifact for ROW-LOCAL scoring (the door-gate /
+    * deploy form): λ as a DENSE m-length array — buckets absent from
+    * the training corpus hold the smoothed default
+    * `round(ln(1/(tp+m))·1e4) − round(ln(1/(tq+m))·1e4)`, so an
+    * arriving document with never-seen grams still gets the exact
+    * smoothed model score, not a null — plus the training-corpus
+    * totals that define the keep threshold. Driver state is m longs
+    * (the PQ-codebook / bloom-bit-array stance), corpus-size
+    * independent. */
+  case class DsirModel(hexDigits: Int, lambda: Seq[Long],
+                       totLogw: Long, totN: Long) {
+    require(lambda.length == math.pow(16, hexDigits).toLong,
+      s"dense lambda must have 16^$hexDigits entries, got ${lambda.length}")
+  }
+
+  /** Train the [[DsirModel]]: same pipeline as [[importanceWeights]]
+    * (one corpus pass to hashed feature counts, bucket-keyed models,
+    * exact integer λ), collected into the dense deployable artifact.
+    * Two bounded driver collects: ≤ m λ rows and the 1-row totals. */
+  def fitModel(docs: DataFrame, idCol: String, toks: Column,
+               isTarget: Column, hexDigits: Int = 3): DsirModel = {
+    require(hexDigits >= 1 && hexDigits <= 5,
+      s"dense model needs hexDigits in [1, 5] (16^5 = 1M buckets of " +
+        s"driver state), got $hexDigits")
+    val m = math.pow(16, hexDigits).toLong
+    val feats = featureCounts(docs, idCol, toks, isTarget, hexDigits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (lam, tots) = lamAndTots(feats, m)
+      val t = tots.head()
+      val (tq, tp) = (t.getAs[Long]("tq"), t.getAs[Long]("tp"))
+      // the Spark λ expression's exact arithmetic shape, driver-side:
+      // one IEEE divide, one ln, one floor-form round per model term
+      def term(c: Long, tot: Long): Long =
+        math.floor(math.log((c + 1).toDouble / (tot + m).toDouble)
+          * 1e4 + 0.5).toLong
+      val dense = Array.fill[Long](m.toInt)(term(0, tp) - term(0, tq))
+      lam.collect().foreach { r =>
+        dense(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("lam")
+      }
+      val pd = perDocWeights(feats, lam).agg(
+        coalesce(sum("logw_micro"), lit(0L)).cast("long").as("tot_logw"),
+        coalesce(sum("n_grams"), lit(0L)).cast("long").as("tot_n")).head()
+      DsirModel(hexDigits, dense.toIndexedSeq,
+        pd.getAs[Long]("tot_logw"), pd.getAs[Long]("tot_n"))
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Row-local DSIR score under a trained [[DsirModel]]: a struct of
+    * `(n_grams, logw_micro, keep)` computed entirely within the row —
+    * the dense λ array rides the plan once as a literal and the
+    * per-gram lookup is an `element_at` inside a codegen fold. No
+    * join, no aggregation, no state: usable identically in a batch
+    * scan and a streaming micro-batch ([[
+    * graft.streaming.StreamingOps.dsirAdmitAtDoor]]), with
+    * bit-identical decisions — for corpus documents the score equals
+    * [[importanceWeights]]'s exactly (observed buckets carry the same
+    * λ; only never-trained buckets fall to the smoothed default).
+    * Documents with zero grams have `logw = 0, n = 0` and are never
+    * kept (`0 > 0` is false) — the conservative door stance. */
+  def scoreWith(model: DsirModel, toks: Column): Column = {
+    val grams = concat(toks, TextAnalysis.bigrams(toks))
+    val lamArr = typedLit(model.lambda)
+    val logw = aggregate(grams, lit(0L), (acc, g) =>
+      acc + element_at(lamArr,
+        (gramBucket(g, model.hexDigits) + lit(1L)).cast("int")))
+    val n = size(grams).cast("long")
+    struct(n.as("n_grams"), logw.as("logw_micro"),
+      (logw * lit(model.totN) > lit(model.totLogw) * n).as("keep"))
   }
 }

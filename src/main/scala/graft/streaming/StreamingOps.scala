@@ -196,6 +196,30 @@ object StreamingOps {
             greatest(col("graft_n_shingles"), lit(1L)))
       .drop("graft_quality_q8", "graft_n_shingles", "graft_bloom_hits")
 
+  /** DSIR target-likeness gate at the ingest door — the fourth door
+    * filter (after exact dedup, near-dup dedup, and quality /
+    * decontamination): arriving docs are dropped unless their hashed
+    * n-gram importance weight under the trained
+    * [[graft.operators.Dsir.DsirModel]] clears the training corpus's
+    * mean per-gram weight (the same exact integer
+    * cross-multiplication as the batch `keep`). Entirely ROW-LOCAL —
+    * the dense λ array rides into codegen as one literal, scoring is
+    * a fold over the doc's own grams — so like [[admitAtDoor]] it
+    * needs no join, no aggregation, and no state, and batch and
+    * stream agree bit-for-bit on every admit/drop. Grams never seen
+    * in training score the model's smoothed default rather than
+    * diverging from the batch convention. */
+  def dsirAdmitAtDoor(stream: DataFrame, textCol: String,
+                      model: graft.operators.Dsir.DsirModel): DataFrame = {
+    require(!stream.columns.contains("graft_dsir"),
+      "input stream already has a graft_dsir column")
+    stream
+      .withColumn("graft_dsir", graft.operators.Dsir.scoreWith(model,
+        graft.operators.TextAnalysis.tokens(col(textCol))))
+      .filter(col("graft_dsir.keep"))
+      .drop("graft_dsir")
+  }
+
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per
     * micro-batch). The MQ payload enriched with reference data is the

@@ -64,6 +64,70 @@ class DsirSpec extends SparkSpec {
     assert(base == repart)
   }
 
+  test("dense model scores corpus docs identically to the join form") {
+    val model = Dsir.fitModel(corpus, "doc_id",
+      TextAnalysis.tokens(col("text")), isTarget = col("is_t"))
+    val viaModel = corpus
+      .select(col("doc_id"), Dsir.scoreWith(model,
+        TextAnalysis.tokens(col("text"))).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.logw_micro"),
+        col("s.keep"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val viaJoin = weights
+      .select(col("doc").as("doc_id"), col("n_grams"),
+        col("logw_micro"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(viaModel == viaJoin)
+  }
+
+  test("dense model scores unseen grams with the smoothed default") {
+    val model = Dsir.fitModel(corpus, "doc_id",
+      TextAnalysis.tokens(col("text")), isTarget = col("is_t"))
+    // recompute the expected fold Scala-side straight from the dense
+    // λ — covers the default-fill: these grams never occur in the
+    // training corpus, so (absent an md5 bucket collision) their
+    // buckets hold the smoothed default, and the score is still exact
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Integer.parseInt(md.take(2).map(b => f"$b%02x").mkString.take(3), 16)
+    }
+    val doc = "zyxxy quorble fnord"
+    val grams = Seq("zyxxy", "quorble", "fnord",
+      "zyxxy quorble", "quorble fnord")
+    val want = grams.map(g => model.lambda(bucket(g))).sum
+    val got = Seq((9L, doc)).toDF("doc_id", "text")
+      .select(Dsir.scoreWith(model, TextAnalysis.tokens(col("text")))
+        .as("s"))
+      .select(col("s.n_grams"), col("s.logw_micro"))
+      .as[(Long, Long)].head()
+    assert(got == ((5L, want)))
+  }
+
+  test("gram-less docs are never kept by the dense gate") {
+    // tokens("") is [""] (one empty unigram), so a zero-gram doc only
+    // arises when the caller's tokenizer yields an empty array — the
+    // case the keep rule's strict `0 > 0` guards
+    val model = Dsir.fitModel(corpus, "doc_id",
+      TextAnalysis.tokens(col("text")), isTarget = col("is_t"))
+    val got = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(Dsir.scoreWith(model, col("toks")).as("s"))
+      .select(col("s.n_grams"), col("s.keep"))
+      .as[(Long, Boolean)].head()
+    assert(got == ((0L, false)))
+  }
+
+  test("fitModel hexDigits bounds are validated") {
+    intercept[IllegalArgumentException] {
+      Dsir.fitModel(corpus, "doc_id", TextAnalysis.tokens(col("text")),
+        col("is_t"), hexDigits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.fitModel(corpus, "doc_id", TextAnalysis.tokens(col("text")),
+        col("is_t"), hexDigits = 6)
+    }
+  }
+
   test("hexDigits bounds are validated") {
     intercept[IllegalArgumentException] {
       Dsir.importanceWeights(corpus, "doc_id",

@@ -424,4 +424,51 @@ class StreamingOpsSpec extends SparkSpec {
         Seq("ts", "id", "text"))
     } finally q.stop()
   }
+
+  test("DSIR gate admits target-like docs at the door, batch parity") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // training corpus: fruit vocabulary is the clean target
+    // distribution, tool vocabulary the raw-only noise
+    val corpus = Seq(
+      (1L, "apple banana cherry damson elder", true),
+      (2L, "banana cherry apple elder damson", true),
+      (3L, "hammer wrench pliers chisel rasp", false),
+      (4L, "wrench hammer rasp pliers chisel", false),
+      (5L, "apple banana cherry damson elder", false),
+      (6L, "hammer apple wrench banana rasp", false)
+    ).toDF("doc_id", "text", "is_t")
+    val model = graft.operators.Dsir.fitModel(corpus, "doc_id",
+      graft.operators.TextAnalysis.tokens(col("text")),
+      isTarget = col("is_t"))
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "cherry apple banana damson"),
+      (ts("2024-01-01 10:00:01"), 2L, "pliers chisel hammer wrench"),
+      // never-trained grams score the smoothed default — a doc of only
+      // unknowns lands at the default per-gram weight; what matters
+      // here is that stream and batch agree on its fate
+      (ts("2024-01-01 10:00:02"), 3L, "zyxxy quorble fnord"),
+      (ts("2024-01-01 10:00:03"), 4L, "apple elder cherry banana"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val gated = StreamingOps.dsirAdmitAtDoor(
+      input.toDF().toDF("ts", "id", "text"), "text", model)
+    val q = gated.writeStream.format("memory").queryName("dsir_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("dsir_sink")
+        .select("id").as[Long].collect().sorted.toSeq
+      // fruit docs admitted, tool doc dropped
+      assert(streamIds.contains(1L) && streamIds.contains(4L))
+      assert(!streamIds.contains(2L))
+      // stateless gate: identical verdicts on the static twin
+      val batchIds = StreamingOps.dsirAdmitAtDoor(
+          rows.toDF("ts", "id", "text"), "text", model)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(batchIds == streamIds)
+      assert(spark.table("dsir_sink").columns.toSeq ==
+        Seq("ts", "id", "text"))
+    } finally q.stop()
+  }
 }
