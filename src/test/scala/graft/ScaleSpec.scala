@@ -533,4 +533,61 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_contains"),
       s"expected the codegen bloom probe in the plan:\n$plan")
   }
+
+  test("random projection is a pure map: zero exchanges, zero joins") {
+    val vecs = (0L until 100L)
+      .map(i => (i, Seq.tabulate(16)(j => (i * 7 + j) % 5 / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val proj = graft.operators.Similarity.randomProject(
+      vecs, "vec_id", "embedding", dim = 16, outDim = 4)
+    assert(proj.count() == 100)
+    val plan = proj.queryExecution.executedPlan.toString
+    // the sign matrix is a plan literal and the fold is per-row: at
+    // 100 TB this must stay a scan — any exchange/join means the
+    // matrix leaked into the data path
+    assert(!plan.contains("Exchange"),
+      s"randomProject must be map-only:\n$plan")
+    assert(!plan.contains("Join"),
+      s"randomProject must not join:\n$plan")
+  }
+
+  test("hard negatives broadcast the anchors; candidates never shuffle") {
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.tabulate(8)(j => (i * 3 + j) % 7 / 6.0f),
+        (i % 3).toInt))
+      .toDF("vec_id", "embedding", "grp")
+    val mined = graft.operators.Similarity.hardNegatives(
+      vecs.filter(col("vec_id") < 4), vecs, "vec_id", "embedding",
+      "grp", k = 3)
+    assert(mined.count() == 12)
+    val plan = mined.queryExecution.executedPlan.toString
+    // the corpus side must stream through a broadcast NLJ; the only
+    // exchange is the per-anchor top-k window's (bounded: one
+    // partition per anchor batch, anchors are the small side)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchors must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"candidates must never shuffle for the mining join:\n$plan")
+  }
+
+  test("DSIR door gate is row-local: zero exchanges, zero joins") {
+    val corpus = Seq(
+      (1L, "apple banana cherry", true),
+      (2L, "hammer wrench pliers", false),
+      (3L, "apple cherry banana", false)
+    ).toDF("doc_id", "text", "is_t")
+    val model = graft.operators.Dsir.fitModel(corpus, "doc_id",
+      graft.operators.TextAnalysis.tokens(col("text")),
+      isTarget = col("is_t"))
+    val gated = graft.streaming.StreamingOps.dsirAdmitAtDoor(
+      corpus.select("doc_id", "text"), "text", model)
+    gated.count()
+    val plan = gated.queryExecution.executedPlan.toString
+    // the λ array is ONE literal in the filter expression — the gate
+    // must compose with any downstream stateful op at zero plan cost
+    assert(!plan.contains("Exchange"),
+      s"DSIR gate must be row-local:\n$plan")
+    assert(!plan.contains("Join"),
+      s"DSIR gate must not join the model:\n$plan")
+  }
 }
