@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryFn, Tables, rnd}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pca, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,38 @@ object VectorQueries {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "yj")))
         .select(col("vec_id"), col("j").cast("long").as("j"), col("yj"))
         .orderBy("vec_id", "j")
+    }),
+
+    "q_pca_moments" -> ((s, d) => {
+      // The distributed half of PCA: exact micro-unit covariance
+      // moments, one row per dimension pair. Every value is an exact
+      // integer (BIGINT-safe at driver scales per the §7.4 rule —
+      // the operator itself carries DECIMAL(38,0)), so the fitted
+      // basis downstream is a pure function of the data.
+      Pca.covMoments(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("i"), col("j"), col("n"),
+          col("s_i").cast("long").as("s_i"),
+          col("s_j").cast("long").as("s_j"),
+          col("s_ij").cast("long").as("s_ij"),
+          col("cov_num").cast("long").as("cov_num"))
+        .orderBy("i", "j")
+    }),
+
+    "q_pca_project" -> ((s, d) => {
+      // The apply half: basis fit from the exact moments (driver-side
+      // deterministic power iteration — train once), deployed as a
+      // map-only literal-matrix projection, the distill/kmeans
+      // literal-artifact stance. Rows-only: the eigensolve isn't
+      // oracle-expressible; PcaSpec pins planted-axis recovery,
+      // orthonormality, partitioning invariance, and the exact-moment
+      // input is oracle-checked via q_pca_moments.
+      val emb = t(s, d, "embeddings")
+      val model = Pca.fit(emb, "vec_id", "embedding", dim = 64, k = 4)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("c", "y")))
+        .select(col("vec_id"), col("c").cast("long").as("c"),
+          rnd(col("y") / 1000000.0d, 4).as("y"))
+        .orderBy("vec_id", "c")
     }),
 
     "q_dedup_embedding" -> ((s, d) => {
@@ -334,6 +366,27 @@ object VectorQueries {
         |  GROUP BY 1, 2)
         |SELECT vec_id, CAST(j AS BIGINT) AS j, yj
         |FROM p ORDER BY vec_id, j""".stripMargin,
+
+    "q_pca_moments" ->
+      // Mirrors Pca.covMoments exactly: micro-unit longs (the shared
+      // floor(x*1e6+0.5) convention), upper-triangle pair sums, and
+      // the centered numerator n*s_ij - s_i*s_j — all exact BIGINT
+      // at sf0.01 (|mi| < 6e5, n = 500 keeps every product < 2^63).
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |m AS (
+        |  SELECT e.vec_id, d.i,
+        |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM embeddings e, dims d),
+        |p AS (
+        |  SELECT a.i - 1 AS i, b.i - 1 AS j, count(*) AS n,
+        |    CAST(sum(a.mi) AS BIGINT) AS s_i,
+        |    CAST(sum(b.mi) AS BIGINT) AS s_j,
+        |    CAST(sum(a.mi * b.mi) AS BIGINT) AS s_ij
+        |  FROM m a JOIN m b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+        |  s_i, s_j, s_ij, n * s_ij - s_i * s_j AS cov_num
+        |FROM p ORDER BY i, j""".stripMargin,
 
     "q_dedup_embedding" ->
       (duckCosine("embeddings", "embeddings",

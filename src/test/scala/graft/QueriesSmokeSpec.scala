@@ -26,7 +26,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // BloomSpec (exact FP audit vs planted contamination)
       // and BpeSpec (merge-table recovery on a planted corpus):
       "q_decontaminate_bloom", "q_decontaminate_bloom_audit",
-      "q_bpe_train", "q_bpe_tokencount"))
+      "q_bpe_train", "q_bpe_tokencount",
+      // the eigensolve is not SQL-expressible; its exact-moment input
+      // IS oracled (q_pca_moments) and PcaSpec pins the basis/apply:
+      "q_pca_project"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -570,6 +570,41 @@ class ScaleSpec extends SparkSpec {
       s"candidates must never shuffle for the mining join:\n$plan")
   }
 
+  test("PCA moments: one partial+final aggregate, d^2-bounded shuffle") {
+    val vecs = (0L until 100L)
+      .map(i => (i, Seq.tabulate(8)(j => (i * 7 + j) % 5 / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.Pca.covMoments(vecs, "vec_id", "embedding")
+    assert(m.count() == 8 * 9 / 2)
+    val plan = m.queryExecution.executedPlan.toString
+    // the corpus reduces map-side into <= d(d+1)/2 groups before the
+    // exchange — at 100 TB the shuffle is d^2-sized, not data-sized
+    assert(!plan.contains("Join"),
+      s"moment reduce must not join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"moment reduce must plan exactly one exchange:\n$plan")
+    assert(plan.contains("partial_"),
+      s"moment sums must combine map-side:\n$plan")
+  }
+
+  test("PCA projection is a pure map: zero exchanges, zero joins") {
+    val vecs = (0L until 100L)
+      .map(i => (i, Seq.tabulate(8)(j => (i * 7 + j) % 5 / 4.0f)))
+      .toDF("vec_id", "embedding")
+    val model = graft.operators.Pca.fit(vecs, "vec_id", "embedding",
+      dim = 8, k = 2)
+    val proj = graft.operators.Pca.project(vecs, "embedding", model)
+    assert(proj.count() == 100)
+    val plan = proj.queryExecution.executedPlan.toString
+    // the fitted basis rides the plan as literals (the randomProject
+    // stance): any exchange/join means the model leaked into the data
+    // path and the apply step stopped composing with upstream scans
+    assert(!plan.contains("Exchange"),
+      s"PCA projection must be map-only:\n$plan")
+    assert(!plan.contains("Join"),
+      s"PCA projection must not join the model:\n$plan")
+  }
+
   test("DSIR door gate is row-local: zero exchanges, zero joins") {
     val corpus = Seq(
       (1L, "apple banana cherry", true),

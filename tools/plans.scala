@@ -25,7 +25,7 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_sim_ann_ivfpq", "q_dedup_substring",
               "q_dedup_substring_strip", "q_text_quality_fit",
               "q_decontaminate_bloom", "q_bpe_tokencount",
-              "q_text_entropy")) {
+              "q_text_entropy", "q_pca_moments", "q_pca_project")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
