@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RelationalQueries, StreamShapedQueries, TextQueries, VectorQueries}
+import graft.queries.{GraphQueries, RelationalQueries, StreamShapedQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       StreamShapedQueries.queries ++
       TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for sketch/hash-based ops
@@ -31,5 +32,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
       StreamShapedQueries.oracle ++
       TextQueries.oracle ++
-      VectorQueries.oracle
+      VectorQueries.oracle ++
+      GraphQueries.oracle
 }
