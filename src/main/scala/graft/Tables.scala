@@ -16,14 +16,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    // read as a timestamp; read it as long nanos and truncate to
-    // microseconds (exactly what DuckDB's reader does), so downstream
-    // operators see a plain TimestampType column.
+    // The driver has shipped events.ts under several physical types
+    // across testdata generations (TIMESTAMP(NANOS) — which Spark 4
+    // only reads as long nanos —, TIMESTAMP_NTZ micros, plain
+    // TIMESTAMP). Normalize them all to one TimestampType column
+    // (session zone is UTC everywhere, so NTZ→TZ is value-identical
+    // and matches what DuckDB's reader sees), keeping every downstream
+    // operator and oracle schema-stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType => // legacy nanos-as-long
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    } else df
   }
 }

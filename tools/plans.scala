@@ -25,7 +25,10 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_sim_ann_ivfpq", "q_dedup_substring",
               "q_dedup_substring_strip", "q_text_quality_fit",
               "q_decontaminate_bloom", "q_bpe_tokencount",
-              "q_text_entropy", "q_pca_moments", "q_pca_project")) {
+              "q_text_entropy", "q_pca_moments", "q_pca_project",
+              "q_dsir_weights", "q_embed_quantize", "q_embed_rproject",
+              "q_mine_hard_negatives", "q_fuzzy_join_ed",
+              "q_graph_pagerank")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
