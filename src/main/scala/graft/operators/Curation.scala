@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-aware corpus curation — what happens AFTER duplicate
+  * detection. [[Dedup]] finds the duplicate structure (exact groups,
+  * near-dup pairs, connected components); these operators consume a
+  * cluster assignment `(id, root)` to act on it:
+  *
+  *  - [[canonicalPerCluster]] keeps ONE representative per cluster by
+  *    an explicit priority (highest quality wins, not "lowest id" —
+  *    dropping the better-written copy of a near-dup pair measurably
+  *    hurts a trained model vs dropping the worse one);
+  *  - [[leakproofSplit]] assigns train/val/test by the hash of the
+  *    cluster ROOT instead of the document's own id, so every member
+  *    of a duplicate cluster lands in the SAME split. Id-hashed splits
+  *    leak: a near-copy of a training document in the eval split
+  *    inflates eval scores — the standard contamination failure mode
+  *    the dedup stack exists to prevent;
+  *  - [[histDrift]] measures pairwise distribution distance between
+  *    strata (sources, snapshots, splits) as an exact
+  *    total-variation permille over a bounded histogram — the drift
+  *    monitor that tells a pipeline when a source's content shifted.
+  *
+  * Scale: cluster tables are bounded by the number of documents IN
+  * duplicate clusters (banding survivors — orders of magnitude below
+  * corpus size), so the root join broadcasts; the canonical window
+  * partitions by root (bounded by cluster size); drift reduces the
+  * corpus to a strata×buckets histogram (design constants) in one
+  * map-combined aggregation and does all pairing on that tiny table.
+  */
+object Curation {
+
+  /** Attach each doc's cluster root: docs absent from `clusters` are
+    * singletons (root = own id). `clusters` is `(id, root)` as
+    * produced by [[Dedup.connectedComponents]]. */
+  private def withRoot(docs: DataFrame, idCol: String,
+                       clusters: DataFrame): DataFrame =
+    docs.join(clusters.select(col("id").as(idCol), col("root")),
+        Seq(idCol), "left")
+      .withColumn("root", coalesce(col("root"), col(idCol)))
+
+  /** One canonical representative per duplicate cluster: the member
+    * maximizing `priority` (ties broken by lowest id — deterministic
+    * at any partitioning). Returns the input plus `root`, `prio`, and
+    * a `keep` verdict; filter on `keep` to materialize the deduped
+    * corpus, keep the full frame for audits of what was dropped.
+    */
+  def canonicalPerCluster(docs: DataFrame, idCol: String,
+                          clusters: DataFrame,
+                          priority: Column): DataFrame =
+    withRoot(docs, idCol, clusters)
+      .withColumn("prio", priority)
+      .withColumn("keep",
+        row_number().over(Window.partitionBy("root")
+          .orderBy(col("prio").desc, col(idCol))) === 1)
+
+  /** Duplicate-aware train/val/test split: the split label is a pure
+    * function of the cluster ROOT's content hash, so duplicate-cluster
+    * members can never straddle splits. Singletons hash their own id —
+    * identical to [[DataSplit.splitLabel]], so a cluster-free corpus
+    * degenerates to the plain split exactly. */
+  def leakproofSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                     labelName: String = "split"): DataFrame =
+    withRoot(docs, idCol, clusters)
+      .withColumn(labelName, DataSplit.splitLabel(col("root")))
+
+  /** Pairwise total-variation distance between every two strata over
+    * the distribution of `bucket` (a bounded discretization — e.g.
+    * token-count div 32 capped at 63). Exact integer permille:
+    * TV = ½·Σ_b |n_ab/N_a − n_bb/N_b|, computed as
+    * `(500·Σ|n_ab·N_b − n_bb·N_a|) div (N_a·N_b)` in DECIMAL(38,0)
+    * cross-multiplication — no float division, so the verdict is
+    * engine- and partitioning-exact (longs alone overflow once
+    * n·N exceeds 2^63 ≈ corpora of ~3e9 docs per stratum).
+    *
+    * Returns `(s_a, s_b, tv_permille)` for s_a < s_b; 0 = identical
+    * histograms, 1000 = disjoint support.
+    */
+  def histDrift(df: DataFrame, strataCol: String,
+                bucket: Column): DataFrame = {
+    // ONE corpus pass: the histogram is strata×buckets rows (design
+    // constants), so cut lineage eagerly — the four downstream uses
+    // (totals, bucket union, both join sides) re-read the tiny
+    // materialized table, never the corpus (the pagerank/clusters
+    // localCheckpoint stance).
+    val hist = df.groupBy(col(strataCol).as("s"), bucket.as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = hist.groupBy("s").agg(sum("n").as("tot"))
+    // everything below runs on strata×buckets rows — design constants
+    val pairs = tot.select(col("s").as("s_a"), col("tot").as("t_a"))
+      .join(tot.select(col("s").as("s_b"), col("tot").as("t_b")),
+        col("s_a") < col("s_b"))
+    val grid = pairs.crossJoin(hist.select(col("b")).distinct())
+    grid
+      .join(hist.select(col("s").as("s_a"), col("b"),
+        col("n").as("n_a")), Seq("s_a", "b"), "left")
+      .join(hist.select(col("s").as("s_b"), col("b"),
+        col("n").as("n_b")), Seq("s_b", "b"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .groupBy("s_a", "s_b", "t_a", "t_b")
+      .agg(sum(abs(col("n_a").cast("decimal(38,0)") * col("t_b") -
+        col("n_b").cast("decimal(38,0)") * col("t_a"))).as("num"))
+      .select(col("s_a"), col("s_b"),
+        expr("(num * 500) div (CAST(t_a AS DECIMAL(38,0)) * t_b)")
+          .cast("long").as("tv_permille"))
+  }
+}

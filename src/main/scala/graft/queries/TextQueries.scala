@@ -23,6 +23,17 @@ object TextQueries {
   // report "no recall loss" about a different configuration.
   private val simhashBucketCap = 10000
 
+  /** Permutation-dup clusters (id, root) shared by q_dedup_canonical
+    * and q_split_leakproof: root = min doc_id per order-insensitive
+    * content fingerprint. One definition so the two queries can never
+    * disagree about what a cluster is. */
+  private def fingerprintClusters(docs: DataFrame): DataFrame = {
+    val fp = TA.contentFingerprint(TA.tokens(col("text")))
+    val withFp = docs.select(col("doc_id").as("id"), fp.as("fp"))
+    withFp.join(withFp.groupBy("fp").agg(min("id").as("root")), "fp")
+      .select("id", "root")
+  }
+
   /** Training set shared by q_text_quality_fit and its distill/apply
     * twin: per-doc Q4 heuristic features joined with the bigram-LM
     * target in centi-nat units. Everything is INTEGER arithmetic so
@@ -430,6 +441,49 @@ object TextQueries {
       Dedup.crossSourceMatrix(t(s, d, "documents"), "doc_id",
           TA.contentFingerprint(TA.tokens(col("text"))), "source")
         .orderBy("src_a", "src_b")
+    }),
+
+    "q_dedup_canonical" -> ((s, d) => {
+      // Representative selection AFTER duplicate detection: per
+      // cluster, keep the member with the HIGHEST heuristic quality
+      // (ties to lowest id), not "lowest id" — dropping the
+      // better-written copy of a near-dup pair is the wrong default
+      // for training data. Clusters keyed on the order-insensitive
+      // fingerprint (non-vacuous groups at every SF, and
+      // oracle-expressible where minhash clusters are not); the
+      // operator itself consumes any (id, root) table, e.g.
+      // connectedComponents output.
+      val docs = t(s, d, "documents")
+      graft.operators.Curation.canonicalPerCluster(docs, "doc_id",
+          fingerprintClusters(docs),
+          TA.qualityScoreQ4(TA.tokens(col("text")), stopwords))
+        .select(col("doc_id"), col("root"), col("prio"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "q_split_leakproof" -> ((s, d) => {
+      // Duplicate-aware train/val/test split: the label hashes the
+      // cluster ROOT, so permutation-dups of a training doc can never
+      // land in val/test — the eval-leakage failure mode an id-hashed
+      // split has on an un-deduped corpus. Singletons degenerate to
+      // the plain q_split_train_test assignment exactly.
+      val docs = t(s, d, "documents")
+      graft.operators.Curation
+        .leakproofSplit(docs, "doc_id", fingerprintClusters(docs))
+        .select(col("doc_id"), col("root"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q_corpus_drift" -> ((s, d) => {
+      // Pairwise source drift: exact total-variation permille between
+      // every two sources over the token-count histogram (div-32
+      // buckets capped at 63) — the distribution-shift monitor that
+      // tells a pipeline when a crawl source's content shifted between
+      // snapshots. 0 = identical, 1000 = disjoint.
+      graft.operators.Curation.histDrift(t(s, d, "documents"), "source",
+          least(floor(size(TA.tokens(col("text"))) / 32).cast("long"),
+            lit(63L)))
+        .orderBy("s_a", "s_b")
     }),
 
     "q_corpus_stats" -> ((s, d) => {
@@ -1272,6 +1326,68 @@ object TextQueries {
         |FROM p GROUP BY 1, 2
         |HAVING CAST(sum(pairs) AS BIGINT) > 0
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp,
+        |    string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
+        |q AS (
+        |  SELECT f.doc_id, r.root,
+        |    CAST(floor((CAST(len(list_filter(f.t,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(f.t), 1) AS DOUBLE) * 0.5
+        |      + CAST(least(len(f.t), 100) AS DOUBLE) / 100.0 * 0.5)
+        |      * 10000.0 + 0.5) AS BIGINT) AS prio
+        |  FROM f JOIN r ON f.fp = r.fp)
+        |SELECT doc_id, root, prio,
+        |  (row_number() OVER (PARTITION BY root
+        |     ORDER BY prio DESC, doc_id) = 1) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakproof" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
+        |j AS (SELECT f.doc_id, r.root FROM f JOIN r ON f.fp = r.fp)
+        |SELECT doc_id, root,
+        |  CASE
+        |    WHEN strpos('0123456789abcdef',
+        |      substring(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 < 12
+        |      THEN 'train'
+        |    WHEN strpos('0123456789abcdef',
+        |      substring(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 < 14
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_drift" ->
+      """WITH h AS (
+        |  SELECT source AS s,
+        |    least(len(string_split(lower(text), ' ')) // 32, 63) AS b,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tt AS (SELECT s, sum(n) AS tot FROM h GROUP BY s),
+        |p AS (SELECT a.s AS s_a, a.tot AS t_a, b.s AS s_b, b.tot AS t_b
+        |      FROM tt a JOIN tt b ON a.s < b.s),
+        |bk AS (SELECT DISTINCT b FROM h),
+        |g AS (SELECT p.*, bk.b FROM p CROSS JOIN bk),
+        |x AS (SELECT g.s_a, g.s_b, g.t_a, g.t_b,
+        |        COALESCE(ha.n, 0) AS n_a, COALESCE(hb.n, 0) AS n_b
+        |      FROM g LEFT JOIN h ha ON ha.s = g.s_a AND ha.b = g.b
+        |             LEFT JOIN h hb ON hb.s = g.s_b AND hb.b = g.b)
+        |SELECT s_a, s_b,
+        |  CAST((500 * sum(abs(CAST(n_a AS HUGEINT) * t_b
+        |      - CAST(n_b AS HUGEINT) * t_a)))
+        |    // (CAST(t_a AS HUGEINT) * t_b) AS BIGINT) AS tv_permille
+        |FROM x GROUP BY s_a, s_b, t_a, t_b
+        |ORDER BY s_a, s_b""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH q AS (

@@ -28,7 +28,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_text_entropy", "q_pca_moments", "q_pca_project",
               "q_dsir_weights", "q_embed_quantize", "q_embed_rproject",
               "q_mine_hard_negatives", "q_fuzzy_join_ed",
-              "q_graph_pagerank")) {
+              "q_graph_pagerank", "q_dedup_canonical",
+              "q_split_leakproof", "q_corpus_drift")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
