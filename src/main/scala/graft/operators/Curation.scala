@@ -79,6 +79,35 @@ object Curation {
     * Returns `(s_a, s_b, tv_permille)` for s_a < s_b; 0 = identical
     * histograms, 1000 = disjoint support.
     */
+  /** Bounded histogram of `bucket` — the baseline artifact
+    * [[graft.streaming.StreamingOps.batchDrift]] probes per
+    * micro-batch. One map-combined aggregation; buckets rows out. */
+  def histogram(df: DataFrame, bucket: Column): DataFrame =
+    df.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+
+  /** Exact TV permille between two histograms `(b, n)` — the one-pair
+    * form of [[histDrift]]'s arithmetic (same DECIMAL
+    * cross-multiplication, so the two always agree), used by the
+    * streaming per-batch monitor. NULL when either side is empty
+    * (drift from nothing is undefined, and a silent 0 or 1000 would
+    * read as a measurement). */
+  def tvPermille(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val joined = histA.select(col("b"), col("n").as("n_a"))
+      .join(histB.select(col("b"), col("n").as("n_b")),
+        Seq("b"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tots = joined.agg(sum("n_a").cast("long").as("t_a"),
+      sum("n_b").cast("long").as("t_b"))
+    joined.crossJoin(broadcast(tots))
+      .groupBy("t_a", "t_b")
+      .agg(sum(abs(col("n_a").cast("decimal(38,0)") * col("t_b") -
+        col("n_b").cast("decimal(38,0)") * col("t_a"))).as("num"))
+      .select(col("t_a"), col("t_b"),
+        when(col("t_a") > 0 && col("t_b") > 0,
+          expr("(num * 500) div (CAST(t_a AS DECIMAL(38,0)) * t_b)")
+            .cast("long")).as("tv_permille"))
+  }
+
   def histDrift(df: DataFrame, strataCol: String,
                 bucket: Column): DataFrame = {
     // ONE corpus pass: the histogram is strata×buckets rows (design

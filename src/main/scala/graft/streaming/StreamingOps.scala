@@ -220,6 +220,30 @@ object StreamingOps {
       .drop("graft_dsir")
   }
 
+  /** Per-micro-batch distribution drift vs a static corpus baseline —
+    * the ingest door's OBSERVABILITY twin of
+    * [[graft.operators.Curation.histDrift]]: where the four door
+    * gates act on single documents, this watches the batch as a
+    * distribution. Use inside `foreachBatch`: compare the arriving
+    * batch's bucket histogram (e.g. token-count div 32) to the tiny
+    * precomputed baseline ([[graft.operators.Curation.histogram]] over
+    * the corpus) and emit ONE exact TV-permille row per batch to a
+    * monitoring sink. Alerting on drift is how a pipeline notices a
+    * source went bad BEFORE the bad data passes the per-doc gates
+    * (per-doc quality can stay high while the mix shifts).
+    *
+    * Scale: the batch side is one map-combined aggregation to ≤
+    * buckets rows; the baseline is buckets rows broadcast; the TV
+    * arithmetic is the exact DECIMAL cross-multiplication of the
+    * batch kernel, so batch and stream report identical permille for
+    * identical data (spec-asserted parity). Returns
+    * `(t_a, t_b, tv_permille)` with t_a = batch docs, t_b = baseline
+    * docs; tv_permille is NULL for an empty batch. */
+  def batchDrift(batch: DataFrame, bucket: org.apache.spark.sql.Column,
+                 baselineHist: DataFrame): DataFrame =
+    graft.operators.Curation.tvPermille(
+      graft.operators.Curation.histogram(batch, bucket), baselineHist)
+
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per
     * micro-batch). The MQ payload enriched with reference data is the

@@ -74,6 +74,25 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 6) // C(4,2) ordered pairs
   }
 
+  test("tvPermille agrees with histDrift and handles empty sides") {
+    val rows =
+      Seq.fill(3)(("A", 0)) ++ Seq.fill(1)(("A", 1)) ++
+      Seq.fill(1)(("D", 0)) ++ Seq.fill(3)(("D", 1))
+    val df = rows.toDF("s", "v")
+    val pairwise = Curation.histDrift(df, "s", col("v"))
+      .select("tv_permille").as[Long].head()
+    val onePair = Curation.tvPermille(
+      Curation.histogram(df.filter(col("s") === "A"), col("v")),
+      Curation.histogram(df.filter(col("s") === "D"), col("v")))
+      .select("tv_permille").as[Long].head()
+    assert(pairwise == onePair && onePair == 500L)
+    val vsEmpty = Curation.tvPermille(
+      Curation.histogram(df.filter(col("s") === "zzz"), col("v")),
+      Curation.histogram(df, col("v")))
+      .select(col("tv_permille")).collect()
+    assert(vsEmpty.length == 1 && vsEmpty.head.isNullAt(0))
+  }
+
   test("histDrift never re-scans the input downstream of the histogram") {
     val df = (1 to 100).map(i => (s"s${i % 3}", i % 5)).toDF("s", "v")
     val plan = Curation.histDrift(df, "s", col("v"))

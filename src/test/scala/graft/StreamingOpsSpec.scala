@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
 
@@ -297,6 +298,33 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows(1).contains("gold"))
       assert(rows(3).isEmpty) // left join keeps unmatched stream rows
     } finally q.stop()
+  }
+
+  test("batchDrift in foreachBatch: per-batch TV vs the corpus baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus baseline: 3 docs in bucket 0, 1 in bucket 1
+    val baseline = graft.operators.Curation.histogram(
+      (Seq.fill(3)(0) ++ Seq(1)).toDF("v"), col("v"))
+      .persist()
+    baseline.count()
+    val input = MemoryStream[Int]
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        StreamingOps.batchDrift(batch, col("v"), baseline)
+          .collect().foreach(r => drifts +=
+            ((r.getAs[Long]("t_a"), r.getAs[Long]("tv_permille"))))
+        ()
+      }
+      .start()
+    try {
+      input.addData(0, 0, 0, 1) // same mix as baseline -> 0
+      q.processAllAvailable()
+      input.addData(7, 7, 7, 7) // disjoint support -> 1000
+      q.processAllAvailable()
+      assert(drifts.toSeq == Seq((4L, 0L), (4L, 1000L)))
+    } finally { q.stop(); baseline.unpersist(); () }
   }
 
   test("stream-stream interval join matches purchase to preceding click") {
