@@ -55,9 +55,14 @@ object Bench {
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
       // clearCache() can't free localCheckpoint blocks (they live
-      // outside the CacheManager and only drop when the RDD is
-      // GC'd) — without this nudge, a full sweep accumulates them
-      // and later queries pay the memory pressure as noise.
+      // outside the CacheManager). Between queries NOTHING references
+      // them anymore, so drop them explicitly — measured: a 24-heavy-
+      // query sweep in one JVM otherwise inflates late queries up to
+      // 20x through accumulated block-store pressure (r9, the same
+      // mechanism behind BENCH_r06's phantom spikes). The GC nudge
+      // stays for the unreferenced broadcast/codegen debris.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       name -> median
     }

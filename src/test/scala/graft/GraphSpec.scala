@@ -67,10 +67,37 @@ class GraphSpec extends SparkSpec {
       s"fuzzy join must stay an equi-join:\n$plan")
   }
 
+  /** Residue check that is race-proof both ways: a set-diff (the
+    * async ContextCleaner may release OLDER suites' blocks mid-test,
+    * so counts are flaky) with a bounded poll (Dataset.unpersist is
+    * NON-blocking, so an explicitly released block may still be
+    * listed for a few ms; a true leak — persist with no unpersist —
+    * never clears). localCheckpoint RDDs are lineage anchors the
+    * cleaner owns, not residue. */
+  private def assertNoNewResidue(before: Set[Int])(run: => Unit): Unit = {
+    def now = spark.sparkContext.getPersistentRDDs
+      .filter { case (_, r) => !r.toString.contains("localCheckpoint") }
+      .keySet.toSet
+    run
+    var added = now -- before
+    val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+    while (added.nonEmpty && System.nanoTime < deadline) {
+      Thread.sleep(50); added = now -- before
+    }
+    assert(added.isEmpty, s"leaked persisted RDD ids: $added")
+  }
+
+  private def residueBefore: Set[Int] = spark.sparkContext
+    .getPersistentRDDs
+    .filter { case (_, r) => !r.toString.contains("localCheckpoint") }
+    .keySet.toSet
+
   test("edSelfJoin persistBase=true leaves zero cache residue") {
-    val before = spark.sparkContext.getPersistentRDDs.size
-    FuzzyJoin.edSelfJoin(fuzzyRows.toDF("id", "s"), "id", "s", 1).count()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assertNoNewResidue(residueBefore) {
+      FuzzyJoin.edSelfJoin(fuzzyRows.toDF("id", "s"), "id", "s", 1)
+        .count()
+      ()
+    }
   }
 
   // ---- Graph.pagerank ---------------------------------------------
@@ -123,14 +150,10 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pagerank leaves zero cache residue and rejects bad args") {
-    // localCheckpoint RDDs are lineage anchors the ContextCleaner
-    // releases when references die — only explicit persists count as
-    // residue here
-    def residue = spark.sparkContext.getPersistentRDDs.values
-      .count(r => !r.toString.contains("localCheckpoint"))
-    val before = residue
-    Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", 1).count()
-    assert(residue == before)
+    assertNoNewResidue(residueBefore) {
+      Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", 1).count()
+      ()
+    }
     intercept[IllegalArgumentException] {
       Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", 0)
     }
