@@ -17,6 +17,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // timestamp semantics must match Verify/tests regardless of the
+      // host JVM's zone — NTZ-normalized columns shift otherwise
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup so the first measured query
@@ -36,8 +39,15 @@ object Bench {
         // every rep pays its own cache builds (operators persist
         // narrow indexes): measures the operator, not a warm cache
         // from the previous rep, and keeps 70+ queries x reps of
-        // cached RDDs from stacking up in one JVM
+        // cached RDDs from stacking up in one JVM. The explicit
+        // unpersist ALSO runs per rep (outside the timed window):
+        // clearCache can't free the previous rep's localCheckpoint
+        // blocks, and a heavy query that checkpoints (pagerank,
+        // clusters, drift) would otherwise run reps 2..N against its
+        // own accumulated block pressure — skewing the median.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -54,13 +64,11 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
-      // clearCache() can't free localCheckpoint blocks (they live
-      // outside the CacheManager). Between queries NOTHING references
-      // them anymore, so drop them explicitly — measured: a 24-heavy-
-      // query sweep in one JVM otherwise inflates late queries up to
-      // 20x through accumulated block-store pressure (r9, the same
-      // mechanism behind BENCH_r06's phantom spikes). The GC nudge
-      // stays for the unreferenced broadcast/codegen debris.
+      // Between queries, release the LAST rep's blocks too and nudge
+      // GC for broadcast/codegen debris — measured: a heavy-query
+      // sweep in one JVM otherwise inflates late queries up to 20x
+      // through accumulated block-store pressure (r9, the same
+      // mechanism behind BENCH_r06's phantom spikes).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()

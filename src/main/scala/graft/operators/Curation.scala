@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *    total-variation permille over a bounded histogram — the drift
   *    monitor that tells a pipeline when a source's content shifted.
   *
+  * The columns `root`, `prio`, `keep`, and the split label are
+  * OPERATOR-OWNED outputs: pre-existing input columns with those names
+  * are replaced, so the operators compose (canonical selection, then a
+  * leakproof split of the kept frame) instead of colliding.
+  *
   * Scale: cluster tables are bounded by the number of documents IN
   * duplicate clusters (banding survivors — orders of magnitude below
   * corpus size), so the root join broadcasts; the canonical window
@@ -35,10 +40,13 @@ object Curation {
 
   /** Attach each doc's cluster root: docs absent from `clusters` are
     * singletons (root = own id). `clusters` is `(id, root)` as
-    * produced by [[Dedup.connectedComponents]]. */
+    * produced by [[Dedup.connectedComponents]]. A pre-existing `root`
+    * column on `docs` (e.g. from a previous curation pass) is
+    * replaced, not joined against. */
   private def withRoot(docs: DataFrame, idCol: String,
                        clusters: DataFrame): DataFrame =
-    docs.join(clusters.select(col("id").as(idCol), col("root")),
+    docs.drop("root")
+      .join(clusters.select(col("id").as(idCol), col("root")),
         Seq(idCol), "left")
       .withColumn("root", coalesce(col("root"), col(idCol)))
 
@@ -67,6 +75,45 @@ object Curation {
     withRoot(docs, idCol, clusters)
       .withColumn(labelName, DataSplit.splitLabel(col("root")))
 
+  /** Bounded histogram of `bucket` — the baseline artifact
+    * [[graft.streaming.StreamingOps.batchDrift]] probes per
+    * micro-batch. One map-combined aggregation; buckets rows out.
+    * A NULL bucket (e.g. null text) is a real histogram cell, and
+    * [[tvPermille]]/[[histDrift]] match it null-safely. */
+  def histogram(df: DataFrame, bucket: Column): DataFrame =
+    df.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+
+  /** Exact TV permille between two histograms `(b, n)` — the one-pair
+    * form of [[histDrift]]'s arithmetic (same DECIMAL
+    * cross-multiplication and the same null-safe bucket matching, so
+    * the two always agree), used by the streaming per-batch monitor.
+    * Always returns EXACTLY ONE row `(t_a, t_b, tv_permille)`;
+    * tv_permille is NULL when either side is empty (drift from
+    * nothing is undefined, and a silent 0 or 1000 would read as a
+    * measurement — a monitoring sink still gets its row). */
+  def tvPermille(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val a = histA.select(col("b").as("b_a"), col("n").as("n_a0"))
+    val bb = histB.select(col("b").as("b_b"), col("n").as("n_b0"))
+    // null-safe bucket match: a NULL bucket on both sides is the SAME
+    // cell (a plain equi-key would count the same mass as disjoint)
+    val joined = a.join(bb, col("b_a") <=> col("b_b"), "full_outer")
+      .select(coalesce(col("n_a0"), lit(0L)).as("n_a"),
+        coalesce(col("n_b0"), lit(0L)).as("n_b"))
+    // both aggregates yield exactly one row even over empty inputs
+    val tots = joined.agg(
+      coalesce(sum("n_a"), lit(0L)).cast("long").as("t_a"),
+      coalesce(sum("n_b"), lit(0L)).cast("long").as("t_b"))
+    val num = joined.crossJoin(broadcast(tots))
+      .agg(coalesce(sum(abs(col("n_a").cast("decimal(38,0)") * col("t_b") -
+        col("n_b").cast("decimal(38,0)") * col("t_a"))),
+        lit(0L).cast("decimal(38,0)")).as("num"))
+    tots.crossJoin(broadcast(num))
+      .select(col("t_a"), col("t_b"),
+        when(col("t_a") > 0 && col("t_b") > 0,
+          expr("(num * 500) div (CAST(t_a AS DECIMAL(38,0)) * t_b)")
+            .cast("long")).as("tv_permille"))
+  }
+
   /** Pairwise total-variation distance between every two strata over
     * the distribution of `bucket` (a bounded discretization — e.g.
     * token-count div 32 capped at 63). Exact integer permille:
@@ -79,35 +126,6 @@ object Curation {
     * Returns `(s_a, s_b, tv_permille)` for s_a < s_b; 0 = identical
     * histograms, 1000 = disjoint support.
     */
-  /** Bounded histogram of `bucket` — the baseline artifact
-    * [[graft.streaming.StreamingOps.batchDrift]] probes per
-    * micro-batch. One map-combined aggregation; buckets rows out. */
-  def histogram(df: DataFrame, bucket: Column): DataFrame =
-    df.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
-
-  /** Exact TV permille between two histograms `(b, n)` — the one-pair
-    * form of [[histDrift]]'s arithmetic (same DECIMAL
-    * cross-multiplication, so the two always agree), used by the
-    * streaming per-batch monitor. NULL when either side is empty
-    * (drift from nothing is undefined, and a silent 0 or 1000 would
-    * read as a measurement). */
-  def tvPermille(histA: DataFrame, histB: DataFrame): DataFrame = {
-    val joined = histA.select(col("b"), col("n").as("n_a"))
-      .join(histB.select(col("b"), col("n").as("n_b")),
-        Seq("b"), "full_outer")
-      .na.fill(0L, Seq("n_a", "n_b"))
-    val tots = joined.agg(sum("n_a").cast("long").as("t_a"),
-      sum("n_b").cast("long").as("t_b"))
-    joined.crossJoin(broadcast(tots))
-      .groupBy("t_a", "t_b")
-      .agg(sum(abs(col("n_a").cast("decimal(38,0)") * col("t_b") -
-        col("n_b").cast("decimal(38,0)") * col("t_a"))).as("num"))
-      .select(col("t_a"), col("t_b"),
-        when(col("t_a") > 0 && col("t_b") > 0,
-          expr("(num * 500) div (CAST(t_a AS DECIMAL(38,0)) * t_b)")
-            .cast("long")).as("tv_permille"))
-  }
-
   def histDrift(df: DataFrame, strataCol: String,
                 bucket: Column): DataFrame = {
     // ONE corpus pass: the histogram is strata×buckets rows (design
@@ -124,11 +142,17 @@ object Curation {
       .join(tot.select(col("s").as("s_b"), col("tot").as("t_b")),
         col("s_a") < col("s_b"))
     val grid = pairs.crossJoin(hist.select(col("b")).distinct())
+    // bucket matches are null-safe (<=>): a NULL bucket is a real
+    // cell, not two disjoint ones — same stance as tvPermille
+    val ha = hist.select(col("s").as("sa2"), col("b").as("ba2"),
+      col("n").as("n_a"))
+    val hb = hist.select(col("s").as("sb2"), col("b").as("bb2"),
+      col("n").as("n_b"))
     grid
-      .join(hist.select(col("s").as("s_a"), col("b"),
-        col("n").as("n_a")), Seq("s_a", "b"), "left")
-      .join(hist.select(col("s").as("s_b"), col("b"),
-        col("n").as("n_b")), Seq("s_b", "b"), "left")
+      .join(ha, col("s_a") === col("sa2") && col("b") <=> col("ba2"),
+        "left")
+      .join(hb, col("s_b") === col("sb2") && col("b") <=> col("bb2"),
+        "left")
       .na.fill(0L, Seq("n_a", "n_b"))
       .groupBy("s_a", "s_b", "t_a", "t_b")
       .agg(sum(abs(col("n_a").cast("decimal(38,0)") * col("t_b") -

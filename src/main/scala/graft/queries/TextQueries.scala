@@ -29,8 +29,12 @@ object TextQueries {
     * disagree about what a cluster is. */
   private def fingerprintClusters(docs: DataFrame): DataFrame = {
     val fp = TA.contentFingerprint(TA.tokens(col("text")))
-    val withFp = docs.select(col("doc_id").as("id"), fp.as("fp"))
-    withFp.join(withFp.groupBy("fp").agg(min("id").as("root")), "fp")
+    // window min over fp, not a self-join: ONE scan/tokenize pass
+    // (the self-join form fingerprinted the corpus twice); fp groups
+    // are cluster-sized, so the window partitioning is bounded
+    docs.select(col("doc_id").as("id"), fp.as("fp"))
+      .withColumn("root", min("id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .select("id", "root")
   }
 
@@ -1380,8 +1384,10 @@ object TextQueries {
         |g AS (SELECT p.*, bk.b FROM p CROSS JOIN bk),
         |x AS (SELECT g.s_a, g.s_b, g.t_a, g.t_b,
         |        COALESCE(ha.n, 0) AS n_a, COALESCE(hb.n, 0) AS n_b
-        |      FROM g LEFT JOIN h ha ON ha.s = g.s_a AND ha.b = g.b
-        |             LEFT JOIN h hb ON hb.s = g.s_b AND hb.b = g.b)
+        |      FROM g LEFT JOIN h ha
+        |               ON ha.s = g.s_a AND ha.b IS NOT DISTINCT FROM g.b
+        |             LEFT JOIN h hb
+        |               ON hb.s = g.s_b AND hb.b IS NOT DISTINCT FROM g.b)
         |SELECT s_a, s_b,
         |  CAST((500 * sum(abs(CAST(n_a AS HUGEINT) * t_b
         |      - CAST(n_b AS HUGEINT) * t_a)))

@@ -74,6 +74,37 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 6) // C(4,2) ordered pairs
   }
 
+  test("canonical then leakproofSplit composes (operator-owned columns)") {
+    val kept = Curation
+      .canonicalPerCluster(docsFx, "doc_id", clustersFx, col("q"))
+      .filter(col("keep"))
+    val out = Curation.leakproofSplit(kept, "doc_id", clustersFx)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the kept representative of cluster 1 is doc 2; its split must
+    // still hash the cluster ROOT (1), not its own id
+    val rootSplit = DataSplit.withSplit(Seq(Tuple1(1L)).toDF("doc_id"),
+      "doc_id").select("split").as[String].head()
+    assert(out.keySet == Set(2L, 3L, 5L) && out(2L) == rootSplit)
+  }
+
+  test("tvPermille matches NULL buckets null-safely and never loses rows") {
+    // identical histograms INCLUDING a null bucket -> 0, one row
+    val withNull = Seq(Some(0), Some(0), None).toDF("v")
+    val h = Curation.histogram(withNull, col("v"))
+    val same = Curation.tvPermille(h, h).collect()
+    assert(same.length == 1 && same.head.getAs[Long]("tv_permille") == 0L)
+    // both sides empty -> still exactly one row, NULL measurement
+    val empty = Curation.histogram(withNull.filter(col("v") === 99), col("v"))
+    val both = Curation.tvPermille(empty, empty).collect()
+    assert(both.length == 1 && both.head.isNullAt(2))
+    // histDrift agrees on null-bucket data
+    val strata = Seq(("A", Some(0)), ("A", Some(0)), ("A", None),
+      ("B", Some(0)), ("B", Some(0)), ("B", None)).toDF("s", "v")
+    val drift = Curation.histDrift(strata, "s", col("v"))
+      .select("tv_permille").as[Long].head()
+    assert(drift == 0L)
+  }
+
   test("tvPermille agrees with histDrift and handles empty sides") {
     val rows =
       Seq.fill(3)(("A", 0)) ++ Seq.fill(1)(("A", 1)) ++

@@ -74,10 +74,11 @@ class GraphSpec extends SparkSpec {
     * listed for a few ms; a true leak — persist with no unpersist —
     * never clears). localCheckpoint RDDs are lineage anchors the
     * cleaner owns, not residue. */
-  private def assertNoNewResidue(before: Set[Int])(run: => Unit): Unit = {
+  private def assertNoNewResidue(run: => Unit): Unit = {
     def now = spark.sparkContext.getPersistentRDDs
       .filter { case (_, r) => !r.toString.contains("localCheckpoint") }
       .keySet.toSet
+    val before = now
     run
     var added = now -- before
     val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
@@ -87,13 +88,8 @@ class GraphSpec extends SparkSpec {
     assert(added.isEmpty, s"leaked persisted RDD ids: $added")
   }
 
-  private def residueBefore: Set[Int] = spark.sparkContext
-    .getPersistentRDDs
-    .filter { case (_, r) => !r.toString.contains("localCheckpoint") }
-    .keySet.toSet
-
   test("edSelfJoin persistBase=true leaves zero cache residue") {
-    assertNoNewResidue(residueBefore) {
+    assertNoNewResidue {
       FuzzyJoin.edSelfJoin(fuzzyRows.toDF("id", "s"), "id", "s", 1)
         .count()
       ()
@@ -150,7 +146,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pagerank leaves zero cache residue and rejects bad args") {
-    assertNoNewResidue(residueBefore) {
+    assertNoNewResidue {
       Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", 1).count()
       ()
     }
