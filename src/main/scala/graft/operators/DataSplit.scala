@@ -35,6 +35,40 @@ object DataSplit {
     conv(substring(md5(id.cast("string").cast("binary")), 1, 2), 16, 10)
       .cast("long")
 
+  /** Weighted deterministic Bernoulli sample: keep each row with
+    * inclusion probability min(1, k·w/Σw) — documents are sampled in
+    * PROPORTION to a weight (token count for a token-budgeted corpus
+    * cut, quality for quality-tilted upsampling) instead of uniformly,
+    * with E[kept] = k when no weight saturates. The coin is the same
+    * content-hash family as [[hashBucket]] (first 8 md5 hex digits =
+    * a 32-bit uniform), so membership is a pure function of
+    * (id, weight, corpus total): engine-, partitioning-, and
+    * rerun-stable, and the keep verdict is the exact DECIMAL
+    * cross-multiplication `h·Σw < k·w·2^32` — no float probability
+    * anywhere (longs alone overflow once h·Σw passes 2^63, i.e.
+    * Σw ≈ 2^31 — a few billion tokens).
+    *
+    * Shape: one aggregate to the 1-row total (broadcast back), then a
+    * map-only verdict — no shuffle of the data, no sort, no window.
+    * Zero-weight rows are never kept.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     expectK: Long): DataFrame = {
+    require(expectK >= 0, s"expectK=$expectK must be >= 0")
+    val tot = df.agg(
+      coalesce(sum(weight), lit(0L)).cast("long").as("tot_w"))
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    df.withColumn("w", weight.cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("keep",
+        col("w") > 0 &&
+          h.cast("decimal(38,0)") * col("tot_w") <
+            lit(expectK).cast("decimal(38,0)") * col("w") *
+              lit(4294967296L))
+      .drop("tot_w")
+  }
+
   /** Stratified deterministic sample: keep a row iff its content-hash
     * bucket falls under its stratum's rate (out of 256). The
     * data-mixing primitive of a training pipeline — "25% of clicks,

@@ -490,6 +490,43 @@ object TextQueries {
         .orderBy("s_a", "s_b")
     }),
 
+    "q_sample_weighted" -> ((s, d) => {
+      // Weight-proportional deterministic sampling: inclusion odds
+      // scale with token count (E[kept] = 100), so a budgeted corpus
+      // cut keeps long documents preferentially without a sort or a
+      // global rank — the importance-sampling complement of the
+      // uniform q_sample_stratified.
+      val toks = TA.tokens(col("text"))
+      graft.operators.DataSplit.weightedSample(
+          t(s, d, "documents").select(col("doc_id"),
+            size(toks).cast("long").as("n_tok")),
+          "doc_id", col("n_tok"), expectK = 100)
+        .select(col("doc_id"), col("w"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "q_curation_pipeline" -> ((s, d) => {
+      // The curation flow END-TO-END, composed from the same operators
+      // the standalone queries use: permutation-dup clusters -> keep
+      // the highest-quality member per cluster -> leakproof split of
+      // the KEPT corpus (cluster roots, not ids) -> per-split volume.
+      // Exercises the operator-owned-column composition contract the
+      // standalone queries cannot (canonical output feeds split
+      // input).
+      val docs = t(s, d, "documents")
+      val clusters = fingerprintClusters(docs)
+      val kept = graft.operators.Curation
+        .canonicalPerCluster(docs, "doc_id", clusters,
+          TA.qualityScoreQ4(TA.tokens(col("text")), stopwords))
+        .filter(col("keep"))
+      graft.operators.Curation.leakproofSplit(kept, "doc_id", clusters)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TA.tokens(col("text")))).cast("long").as("n_tok"),
+          min("doc_id").as("min_id"))
+        .orderBy("split")
+    }),
+
     "q_corpus_stats" -> ((s, d) => {
       // Per-(source, lang) data card: volume, length, exact-dup rate,
       // mean heuristic quality. Every aggregate is an exact integer
@@ -1370,6 +1407,64 @@ object TextQueries {
         |      THEN 'val'
         |    ELSE 'test' END AS split
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" -> {
+      // first 8 md5 hex digits as a nibble polynomial (DuckDB has no
+      // base-16 conv) — coefficients are powers of two, sum < 2^32 so
+      // BIGINT is exact; the keep verdict cross-multiplies in HUGEINT
+      // exactly like the Spark DECIMAL(38,0) form
+      val h32 = (1 to 8).map { i =>
+        val coef = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substring(hex, $i, 1)) - 1) * $coef"
+      }.mkString(" +\n     ")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |t AS (SELECT sum(w) AS tot_w FROM b),
+         |v AS (SELECT doc_id, w, ($h32) AS h FROM b)
+         |SELECT v.doc_id, v.w,
+         |  (v.w > 0 AND CAST(v.h AS HUGEINT) * t.tot_w
+         |     < CAST(100 AS HUGEINT) * v.w * 4294967296) AS keep
+         |FROM v, t ORDER BY v.doc_id""".stripMargin
+    },
+
+    "q_curation_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp,
+        |    string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
+        |q AS (
+        |  SELECT f.doc_id, r.root, len(f.t) AS n_tok,
+        |    CAST(floor((CAST(len(list_filter(f.t,
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      / CAST(greatest(len(f.t), 1) AS DOUBLE) * 0.5
+        |      + CAST(least(len(f.t), 100) AS DOUBLE) / 100.0 * 0.5)
+        |      * 10000.0 + 0.5) AS BIGINT) AS prio
+        |  FROM f JOIN r ON f.fp = r.fp),
+        |kept AS (
+        |  SELECT doc_id, root, n_tok FROM (
+        |    SELECT q.*, row_number() OVER (PARTITION BY root
+        |      ORDER BY prio DESC, doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE
+        |      WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 < 12
+        |        THEN 'train'
+        |      WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 < 14
+        |        THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM kept)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok, min(doc_id) AS min_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q_corpus_drift" ->
       """WITH h AS (

@@ -432,6 +432,40 @@ class DedupSpec extends SparkSpec {
     assert(frac > 0.4 && frac < 0.6, s"~50% expected, got $frac")
   }
 
+  test("weighted sample: proportional, deterministic, zero-weight never kept") {
+    val df = (0 until 2000).map { i =>
+      // weights 1 and 9 in equal numbers, plus some zero-weight rows
+      (i.toLong, if (i % 10 == 0) 0L else if (i % 2 == 0) 1L else 9L)
+    }.toDF("id", "w0")
+    def kept = graft.operators.DataSplit
+      .weightedSample(df, "id", col("w0"), expectK = 400)
+      .filter(col("keep")).select("id", "w")
+      .as[(Long, Long)].collect().toSet
+    val once = kept
+    assert(kept == once) // pure function of (id, w, total)
+    assert(once.forall(_._2 > 0)) // zero weight is never kept
+    // inclusion odds scale with weight: the w=9 stratum must dominate
+    val (heavy, light) = once.partition(_._2 == 9L)
+    assert(heavy.size > 4 * math.max(light.size, 1),
+      s"w=9 kept ${heavy.size}, w=1 kept ${light.size}")
+    // E[kept] = 400 here (no weight saturates k*w/total); the fixed
+    // hash realizes one deterministic draw near it
+    assert(once.size > 250 && once.size < 550, s"got ${once.size}")
+    // determinism across partitionings
+    val repart = graft.operators.DataSplit
+      .weightedSample(df.repartition(13), "id", col("w0"), 400)
+      .filter(col("keep")).select("id", "w")
+      .as[(Long, Long)].collect().toSet
+    assert(repart == once)
+    // saturated weights (k*w >= total) are always kept
+    val sat = graft.operators.DataSplit
+      .weightedSample(Seq((1L, 1000000L), (2L, 1L)).toDF("id", "w0"),
+        "id", col("w0"), expectK = 10)
+      .filter(col("keep")).select("id", "w")
+      .as[(Long, Long)].collect()
+    assert(sat.exists(_._1 == 1L))
+  }
+
   test("heavy hitters: MG prefilter is a superset, result is exact") {
     import graft.operators.HeavyHitters
     // skewed stream: token "hot" is 40%, "warm" 15%, rest a long tail
