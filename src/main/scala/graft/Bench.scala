@@ -46,8 +46,12 @@ object Bench {
         // clusters, drift) would otherwise run reps 2..N against its
         // own accumulated block pressure — skewing the median.
         spark.catalog.clearCache()
+        // blocking: this release sits OUTSIDE the timed window, so
+        // waiting is free — a non-blocking removal could still be in
+        // flight when the next rep's clock starts and bleed cleanup
+        // cost into the measurement.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -55,11 +55,16 @@ object DataSplit {
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      expectK: Long): DataFrame = {
     require(expectK >= 0, s"expectK=$expectK must be >= 0")
+    // One canonical long weight for BOTH the total and the per-row
+    // verdict: summing the raw column and truncating per-row would use
+    // inconsistent values for a non-integral weight (and a double sum
+    // is partition-order dependent), breaking determinism.
+    val w = weight.cast("long")
     val tot = df.agg(
-      coalesce(sum(weight), lit(0L)).cast("long").as("tot_w"))
+      coalesce(sum(w), lit(0L)).cast("long").as("tot_w"))
     val h = conv(substring(md5(col(idCol).cast("string").cast("binary")),
       1, 8), 16, 10).cast("long")
-    df.withColumn("w", weight.cast("long"))
+    df.withColumn("w", w)
       .crossJoin(broadcast(tot))
       .withColumn("keep",
         col("w") > 0 &&

@@ -81,13 +81,31 @@ object Dsir {
     * comes out of a join chain with no stats, so the planner assumes
     * it is big and sort-merge-joins the corpus-sized feature table
     * (measured 4.3× on 10× rows); broadcast it explicitly whenever m
-    * is broadcast-sized so the corpus side never sorts or exchanges. */
+    * is broadcast-sized so the corpus side never sorts or exchanges.
+    * "Broadcast-sized" is derived from the session's configured
+    * spark.sql.autoBroadcastJoinThreshold at ~32 B per (bucket, lam)
+    * row (16 B of longs + unsafe-row/array overhead) — not a
+    * hardcoded row count, so a cluster that raises or lowers the
+    * threshold moves this cutoff with it. */
   private def perDocWeights(feats: DataFrame, lam: DataFrame,
-                            m: Long): DataFrame =
-    feats.join(if (m <= (1L << 20)) broadcast(lam) else lam, "bucket")
+                            m: Long): DataFrame = {
+    val bcBytes = feats.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+        case s if s.endsWith("k") || s.endsWith("K") =>
+          s.dropRight(1).toLong << 10
+        case s if s.endsWith("m") || s.endsWith("M") =>
+          s.dropRight(1).toLong << 20
+        case s if s.endsWith("g") || s.endsWith("G") =>
+          s.dropRight(1).toLong << 30
+        case s => s.toLong
+      }
+    feats.join(if (bcBytes > 0 && m <= bcBytes / 32L) broadcast(lam)
+               else lam, "bucket")
       .groupBy(col("doc"))
       .agg(sum("cnt").cast("long").as("n_grams"),
         sum(col("cnt") * col("lam")).cast("long").as("logw_micro"))
+  }
 
   /** Per-document importance weights against a target subset of the
     * same frame. Output: (doc, n_grams, logw_micro, avg_logw, keep)

@@ -110,7 +110,14 @@ object TextAnalysis {
       "[0-9]+", "<NUM>")
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
-    * token set. Groups docs that are token-set permutations. */
+    * token set. Groups docs that are token-set permutations.
+    *
+    * NULL semantics: `concat_ws` treats a null token array as empty,
+    * so null text fingerprints as md5("") — same bucket as the empty
+    * document, never a null fp. Oracle twins must spell this as
+    * `coalesce(text, '')` (DuckDB's array_to_string/md5 would
+    * otherwise propagate NULL and silently drop the doc from any
+    * fp-keyed join). */
   def contentFingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 

@@ -1018,9 +1018,12 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
+      // coalesce matches Spark's concat_ws null-array semantics:
+      // null text fingerprints as md5(''), never NULL (see
+      // TextAnalysis.contentFingerprint scaladoc)
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |    string_split(lower(coalesce(text, '')), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
@@ -1350,7 +1353,7 @@ object TextQueries {
     "q_dedup_matrix" ->
       """WITH g AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(
-        |      string_split(lower(text), ' '))), ' ')) AS digest,
+        |      string_split(lower(coalesce(text, '')), ' '))), ' ')) AS digest,
         |    source, count(*) AS cnt
         |  FROM documents GROUP BY 1, 2),
         |p AS (
@@ -1372,7 +1375,7 @@ object TextQueries {
       """WITH f AS (
         |  SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(
-        |      string_split(lower(text), ' '))), ' ')) AS fp,
+        |      string_split(lower(coalesce(text, '')), ' '))), ' ')) AS fp,
         |    string_split(lower(text), ' ') AS t
         |  FROM documents),
         |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
@@ -1393,7 +1396,7 @@ object TextQueries {
       """WITH f AS (
         |  SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(
-        |      string_split(lower(text), ' '))), ' ')) AS fp
+        |      string_split(lower(coalesce(text, '')), ' '))), ' ')) AS fp
         |  FROM documents),
         |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
         |j AS (SELECT f.doc_id, r.root FROM f JOIN r ON f.fp = r.fp)
@@ -1434,7 +1437,7 @@ object TextQueries {
       """WITH f AS (
         |  SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(
-        |      string_split(lower(text), ' '))), ' ')) AS fp,
+        |      string_split(lower(coalesce(text, '')), ' '))), ' ')) AS fp,
         |    string_split(lower(text), ' ') AS t
         |  FROM documents),
         |r AS (SELECT fp, min(doc_id) AS root FROM f GROUP BY fp),
