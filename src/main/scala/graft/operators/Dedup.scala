@@ -497,6 +497,56 @@ object Dedup {
     bandedIndex64(hashed.select(col(idCol).as("doc"),
       col(hashCol).as("sim")))
 
+  /** Incremental refresh of a [[hammingBandIndex]]: fold a batch of
+    * newly admitted (id, fingerprint) docs into the static banded
+    * index WITHOUT rebuilding it from the corpus — the operator behind
+    * the "next corpus-index refresh" that
+    * [[graft.streaming.StreamingOps.nearDupAgainstCorpus]] documents
+    * closing its in-stream hamming-1..3 window with. Banding is a pure
+    * per-row expression (the one private helper batch and stream share),
+    * so the append is `index ∪ band(batch)` — a NARROW union: no
+    * corpus scan, no shuffle, cost O(|batch|) regardless of index
+    * size. In production the index is a table bucketed by (band,
+    * bits); the append is a partitioned INSERT into those buckets.
+    *
+    * Exactness: for a batch whose doc ids are disjoint from the
+    * index's (the ingest contract — door-admitted arrivals carry
+    * fresh ids, and exactly-once delivery comes from the streaming
+    * checkpoint's batch id, not from this operator re-checking),
+    * the result is row-identical to
+    * `hammingBandIndex(corpus ∪ batch)` — spec-asserted. A replayed
+    * batch would only duplicate index rows, which the LEFT ANTI
+    * probes are set-semantically immune to (a dup row can only
+    * re-drop the same arrival), so correctness degrades to wasted
+    * space, never to wrong admits.
+    */
+  def appendToBandedIndex(index: DataFrame, hashed: DataFrame,
+                          idCol: String, hashCol: String): DataFrame =
+    index.unionByName(hammingBandIndex(hashed, idCol, hashCol))
+
+  /** The static digest table
+    * [[graft.streaming.StreamingOps.dedupAgainstCorpus]] probes: one
+    * row per distinct normalized digest in the corpus. One
+    * hash-partition shuffle, the exact-dedup shape. */
+  def digestIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(exactDigest(col(textCol)).as("digest"))
+      .dropDuplicates("digest")
+
+  /** Incremental refresh of a [[digestIndex]] — the exact-dedup twin
+    * of [[appendToBandedIndex]]: fold admitted docs' digests into the
+    * static digest table without a corpus rebuild. The batch side is
+    * deduplicated within itself (batch-sized shuffle only); disjointness
+    * from the index is the ingest contract — admitted docs passed the
+    * index's own anti-join at the door, so their digests are new by
+    * construction and the append is row-identical to
+    * `digestIndex(corpus ∪ batch)` (spec-asserted). Same replay
+    * stance as [[appendToBandedIndex]]: a duplicated digest row
+    * cannot change any anti-join verdict.
+    */
+  def appendToDigestIndex(index: DataFrame, docs: DataFrame,
+                          textCol: String): DataFrame =
+    index.unionByName(digestIndex(docs, textCol))
+
   /** The (band, bits, size) buckets [[simhashNearDupsBanded]] drops at
     * the same `bucketCap` — run it when recall loss must be visible
     * (each dropped bucket of size s forfeits up to s*(s-1)/2 pairs).

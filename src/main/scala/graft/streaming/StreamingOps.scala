@@ -68,7 +68,37 @@ object StreamingOps {
     */
   def dedupAgainstCorpus(stream: DataFrame, textCol: String,
                          tsCol: String, corpusDigests: DataFrame,
-                         lateness: String): DataFrame = {
+                         lateness: String): DataFrame =
+    dedupWithinWatermark(digestProbe(stream, textCol, corpusDigests),
+      tsCol, lateness, "graft_digest")
+      .drop("graft_digest")
+
+  /** Watermark-bounded key dedup that is stream/batch POLYMORPHIC:
+    * on a stream, `withWatermark` + `dropDuplicatesWithinWatermark`
+    * (bounded state); on a static frame — where Spark rejects the
+    * within-watermark form outright — plain `dropDuplicates`, which IS
+    * the batch meaning of "one survivor per key" (no event-time, so no
+    * window to bound). This is what lets the door transforms run
+    * unchanged as the batch curation pipeline (and inside
+    * `foreachBatch`, whose batches are static frames) for parity
+    * testing and backfills. Which row survives among same-key
+    * duplicates is not order-guaranteed on either path. */
+  private def dedupWithinWatermark(df: DataFrame, tsCol: String,
+                                   lateness: String,
+                                   key: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, lateness)
+        .dropDuplicatesWithinWatermark(key)
+    else df.dropDuplicates(key)
+
+  /** The STATELESS half of [[dedupAgainstCorpus]]: compute the
+    * normalized digest and anti-join the static corpus digest table.
+    * Shared with [[ingestDoor]], which chains it in front of the
+    * banded probe and spends its single-stateful-op budget once for
+    * both. Leaves `graft_digest` on the frame for the caller to
+    * consume or drop. */
+  private def digestProbe(stream: DataFrame, textCol: String,
+                          corpusDigests: DataFrame): DataFrame = {
     // the working column is graft_-prefixed and dropped on return: a
     // bare "digest" would silently overwrite a same-named user column
     // AND leak the internal digest into the output schema
@@ -79,9 +109,6 @@ object StreamingOps {
         graft.operators.Dedup.exactDigest(col(textCol)))
       .join(corpusDigests.select(col("digest").as("graft_digest")),
         Seq("graft_digest"), "left_anti")
-      .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("graft_digest")
-      .drop("graft_digest")
   }
 
   /** Near-dup dedup at the ingest door — the streaming twin of the
@@ -122,7 +149,17 @@ object StreamingOps {
     */
   def nearDupAgainstCorpus(stream: DataFrame, sim: org.apache.spark.sql.Column,
                            tsCol: String, corpusBands: DataFrame,
-                           lateness: String, maxHamming: Int = 3): DataFrame = {
+                           lateness: String, maxHamming: Int = 3): DataFrame =
+    dedupWithinWatermark(bandProbe(stream, sim, corpusBands, maxHamming),
+      tsCol, lateness, "graft_sim")
+      .drop("graft_sim")
+
+  /** The STATELESS half of [[nearDupAgainstCorpus]]: compute the
+    * 64-bit fingerprint and run the four per-band LEFT ANTI probes of
+    * the static banded index. Shared with [[ingestDoor]]. Leaves
+    * `graft_sim` on the frame for the caller's stateful dedup. */
+  private def bandProbe(stream: DataFrame, sim: Column,
+                        corpusBands: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = graft.operators.Dedup.HammingBands
     require(maxHamming >= 0 && maxHamming <= nBands - 1,
       s"banded probe is only complete for hamming in [0, ${nBands - 1}] " +
@@ -131,7 +168,7 @@ object StreamingOps {
     require(!stream.columns.contains("graft_sim"),
       "input stream already has a graft_sim column")
     val withSim = stream.withColumn("graft_sim", sim)
-    val probed = (0 until nBands).foldLeft(withSim) { (df, b) =>
+    (0 until nBands).foldLeft(withSim) { (df, b) =>
       val cb = corpusBands.filter(col("band") === b)
         .select(col("bits").as("graft_bits"),
           col("sim").as("graft_corpus_sim"))
@@ -142,10 +179,6 @@ object StreamingOps {
             <= maxHamming,
         "left_anti")
     }
-    probed
-      .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("graft_sim")
-      .drop("graft_sim")
   }
 
   /** Per-doc door scores for [[admitAtDoor]], exposed for parity
@@ -220,6 +253,52 @@ object StreamingOps {
       .drop("graft_dsir")
   }
 
+  /** THE ingest door: every admission gate composed into one streaming
+    * transform — DSIR target-likeness, quality + bloom decontamination,
+    * exact dedup against the corpus digest table, and banded near-dup
+    * against the corpus fingerprint index — in cheapest-first order
+    * (row-local gates shed volume before any join runs; the probes
+    * join only what survived).
+    *
+    * The composition contract the per-gate operators were built to:
+    *
+    *  - **Column ownership**: every gate works in `graft_`-prefixed
+    *    columns it requires absent on entry and drops on exit, so the
+    *    output schema is exactly the input's — asserted end-to-end.
+    *  - **Single-stateful-op budget**: the chain spends its one
+    *    stateful operator on a fingerprint-keyed
+    *    `dropDuplicatesWithinWatermark` at the END. The digest gate's
+    *    own in-stream dedup is SUBSUMED by it: `sim` must be a pure
+    *    function of `textCol` (e.g. `Dedup.simhash64(tokens)` — the
+    *    required usage), so digest-identical arrivals are
+    *    fingerprint-identical and die in the same state lookup. The
+    *    corpus sides stay stateless anti-joins, re-planned every
+    *    micro-batch so index appends ([[graft.operators.Dedup
+    *    .appendToBandedIndex]] / `appendToDigestIndex`) take effect on
+    *    the next batch.
+    *  - **Batch parity**: on a static frame the watermark elides and
+    *    the state dedup degrades to `dropDuplicates`, so the SAME call
+    *    is the batch curation pipeline's door — admit sets are equal
+    *    row-for-row (spec-asserted end-to-end, not just per gate).
+    */
+  def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
+                 scoreQ8: Column, minScoreQ8: Long,
+                 bloom: graft.operators.Decontaminate.BloomModel,
+                 dsir: graft.operators.Dsir.DsirModel,
+                 corpusDigests: DataFrame, corpusBands: DataFrame,
+                 sim: Column, lateness: String,
+                 maxHamming: Int = 3, shingleN: Int = 3,
+                 maxContamPermille: Long = 500L): DataFrame = {
+    val gated = admitAtDoor(
+      dsirAdmitAtDoor(stream, textCol, dsir),
+      textCol, scoreQ8, minScoreQ8, bloom, shingleN, maxContamPermille)
+    val probed = bandProbe(
+      digestProbe(gated, textCol, corpusDigests).drop("graft_digest"),
+      sim, corpusBands, maxHamming)
+    dedupWithinWatermark(probed, tsCol, lateness, "graft_sim")
+      .drop("graft_sim")
+  }
+
   /** Per-micro-batch distribution drift vs a static corpus baseline —
     * the ingest door's OBSERVABILITY twin of
     * [[graft.operators.Curation.histDrift]]: where the four door
@@ -243,6 +322,80 @@ object StreamingOps {
                  baselineHist: DataFrame): DataFrame =
     graft.operators.Curation.tvPermille(
       graft.operators.Curation.histogram(batch, bucket), baselineHist)
+
+  /** Sliding-window drift monitor — the missing TENSE of
+    * [[batchDrift]]: where batchDrift reports one TV row per
+    * micro-batch (whatever arbitrary slice the trigger cut), this
+    * reports one row per EVENT-TIME window, so the monitoring signal
+    * is defined by the data's own clock and overlapping windows catch
+    * a shift no matter where it lands relative to batch boundaries.
+    *
+    * Shape: ONE watermarked sliding-window aggregation whose state per
+    * window is a fixed vector of `nBuckets + 1` cell counts (one
+    * conditional sum per histogram cell, plus a null cell) — bounded
+    * by design constants like the batch histogram, never by window
+    * row count. The baseline rides in as a driver-side literal (≤
+    * nBuckets + 1 cells, the bounded-artifact stance of the DSIR λ and
+    * k-means centroids), so the TV arithmetic is a stateless
+    * projection: the same exact DECIMAL cross-multiplication as
+    * [[graft.operators.Curation.tvPermille]]
+    * (`(500·Σ|n_a·t_b − n_b·t_a|) div (t_a·t_b)`), spec-asserted equal
+    * per window.
+    *
+    * Cell mapping: `bucket` is cast to long and CLAMPED into
+    * `[0, nBuckets)` (out-of-range mass lands in the edge cells — a
+    * monitoring signal must never drop rows for being out of range);
+    * NULL buckets get their own cell, matching tvPermille's null-safe
+    * bucket join. The baseline histogram passes through the SAME
+    * mapping, so both sides always bucket identically.
+    *
+    * Emits `(win_start, t_a, t_b, tv_permille)` per closed window
+    * (append mode — rows finalize when the watermark passes);
+    * tv_permille is NULL when either side is empty, the tvPermille
+    * convention. */
+  def slidingDrift(stream: DataFrame, tsCol: String, bucket: Column,
+                   windowLen: String, slide: String, lateness: String,
+                   baselineHist: DataFrame, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 1024,
+      s"nBuckets=$nBuckets out of [1, 1024] — the cell vector is " +
+        "streaming state per window and a wide vector stops being a " +
+        "bounded design constant")
+    def cell(b: Column): Column =
+      when(b.isNull, lit(nBuckets.toLong))
+        .otherwise(least(greatest(b.cast("long"), lit(0L)),
+          lit((nBuckets - 1).toLong)))
+    // bounded baseline artifact: ≤ nBuckets + 1 cells collected once
+    // at plan time, never per batch
+    val baseCells: Map[Int, Long] = baselineHist
+      .groupBy(cell(col("b")).cast("int").as("c"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tB = baseCells.values.sum
+    val cells = 0 to nBuckets
+    val sums = cells.map(k =>
+      sum(when(cell(bucket) === k.toLong, 1L).otherwise(0L))
+        .cast("long").as(s"graft_c$k"))
+    val agg = stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide).as("graft_w"))
+      .agg(sums.head, sums.tail: _*)
+    val tA = cells.map(k => col(s"graft_c$k")).reduce(_ + _)
+    val num = cells.map { k =>
+      abs(col(s"graft_c$k").cast("decimal(38,0)") * lit(tB) -
+        lit(baseCells.getOrElse(k, 0L)).cast("decimal(38,0)") *
+          col("t_a"))
+    }.reduce(_ + _)
+    agg
+      .withColumn("t_a", tA.cast("long"))
+      .withColumn("t_b", lit(tB))
+      .withColumn("graft_num", num)
+      .withColumn("tv_permille",
+        when(col("t_a") > 0 && col("t_b") > 0,
+          expr("(graft_num * 500) div " +
+            "(CAST(t_a AS DECIMAL(38,0)) * t_b)").cast("long")))
+      .select(col("graft_w.start").as("win_start"),
+        col("t_a"), col("t_b"), col("tv_permille"))
+  }
 
   /** Stream-static enrichment: join the live stream against a slowly
     * changing dimension (broadcast — no stream state, re-read per

@@ -327,6 +327,82 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); baseline.unpersist(); () }
   }
 
+  test("slidingDrift: per-event-time-window TV matches the batch tvPermille kernel") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: 3 docs in bucket 0, 1 in bucket 1 (same fixture as the
+    // per-batch monitor test, so the two tenses are directly comparable)
+    val baseline = graft.operators.Curation.histogram(
+      (Seq.fill(3)(0) ++ Seq(1)).toDF("v"), col("v")).persist()
+    baseline.count()
+    // 10-minute tumble-aligned events: window A matches the baseline
+    // mix exactly (tv 0), window B is disjoint support (tv 1000),
+    // window C is half-shifted
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), 0), (ts("2024-01-01 10:01:00"), 0),
+      (ts("2024-01-01 10:02:00"), 0), (ts("2024-01-01 10:03:00"), 1),
+      (ts("2024-01-01 10:10:00"), 7), (ts("2024-01-01 10:11:00"), 7),
+      (ts("2024-01-01 10:20:00"), 0), (ts("2024-01-01 10:21:00"), 1))
+    val input = MemoryStream[(Timestamp, Int)]
+    val drift = StreamingOps.slidingDrift(
+      input.toDF().toDF("ts", "v"), "ts", col("v"),
+      windowLen = "10 minutes", slide = "10 minutes",
+      lateness = "5 minutes", baseline, nBuckets = 16)
+    val q = drift.writeStream.format("memory").queryName("sdrift_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark far enough to close all three windows
+      input.addData((ts("2024-01-01 11:00:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("sdrift_sink")
+        .select("win_start", "t_a", "t_b", "tv_permille")
+        .as[(Timestamp, Long, Long, Long)].collect()
+        .map { case (w, a, b, tv) => (w.toString, (a, b, tv)) }.toMap
+      // per-window parity with the batch kernel: same rows, same TV
+      def batchTv(vs: Seq[Int]): Long =
+        graft.operators.Curation.tvPermille(
+          graft.operators.Curation.histogram(vs.toDF("v"), col("v")),
+          baseline)
+          .select("tv_permille").as[Long].head()
+      assert(got("2024-01-01 10:00:00.0") ==
+        ((4L, 4L, batchTv(Seq(0, 0, 0, 1)))))
+      assert(got("2024-01-01 10:10:00.0") ==
+        ((2L, 4L, batchTv(Seq(7, 7)))))
+      assert(got("2024-01-01 10:20:00.0") ==
+        ((2L, 4L, batchTv(Seq(0, 1)))))
+      // and the fixture is non-vacuous: identical mix → 0, disjoint → 1000
+      assert(got("2024-01-01 10:00:00.0")._3 == 0L)
+      assert(got("2024-01-01 10:10:00.0")._3 == 1000L)
+    } finally { q.stop(); baseline.unpersist(); () }
+  }
+
+  test("slidingDrift: overlapping windows each get their own row") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = graft.operators.Curation.histogram(
+      Seq(0, 1).toDF("v"), col("v"))
+    val input = MemoryStream[(Timestamp, Int)]
+    val drift = StreamingOps.slidingDrift(
+      input.toDF().toDF("ts", "v"), "ts", col("v"),
+      windowLen = "10 minutes", slide = "5 minutes",
+      lateness = "1 minute", baseline, nBuckets = 4)
+    val q = drift.writeStream.format("memory").queryName("sdrift_slide")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one event at 10:07 lands in the 10:00 and 10:05 windows
+      input.addData((ts("2024-01-01 10:07:00"), 0))
+      input.addData((ts("2024-01-01 11:00:00"), 1)) // close them
+      q.processAllAvailable()
+      val wins = spark.table("sdrift_slide")
+        .filter(col("t_a") === 1L && col("tv_permille") === 500L)
+        .select("win_start").as[Timestamp].collect().map(_.toString).sorted
+      assert(wins.toSeq == Seq("2024-01-01 10:00:00.0",
+        "2024-01-01 10:05:00.0"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchase to preceding click") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Timestamp, Int, String)]
@@ -451,6 +527,228 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.table("door_sink").columns.toSeq ==
         Seq("ts", "id", "text"))
     } finally q.stop()
+  }
+
+  test("appendToBandedIndex: batch-N admit blocks its batch-N+1 near-dup; append == rebuild") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Dedup
+    // static corpus: one doc at fingerprint 0xF0F0
+    val corpus = Seq((100L, 0xF0F0L)).toDF("doc_id", "fp")
+    var index = Dedup.hammingBandIndex(corpus, "doc_id", "fp")
+    // batch N: doc 1 far from the corpus → admitted by the probe
+    val batchN = Seq((1L, 0xABCD1234L)).toDF("doc_id", "fp")
+    // run the REAL stateless probe the door uses, in batch mode: the
+    // transform is watermark-elided on static frames, so the same call
+    // is both the streaming gate and this test's per-batch probe
+    def admit(batch: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupAgainstCorpus(
+        batch.withColumn("ts", lit(ts("2024-01-01 10:00:00"))),
+        col("fp"), "ts", index, "10 minutes", maxHamming = 3)
+        .select("doc_id", "fp")
+    val admittedN = admit(batchN).as[(Long, Long)].collect().toSeq
+    assert(admittedN == Seq((1L, 0xABCD1234L)))
+    // ONE append folds the admitted docs in — no corpus rebuild
+    index = Dedup.appendToBandedIndex(index,
+      admittedN.toDF("doc_id", "fp"), "doc_id", "fp")
+    // batch N+1: doc 2 is hamming-1 from the batch-N admit → must now
+    // be dropped; doc 3 far from everything → admitted
+    val batchN1 = Seq((2L, 0xABCD1235L), (3L, 0x00FF00FF00L))
+      .toDF("doc_id", "fp")
+    val admittedN1 = admit(batchN1).as[(Long, Long)].collect().toSeq
+    assert(admittedN1 == Seq((3L, 0x00FF00FF00L)),
+      "the window the scaladoc promises to close: a batch-N admit " +
+        "must block its hamming-1 twin after one append")
+    // append == rebuild, row-identical: the same index a from-scratch
+    // hammingBandIndex over (corpus ∪ admitted) would build
+    val rebuilt = Dedup.hammingBandIndex(
+      corpus.unionByName(admittedN.toDF("doc_id", "fp")), "doc_id", "fp")
+    val got = index.as[(Long, Long, Int, Long)].collect().sorted.toSeq
+    val want = rebuilt.as[(Long, Long, Int, Long)].collect().sorted.toSeq
+    assert(got == want, "appended index must be bit-identical to rebuild")
+  }
+
+  test("appendToDigestIndex: append == rebuild; refreshed digests drop next batch's dups") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Dedup
+    val corpus = Seq((100L, "old doc")).toDF("doc_id", "text")
+    var digests = Dedup.digestIndex(corpus, "text")
+    def admit(batch: org.apache.spark.sql.DataFrame) =
+      StreamingOps.dedupAgainstCorpus(
+        batch.withColumn("ts", lit(ts("2024-01-01 10:00:00"))),
+        "text", "ts", digests, "10 minutes")
+        .select("doc_id", "text")
+    // batch N: fresh doc admitted (and an in-batch repeat dropped)
+    val admittedN = admit(Seq((1L, "fresh doc"), (2L, "fresh doc"))
+      .toDF("doc_id", "text")).as[(Long, String)].collect().toSeq
+    assert(admittedN.map(_._2) == Seq("fresh doc"))
+    digests = Dedup.appendToDigestIndex(digests,
+      admittedN.toDF("doc_id", "text"), "text")
+    // batch N+1: the batch-N admit (even renormalized) is now a corpus
+    // dup; a new doc passes
+    val admittedN1 = admit(Seq((3L, "  FRESH DOC  "), (4L, "another"))
+      .toDF("doc_id", "text")).as[(Long, String)].collect().toSeq
+    assert(admittedN1.map(_._1) == Seq(4L))
+    // append == rebuild over corpus ∪ admitted, row-identical
+    val rebuilt = Dedup.digestIndex(
+      corpus.unionByName(admittedN.toDF("doc_id", "text")), "text")
+    assert(digests.as[String].collect().sorted.toSeq ==
+      rebuilt.as[String].collect().sorted.toSeq)
+  }
+
+  test("ingestDoor composes every gate: stream admits == batch admits, one stateful op") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    // ---- models and corpus indexes (tiny but every gate non-vacuous)
+    val evalDocs = Seq((900L, "alpha beta gamma delta epsilon", true))
+      .toDF("doc_id", "text", "is_eval")
+    val bloom = Decontaminate.buildShingleBloom(
+      evalDocs, "doc_id", "text", col("is_eval"), n = 3)
+    val dsirCorpus = Seq(
+      (1L, "apple banana cherry damson elder", true),
+      (2L, "banana cherry apple elder damson", true),
+      (3L, "hammer wrench pliers chisel rasp", false),
+      (4L, "wrench hammer rasp pliers chisel", false)
+    ).toDF("doc_id", "text", "is_t")
+    val dsir = Dsir.fitModel(dsirCorpus, "doc_id",
+      TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder quince plum"))
+      .toDF("doc_id", "text")
+    val corpusDigests = Dedup.digestIndex(corpus, "text")
+    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    val corpusBands = Dedup.hammingBandIndex(
+      corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
+    def scoreQ8 = {
+      val toks = TA.tokens(col("text"))
+      val lenSatQ4 = floor(least(size(toks), lit(100)).cast("double")
+        / 100.0d * 10000.0d + 0.5d).cast("long")
+      TA.linearModelQ8(Seq((lenSatQ4, 10000L)), biasQ8 = 0L)
+    }
+    def door(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.ingestDoor(df, "text", "ts",
+        scoreQ8, minScoreQ8 = 4000000L, bloom, dsir,
+        corpusDigests, corpusBands, simOf, "10 minutes")
+    val rows = Seq(
+      // fruit, long, clean, novel → ADMIT
+      (ts("2024-01-01 10:00:00"), 1L,
+        "apple damson cherry banana elder damson apple cherry"),
+      // tool vocabulary → DSIR drop
+      (ts("2024-01-01 10:00:01"), 2L,
+        "hammer wrench pliers chisel rasp hammer wrench pliers"),
+      // too short → quality drop (and DSIR-ambiguous)
+      (ts("2024-01-01 10:00:02"), 3L, "apple banana cherry"),
+      // fruit-leading but saturated with eval shingles (3 of 5
+      // trigrams = 600 permille >= 500) → decontam drop
+      (ts("2024-01-01 10:00:03"), 4L,
+        "apple banana alpha beta gamma delta epsilon"),
+      // byte-identical to the corpus doc → exact-dedup drop
+      (ts("2024-01-01 10:00:04"), 5L,
+        "apple banana cherry elder quince plum"),
+      // token permutation of the corpus doc → same simhash → near-dup drop
+      (ts("2024-01-01 10:00:05"), 6L,
+        "plum quince elder cherry banana apple"),
+      // in-stream repeat of doc 1's text → state drop
+      (ts("2024-01-01 10:00:06"), 7L,
+        "apple damson cherry banana elder damson apple cherry"),
+      // second distinct clean fruit doc → ADMIT
+      (ts("2024-01-01 10:00:07"), 8L,
+        "cherry elder apple damson banana cherry elder apple damson"))
+    // ---- streaming run (two micro-batches at an arbitrary boundary)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = door(input.toDF().toDF("ts", "id", "text"))
+      .writeStream.format("memory").queryName("full_door")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("full_door")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(streamIds == Seq(1L, 8L),
+        s"door must admit exactly the clean novel docs, got $streamIds")
+      // column ownership: no graft_ residue anywhere in the chain
+      assert(spark.table("full_door").columns.toSeq ==
+        Seq("ts", "id", "text"))
+      // ---- end-to-end batch parity: the SAME composed call on the
+      // static frame admits the SAME documents. Compared on TEXT (docs
+      // 1 and 7 are byte-identical, and which of two identical rows
+      // survives a key-dedup is not order-guaranteed on either path —
+      // the admitted CONTENT is the contract)
+      val streamTexts = spark.table("full_door")
+        .select("text").as[String].collect().toSet
+      val batchTexts = door(rows.toDF("ts", "id", "text"))
+        .select("text").as[String].collect().toSet
+      assert(batchTexts == streamTexts,
+        s"batch door admitted $batchTexts, stream admitted $streamTexts")
+    } finally q.stop()
+  }
+
+  test("ingestDoor + index append: the full incremental loop closes the near-dup window") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    // permissive gates (this test is about the index loop, not scoring)
+    val bloom = Decontaminate.buildShingleBloom(
+      Seq((1L, "completely unrelated eval content", true))
+        .toDF("doc_id", "text", "is_eval"),
+      "doc_id", "text", col("is_eval"), n = 3)
+    val dsirCorpus = Seq(
+      (1L, "apple banana cherry damson elder", true),
+      (2L, "hammer wrench pliers chisel rasp", false))
+      .toDF("doc_id", "text", "is_t")
+    val dsir = Dsir.fitModel(dsirCorpus, "doc_id",
+      TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder quince plum"))
+      .toDF("doc_id", "text")
+    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    // the mutable loop state: both corpus indexes, refreshed per batch
+    var digests = Dedup.digestIndex(corpus, "text").persist()
+    var bands = Dedup.hammingBandIndex(
+      corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
+      .persist()
+    def doorBatch(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.ingestDoor(df, "text", "ts",
+        lit(100000000L), minScoreQ8 = 0L, bloom, dsir,
+        digests, bands, simOf, "10 minutes")
+    val admits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // foreachBatch IS the production loop: admit through the door,
+    // then fold the admitted docs into both indexes so the NEXT batch
+    // probes a refreshed corpus — the operator form of the scaladoc's
+    // "caught on the next corpus-index refresh"
+    val q = input.toDF().toDF("ts", "id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val admitted = doorBatch(batch)
+          .select(col("id"), col("text")).as[(Long, String)].collect()
+        admits ++= admitted.map(_._1)
+        if (admitted.nonEmpty) {
+          val adf = admitted.toSeq.toDF("doc_id", "text")
+          digests = Dedup.appendToDigestIndex(digests, adf, "text")
+          bands = Dedup.appendToBandedIndex(bands,
+            adf.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
+        }
+        ()
+      }.start()
+    try {
+      // batch N: a novel fruit doc (admitted, then appended)
+      input.addData((ts("2024-01-01 10:00:00"), 11L,
+        "damson elder apple cherry banana damson elder"))
+      q.processAllAvailable()
+      assert(admits.toSeq == Seq(11L))
+      // batch N+1: a PERMUTATION of batch N's admit (same token set →
+      // same simhash, different digest) — only a refreshed band index
+      // can drop it; plus one genuinely new doc
+      input.addData(
+        (ts("2024-01-01 10:01:00"), 12L,
+          "elder damson cherry apple banana elder damson"),
+        (ts("2024-01-01 10:01:01"), 13L,
+          "quince plum damson apple elder banana cherry quince"))
+      q.processAllAvailable()
+      assert(admits.toSeq == Seq(11L, 13L),
+        s"batch-N admit must block its permutation in batch N+1, got $admits")
+    } finally { q.stop(); digests.unpersist(); bands.unpersist(); () }
   }
 
   test("DSIR gate admits target-like docs at the door, batch parity") {
