@@ -25,5 +25,37 @@ val e10 = (0 until 10).map { k =>
     col("label"))
 }.reduce(_ unionByName _)
 e10.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+// Relational tables for the graph-shaped queries (pagerank, fuzzy
+// join): every key offset by k*stride so the 10 copies are DISJOINT —
+// the purchase graph becomes 10 disjoint components with |V| and |E|
+// both 10x, the honest "bigger corpus" shape (a shared-key replication
+// would instead multiply edge multiplicity, which distinct() erases).
+val ord = spark.read.parquet(s"$src/orders.parquet")
+val nO = ord.agg(max("o_orderkey")).first().getLong(0) + 1L
+val cust = spark.read.parquet(s"$src/customer.parquet")
+val nC = cust.agg(max("c_custkey")).first().getLong(0) + 1L
+val li = spark.read.parquet(s"$src/lineitem.parquet")
+val nS = li.agg(max("l_suppkey")).first().getLong(0) + 1L
+val o10 = (0 until 10).map { k =>
+  ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * nO))
+    .withColumn("o_custkey", col("o_custkey") + lit(k * nC))
+}.reduce(_ unionByName _)
+o10.coalesce(4).write.mode("overwrite").parquet(s"$out/orders.parquet")
+val l10 = (0 until 10).map { k =>
+  li.withColumn("l_orderkey", col("l_orderkey") + lit(k * nO))
+    .withColumn("l_suppkey", col("l_suppkey") + lit(k * nS))
+}.reduce(_ unionByName _)
+l10.coalesce(8).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+// customer names get the same per-copy NEAR-dup suffix as documents:
+// cross-copy name pairs land within the edit-distance budget, so the
+// fuzzy join's 10x row is the adversarial output-bound case (same
+// stance as the near-dup tables above)
+val c10 = (0 until 10).map { k =>
+  cust.withColumn("c_custkey", col("c_custkey") + lit(k * nC))
+    .withColumn("c_name", concat(col("c_name"), lit(s" v$k")))
+}.reduce(_ unionByName _)
+c10.coalesce(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
 println("DERIVED " + spark.read.parquet(s"$out/documents.parquet").count() +
-  " docs, " + spark.read.parquet(s"$out/embeddings.parquet").count() + " vecs")
+  " docs, " + spark.read.parquet(s"$out/embeddings.parquet").count() + " vecs, " +
+  spark.read.parquet(s"$out/lineitem.parquet").count() + " lineitems, " +
+  spark.read.parquet(s"$out/customer.parquet").count() + " customers")
