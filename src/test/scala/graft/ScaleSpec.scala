@@ -625,4 +625,107 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"DSIR gate must not join the model:\n$plan")
   }
+
+  test("index append is a narrow union: banding adds zero exchanges") {
+    import graft.operators.Dedup
+    // leaf index (the materialized-table stance) so any exchange in
+    // the appended plan is attributable to the APPEND itself
+    val index = Dedup.hammingBandIndex(
+      Seq((1L, 0xF0F0L)).toDF("doc_id", "fp"), "doc_id", "fp")
+      .localCheckpoint()
+    val appended = Dedup.appendToBandedIndex(index,
+      Seq((2L, 0xABCDL)).toDF("doc_id", "fp"), "doc_id", "fp")
+    assert(appended.count() == 8)
+    val plan = appended.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"),
+      s"append must be a union, not a rebuild:\n$plan")
+    // banding is per-row (Generate), so appending a batch must cost
+    // O(|batch|) with NO shuffle — at 100 TB this is the difference
+    // between an ingest loop and a nightly rebuild
+    assert(!plan.contains("Exchange"),
+      s"banded append must not shuffle:\n$plan")
+    // digest twin: the ONLY exchange is the batch-side dedup
+    // (batch-sized); the index side unions in untouched
+    val dindex = Dedup.digestIndex(
+      Seq((1L, "old doc")).toDF("doc_id", "text"), "text")
+      .localCheckpoint()
+    val dapp = Dedup.appendToDigestIndex(dindex,
+      Seq((2L, "fresh doc")).toDF("doc_id", "text"), "text")
+    assert(dapp.count() == 2)
+    val dplan = dapp.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(dplan).size <= 1,
+      s"digest append may shuffle the BATCH side only:\n$dplan")
+  }
+
+  test("ingestDoor streaming plan: ONE stateful op, anti-joins only, no stream-side explode") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, DeduplicateWithinWatermark, Generate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = Decontaminate.buildShingleBloom(
+      Seq((1L, "zeta eta theta iota kappa", true))
+        .toDF("doc_id", "text", "is_eval"),
+      "doc_id", "text", col("is_eval"), n = 3)
+    val dsir = Dsir.fitModel(
+      Seq((1L, "apple banana cherry", true),
+        (2L, "hammer wrench pliers", false)).toDF("doc_id", "text", "is_t"),
+      "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder"))
+      .toDF("doc_id", "text")
+    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // indexes enter as LEAVES (in production they are materialized
+    // tables), so every node the assertions below count is the
+    // stream-side plan the door itself builds
+    val door = graft.streaming.StreamingOps.ingestDoor(
+      input.toDF().toDF("ts", "id", "text"), "text", "ts",
+      lit(100000000L), minScoreQ8 = 0L, bloom, dsir,
+      Dedup.digestIndex(corpus, "text").localCheckpoint(),
+      Dedup.hammingBandIndex(
+        corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
+        .localCheckpoint(),
+      simOf, "10 minutes")
+    val plan = door.queryExecution.analyzed
+    // the single-stateful-op budget, asserted structurally: exactly
+    // one within-watermark dedup, zero streaming aggregations
+    val statefuls = plan.collect { case d: DeduplicateWithinWatermark => d }
+    assert(statefuls.size == 1,
+      s"the door must spend exactly ONE stateful op, found ${statefuls.size}")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty,
+      "the door must not carry a streaming aggregation")
+    // every join is a LEFT ANTI corpus probe (1 digest + 4 bands);
+    // anything else would put corpus-sized state on the stream
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 5 && joins.forall(_.joinType == LeftAnti),
+      s"door joins must be the 5 anti-probes, got " +
+        joins.map(_.joinType).mkString(","))
+    // and no stream-side explode: banding probes the index per band
+    // instead of exploding arrivals (the append-mode trade the
+    // nearDupAgainstCorpus scaladoc documents)
+    assert(plan.collect { case g: Generate => g }.isEmpty,
+      "the stream side must never explode")
+  }
+
+  test("slidingDrift streaming plan: one windowed aggregate, zero joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = graft.operators.Curation.histogram(
+      Seq(0, 1).toDF("v"), col("v"))
+    val input = MemoryStream[(java.sql.Timestamp, Int)]
+    val drift = graft.streaming.StreamingOps.slidingDrift(
+      input.toDF().toDF("ts", "v"), "ts", col("v"),
+      "10 minutes", "5 minutes", "1 minute", baseline, nBuckets = 8)
+    val plan = drift.queryExecution.analyzed
+    // per-window state is the fixed cell vector inside ONE windowed
+    // aggregation; the baseline is a literal, so there is no join and
+    // no second stateful op — the shape that stays bounded on an
+    // unbounded stream
+    assert(plan.collect { case a: Aggregate => a }.size == 1,
+      "drift must be exactly one windowed aggregation")
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "the baseline must ride as a literal, never a join")
+  }
 }
