@@ -55,10 +55,22 @@ object DataSplit {
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      expectK: Long): DataFrame = {
     require(expectK >= 0, s"expectK=$expectK must be >= 0")
+    // The weight MUST be integral: a fractional weight (e.g. a [0,1]
+    // quality score) would truncate to 0 per row and silently return
+    // an EMPTY sample — scale such weights to integer units first
+    // (quality*10000). Enforced on the resolved type, not left to the
+    // cast, because the failure mode is silent.
+    val wType = df.select(weight).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wType),
+      s"weightedSample weight must be an integral column (got $wType): " +
+        "scale fractional weights to integer units first — long " +
+        "truncation would zero every sub-1 weight")
     // One canonical long weight for BOTH the total and the per-row
-    // verdict: summing the raw column and truncating per-row would use
-    // inconsistent values for a non-integral weight (and a double sum
-    // is partition-order dependent), breaking determinism.
+    // verdict (a double sum would also be partition-order dependent,
+    // breaking determinism).
     val w = weight.cast("long")
     val tot = df.agg(
       coalesce(sum(w), lit(0L)).cast("long").as("tot_w"))

@@ -89,17 +89,17 @@ object Dsir {
     * threshold moves this cutoff with it. */
   private def perDocWeights(feats: DataFrame, lam: DataFrame,
                             m: Long): DataFrame = {
-    val bcBytes = feats.sparkSession.conf
+    // Spark's own byte-string parser (the one behind this conf), so
+    // every unit suffix Spark accepts is accepted here; a leading '-'
+    // ("-1" = broadcast disabled) is handled the way Spark's
+    // ConfigHelpers.byteFromString does, since byteStringAsBytes
+    // itself rejects negatives
+    val rawThreshold = feats.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B") match {
-        case s if s.endsWith("k") || s.endsWith("K") =>
-          s.dropRight(1).toLong << 10
-        case s if s.endsWith("m") || s.endsWith("M") =>
-          s.dropRight(1).toLong << 20
-        case s if s.endsWith("g") || s.endsWith("G") =>
-          s.dropRight(1).toLong << 30
-        case s => s.toLong
-      }
+    val bcBytes =
+      if (rawThreshold.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(rawThreshold)
     feats.join(if (bcBytes > 0 && m <= bcBytes / 32L) broadcast(lam)
                else lam, "bucket")
       .groupBy(col("doc"))

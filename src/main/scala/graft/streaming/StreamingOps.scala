@@ -82,7 +82,11 @@ object StreamingOps {
     * unchanged as the batch curation pipeline (and inside
     * `foreachBatch`, whose batches are static frames) for parity
     * testing and backfills. Which row survives among same-key
-    * duplicates is not order-guaranteed on either path. */
+    * duplicates is not order-guaranteed on either path. The two
+    * tenses agree exactly within one watermark span; across spans the
+    * batch form dedups GLOBALLY where streaming state has been
+    * evicted — a backfill is a strictly stronger dedup than the live
+    * run it replays, never a weaker one. */
   private def dedupWithinWatermark(df: DataFrame, tsCol: String,
                                    lateness: String,
                                    key: String): DataFrame =
@@ -268,25 +272,37 @@ object StreamingOps {
     *  - **Single-stateful-op budget**: the chain spends its one
     *    stateful operator on a fingerprint-keyed
     *    `dropDuplicatesWithinWatermark` at the END. The digest gate's
-    *    own in-stream dedup is SUBSUMED by it: `sim` must be a pure
-    *    function of `textCol` (e.g. `Dedup.simhash64(tokens)` — the
-    *    required usage), so digest-identical arrivals are
-    *    fingerprint-identical and die in the same state lookup. The
-    *    corpus sides stay stateless anti-joins, re-planned every
-    *    micro-batch so index appends ([[graft.operators.Dedup
-    *    .appendToBandedIndex]] / `appendToDigestIndex`) take effect on
-    *    the next batch.
+    *    own in-stream dedup is SUBSUMED by it BECAUSE the door owns
+    *    the fingerprint definition ([[doorFingerprint]], over the
+    *    trim-normalized text): digest equality is
+    *    `lower(trim(text))` equality, which implies token equality,
+    *    which implies fingerprint equality — so digest-identical
+    *    arrivals (including trailing-whitespace variants) die in the
+    *    same state lookup. An arbitrary caller-supplied fingerprint
+    *    cannot make that guarantee, which is why there is no `sim`
+    *    parameter: `corpusBands` MUST be built with
+    *    [[doorFingerprint]] over the corpus text. The corpus sides
+    *    stay stateless anti-joins, re-planned every micro-batch so
+    *    index appends ([[graft.operators.Dedup.appendToBandedIndex]]
+    *    / `appendToDigestIndex`) take effect on the next batch.
     *  - **Batch parity**: on a static frame the watermark elides and
     *    the state dedup degrades to `dropDuplicates`, so the SAME call
     *    is the batch curation pipeline's door — admit sets are equal
-    *    row-for-row (spec-asserted end-to-end, not just per gate).
+    *    row-for-row within any one watermark span (spec-asserted
+    *    end-to-end). Across spans the two tenses differ BY DESIGN:
+    *    streaming state is evicted once the watermark passes (a
+    *    repeat arriving a day later is admitted again and caught by
+    *    the next index refresh), while a batch backfill dedups
+    *    globally — strictly stronger, which is the right direction
+    *    for a backfill (it can only drop more duplicates, never admit
+    *    more).
     */
   def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
                  scoreQ8: Column, minScoreQ8: Long,
                  bloom: graft.operators.Decontaminate.BloomModel,
                  dsir: graft.operators.Dsir.DsirModel,
                  corpusDigests: DataFrame, corpusBands: DataFrame,
-                 sim: Column, lateness: String,
+                 lateness: String,
                  maxHamming: Int = 3, shingleN: Int = 3,
                  maxContamPermille: Long = 500L): DataFrame = {
     val gated = admitAtDoor(
@@ -294,10 +310,26 @@ object StreamingOps {
       textCol, scoreQ8, minScoreQ8, bloom, shingleN, maxContamPermille)
     val probed = bandProbe(
       digestProbe(gated, textCol, corpusDigests).drop("graft_digest"),
-      sim, corpusBands, maxHamming)
+      doorFingerprint(col(textCol)), corpusBands, maxHamming)
     dedupWithinWatermark(probed, tsCol, lateness, "graft_sim")
       .drop("graft_sim")
   }
+
+  /** THE door's 64-bit text fingerprint — simhash over the tokens of
+    * the TRIM-normalized text. The normalization is load-bearing:
+    * [[graft.operators.Dedup.exactDigest]] is `md5(lower(trim(text)))`,
+    * so two digest-identical texts can differ only in case or
+    * leading/trailing whitespace — both erased here too, making
+    * digest equality IMPLY fingerprint equality. That implication is
+    * what lets [[ingestDoor]] spend a single stateful dedup (keyed on
+    * this fingerprint) for both the exact and near-dup in-stream
+    * stories. Build the corpus index with THIS expression
+    * (`Dedup.hammingBandIndex` over `doorFingerprint(col("text"))`),
+    * or the door probes a different fingerprint space than it dedups
+    * in. */
+  def doorFingerprint(text: Column): Column =
+    graft.operators.Dedup.simhash64(
+      graft.operators.TextAnalysis.tokens(trim(text)))
 
   /** Per-micro-batch distribution drift vs a static corpus baseline —
     * the ingest door's OBSERVABILITY twin of
@@ -342,12 +374,17 @@ object StreamingOps {
     * (`(500·Σ|n_a·t_b − n_b·t_a|) div (t_a·t_b)`), spec-asserted equal
     * per window.
     *
-    * Cell mapping: `bucket` is cast to long and CLAMPED into
-    * `[0, nBuckets)` (out-of-range mass lands in the edge cells — a
-    * monitoring signal must never drop rows for being out of range);
-    * NULL buckets get their own cell, matching tvPermille's null-safe
-    * bucket join. The baseline histogram passes through the SAME
-    * mapping, so both sides always bucket identically.
+    * Cell mapping: `bucket` must be a NUMERIC discretization (the
+    * histDrift convention, e.g. token-count div 32). It is cast to
+    * long and CLAMPED into `[0, nBuckets)` (out-of-range mass lands
+    * in the edge cells — a monitoring signal must never drop rows for
+    * being out of range); NULLs and non-castable values share a
+    * dedicated overflow cell, matching tvPermille's null-safe bucket
+    * join for the null case. A categorical (string) bucket should be
+    * dictionary-encoded to integers first — fed raw, its values
+    * cannot be distinguished in the fixed cell vector. The baseline
+    * histogram passes through the SAME mapping, so both sides always
+    * bucket identically.
     *
     * Emits `(win_start, t_a, t_b, tv_permille)` per closed window
     * (append mode — rows finalize when the watermark passes);
@@ -360,10 +397,17 @@ object StreamingOps {
       s"nBuckets=$nBuckets out of [1, 1024] — the cell vector is " +
         "streaming state per window and a wide vector stops being a " +
         "bounded design constant")
-    def cell(b: Column): Column =
-      when(b.isNull, lit(nBuckets.toLong))
-        .otherwise(least(greatest(b.cast("long"), lit(0L)),
+    def cell(b: Column): Column = {
+      // test the CAST result, not the raw value: a non-castable
+      // (non-numeric) bucket casts to null, and greatest() skips
+      // nulls — testing only b.isNull would silently collapse every
+      // such value into cell 0. Nulls AND cast failures pool in the
+      // dedicated overflow cell on both sides instead.
+      val v = b.cast("long")
+      when(v.isNull, lit(nBuckets.toLong))
+        .otherwise(least(greatest(v, lit(0L)),
           lit((nBuckets - 1).toLong)))
+    }
     // bounded baseline artifact: ≤ nBuckets + 1 cells collected once
     // at plan time, never per batch
     val baseCells: Map[Int, Long] = baselineHist

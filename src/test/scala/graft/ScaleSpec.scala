@@ -674,7 +674,7 @@ class ScaleSpec extends SparkSpec {
       "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
     val corpus = Seq((100L, "apple banana cherry elder"))
       .toDF("doc_id", "text")
-    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    val simOf = graft.streaming.StreamingOps.doorFingerprint(col("text"))
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
     // indexes enter as LEAVES (in production they are materialized
     // tables), so every node the assertions below count is the
@@ -686,7 +686,7 @@ class ScaleSpec extends SparkSpec {
       Dedup.hammingBandIndex(
         corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
         .localCheckpoint(),
-      simOf, "10 minutes")
+      "10 minutes")
     val plan = door.queryExecution.analyzed
     // the single-stateful-op budget, asserted structurally: exactly
     // one within-watermark dedup, zero streaming aggregations

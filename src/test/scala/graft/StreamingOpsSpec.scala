@@ -615,7 +615,7 @@ class StreamingOpsSpec extends SparkSpec {
     val corpus = Seq((100L, "apple banana cherry elder quince plum"))
       .toDF("doc_id", "text")
     val corpusDigests = Dedup.digestIndex(corpus, "text")
-    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    val simOf = StreamingOps.doorFingerprint(col("text"))
     val corpusBands = Dedup.hammingBandIndex(
       corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
     def scoreQ8 = {
@@ -627,7 +627,7 @@ class StreamingOpsSpec extends SparkSpec {
     def door(df: org.apache.spark.sql.DataFrame) =
       StreamingOps.ingestDoor(df, "text", "ts",
         scoreQ8, minScoreQ8 = 4000000L, bloom, dsir,
-        corpusDigests, corpusBands, simOf, "10 minutes")
+        corpusDigests, corpusBands, "10 minutes")
     val rows = Seq(
       // fruit, long, clean, novel → ADMIT
       (ts("2024-01-01 10:00:00"), 1L,
@@ -701,7 +701,7 @@ class StreamingOpsSpec extends SparkSpec {
       TA.tokens(col("text")), isTarget = col("is_t"))
     val corpus = Seq((100L, "apple banana cherry elder quince plum"))
       .toDF("doc_id", "text")
-    val simOf = Dedup.simhash64(TA.tokens(col("text")))
+    val simOf = StreamingOps.doorFingerprint(col("text"))
     // the mutable loop state: both corpus indexes, refreshed per batch
     var digests = Dedup.digestIndex(corpus, "text").persist()
     var bands = Dedup.hammingBandIndex(
@@ -710,7 +710,7 @@ class StreamingOpsSpec extends SparkSpec {
     def doorBatch(df: org.apache.spark.sql.DataFrame) =
       StreamingOps.ingestDoor(df, "text", "ts",
         lit(100000000L), minScoreQ8 = 0L, bloom, dsir,
-        digests, bands, simOf, "10 minutes")
+        digests, bands, "10 minutes")
     val admits = scala.collection.mutable.ArrayBuffer.empty[Long]
     val input = MemoryStream[(Timestamp, Long, String)]
     // foreachBatch IS the production loop: admit through the door,
