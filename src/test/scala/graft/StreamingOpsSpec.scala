@@ -529,6 +529,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("doorFingerprint: digest equality implies fingerprint equality") {
+    import org.apache.spark.sql.functions.col
+    // the exactDigest-colliding classes — case and edge SPACES (Spark
+    // trim strips ' ' only, and exactDigest uses the same trim, so
+    // e.g. a trailing newline makes digests differ too — consistently
+    // on both sides) — must collapse to ONE fingerprint, or
+    // ingestDoor's single state lookup cannot subsume the exact-dedup
+    // story
+    val variants = Seq("fresh doc", "FRESH DOC", "  fresh doc  ",
+      " Fresh Doc ").toDF("text")
+      .select(graft.operators.Dedup.exactDigest(col("text")).as("d"),
+        StreamingOps.doorFingerprint(col("text")).as("fp"))
+      .distinct().collect()
+    assert(variants.length == 1,
+      s"digest-identical variants must share one fingerprint: " +
+        variants.mkString(","))
+  }
+
   test("appendToBandedIndex: batch-N admit blocks its batch-N+1 near-dup; append == rebuild") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Dedup
@@ -652,7 +670,14 @@ class StreamingOpsSpec extends SparkSpec {
         "apple damson cherry banana elder damson apple cherry"),
       // second distinct clean fruit doc → ADMIT
       (ts("2024-01-01 10:00:07"), 8L,
-        "cherry elder apple damson banana cherry elder apple damson"))
+        "cherry elder apple damson banana cherry elder apple damson"),
+      // edge-space + case variant of doc 1: digest-IDENTICAL
+      // (exactDigest lowers and trims) and, because doorFingerprint
+      // normalizes the same way, fingerprint-identical too → the ONE
+      // state lookup drops it — the subsumption the door's budget
+      // rests on
+      (ts("2024-01-01 10:00:08"), 9L,
+        "  APPLE damson cherry banana elder damson apple cherry  "))
     // ---- streaming run (two micro-batches at an arbitrary boundary)
     val input = MemoryStream[(Timestamp, Long, String)]
     val q = door(input.toDF().toDF("ts", "id", "text"))
@@ -671,14 +696,16 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.table("full_door").columns.toSeq ==
         Seq("ts", "id", "text"))
       // ---- end-to-end batch parity: the SAME composed call on the
-      // static frame admits the SAME documents. Compared on TEXT (docs
-      // 1 and 7 are byte-identical, and which of two identical rows
-      // survives a key-dedup is not order-guaranteed on either path —
-      // the admitted CONTENT is the contract)
+      // static frame admits the SAME documents. Compared on the
+      // NORMALIZED text (docs 1/7/9 are digest-identical variants,
+      // and which of the equivalent rows survives a key-dedup is not
+      // order-guaranteed on either path — the admitted CONTENT CLASS
+      // is the contract)
+      val norm = lower(trim(col("text")))
       val streamTexts = spark.table("full_door")
-        .select("text").as[String].collect().toSet
+        .select(norm).as[String].collect().toSet
       val batchTexts = door(rows.toDF("ts", "id", "text"))
-        .select("text").as[String].collect().toSet
+        .select(norm).as[String].collect().toSet
       assert(batchTexts == streamTexts,
         s"batch door admitted $batchTexts, stream admitted $streamTexts")
     } finally q.stop()
