@@ -46,7 +46,7 @@ object AsOfJoin {
     // output cardinality always equals the left side's.
     val l =
       if (leftId.nonEmpty) left.withColumn("__lmult", lit(1L))
-      else left.groupBy(left.columns.map(col): _*)
+      else left.groupBy(left.columns.toIndexedSeq.map(col): _*)
         .agg(count(lit(1)).as("__lmult"))
     val cond = l(leftKey) === right(rightKey) &&
       right(rightTime) <= l(leftTime)
@@ -57,7 +57,7 @@ object AsOfJoin {
     // pair — the window form sorts the full pair set. Lexicographic
     // struct max on (rightTime, tiebreak...) = "latest, deterministic".
     val ordKey = struct((rightTime +: tiebreak).map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     // Group by the caller's unique left key plus the remaining left
     // payload (constant within a group, carried through the grouping
     // so no second join is needed to re-attach it).
@@ -69,8 +69,8 @@ object AsOfJoin {
       .groupBy(leftKeys: _*)
       .agg(max_by(rStruct, ordKey).as("__r"))
       .select(explode(sequence(lit(1L), col("__lmult"))).as("__i") +:
-        left.columns.map(col) ++:
-        right.columns.map(c => col(s"__r.$c").as(c)): _*)
+        left.columns.toIndexedSeq.map(col) ++:
+        right.columns.toIndexedSeq.map(c => col(s"__r.$c").as(c)): _*)
       .drop("__i")
   }
 }
