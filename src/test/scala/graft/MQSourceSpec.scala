@@ -517,4 +517,60 @@ class MQSourceSpec extends SparkSpec {
     // an empty range still plans zero partitions, not N empties
     assert(stream.planInputPartitions(end, end).isEmpty)
   }
+
+  test("ibmmq source through the composed ingest door (the production pipeline shape)") {
+    // The full deployment: MQ messages stream in at the public
+    // format("ibmmq") boundary, the composed door gates them, the
+    // survivors land in a sink — source envelope (key, value, put_ts,
+    // seq) in, same envelope out, no graft_ residue. Every gate is
+    // non-vacuous against live MQ records.
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    val bloom = Decontaminate.buildShingleBloom(
+      Seq((900L, "alpha beta gamma delta epsilon", true))
+        .toDF("doc_id", "text", "is_eval"),
+      "doc_id", "text", col("is_eval"), n = 3)
+    val dsir = Dsir.fitModel(Seq(
+        (1L, "apple banana cherry damson elder", true),
+        (2L, "banana cherry apple elder damson", true),
+        (3L, "hammer wrench pliers chisel rasp", false),
+        (4L, "wrench hammer rasp pliers chisel", false))
+      .toDF("doc_id", "text", "is_t"),
+      "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder quince plum"))
+      .toDF("doc_id", "text")
+    val scoreQ8 = {
+      val toks = TA.tokens(col("value"))
+      val lenSatQ4 = floor(least(size(toks), lit(100)).cast("double")
+        / 100.0d * 10000.0d + 0.5d).cast("long")
+      TA.linearModelQ8(Seq((lenSatQ4, 10000L)), biasQ8 = 0L)
+    }
+    val dir = tmpDir("mq-door")
+    val ckpt = tmpDir("mq-door-ckpt")
+    append(dir,
+      (7000L, "apple damson cherry banana elder damson apple cherry"), // ADMIT
+      (7001L, "hammer wrench pliers chisel rasp hammer wrench pliers"), // DSIR drop
+      (7002L, "apple banana cherry"),                                  // quality drop
+      (7003L, "apple banana cherry elder quince plum"),                // corpus dup drop
+      (7004L, "apple damson cherry banana elder damson apple cherry"), // in-stream dup drop
+      (7005L, "cherry elder apple damson banana cherry elder apple damson")) // ADMIT
+    val gated = graft.streaming.StreamingOps.ingestDoor(
+      spark.readStream.format("ibmmq").option("path", dir.toString).load(),
+      "value", "put_ts", scoreQ8, minScoreQ8 = 4000000L, bloom, dsir,
+      Dedup.digestIndex(corpus, "text"),
+      Dedup.hammingBandIndex(corpus.select(col("doc_id"),
+        graft.streaming.StreamingOps.doorFingerprint(col("text"))
+          .as("fp")), "doc_id", "fp"),
+      "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("mq_door_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val admitted = spark.table("mq_door_sink")
+      .orderBy("put_ts", "seq").select("key").as[String].collect().toSeq
+    assert(admitted == Seq("7000_1", "7005_1"),
+      s"door over MQ must admit exactly the clean novel messages, got $admitted")
+    // the source envelope passes through the whole chain intact
+    assert(spark.table("mq_door_sink").columns.toSeq ==
+      Seq("key", "value", "put_ts", "seq"))
+  }
 }

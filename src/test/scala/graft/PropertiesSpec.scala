@@ -97,4 +97,40 @@ class PropertiesSpec extends SparkSpec {
       assert(sig.zip(sig2).forall { case (a, b) => b <= a })
     }
   }
+
+  test("property: digest equality implies doorFingerprint equality") {
+    // THE invariant ingestDoor's single-stateful-op budget rests on:
+    // for arbitrary texts, whenever exactDigest collides,
+    // doorFingerprint must collide too (the converse is free — the
+    // fingerprint is the COARSER key). Generated texts mix case,
+    // edge/interior spaces, punctuation, and digits so the digest
+    // collisions exercised are the real normalization classes, not
+    // just hand-picked ones.
+    val wordGen = Gen.oneOf("apple", "Apple", "APPLE", "b.b", "c7",
+      "dd!", "e", "")
+    val textGen = for {
+      n <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, wordGen)
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield lead + ws.mkString(" ") + trail
+    val texts = samples(textGen, 120).distinct
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        graft.operators.Dedup.exactDigest(col("text")).as("d"),
+        graft.streaming.StreamingOps.doorFingerprint(col("text"))
+          .as("fp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // non-vacuity: the generator must actually produce digest
+    // collisions between DIFFERENT raw texts
+    val byDigest = rows.groupBy(_._2)
+    assert(byDigest.values.exists(g => g.map(_._1).distinct.size > 1),
+      "generator must produce digest-colliding raw-text variants")
+    byDigest.foreach { case (d, g) =>
+      assert(g.map(_._3).distinct.size == 1,
+        s"digest $d maps to multiple fingerprints: " +
+          g.map(t => s"'${t._1}'->${t._3}").mkString(", "))
+    }
+  }
 }
