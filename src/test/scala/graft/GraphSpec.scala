@@ -141,8 +141,22 @@ class GraphSpec extends SparkSpec {
       Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", iters,
         persistEdges = false)
         .queryExecution.optimizedPlan.collect { case p => p }.size
-    assert(planNodes(6) == planNodes(2),
-      "localCheckpoint must truncate lineage every superstep")
+    // iteration counts chosen as multiples of the truncation period so
+    // both plans end one superstep after a checkpoint boundary
+    assert(planNodes(6) == planNodes(3),
+      "localCheckpoint must truncate lineage at the checkpoint period")
+  }
+
+  test("pagerank is bit-identical at every checkpointEvery setting") {
+    // the lazy-chain refactor touches ONLY materialization boundaries;
+    // the recurrence itself must not move by a single micro-unit
+    def run(ce: Int): Map[Long, Long] =
+      Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst",
+        iterations = 5, checkpointEvery = ce)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val every = run(1)
+    assert(run(3) == every && run(5) == every)
+    assert(every == refPagerank(prEdges, 5, 85))
   }
 
   test("pagerank leaves zero cache residue and rejects bad args") {

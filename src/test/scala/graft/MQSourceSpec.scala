@@ -573,4 +573,62 @@ class MQSourceSpec extends SparkSpec {
     assert(spark.table("mq_door_sink").columns.toSeq ==
       Seq("key", "value", "put_ts", "seq"))
   }
+
+  test("door dedup state survives a checkpointed restart (exactly-once across runs)") {
+    // The production claim behind the single stateful op: its state
+    // store is checkpointed, so a RESTARTED query still drops a
+    // fingerprint admitted in the previous run — exactly-once holds
+    // across process boundaries, not just across micro-batches.
+    // Gates are permissive (this test is about state recovery) and
+    // the sink is parquet — the fault-tolerant sink a real deployment
+    // restarts into (the memory sink does not survive a restart).
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    val bloom = Decontaminate.buildShingleBloom(
+      Seq((900L, "unrelated eval content entirely", true))
+        .toDF("doc_id", "text", "is_eval"),
+      "doc_id", "text", col("is_eval"), n = 3)
+    val dsir = Dsir.fitModel(Seq(
+        (1L, "apple banana cherry damson elder", true),
+        (2L, "hammer wrench pliers chisel rasp", false))
+      .toDF("doc_id", "text", "is_t"),
+      "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder quince plum"))
+      .toDF("doc_id", "text")
+    val digests = Dedup.digestIndex(corpus, "text")
+    val bands = Dedup.hammingBandIndex(corpus.select(col("doc_id"),
+      graft.streaming.StreamingOps.doorFingerprint(col("text"))
+        .as("fp")), "doc_id", "fp")
+    val dir = tmpDir("mq-door-restart")
+    val ckpt = tmpDir("mq-door-restart-ckpt")
+    val out = tmpDir("mq-door-restart-out")
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingOps.ingestDoor(
+        spark.readStream.format("ibmmq").option("path", dir.toString)
+          .load(),
+        "value", "put_ts", lit(100000000L), minScoreQ8 = 0L, bloom,
+        dsir, digests, bands, lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    // run 1: one clean admit, one junk drop
+    append(dir,
+      (7000L, "damson elder apple cherry banana damson elder"),
+      (7001L, "hammer wrench pliers chisel rasp hammer"))
+    runOnce()
+    // run 2, SAME checkpoint: a repeat of run 1's admit (must be
+    // dropped by the RECOVERED state — the event time is within the
+    // 1-hour lateness, so the key is still live) plus one new admit
+    append(dir,
+      (8000L, "damson elder apple cherry banana damson elder"),
+      (8001L, "quince plum damson apple elder banana cherry quince"))
+    runOnce()
+    val admitted = spark.read.parquet(out.toString)
+      .orderBy("put_ts", "seq").select("key").as[String].collect().toSeq
+    assert(admitted == Seq("7000_1", "8001_1"),
+      s"recovered state must drop the cross-run repeat, got $admitted")
+  }
 }
