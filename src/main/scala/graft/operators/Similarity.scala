@@ -298,6 +298,22 @@ object Similarity {
         .orderBy(col("h"), col("c_id")).limit(nCentroids)
         .select(col("c_id"), col("c_vec"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val assigned0 = ivfAssign(cands, cents)
+    val assigned =
+      if (persistIndex) assigned0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    IvfIndex(cents, assigned)
+  }
+
+  /** The IVF list assignment as a reusable map-only projection over a
+    * FROZEN centroid table: (c_id, c_vec) → (c_id, c_vec, cent_id).
+    * ONE definition shared by [[ivfIndex]] (build) and
+    * [[appendToIvfIndex]] (incremental refresh), so an appended
+    * vector can never land in a different list than a rebuild with
+    * the same quantizer would put it in. */
+  private def ivfAssign(cands: DataFrame,
+                        cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val ids = typedLit(cents.map(_._1))
     val centsL = typedLit(cents.map(_._2))
     // index-order driver sum — bit-identical to the graft_dot kernel
@@ -314,12 +330,7 @@ object Similarity {
           element_at(norms, i + lit(1))).as("s")))
     val best = aggregate(scored, zero, (acc, x) =>
       when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
-    val assigned0 = cands.withColumn("cent_id", best.getField("c"))
-    val assigned =
-      if (persistIndex) assigned0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else assigned0
-    IvfIndex(cents, assigned)
+    cands.withColumn("cent_id", best.getField("c"))
   }
 
   /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each
@@ -1028,14 +1039,31 @@ object Similarity {
       else
         pqTrain(candidates, idCol, vecCol, m, ksub, maxIter, trainSize)
     // codes + exact corpus norm ride one projection: one corpus scan
-    val encoded0 = ivf.assigned.select(col("c_id"), col("cent_id"),
-      pqCodesExpr(encCol, codebook).as("codes"),
-      sqrt(normSq(col("c_vec"))).as("c_norm"))
+    val encoded0 = ivfPqEncodeAssigned(ivf.assigned, ivf.cents,
+      codebook, residual)
     val encoded =
       if (persistIndex) encoded0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else encoded0
     IvfPqIndex(ivf.cents, codebook, encoded, residual)
+  }
+
+  /** The IVF+PQ encode projection over an ALREADY-ASSIGNED frame —
+    * ONE definition shared by [[ivfPqIndex]] (build) and
+    * [[appendToIvfPqIndex]] (incremental refresh), so appended codes
+    * are byte-identical to what a rebuild with the same quantizers
+    * would produce. */
+  private def ivfPqEncodeAssigned(assigned: DataFrame,
+                                  cents: Seq[(Long, Seq[Double])],
+                                  codebook: Array[Array[Seq[Double]]],
+                                  residual: Boolean): DataFrame = {
+    val encCol =
+      if (residual)
+        zip_with(col("c_vec"), centVecExpr(cents), (x, c) => x - c)
+      else col("c_vec")
+    assigned.select(col("c_id"), col("cent_id"),
+      pqCodesExpr(encCol, codebook).as("codes"),
+      sqrt(normSq(col("c_vec"))).as("c_norm"))
   }
 
   /** Query stage of IVF+PQ: coarse-probe the `nProbe` nearest centroid
@@ -1094,4 +1122,66 @@ object Similarity {
         trainSize = trainSize, residual = residual,
         trainCoarse = trainCoarse, persistIndex = false),
       queries, candidates, idCol, vecCol, k, nProbe, rerank)
+
+  // ------------------------------------------------------------------
+  // Incremental ANN index refresh — the embedding twin of
+  // Dedup.appendToBandedIndex: fold a batch of newly admitted vectors
+  // into a staged index WITHOUT touching the corpus or re-training any
+  // quantizer. Every append reuses the build's own assignment/encode
+  // projection with the index's FROZEN quantizer state (centroids /
+  // planes / codebook), so the appended rows are row-identical to what
+  // a rebuild holding the same quantizers over (corpus ∪ batch) would
+  // produce — spec-asserted per path. Cost is a map-only projection
+  // over the batch + a NARROW union; in production each is a
+  // partitioned INSERT into the index table (bucketed by cent_id /
+  // bucket). Quantizer DRIFT is the deliberate trade: appended data
+  // shifts the distribution the quantizers were trained on, so a real
+  // ingest loop appends between periodic re-train/rebuild cycles —
+  // the same deferred-maintenance stance as the streaming near-dup
+  // window, with q_sim_ann_recall as the drift alarm.
+  // ------------------------------------------------------------------
+
+  /** Fold new vectors into a staged [[IvfIndex]]: assign against the
+    * frozen centroid table (map-only), union into the list table. */
+  def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(index.cents,
+      index.assigned.unionByName(ivfAssign(
+        newVecs.select(col(idCol).cast("long").as("c_id"),
+          toDouble(col(vecCol)).as("c_vec")), index.cents)))
+
+  /** Fold new vectors into a staged [[LshIndex]]: hash with the
+    * index's own plane count, union into the bucket table. The
+    * build-time bucket-size cap is NOT re-censused here (that needs a
+    * full-table count): a bucket crossing the cap through appends is
+    * caught at the next rebuild's census, and until then costs extra
+    * probe work, never wrong results. */
+  def appendToLshIndex(index: LshIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): LshIndex =
+    LshIndex(index.nPlanes,
+      index.buckets.unionByName(
+        newVecs.select(col(idCol).as("c_id"),
+            toDouble(col(vecCol)).as("c_vec"))
+          .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))))
+
+  /** Fold new vectors into a staged [[PqIndex]]: encode with the
+    * frozen codebook (map-only), union into the code table. */
+  def appendToPqIndex(index: PqIndex, newVecs: DataFrame,
+                      idCol: String, vecCol: String): PqIndex =
+    PqIndex(index.codebook,
+      index.encoded.unionByName(
+        pqEncode(newVecs, idCol, vecCol, index.codebook)))
+
+  /** Fold new vectors into a staged [[IvfPqIndex]]: assign against
+    * the frozen coarse quantizer, encode (residual or raw, matching
+    * the index) with the frozen codebook — one map-only projection —
+    * and union into the encoded table. */
+  def appendToIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
+                         idCol: String, vecCol: String): IvfPqIndex =
+    IvfPqIndex(index.cents, index.codebook,
+      index.encoded.unionByName(ivfPqEncodeAssigned(
+        ivfAssign(newVecs.select(col(idCol).cast("long").as("c_id"),
+          toDouble(col(vecCol)).as("c_vec")), index.cents),
+        index.cents, index.codebook, index.residual)),
+      index.residual)
 }

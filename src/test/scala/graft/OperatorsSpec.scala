@@ -902,6 +902,88 @@ class SimilaritySpec extends SparkSpec {
       .as[(String, Long, Long, Double)].head()
     assert(r == (("m", 3L, 2L, 0.6667d)))
   }
+
+  test("ANN index appends == frozen-quantizer rebuild; queries find appended vectors") {
+    // the embedding twin of Dedup.appendToBandedIndex, across all four
+    // staged paths: appending a batch must (a) produce rows identical
+    // to a rebuild that HOLDS the index's quantizers (expressed as an
+    // append onto the same index emptied — public API only), and (b)
+    // make the appended vectors immediately findable by the staged
+    // query stages.
+    def mk(i: Long, base: Int): (Long, Array[Float]) = {
+      val v = Array.tabulate(8)(j =>
+        (math.sin(base * 3.7 + j * 1.3) + (i % 5) * 0.01).toFloat)
+      (i, v)
+    }
+    val corpus = ((0L until 30L).map(i => mk(i, (i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    // batch: a NEW direction (base 7) no corpus vector points in
+    val batch = (100L until 105L).map(i => mk(i, 7))
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val union = corpus.unionByName(batchDf)
+    val query = Seq((999L, batch.head._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // ---- IVF
+    val ivf0 = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false)
+    val ivf1 = Similarity.appendToIvfIndex(ivf0, batchDf,
+      "vec_id", "embedding")
+    val ivfRebuilt = Similarity.appendToIvfIndex(
+      Similarity.IvfIndex(ivf0.cents, ivf0.assigned.limit(0)), union,
+      "vec_id", "embedding")
+    assert(rows(ivf1.assigned) == rows(ivfRebuilt.assigned))
+    assert(Similarity.ivfTopKWith(ivf1, query, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(batch.map(_._1).toSet).nonEmpty,
+      "IVF probe must surface the appended direction")
+    // ---- LSH (cap not exceeded in this fixture, so append == rebuild)
+    val lsh0 = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      nPlanes = 4, persistIndex = false)
+    val lsh1 = Similarity.appendToLshIndex(lsh0, batchDf,
+      "vec_id", "embedding")
+    val lshRebuilt = Similarity.appendToLshIndex(
+      Similarity.LshIndex(lsh0.nPlanes, lsh0.buckets.limit(0)), union,
+      "vec_id", "embedding")
+    assert(rows(lsh1.buckets) == rows(lshRebuilt.buckets))
+    assert(Similarity.lshTopKWith(lsh1, query, "vec_id", "embedding",
+        k = 3)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(batch.map(_._1).toSet).nonEmpty,
+      "LSH probe must surface the appended direction")
+    // ---- PQ
+    val pq0 = Similarity.pqIndex(corpus, "vec_id", "embedding",
+      m = 4, ksub = 4, persistIndex = false)
+    val pq1 = Similarity.appendToPqIndex(pq0, batchDf,
+      "vec_id", "embedding")
+    val pqRebuilt = Similarity.appendToPqIndex(
+      Similarity.PqIndex(pq0.codebook, pq0.encoded.limit(0)), union,
+      "vec_id", "embedding")
+    assert(rows(pq1.encoded) == rows(pqRebuilt.encoded))
+    assert(Similarity.pqTopKWith(pq1, query, union, "vec_id",
+        "embedding", k = 3)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(batch.map(_._1).toSet).nonEmpty,
+      "PQ ADC must surface the appended direction")
+    // ---- IVF+PQ (residual codes so BOTH frozen quantizers are hit)
+    val ivfpq0 = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 4, residual = true,
+      persistIndex = false)
+    val ivfpq1 = Similarity.appendToIvfPqIndex(ivfpq0, batchDf,
+      "vec_id", "embedding")
+    val ivfpqRebuilt = Similarity.appendToIvfPqIndex(
+      Similarity.IvfPqIndex(ivfpq0.cents, ivfpq0.codebook,
+        ivfpq0.encoded.limit(0), ivfpq0.residual), union,
+      "vec_id", "embedding")
+    assert(rows(ivfpq1.encoded) == rows(ivfpqRebuilt.encoded))
+    assert(Similarity.ivfPqTopKWith(ivfpq1, query, union, "vec_id",
+        "embedding", k = 3, nProbe = 2)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(batch.map(_._1).toSet).nonEmpty,
+      "IVF+PQ ADC must surface the appended direction")
+  }
 }
 
 class DedupMatrixSpec extends SparkSpec {

@@ -655,6 +655,24 @@ class ScaleSpec extends SparkSpec {
     val dplan = dapp.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllMatchIn(dplan).size <= 1,
       s"digest append may shuffle the BATCH side only:\n$dplan")
+    // ANN twin: the IVF append assigns against the frozen literal
+    // centroid table — a map-only projection unioned in, zero
+    // exchanges and zero joins just like the banded append
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(j => ((i + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ivf = graft.operators.Similarity.ivfIndex(vecs, "vec_id",
+      "embedding", nCentroids = 2, persistIndex = false)
+    val leaf = graft.operators.Similarity.IvfIndex(ivf.cents,
+      ivf.assigned.localCheckpoint())
+    val app = graft.operators.Similarity.appendToIvfIndex(leaf,
+      Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(app.assigned.count() == 21)
+    val aplan = app.assigned.queryExecution.executedPlan.toString
+    assert(!aplan.contains("Exchange") && !aplan.contains("Join"),
+      s"IVF append must be a map-only projection + union:\n$aplan")
   }
 
   test("ingestDoor streaming plan: ONE stateful op, anti-joins only, no stream-side explode") {
