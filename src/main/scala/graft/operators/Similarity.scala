@@ -270,18 +270,7 @@ object Similarity {
                trainCoarse: Boolean = false): IvfIndex = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    // contract: ids must be integral (the centroid literal table and
-    // IvfIndex.cents carry them as Long) — fail fast with a named
-    // requirement instead of a downstream analysis error on e.g.
-    // string ids
-    val idType = candidates.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(idType),
-      s"ivfIndex requires an integral id column (IvfIndex.cents is " +
-        s"keyed by Long); '$idCol' is ${idType.simpleString}")
+    requireIntegralId(candidates, idCol, "ivfIndex")
     val cands = candidates.select(col(idCol).cast("long").as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
     // trainCoarse = true replaces the hash-sampled centroids with
@@ -304,6 +293,24 @@ object Similarity {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else assigned0
     IvfIndex(cents, assigned)
+  }
+
+  /** Contract shared by every operator keying on a Long id: ids must
+    * be integral (the centroid literal tables and IvfIndex.cents
+    * carry them as Long) — fail fast with a named requirement instead
+    * of a silent `cast("long") = null` (non-ANSI cast semantics would
+    * otherwise null out e.g. UUID string ids and make the rows vanish
+    * from every probe without an error anywhere). */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+                                opName: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"$opName requires an integral id column (centroid tables are " +
+        s"keyed by Long); '$idCol' is ${idType.simpleString}")
   }
 
   /** The IVF list assignment as a reusable map-only projection over a
@@ -1023,18 +1030,15 @@ object Similarity {
     // is the composed projection below, which is what gets persisted
     val ivf = ivfIndex(candidates, idCol, vecCol, nCentroids,
       persistIndex = false, trainCoarse = trainCoarse)
-    // ivf.assigned = (c_id, c_vec double[], cent_id); the encoded
-    // vector is the residual or the raw vector, both map-only
-    val encCol =
-      if (residual)
-        zip_with(col("c_vec"), centVecExpr(ivf.cents), (x, c) => x - c)
-      else col("c_vec")
     // codebook trains on what it will encode (FAISS stance): the
     // residual frame embeds the assignment lineage, so the training
-    // sample is one bounded job over that projection
+    // sample is one bounded job over that projection. The residual
+    // expression is the ONE shared definition [[residualExpr]] —
+    // training and encoding can never diverge on what a residual is.
     val codebook =
       if (residual)
-        pqTrain(ivf.assigned.select(col("c_id"), encCol.as("r")),
+        pqTrain(ivf.assigned.select(col("c_id"),
+            residualExpr(ivf.cents).as("r")),
           "c_id", "r", m, ksub, maxIter, trainSize)
       else
         pqTrain(candidates, idCol, vecCol, m, ksub, maxIter, trainSize)
@@ -1057,14 +1061,16 @@ object Similarity {
                                   cents: Seq[(Long, Seq[Double])],
                                   codebook: Array[Array[Seq[Double]]],
                                   residual: Boolean): DataFrame = {
-    val encCol =
-      if (residual)
-        zip_with(col("c_vec"), centVecExpr(cents), (x, c) => x - c)
-      else col("c_vec")
+    val encCol = if (residual) residualExpr(cents) else col("c_vec")
     assigned.select(col("c_id"), col("cent_id"),
       pqCodesExpr(encCol, codebook).as("codes"),
       sqrt(normSq(col("c_vec"))).as("c_norm"))
   }
+
+  /** v − cent(cent_id): THE residual definition, shared by codebook
+    * training and (append-)encoding so the two cannot diverge. */
+  private def residualExpr(cents: Seq[(Long, Seq[Double])]): Column =
+    zip_with(col("c_vec"), centVecExpr(cents), (x, c) => x - c)
 
   /** Query stage of IVF+PQ: coarse-probe the `nProbe` nearest centroid
     * lists (queries × centroids — the small side), ADC-score ONLY the
@@ -1132,23 +1138,37 @@ object Similarity {
   // planes / codebook), so the appended rows are row-identical to what
   // a rebuild holding the same quantizers over (corpus ∪ batch) would
   // produce — spec-asserted per path. Cost is a map-only projection
-  // over the batch + a NARROW union; in production each is a
-  // partitioned INSERT into the index table (bucketed by cent_id /
-  // bucket). Quantizer DRIFT is the deliberate trade: appended data
-  // shifts the distribution the quantizers were trained on, so a real
-  // ingest loop appends between periodic re-train/rebuild cycles —
-  // the same deferred-maintenance stance as the streaming near-dup
-  // window, with q_sim_ann_recall as the drift alarm.
+  // over the batch + a NARROW union (plus a batch-sized id dedup; see
+  // below); in production each is a partitioned INSERT into the index
+  // table (bucketed by cent_id / bucket). Quantizer DRIFT is the
+  // deliberate trade: appended data shifts the distribution the
+  // quantizers were trained on, so a real ingest loop appends between
+  // periodic re-train/rebuild cycles — the same deferred-maintenance
+  // stance as the streaming near-dup window, with q_sim_ann_recall as
+  // the drift alarm.
+  //
+  // REPLAY: unlike the Dedup twins, whose LEFT ANTI consumers are
+  // set-semantically immune to duplicated index rows, the ANN query
+  // stages rank with row_number — a duplicated c_id would occupy two
+  // ranks of a top-k list and silently displace a true neighbor. The
+  // appends therefore dedup WITHIN the batch on id (batch-sized, the
+  // appendToDigestIndex stance); CROSS-RUN replay protection is the
+  // caller's exactly-once contract — gate the append on foreachBatch's
+  // batchId (apply only if batchId > last recorded), the standard
+  // idempotent-sink pattern the streaming checkpoint exists to enable.
   // ------------------------------------------------------------------
 
   /** Fold new vectors into a staged [[IvfIndex]]: assign against the
     * frozen centroid table (map-only), union into the list table. */
   def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame,
-                       idCol: String, vecCol: String): IvfIndex =
+                       idCol: String, vecCol: String): IvfIndex = {
+    requireIntegralId(newVecs, idCol, "appendToIvfIndex")
     IvfIndex(index.cents,
       index.assigned.unionByName(ivfAssign(
-        newVecs.select(col(idCol).cast("long").as("c_id"),
-          toDouble(col(vecCol)).as("c_vec")), index.cents)))
+        newVecs.dropDuplicates(idCol)
+          .select(col(idCol).cast("long").as("c_id"),
+            toDouble(col(vecCol)).as("c_vec")), index.cents)))
+  }
 
   /** Fold new vectors into a staged [[LshIndex]]: hash with the
     * index's own plane count, union into the bucket table. The
@@ -1160,7 +1180,8 @@ object Similarity {
                        idCol: String, vecCol: String): LshIndex =
     LshIndex(index.nPlanes,
       index.buckets.unionByName(
-        newVecs.select(col(idCol).as("c_id"),
+        newVecs.dropDuplicates(idCol)
+          .select(col(idCol).as("c_id"),
             toDouble(col(vecCol)).as("c_vec"))
           .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))))
 
@@ -1170,18 +1191,22 @@ object Similarity {
                       idCol: String, vecCol: String): PqIndex =
     PqIndex(index.codebook,
       index.encoded.unionByName(
-        pqEncode(newVecs, idCol, vecCol, index.codebook)))
+        pqEncode(newVecs.dropDuplicates(idCol), idCol, vecCol,
+          index.codebook)))
 
   /** Fold new vectors into a staged [[IvfPqIndex]]: assign against
     * the frozen coarse quantizer, encode (residual or raw, matching
     * the index) with the frozen codebook — one map-only projection —
     * and union into the encoded table. */
   def appendToIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
-                         idCol: String, vecCol: String): IvfPqIndex =
+                         idCol: String, vecCol: String): IvfPqIndex = {
+    requireIntegralId(newVecs, idCol, "appendToIvfPqIndex")
     IvfPqIndex(index.cents, index.codebook,
       index.encoded.unionByName(ivfPqEncodeAssigned(
-        ivfAssign(newVecs.select(col(idCol).cast("long").as("c_id"),
-          toDouble(col(vecCol)).as("c_vec")), index.cents),
+        ivfAssign(newVecs.dropDuplicates(idCol)
+          .select(col(idCol).cast("long").as("c_id"),
+            toDouble(col(vecCol)).as("c_vec")), index.cents),
         index.cents, index.codebook, index.residual)),
       index.residual)
+  }
 }

@@ -552,7 +552,9 @@ class MQSourceSpec extends SparkSpec {
       (7002L, "apple banana cherry"),                                  // quality drop
       (7003L, "apple banana cherry elder quince plum"),                // corpus dup drop
       (7004L, "apple damson cherry banana elder damson apple cherry"), // in-stream dup drop
-      (7005L, "cherry elder apple damson banana cherry elder apple damson")) // ADMIT
+      (7005L, "cherry elder apple damson banana cherry elder apple damson"), // ADMIT
+      // 3 of 5 trigrams in the eval bloom = 600 permille → decontam drop
+      (7006L, "apple banana alpha beta gamma delta epsilon"))
     val gated = graft.streaming.StreamingOps.ingestDoor(
       spark.readStream.format("ibmmq").option("path", dir.toString).load(),
       "value", "put_ts", scoreQ8, minScoreQ8 = 4000000L, bloom, dsir,

@@ -655,24 +655,49 @@ class ScaleSpec extends SparkSpec {
     val dplan = dapp.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllMatchIn(dplan).size <= 1,
       s"digest append may shuffle the BATCH side only:\n$dplan")
-    // ANN twin: the IVF append assigns against the frozen literal
-    // centroid table — a map-only projection unioned in, zero
-    // exchanges and zero joins just like the banded append
+    // ANN twins: every append assigns/encodes against frozen literal
+    // quantizer state — a map-only projection unioned in, with the
+    // batch-sized id dedup as the ONLY allowed exchange (the digest
+    // twin's stance) and never a join. All FOUR paths asserted so a
+    // shuffle regression in any one of them fails the suite.
+    import graft.operators.Similarity
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(4)(j => ((i + j) % 5).toFloat)))
       .toDF("vec_id", "embedding")
-    val ivf = graft.operators.Similarity.ivfIndex(vecs, "vec_id",
-      "embedding", nCentroids = 2, persistIndex = false)
-    val leaf = graft.operators.Similarity.IvfIndex(ivf.cents,
-      ivf.assigned.localCheckpoint())
-    val app = graft.operators.Similarity.appendToIvfIndex(leaf,
-      Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
-        .toDF("vec_id", "embedding"),
-      "vec_id", "embedding")
-    assert(app.assigned.count() == 21)
-    val aplan = app.assigned.queryExecution.executedPlan.toString
-    assert(!aplan.contains("Exchange") && !aplan.contains("Join"),
-      s"IVF append must be a map-only projection + union:\n$aplan")
+    val batch = Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    def assertAppendPlan(name: String,
+                         df: org.apache.spark.sql.DataFrame,
+                         n: Long): Unit = {
+      assert(df.count() == n, s"$name row count")
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+        s"$name append may shuffle the BATCH side only:\n$plan")
+      assert(!plan.contains("Join"),
+        s"$name append must never join:\n$plan")
+    }
+    val ivf = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      nCentroids = 2, persistIndex = false)
+    assertAppendPlan("IVF", Similarity.appendToIvfIndex(
+      Similarity.IvfIndex(ivf.cents, ivf.assigned.localCheckpoint()),
+      batch, "vec_id", "embedding").assigned, 21)
+    val lsh = Similarity.lshIndex(vecs, "vec_id", "embedding",
+      nPlanes = 3, persistIndex = false)
+    assertAppendPlan("LSH", Similarity.appendToLshIndex(
+      Similarity.LshIndex(lsh.nPlanes, lsh.buckets.localCheckpoint()),
+      batch, "vec_id", "embedding").buckets, 21)
+    val pq = Similarity.pqIndex(vecs, "vec_id", "embedding",
+      m = 2, ksub = 2, persistIndex = false)
+    assertAppendPlan("PQ", Similarity.appendToPqIndex(
+      Similarity.PqIndex(pq.codebook, pq.encoded.localCheckpoint()),
+      batch, "vec_id", "embedding").encoded, 21)
+    val ivfpq = Similarity.ivfPqIndex(vecs, "vec_id", "embedding",
+      nCentroids = 2, m = 2, ksub = 2, residual = true,
+      persistIndex = false)
+    assertAppendPlan("IVF+PQ", Similarity.appendToIvfPqIndex(
+      Similarity.IvfPqIndex(ivfpq.cents, ivfpq.codebook,
+        ivfpq.encoded.localCheckpoint(), ivfpq.residual),
+      batch, "vec_id", "embedding").encoded, 21)
   }
 
   test("ingestDoor streaming plan: ONE stateful op, anti-joins only, no stream-side explode") {
