@@ -778,6 +778,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q.stop(); digests.unpersist(); bands.unpersist(); () }
   }
 
+  test("BatchIdGate: redelivered batches skip, crash-before-commit replays") {
+    val path = java.nio.file.Files
+      .createTempDirectory("gate").resolve("applied").toString
+    val gate = new graft.streaming.BatchIdGate(path)
+    assert(gate.lastCommitted() == -1L && gate.isNew(0L))
+    // normal flow: apply + commit, then the redelivery skips
+    gate.commit(0L)
+    assert(!gate.isNew(0L) && gate.isNew(1L))
+    // crash BETWEEN side effect and commit = nothing recorded: the
+    // redelivered batch is (correctly) applied again
+    assert(gate.isNew(1L))
+    gate.commit(1L)
+    assert(!gate.isNew(1L) && !gate.isNew(0L) && gate.isNew(2L))
+    // a fresh instance over the same file recovers the watermark
+    // (driver restart), and regressing commits are rejected
+    val recovered = new graft.streaming.BatchIdGate(path)
+    assert(recovered.lastCommitted() == 1L && !recovered.isNew(1L))
+    intercept[IllegalArgumentException] { recovered.commit(0L) }
+    // the full loop shape: only new batches run the appends
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (bid <- Seq(2L, 3L, 3L, 4L)) { // 3 redelivered
+      if (recovered.isNew(bid)) { applied += bid; recovered.commit(bid) }
+    }
+    assert(applied.toSeq == Seq(2L, 3L, 4L))
+  }
+
   test("DSIR gate admits target-like docs at the door, batch parity") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
