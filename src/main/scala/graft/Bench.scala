@@ -85,12 +85,22 @@ object Bench {
     // a filtered run distinguishable from a full sweep — a one-query
     // "total" must never read as a fleet-wide speedup downstream.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    // the protocol field travels WITH the numbers: a full sweep runs
-    // every query in one JVM, and accumulated block/GC pressure can
-    // inflate individual late queries several-fold (measured up to
-    // 20x) — per-query values from a sweep are not comparable to the
-    // isolated-JVM protocol docs/SCALE.md uses
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors,"protocol":"single-jvm-sweep: per-query values can be inflated by accumulated pressure; isolate per-query before comparing (docs/SCALE.md)"$filtered}""")
+    // the protocol field travels WITH the numbers and must describe
+    // THIS run: a full sweep runs every query in one JVM, and
+    // accumulated block/GC pressure can inflate individual late
+    // queries several-fold (measured up to 20x) — whereas a
+    // SPARK_GRAFT_ONLY run IS the isolated-JVM protocol docs/SCALE.md
+    // prefers (exactly so, when it names a single query)
+    val protocol =
+      if (only.isDefined)
+        "filtered-run: only SPARK_GRAFT_ONLY queries in this JVM; " +
+          "with one query this is the isolated-JVM protocol " +
+          "docs/SCALE.md uses"
+      else
+        "single-jvm-sweep: per-query values can be inflated by " +
+          "accumulated pressure; isolate per-query before comparing " +
+          "(docs/SCALE.md)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors,"protocol":"$protocol"$filtered}""")
     spark.stop()
     if (errors > 0) sys.exit(2)
   }

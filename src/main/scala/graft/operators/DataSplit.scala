@@ -60,13 +60,9 @@ object DataSplit {
     // an EMPTY sample — scale such weights to integer units first
     // (quality*10000). Enforced on the resolved type, not left to the
     // cast, because the failure mode is silent.
-    val wType = df.select(weight).schema.head.dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(wType),
-      s"weightedSample weight must be an integral column (got $wType): " +
-        "scale fractional weights to integer units first — long " +
+    Guards.requireIntegral(df.select(weight).schema.head.dataType,
+      "weightedSample", "weight",
+      "scale fractional weights to integer units first — long " +
         "truncation would zero every sub-1 weight")
     // One canonical long weight for BOTH the total and the per-row
     // verdict (a double sum would also be partition-order dependent,

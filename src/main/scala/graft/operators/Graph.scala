@@ -106,20 +106,22 @@ object Graph {
           (lit(base) +
             expr(s"($dampingPct * coalesce(inr, 0L)) div 100"))
             .cast("long").as("rank"))
-      // truncate lineage every `checkpointEvery` supersteps (and
-      // ALWAYS on the last one, so the unpersist below returns a
-      // materialized result): the plan must not grow unboundedly with
-      // the iteration count, but between truncations the supersteps
-      // fuse lazily into one chain with no eager block-store hop
+      // truncate lineage every `checkpointEvery` supersteps: the plan
+      // must not grow unboundedly with the iteration count, but
+      // between truncations the supersteps fuse lazily into one chain
+      // with no eager block-store hop
       rank =
-        if (i % checkpointEvery == 0 || i == iterations)
-          next.localCheckpoint()
+        if (i % checkpointEvery == 0) next.localCheckpoint()
         else next
     }
-    // ranks are materialized by the eager checkpoint above, so the
-    // staged relations can be released before returning (zero cache
-    // residue for one-shot callers)
-    if (persistEdges) { withDeg.unpersist(); nodes.unpersist() }
+    // one-shot callers (persistEdges) need the result materialized
+    // before the staged relations are released (zero cache residue);
+    // composing callers (persistEdges = false) get the lazy tail —
+    // at most checkpointEvery-1 supersteps above the last truncation
+    if (persistEdges) {
+      if (iterations % checkpointEvery != 0) rank = rank.localCheckpoint()
+      withDeg.unpersist(); nodes.unpersist()
+    }
     rank
   }
 

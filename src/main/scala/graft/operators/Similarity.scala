@@ -302,16 +302,9 @@ object Similarity {
     * otherwise null out e.g. UUID string ids and make the rows vanish
     * from every probe without an error anywhere). */
   private def requireIntegralId(df: DataFrame, idCol: String,
-                                opName: String): Unit = {
-    val idType = df.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(idType),
-      s"$opName requires an integral id column (centroid tables are " +
-        s"keyed by Long); '$idCol' is ${idType.simpleString}")
-  }
+                                opName: String): Unit =
+    Guards.requireIntegral(df.schema(idCol).dataType, opName,
+      s"id ('$idCol')", "centroid tables are keyed by Long")
 
   /** The IVF list assignment as a reusable map-only projection over a
     * FROZEN centroid table: (c_id, c_vec) → (c_id, c_vec, cent_id).
@@ -425,7 +418,14 @@ object Similarity {
     * build/query plane-count mismatch (which would silently bucket
     * queries into a different hash space and return garbage
     * neighbors) cannot be expressed. */
-  final case class LshIndex(nPlanes: Int, buckets: DataFrame)
+  /** `dropped` is the build census's over-cap bucket table — carried
+    * in the index so appends can keep honouring the skew guard: a
+    * bucket censored at build stays censored (its corpus rows are
+    * gone, so re-admitting batch rows would resurrect it with a
+    * biased fraction of its true membership). Bounded by 2^nPlanes
+    * rows and in practice by the handful of degenerate buckets. */
+  final case class LshIndex(nPlanes: Int, buckets: DataFrame,
+                            dropped: DataFrame)
 
   /** Bucketed-and-capped LSH corpus index, materialized once (in a
     * real deployment this is a bucketed TABLE amortized over all
@@ -453,7 +453,8 @@ object Similarity {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("bucket")
     LshIndex(nPlanes,
-      cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti"))
+      cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti"),
+      hotBuckets)
   }
 
   /** Query stage of LSH top-k against a prebuilt [[LshIndex]]:
@@ -1171,11 +1172,16 @@ object Similarity {
   }
 
   /** Fold new vectors into a staged [[LshIndex]]: hash with the
-    * index's own plane count, union into the bucket table. The
-    * build-time bucket-size cap is NOT re-censused here (that needs a
-    * full-table count): a bucket crossing the cap through appends is
-    * caught at the next rebuild's census, and until then costs extra
-    * probe work, never wrong results. */
+    * index's own plane count, union into the bucket table. Batch
+    * vectors hashing into a bucket the BUILD census dropped are
+    * excluded (broadcast anti-join on the tiny `dropped` table —
+    * without it an append would resurrect a censored bucket holding
+    * only the batch's biased sliver of its membership, while a
+    * frozen-quantizer rebuild keeps it dropped). The cap is NOT
+    * re-censused for surviving buckets (that needs a full-table
+    * count): a bucket crossing the cap through appends is caught at
+    * the next rebuild's census, and until then costs extra probe
+    * work, never wrong results. */
   def appendToLshIndex(index: LshIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): LshIndex =
     LshIndex(index.nPlanes,
@@ -1183,7 +1189,9 @@ object Similarity {
         newVecs.dropDuplicates(idCol)
           .select(col(idCol).as("c_id"),
             toDouble(col(vecCol)).as("c_vec"))
-          .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))))
+          .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))
+          .join(broadcast(index.dropped), Seq("bucket"), "left_anti")),
+      index.dropped)
 
   /** Fold new vectors into a staged [[PqIndex]]: encode with the
     * frozen codebook (map-only), union into the code table. */

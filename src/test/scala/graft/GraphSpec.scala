@@ -137,14 +137,24 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pagerank plan size is independent of iteration count") {
+    // persistEdges = false skips the final forced materialization, so
+    // the returned plan EXPOSES the lazy tail above the last
+    // checkpoint — without that the assertions below would compare
+    // two constant-size LogicalRDD leaves and could never fail
     def planNodes(iters: Int): Int =
       Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", iters,
         persistEdges = false)
         .queryExecution.optimizedPlan.collect { case p => p }.size
-    // iteration counts chosen as multiples of the truncation period so
-    // both plans end one superstep after a checkpoint boundary
+    // at a boundary: both plans are a checkpoint leaf
     assert(planNodes(6) == planNodes(3),
       "localCheckpoint must truncate lineage at the checkpoint period")
+    // one superstep PAST a boundary: same-depth tails must match, and
+    // must be strictly deeper than the boundary leaf — this is the
+    // assertion that fails if the mid-loop truncation stops firing
+    assert(planNodes(7) == planNodes(4),
+      "lazy tails at equal offsets past a checkpoint must match")
+    assert(planNodes(7) > planNodes(6),
+      "an off-boundary tail must sit above the checkpoint leaf")
   }
 
   test("pagerank is bit-identical at every checkpointEvery setting") {

@@ -945,7 +945,8 @@ class SimilaritySpec extends SparkSpec {
     val lsh1 = Similarity.appendToLshIndex(lsh0, batchDf,
       "vec_id", "embedding")
     val lshRebuilt = Similarity.appendToLshIndex(
-      Similarity.LshIndex(lsh0.nPlanes, lsh0.buckets.limit(0)), union,
+      Similarity.LshIndex(lsh0.nPlanes, lsh0.buckets.limit(0),
+        lsh0.dropped), union,
       "vec_id", "embedding")
     assert(rows(lsh1.buckets) == rows(lshRebuilt.buckets))
     assert(Similarity.lshTopKWith(lsh1, query, "vec_id", "embedding",
@@ -983,6 +984,39 @@ class SimilaritySpec extends SparkSpec {
       .select("c_id").as[Long].collect().toSet
       .intersect(batch.map(_._1).toSet).nonEmpty,
       "IVF+PQ ADC must surface the appended direction")
+  }
+
+  test("LSH append keeps build-censored buckets censored") {
+    // 10 near-copies of one direction overflow bucketCap=3 at build,
+    // so their bucket is census-dropped; an appended vector in that
+    // direction must NOT resurrect the bucket (it would hold only the
+    // batch's biased sliver of its membership), while a vector in the
+    // surviving direction is admitted — and the appended index must
+    // equal a full rebuild over corpus ∪ batch at the same cap.
+    def dirA(i: Long) = (i, Array.tabulate(8)(j =>
+      (1.0 + (i % 7) * 0.001 + j * 0.0001).toFloat))
+    def dirB(i: Long) = (i, Array.tabulate(8)(j =>
+      (-1.0 - (i % 7) * 0.001 - j * 0.0001).toFloat))
+    val corpus = ((0L until 10L).map(dirA) ++ Seq(dirB(50L), dirB(51L)))
+      .toDF("vec_id", "embedding")
+    val lsh0 = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      nPlanes = 2, bucketCap = 3, persistIndex = false)
+    assert(lsh0.dropped.count() == 1, "fixture must censor one bucket")
+    val batch = Seq(dirA(200L), dirB(201L)).toDF("vec_id", "embedding")
+    val lsh1 = Similarity.appendToLshIndex(lsh0, batch,
+      "vec_id", "embedding")
+    val ids = lsh1.buckets.select("c_id").as[Long].collect().toSet
+    assert(!ids.contains(200L),
+      "censored-direction append must stay censored")
+    assert(ids.contains(201L),
+      "surviving-direction append must be admitted")
+    val rebuilt = Similarity.lshIndex(
+      corpus.unionByName(batch), "vec_id", "embedding",
+      nPlanes = 2, bucketCap = 3, persistIndex = false)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(lsh1.buckets) == rows(rebuilt.buckets),
+      "append must equal a same-cap rebuild over corpus ∪ batch")
   }
 }
 

@@ -668,13 +668,28 @@ class ScaleSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     def assertAppendPlan(name: String,
                          df: org.apache.spark.sql.DataFrame,
-                         n: Long): Unit = {
+                         n: Long,
+                         allowBroadcastAnti: Boolean = false): Unit = {
       assert(df.count() == n, s"$name row count")
       val plan = df.queryExecution.executedPlan.toString
-      assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      // BroadcastExchange (the tiny dropped-bucket table riding to
+      // executors) is not a shuffle — count data shuffles only
+      val shuffles = "Exchange (hash|range|Single)".r
+        .findAllMatchIn(plan).size
+      assert(shuffles <= 1,
         s"$name append may shuffle the BATCH side only:\n$plan")
-      assert(!plan.contains("Join"),
-        s"$name append must never join:\n$plan")
+      if (allowBroadcastAnti) {
+        // LSH alone carries the censored-bucket guard: exactly one
+        // broadcast LeftAnti against the bounded dropped table, and
+        // still no shuffle join of any kind
+        assert(!plan.contains("SortMergeJoin") &&
+            !plan.contains("ShuffledHashJoin"),
+          s"$name append must never shuffle-join:\n$plan")
+        assert("LeftAnti".r.findAllMatchIn(plan).size == 1,
+          s"$name append: one censored-bucket anti-probe only:\n$plan")
+      } else
+        assert(!plan.contains("Join"),
+          s"$name append must never join:\n$plan")
     }
     val ivf = Similarity.ivfIndex(vecs, "vec_id", "embedding",
       nCentroids = 2, persistIndex = false)
@@ -684,8 +699,10 @@ class ScaleSpec extends SparkSpec {
     val lsh = Similarity.lshIndex(vecs, "vec_id", "embedding",
       nPlanes = 3, persistIndex = false)
     assertAppendPlan("LSH", Similarity.appendToLshIndex(
-      Similarity.LshIndex(lsh.nPlanes, lsh.buckets.localCheckpoint()),
-      batch, "vec_id", "embedding").buckets, 21)
+      Similarity.LshIndex(lsh.nPlanes, lsh.buckets.localCheckpoint(),
+        lsh.dropped.localCheckpoint()),
+      batch, "vec_id", "embedding").buckets, 21,
+      allowBroadcastAnti = true)
     val pq = Similarity.pqIndex(vecs, "vec_id", "embedding",
       m = 2, ksub = 2, persistIndex = false)
     assertAppendPlan("PQ", Similarity.appendToPqIndex(

@@ -802,6 +802,17 @@ class StreamingOpsSpec extends SparkSpec {
       if (recovered.isNew(bid)) { applied += bid; recovered.commit(bid) }
     }
     assert(applied.toSeq == Seq(2L, 3L, 4L))
+    // a record an OS-level crash left empty/garbled must degrade to
+    // "replay everything" (-1), never wedge the loop in a crash cycle
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      Array.emptyByteArray)
+    val corrupt = new graft.streaming.BatchIdGate(path)
+    assert(corrupt.lastCommitted() == -1L && corrupt.isNew(0L))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "not-a-number".getBytes("UTF-8"))
+    assert(corrupt.lastCommitted() == -1L)
+    corrupt.commit(7L) // and the gate resumes normal service
+    assert(corrupt.lastCommitted() == 7L)
   }
 
   test("DSIR gate admits target-like docs at the door, batch parity") {
