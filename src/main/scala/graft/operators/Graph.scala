@@ -45,25 +45,27 @@ object Graph {
     *   the rank table itself exceeds broadcast size (≈ >10^8 nodes),
     *   which switches every superstep to shuffle joins.
     * @param checkpointEvery truncate lineage every this many
-    *   supersteps instead of every one. Unlike the pointer-jumping
-    *   loop in `Dedup.nearDupClusters` (whose self-join DOUBLES the
-    *   plan per round — checkpointing each round is existential
-    *   there), a PageRank superstep adds a constant number of plan
-    *   nodes, so letting a few supersteps fuse into one lazy chain is
-    *   safe — and skips that many eager block-store
-    *   materializations, the dominant per-superstep constant
-    *   (measured ~2× wall-clock at bench scale; results bit-identical
-    *   by construction, the arithmetic is untouched). The guard is
-    *   still load-bearing: plan/optimizer cost grows with depth, so
-    *   deep iteration counts must keep truncating. 1 restores the
-    *   checkpoint-per-superstep behavior.
+    *   supersteps. Unlike the pointer-jumping loop in
+    *   `Dedup.nearDupClusters` (whose self-join DOUBLES the plan per
+    *   round — checkpointing each round is existential there), a
+    *   PageRank superstep adds a constant number of plan nodes, so
+    *   letting supersteps fuse into a lazy chain is CORRECT at any
+    *   setting (bit-identical, spec-asserted) — but a warmed-JVM A/B
+    *   at bench scale measured NO wall-clock difference between 1, 2
+    *   and 3 (~3.8-4.6 s each at sf0.1), while the deeper fused
+    *   plans cost 2-3× more first-run codegen compilation (16.5 s vs
+    *   5.5 s cold). Per-superstep truncation is therefore the
+    *   default: same warm throughput, smallest unique-codegen
+    *   surface, and plan/optimizer cost stays flat however deep the
+    *   iteration count goes. Raise it only if block-store
+    *   materialization (|V|-row) ever dominates a profile.
     * @return (node BIGINT, rank BIGINT) — rank in 1e-6 units
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85,
                persistEdges: Boolean = true,
                broadcastRanks: Boolean = true,
-               checkpointEvery: Int = 3): DataFrame = {
+               checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct=$dampingPct out of [0,100]")

@@ -141,9 +141,11 @@ class GraphSpec extends SparkSpec {
     // the returned plan EXPOSES the lazy tail above the last
     // checkpoint — without that the assertions below would compare
     // two constant-size LogicalRDD leaves and could never fail
+    // explicit checkpointEvery = 3: the truncation-period logic must
+    // stay covered whatever the default cadence is
     def planNodes(iters: Int): Int =
       Graph.pagerank(prEdges.toDF("src", "dst"), "src", "dst", iters,
-        persistEdges = false)
+        persistEdges = false, checkpointEvery = 3)
         .queryExecution.optimizedPlan.collect { case p => p }.size
     // at a boundary: both plans are a checkpoint leaf
     assert(planNodes(6) == planNodes(3),
