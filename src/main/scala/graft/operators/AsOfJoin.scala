@@ -56,15 +56,19 @@ object AsOfJoin {
     // shuffle carries one row per left row instead of every joined
     // pair — the window form sorts the full pair set. Lexicographic
     // struct max on (rightTime, tiebreak...) = "latest, deterministic".
-    val ordKey = struct((rightTime +: tiebreak).map(col): _*)
-    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
+    // Every post-join reference is dataframe-QUALIFIED (right(...) /
+    // l(...)): the natural as-of call has the same key/time column
+    // names on both sides, and unqualified col() would die with
+    // AMBIGUOUS_REFERENCE there.
+    val ordKey = struct((rightTime +: tiebreak).map(right(_)): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(right(_)): _*)
     // Group by the caller's unique left key plus the remaining left
     // payload (constant within a group, carried through the grouping
     // so no second join is needed to re-attach it).
     val idCols = if (leftId.nonEmpty) leftId else left.columns.toSeq
     val leftKeys: Seq[Column] =
       (idCols ++ left.columns.filterNot(idCols.contains) :+ "__lmult")
-        .map(col)
+        .map(l(_))
     joined
       .groupBy(leftKeys: _*)
       .agg(max_by(rStruct, ordKey).as("__r"))

@@ -48,6 +48,13 @@ object Budget {
     * Output: input columns + `running` (inclusive prefix sum in
     * priority order). A row is kept iff its running total still fits
     * the budget, so the cut is exact to the row, not to the bucket.
+    *
+    * `order` must be a TOTAL order (append a unique id as the last
+    * key, as `capPerGroup` does): rows tied on every order key get
+    * running-sum positions in partition-arrival order, so the keep
+    * verdict for ties straddling the budget boundary would otherwise
+    * vary between runs — the determinism contract above only holds
+    * for unique orderings.
     */
   def takeWeightBudget(df: DataFrame, weightCol: String, budget: Long,
                        bucket: Column, order: Seq[Column]): DataFrame = {

@@ -30,6 +30,13 @@ object Chunking {
 
   /** Explode `docs` into (id, chunk_idx, chunk, n_chunk_tokens) rows.
     *
+    * Empty/null text emits ONE empty chunk with n_chunk_tokens = 1 —
+    * deliberately mirroring the engine-wide whitespace-token count
+    * (`split("", " ")` = [""], so `size(tokens(""))` is 1 everywhere:
+    * token budgets, packing, stats). Filter empty docs upstream if
+    * they must not occupy a chunk; changing only this operator to 0
+    * would desync it from every other token accounting.
+    *
     * @param overlap tokens shared between consecutive chunks
     *                (0 <= overlap < chunkTokens).
     */

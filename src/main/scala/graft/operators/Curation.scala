@@ -137,10 +137,16 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val tot = hist.groupBy("s").agg(sum("n").as("tot"))
-    // everything below runs on strata×buckets rows — design constants
+    // everything below runs on strata×buckets rows — design constants.
+    // The NULL stratum is a FIRST-CLASS row (crossSourceMatrix's
+    // stance): a bare s_a < s_b is null for any comparison touching
+    // it, which would silently drop a null-source stratum from every
+    // drift pair — exactly the shift a monitor must not be blind to.
+    // NULL sorts first, so it pairs as s_a against every real stratum.
     val pairs = tot.select(col("s").as("s_a"), col("tot").as("t_a"))
       .join(tot.select(col("s").as("s_b"), col("tot").as("t_b")),
-        col("s_a") < col("s_b"))
+        col("s_a") < col("s_b") ||
+          (col("s_a").isNull && col("s_b").isNotNull))
     val grid = pairs.crossJoin(hist.select(col("b")).distinct())
     // bucket matches are null-safe (<=>): a NULL bucket is a real
     // cell, not two disjoint ones — same stance as tvPermille
@@ -149,9 +155,9 @@ object Curation {
     val hb = hist.select(col("s").as("sb2"), col("b").as("bb2"),
       col("n").as("n_b"))
     grid
-      .join(ha, col("s_a") === col("sa2") && col("b") <=> col("ba2"),
+      .join(ha, col("s_a") <=> col("sa2") && col("b") <=> col("ba2"),
         "left")
-      .join(hb, col("s_b") === col("sb2") && col("b") <=> col("bb2"),
+      .join(hb, col("s_b") <=> col("sb2") && col("b") <=> col("bb2"),
         "left")
       .na.fill(0L, Seq("n_a", "n_b"))
       .groupBy("s_a", "s_b", "t_a", "t_b")

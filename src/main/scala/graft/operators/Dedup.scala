@@ -656,6 +656,19 @@ object Dedup {
                           maxIter: Int = 25,
                           localEdgeBudget: Long = EdgeRowBudget): DataFrame = {
     val spark = pairs.sparkSession
+    // fail fast on non-integral ids: under ANSI the cast below would
+    // die mid-job with an opaque CAST_INVALID_INPUT, and with ANSI
+    // off every id would go null and the whole graph would silently
+    // collapse to singletons (canonicalPerCluster would then keep
+    // every duplicate). String/UUID-keyed pair producers
+    // (sharedPassages, jaccardPairs) must map ids through a
+    // dictionary (id, dense long) join before clustering.
+    Guards.requireIntegral(pairs.schema(aCol).dataType,
+      "connectedComponents", s"node id ('$aCol')",
+      "labels propagate as long min-ids")
+    Guards.requireIntegral(pairs.schema(bCol).dataType,
+      "connectedComponents", s"node id ('$bCol')",
+      "labels propagate as long min-ids")
     val raw = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)

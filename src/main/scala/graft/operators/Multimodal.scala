@@ -77,7 +77,10 @@ object Multimodal {
         val id = r.getAs[Long]("doc_id")
         val bytes = r.getAs[Array[Byte]]("payload")
         val nFrames = math.max(1, bytes.length / frameBytes)
-        val stride = math.max(1, nFrames / maxFrames)
+        // ceiling stride: floor + take() would sample only the FIRST
+        // maxFrames frames and never cover the payload's tail —
+        // "evenly strided" means the samples span the whole duration
+        val stride = math.max(1, (nFrames + maxFrames - 1) / maxFrames)
         (0 until nFrames by stride).take(maxFrames).map { f =>
           val from = f * frameBytes
           val until = math.min(bytes.length, from + frameBytes)

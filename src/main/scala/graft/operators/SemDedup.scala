@@ -38,6 +38,8 @@ object SemDedup {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                cosThreshold: Double = 0.95, maxIter: Int = 5,
                clusterCap: Long = 100000L): DataFrame = {
+    Guards.requireIntegral(vecs.schema(idCol).dataType, "semDedup",
+      s"id ('$idCol')", "the dedup verdict joins on a long id")
     val assigned = Similarity.kmeans(vecs, idCol, vecCol, k, maxIter)
       .select(col("id"), col("cluster"))
     val m = vecs.select(col(idCol).cast("long").as("id"),

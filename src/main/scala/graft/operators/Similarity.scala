@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,9 +65,19 @@ object Similarity {
     call_function("graft_sqdist", a, b)
   }
 
-  /** Cosine similarity of two double-array columns. */
+  /** Cosine similarity of two double-array columns. A zero-norm side
+    * (an all-zero embedding — a realistic failed-extraction artifact)
+    * scores 0, NOT NaN: doubles order NaN above every value, so a NaN
+    * cosine would take rank 1 of every descending top-k list and one
+    * corrupt vector would displace a true neighbor from every query's
+    * results. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    safeCosDiv(dot(a, b), sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** `num / den`, with a zero denominator mapping to 0 (see
+    * [[cosine]]) — shared by the scorers that precompute norms. */
+  private def safeCosDiv(num: Column, den: Column): Column =
+    when(den === 0.0d, 0.0d).otherwise(num / den)
 
   /** Divide by `n` element-wise; zero norms pass the vector through
     * unchanged rather than dividing by zero. */
@@ -120,8 +130,8 @@ object Similarity {
       toDouble(col(vecCol)).as("c_vec"),
       sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", safeCosDiv(dot(col("q_vec"), col("c_vec")),
+        col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -170,8 +180,8 @@ object Similarity {
       toDouble(col(vecCol)).as("c_vec"),
       sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
     val scored = q.join(c, col("q_grp") =!= col("c_grp"))
-      .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", safeCosDiv(dot(col("q_vec"), col("c_vec")),
+        col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -326,7 +336,7 @@ object Similarity {
     // over a recomputed score
     val scored = transform(sequence(lit(0), lit(cents.size - 1)),
       i => struct(element_at(ids, i + lit(1)).as("c"),
-        (dot(col("c_vec"), element_at(centsL, i + lit(1))) /
+        safeCosDiv(dot(col("c_vec"), element_at(centsL, i + lit(1))),
           element_at(norms, i + lit(1))).as("s")))
     val best = aggregate(scored, zero, (acc, x) =>
       when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
@@ -482,7 +492,7 @@ object Similarity {
     * kernel instead — a cached corpus-sized DF with no caller-held
     * handle would leak until clearCache); callers amortizing one
     * index over many query batches use the staged pair. */
-  def lshTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 6, bucketCap: Int = 2000): DataFrame =
     lshTopKWith(lshIndex(candidates, idCol, vecCol, nPlanes, bucketCap,
@@ -501,9 +511,11 @@ object Similarity {
     * Output: (id, v, cluster, d2).
     */
   def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-                        cents: Seq[Seq[Double]]): DataFrame =
+                        cents: Seq[Seq[Double]]): DataFrame = {
+    requireIntegralId(vecs, idCol, "assignToCentroids")
     assignLiteral(vecs.select(col(idCol).cast("long").as("id"),
       toDouble(col(vecCol)).as("v")), cents)
+  }
 
   private def assignLiteral(v: DataFrame,
                             cents: Seq[Seq[Double]]): DataFrame = {
@@ -601,6 +613,7 @@ object Similarity {
                       sampleSize: Int = 10000): KMeansResult = {
     require(k > 0, s"k must be positive, got $k")
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    requireIntegralId(vecs, idCol, "kmeans")
     val spark = vecs.sparkSession
     import spark.implicits._
     val v = vecs.select(col(idCol).cast("long").as("id"),
@@ -748,6 +761,7 @@ object Similarity {
     // after is driver math over O(trainSize·dim) doubles — a few MB;
     // 8 subspaces × maxIter distributed rounds would cost ~40 job
     // schedules to cluster 4096 rows, pure overhead at any scale.
+    requireIntegralId(vecs, idCol, "pqTrain")
     val sample: Array[Seq[Double]] = vecs
       .select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v"))
@@ -963,8 +977,8 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     broadcast(shortlist).join(cands, "c_id")
-      .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", safeCosDiv(dot(col("q_vec"), col("c_vec")),
+        col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))

@@ -121,11 +121,18 @@ object TextAnalysis {
   def contentFingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
-  /** Rabin-Karp style rolling hash of the full text (polynomial mod
-    * 2^61-1, folded with `aggregate` — one pass, no shuffle). Not
-    * oracle-expressible; covered by ScalaTest instead. */
+  /** Rabin-Karp style rolling hash of the full text (polynomial fold
+    * with `aggregate` — one pass, no shuffle). Not oracle-expressible;
+    * covered by ScalaTest instead.
+    *
+    * The modulus must satisfy `prime * 131 + 255 < 2^63`: the fold
+    * multiplies BEFORE reducing, and under the runtime's default ANSI
+    * mode a long overflow is a query-killing ARITHMETIC_OVERFLOW, not
+    * a silent wrap — a 2^60-scale modulus crashed on any text longer
+    * than ~9 chars. Largest prime below 2^53 keeps the product at
+    * ~2^60 with 53 bits of hash state. */
   def rollingHash(text: Column): Column = {
-    val prime = lit(1152921504606846883L) // large prime < 2^60
+    val prime = lit(9007199254740881L) // largest prime < 2^53
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),

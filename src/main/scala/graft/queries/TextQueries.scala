@@ -487,7 +487,9 @@ object TextQueries {
       graft.operators.Curation.histDrift(t(s, d, "documents"), "source",
           least(floor(size(TA.tokens(col("text"))) / 32).cast("long"),
             lit(63L)))
-        .orderBy("s_a", "s_b")
+        // explicit null placement: Spark's asc is NULLS FIRST but
+        // DuckDB's is NULLS LAST, and the null stratum is a real row
+        .orderBy(col("s_a").asc_nulls_first, col("s_b").asc_nulls_first)
     }),
 
     "q_sample_weighted" -> ((s, d) => {
@@ -1477,21 +1479,24 @@ object TextQueries {
         |  FROM documents GROUP BY 1, 2),
         |tt AS (SELECT s, sum(n) AS tot FROM h GROUP BY s),
         |p AS (SELECT a.s AS s_a, a.tot AS t_a, b.s AS s_b, b.tot AS t_b
-        |      FROM tt a JOIN tt b ON a.s < b.s),
+        |      FROM tt a JOIN tt b
+        |        ON a.s < b.s OR (a.s IS NULL AND b.s IS NOT NULL)),
         |bk AS (SELECT DISTINCT b FROM h),
         |g AS (SELECT p.*, bk.b FROM p CROSS JOIN bk),
         |x AS (SELECT g.s_a, g.s_b, g.t_a, g.t_b,
         |        COALESCE(ha.n, 0) AS n_a, COALESCE(hb.n, 0) AS n_b
         |      FROM g LEFT JOIN h ha
-        |               ON ha.s = g.s_a AND ha.b IS NOT DISTINCT FROM g.b
+        |               ON ha.s IS NOT DISTINCT FROM g.s_a
+        |              AND ha.b IS NOT DISTINCT FROM g.b
         |             LEFT JOIN h hb
-        |               ON hb.s = g.s_b AND hb.b IS NOT DISTINCT FROM g.b)
+        |               ON hb.s IS NOT DISTINCT FROM g.s_b
+        |              AND hb.b IS NOT DISTINCT FROM g.b)
         |SELECT s_a, s_b,
         |  CAST((500 * sum(abs(CAST(n_a AS HUGEINT) * t_b
         |      - CAST(n_b AS HUGEINT) * t_a)))
         |    // (CAST(t_a AS HUGEINT) * t_b) AS BIGINT) AS tv_permille
         |FROM x GROUP BY s_a, s_b, t_a, t_b
-        |ORDER BY s_a, s_b""".stripMargin,
+        |ORDER BY s_a NULLS FIRST, s_b NULLS FIRST""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH q AS (

@@ -111,7 +111,7 @@ object VectorQueries {
     "q_sim_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.lshTopK(s, q, emb, "vec_id", "embedding", 3, nPlanes = 4)
+      Similarity.lshTopK(q, emb, "vec_id", "embedding", 3, nPlanes = 4)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -294,7 +294,9 @@ object VectorQueries {
        |  WHERE $aFilter
        |  GROUP BY 1, 2),
        |scored AS (
-       |  SELECT p.q_id, p.c_id, p.dot / (x.nrm * y.nrm) AS cos
+       |  SELECT p.q_id, p.c_id,
+       |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+       |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
        |  FROM pairs p JOIN na x ON x.vec_id = p.q_id
        |               JOIN na y ON y.vec_id = p.c_id)""".stripMargin
 

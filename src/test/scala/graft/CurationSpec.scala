@@ -74,6 +74,24 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 6) // C(4,2) ordered pairs
   }
 
+  test("histDrift: the NULL stratum is a first-class drift row") {
+    // a null-source stratum must appear in every pair (sorted first),
+    // not vanish through a bare s_a < s_b comparison — its shift is
+    // exactly what a monitor must not be blind to
+    val rows: Seq[(Option[String], Int)] =
+      Seq.fill(3)((None, 0)) ++ Seq.fill(1)((None, 1)) ++
+      Seq.fill(3)((Some("A"), 0)) ++ Seq.fill(1)((Some("A"), 1)) ++
+      Seq.fill(4)((Some("B"), 7))
+    val df = rows.toDF("s", "v")
+    val out = Curation.histDrift(df, "s", col("v"))
+      .as[(Option[String], Option[String], Long)].collect()
+      .map { case (a, b, tv) => (a, b) -> tv }.toMap
+    assert(out.size == 3, s"null stratum dropped from pairing: $out")
+    assert(out((None, Some("A"))) == 0L)    // identical distributions
+    assert(out((None, Some("B"))) == 1000L) // disjoint
+    assert(out((Some("A"), Some("B"))) == 1000L)
+  }
+
   test("canonical then leakproofSplit composes (operator-owned columns)") {
     val kept = Curation
       .canonicalPerCluster(docsFx, "doc_id", clustersFx, col("q"))

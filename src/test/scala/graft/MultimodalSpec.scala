@@ -30,7 +30,10 @@ class MultimodalSpec extends SparkSpec {
         frameBytes = 10, maxFrames = 4)
       .orderBy("frame_idx").collect()
     assert(frames.length == 4)
-    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4, 6))
+    // ceiling stride spans the WHOLE payload (10 frames / max 4 →
+    // stride 3 reaches frame 9); the floor form sampled only 0,2,4,6
+    // and never saw the tail
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6, 9))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
   }
 

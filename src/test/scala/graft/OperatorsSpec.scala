@@ -57,6 +57,12 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TA.rollingHash(col("text")).as("h")).as[Long].collect()
     assert(df(0) == df(1))
     assert(df(0) != df(2))
+    // long inputs must not overflow the fold's acc*131 product under
+    // ANSI mode (the 2^60-modulus regression crashed past ~9 chars)
+    val long = Seq("the quick brown fox jumps over the lazy dog " * 40)
+      .toDF("text")
+      .select(TA.rollingHash(col("text")).as("h")).as[Long].head()
+    assert(long >= 0L && long < 9007199254740881L)
   }
 
   test("quality score and stopword ratio") {
@@ -752,7 +758,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH top-k returns same-bucket neighbours with exact rerank") {
-    val top = Similarity.lshTopK(spark, vecs.filter(col("vec_id") === 0),
+    val top = Similarity.lshTopK(vecs.filter(col("vec_id") === 0),
       vecs, "vec_id", "embedding", 2, nPlanes = 2)
     // bucket collision is probabilistic per plane set, but the query
     // vector always shares its own bucket family; result must never
@@ -776,7 +782,7 @@ class SimilaritySpec extends SparkSpec {
     val q = all.filter(col("vec_id") < 6)
     val k = 3
     val exact = Similarity.bruteForceTopK(q, all, "vec_id", "embedding", k)
-    val lsh = Similarity.lshTopK(spark, q, all, "vec_id", "embedding", k)
+    val lsh = Similarity.lshTopK(q, all, "vec_id", "embedding", k)
     val ivf = Similarity.ivfTopK(q, all, "vec_id", "embedding", k,
       nCentroids = 2, nProbe = 2)
     val rec = Similarity.recallAtK(exact, lsh, "lsh")
@@ -986,6 +992,24 @@ class SimilaritySpec extends SparkSpec {
       "IVF+PQ ADC must surface the appended direction")
   }
 
+  test("zero-norm vectors score cosine 0, never NaN rank-1") {
+    // an all-zero embedding (failed extraction) must not hijack the
+    // top of every list: NaN sorts above every double in a DESC
+    // window, so an unguarded 0/0 would put the corrupt vector at
+    // rank 1 for every query
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(q, cands, "vec_id", "embedding",
+        k = 3)
+      .orderBy("rank").select("c_id", "cos")
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 2L, 3L),
+      s"zero vector must rank LAST, got $top")
+    assert(top.last._2 == 0.0d && top.forall(!_._2.isNaN))
+  }
+
   test("LSH append keeps build-censored buckets censored") {
     // 10 near-copies of one direction overflow bucketCap=3 at build,
     // so their bucket is census-dropped; an appended vector in that
@@ -1147,6 +1171,23 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(out.count(_ == ("u1", 100L, 10L)) == 2) // both duplicates out
     assert(out.size == 3)
+  }
+
+  test("same key/time column names on both sides resolve unambiguously") {
+    // the NATURAL as-of shape — trades(sym, ts) vs quotes(sym, ts, px):
+    // unqualified post-join references used to die with
+    // AMBIGUOUS_REFERENCE here
+    val trades = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 100L))
+      .toDF("id", "sym", "ts")
+    val quotes = Seq(("A", 90L, 10L), ("A", 150L, 11L), ("B", 300L, 12L))
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.leftAsOf(trades, quotes, "sym", "sym", "ts", "ts",
+        tiebreak = Seq("px"), leftId = Seq("id"))
+      .select(col("id"), col("px")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(10L))
+    assert(out(2L).contains(11L))
+    assert(out(3L).isEmpty) // B's only quote is later than the trade
   }
 }
 
