@@ -73,6 +73,16 @@ case class MQOptions(raw: Map[String, String]) {
   private def opt(k: String): Option[String] =
     raw.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
 
+  /** Case-class toString would print the raw map — including the MQ
+    * password — into any task-failure diagnostic or debug line that
+    * formats the options or an `MQInputPartition`. Render with the
+    * secret redacted (the Kafka-connector stance). */
+  override def toString: String =
+    raw.map { case (k, v) =>
+      val vv = if (k.equalsIgnoreCase("password")) "***" else v
+      s"$k -> $vv"
+    }.mkString("MQOptions(", ", ", ")")
+
   /** Directory of the file-backed transport (tests / offline). A real
     * deployment sets host/port/queueManager/channel/queue instead. */
   val path: Option[String] = opt("path")
@@ -347,7 +357,11 @@ class MQPartitionReader(transport: MQTransport, start: Long, end: Long)
   extends PartitionReader[InternalRow] {
 
   private val it = transport.read(start, end)
-  private var lastMillis = -1L
+  // explicit first-record flag: a millis SENTINEL (-1) would collide
+  // with a real putMillis of -1 from a malformed producer timestamp
+  // and silently continue the counter instead of resetting it
+  private var first = true
+  private var lastMillis = 0L
   private var lastSeq = transport.sameMillisPrefix(start)
   private var current: InternalRow = _
 
@@ -355,11 +369,14 @@ class MQPartitionReader(transport: MQTransport, start: Long, end: Long)
     if (!it.hasNext) return false
     val rec = it.next()
     // Reference repair (IBMMQReceiver.java:251-254): native seq is 1
-    // for non-grouped messages; bump it within a shared millisecond.
+    // for non-grouped messages; bump it within a shared millisecond —
+    // the first record continues the counter iff its predecessors
+    // (before `start`) share its millisecond (sameMillisPrefix > 0).
     val seq =
-      if (rec.putMillis == lastMillis || (lastMillis == -1L && lastSeq > 0))
+      if (if (first) lastSeq > 0 else rec.putMillis == lastMillis)
         lastSeq + 1
       else 1
+    first = false
     lastMillis = rec.putMillis
     lastSeq = seq
     current = InternalRow(

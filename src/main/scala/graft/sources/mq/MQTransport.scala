@@ -21,7 +21,15 @@ case class MQRecord(putMillis: Long, nativeSeq: Int, payload: String)
   * on every call until `commit(end)` is acknowledged.
   */
 trait MQTransport extends Serializable {
-  /** Number of messages currently observable (browse depth). */
+  /** CUMULATIVE count of messages ever observed on the queue — the
+    * absolute end offset the source's `latestOffset` advances to, NOT
+    * the instantaneous browse depth. The distinction bites destructive
+    * transports: a real client in keepMessages=false mode removes
+    * messages on commit, so a browse-depth implementation would SHRINK
+    * past already-committed offsets and stall the stream forever
+    * (latestOffset would never exceed the committed position again).
+    * Implementations over destructive gets must keep a monotone
+    * high-water mark (committed + currently observable). */
   def depth(): Long
 
   /** Replayable ordered range read of positions [start, end). */
@@ -100,9 +108,22 @@ class FileMQTransport(dir: String,
   private def queueFile = Paths.get(dir, "queue.jsonl")
   private def committedFile = Paths.get(dir, "committed")
 
+  /** BOM-free working charset: the generic "UTF-16"/"UTF-32" charsets
+    * emit a byte-order mark PER ENCODE, so the append-based `put`
+    * would inject a BOM mid-file on every transaction after the first
+    * — decoding to a stray ﻿ that breaks `parse`'s `toLong`.
+    * Normalizing to the explicit big-endian twin keeps both sides of
+    * the fake consistent (the no-BOM decode default is BE too). */
+  private val cs: Charset = charset.name() match {
+    case "UTF-16" => StandardCharsets.UTF_16BE
+    case "UTF-32" => Charset.forName("UTF-32BE")
+    case _        => charset
+  }
+
   private def lines(): Vector[String] =
     if (Files.exists(queueFile))
-      new String(Files.readAllBytes(queueFile), charset)
+      new String(Files.readAllBytes(queueFile), cs)
+        .stripPrefix("﻿") // tolerate an externally-written BOM
         .split("\n", -1).toVector.map(_.stripSuffix("\r"))
         .filter(_.nonEmpty)
     else Vector.empty
@@ -119,16 +140,29 @@ class FileMQTransport(dir: String,
 
   override def commit(upTo: Long): Unit = {
     val prev = committed()
-    if (upTo > prev)
-      Files.write(committedFile, upTo.toString.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    if (upTo > prev) {
+      // temp-file + atomic rename (the BatchIdGate pattern): an
+      // in-place truncate-then-write would leave an EMPTY record if
+      // the process dies between the two, wedging every later ack
+      val tmp = Paths.get(dir, "committed.tmp")
+      Files.write(tmp, upTo.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, committedFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
+  /** An unreadable record degrades to 0 — replay-from-start, the
+    * at-least-once stance (the source's key dedup absorbs it) — never
+    * a NumberFormatException crash loop on every subsequent ack. */
   def committed(): Long =
-    if (Files.exists(committedFile))
-      new String(Files.readAllBytes(committedFile), StandardCharsets.UTF_8)
-        .trim.toLong
-    else 0L
+    if (!Files.exists(committedFile)) 0L
+    else {
+      val raw = new String(Files.readAllBytes(committedFile),
+        StandardCharsets.UTF_8).trim
+      try raw.toLong
+      catch { case _: NumberFormatException => 0L }
+    }
 
   override def sameMillisPrefix(pos: Long): Int = {
     val ls = lines()
@@ -176,7 +210,7 @@ class FileMQTransport(dir: String,
             s"$now\t$p\n"
           }.mkString
           Files.createDirectories(Paths.get(dir))
-          Files.write(queueFile, block.getBytes(charset),
+          Files.write(queueFile, block.getBytes(cs),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         }
         Files.write(txnsFile, s"$txnId\n".getBytes(StandardCharsets.UTF_8),

@@ -297,6 +297,16 @@ object StreamingOps {
     *    for a backfill (it can only drop more duplicates, never admit
     *    more).
     */
+  /* Known constant, deliberately kept: the gates tokenize the text
+   * independently (DSIR grams and quality shingles over
+   * `tokens(text)`, the fingerprint over `tokens(trim(text))`, the
+   * digest over `lower(trim(text))`) — separate projections across
+   * joins, so codegen cannot share the work and tokenization runs
+   * ~3x per admitted row. Sharing one working token column would
+   * require unifying the gates' token BASES (trimmed vs raw), which
+   * changes each gate's bit-exact parity with its batch twin — the
+   * contract the whole door is specified against. Revisit only
+   * together with the batch operators. */
   def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
                  scoreQ8: Column, minScoreQ8: Long,
                  bloom: graft.operators.Decontaminate.BloomModel,
@@ -447,7 +457,10 @@ object StreamingOps {
     * reference deployment's most common consumer shape. */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+    // dataframe-qualified keys: the natural call has the SAME key
+    // name on both sides, where a bare col() is AMBIGUOUS_REFERENCE
+    stream.join(broadcast(dim),
+      stream(streamKey) === dim(dimKey), "left")
 
   /** Stream-stream inner join within a time bound: both sides
     * watermarked, join condition constrains event-time distance so
@@ -459,10 +472,12 @@ object StreamingOps {
                    maxGap: String, lateness: String): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // qualified references for the same reason as enrichWithStatic:
+    // key == rightKey (or shared ts names) is the common call shape
     l.join(r,
-      col(key) === col(rightKey) &&
-        col(rightTs) <= col(leftTs) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxGap"))
+      l(key) === r(rightKey) &&
+        r(rightTs) <= l(leftTs) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxGap"))
   }
 
   /** The reference's per-millisecond counter (A4,

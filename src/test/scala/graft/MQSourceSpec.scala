@@ -2,7 +2,7 @@ package graft
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import graft.sources.mq.{FileMQTransport, MQOptions, MQRecord, MQTransport, RetryingTransport}
+import graft.sources.mq.{FileMQTransport, MQInputPartition, MQOptions, MQRecord, MQTransport, RetryingTransport}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.functions._
 
@@ -632,5 +632,56 @@ class MQSourceSpec extends SparkSpec {
       .orderBy("put_ts", "seq").select("key").as[String].collect().toSeq
     assert(admitted == Seq("7000_1", "8001_1"),
       s"recovered state must drop the cross-run repeat, got $admitted")
+  }
+
+  test("UTF-16 transport: multi-put append stays parseable (no BOM)") {
+    // the generic UTF-16 charset emits a byte-order mark PER ENCODE;
+    // an append-based put must not inject one mid-file (it decodes to
+    // a stray ﻿ that breaks the putMillis parse)
+    val dir = tmpDir("mq-utf16")
+    val t = new FileMQTransport(dir.toString,
+      java.nio.charset.StandardCharsets.UTF_16, clock = () => 9000L)
+    t.put("t1", Seq("héllo", "wörld"))
+    t.put("t2", Seq("ünïcode"))
+    val recs = t.read(0, 3).toSeq
+    assert(recs.map(_.payload) == Seq("héllo", "wörld", "ünïcode"))
+    assert(recs.forall(_.putMillis == 9000L))
+    assert(t.depth() == 3L)
+  }
+
+  test("commit record survives a crash-left empty file (degrades to 0)") {
+    val dir = tmpDir("mq-commit-crash")
+    append(dir, (1L, "a"), (2L, "b"))
+    val t = new FileMQTransport(dir.toString)
+    t.commit(2L)
+    assert(t.committed() == 2L)
+    // simulate a crash that left the record empty: must read as 0
+    // (replay-from-start; the key dedup absorbs it), never crash —
+    // and the next commit must restore normal service
+    Files.write(dir.resolve("committed"), Array.emptyByteArray)
+    assert(t.committed() == 0L)
+    t.commit(2L)
+    assert(t.committed() == 2L)
+  }
+
+  test("MQOptions/MQInputPartition never print the password") {
+    val o = MQOptions(Map("path" -> "/tmp/x", "user" -> "app",
+      "password" -> "s3cret"))
+    assert(!o.toString.contains("s3cret") && o.toString.contains("***"))
+    assert(!MQInputPartition(o, 0L, 5L).toString.contains("s3cret"))
+    assert(o.password.contains("s3cret")) // the value itself is intact
+  }
+
+  test("same-millis records with putMillis parse edge (-1) reset keys") {
+    // a malformed producer timestamp of -1 must not be confused with
+    // the reader's first-record state: the record AFTER it starts its
+    // own millisecond at seq 1
+    val dir = tmpDir("mq-negms")
+    append(dir, (-1L, "bad"), (5000L, "good"), (5000L, "good2"))
+    val rows = spark.read.format("ibmmq")
+      .option("path", dir.toString).load()
+      .orderBy("put_ts", "seq")
+      .select("key").as[String].collect().toSeq
+    assert(rows == Seq("-1_1", "5000_1", "5000_2"), rows.toString)
   }
 }
