@@ -29,7 +29,11 @@ object Tables {
       import org.apache.spark.sql.types.{LongType, TimestampType}
       df.schema("ts").dataType match {
         case LongType => // legacy nanos-as-long
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // FLOOR division, not `div` (which truncates toward zero):
+          // a pre-epoch nano timestamp would otherwise round up by
+          // one microsecond and diverge from any flooring reader
+          df.withColumn("ts",
+            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
         case TimestampType => df
         case _ => df.withColumn("ts", col("ts").cast(TimestampType))
       }

@@ -22,6 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop any previous run's dump for this query BEFORE attempting
+      // it: write.mode(overwrite) never runs when the query throws, so
+      // a reused outDir would keep the stale parquet and the DuckDB
+      // compare would silently pass on last run's rows, masking the
+      // regression
+      val target = new java.io.File(s"$outDir/$name")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

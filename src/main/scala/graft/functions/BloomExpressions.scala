@@ -102,6 +102,20 @@ object BloomMightContain {
 case class BloomMightContain(child: Expression, words: Array[Long], k: Int)
   extends UnaryExpression {
 
+  // content equality for the Array field: the case-class default is
+  // reference equality, which would make two textually identical
+  // probes (projection + filter of the same audit) unequal to
+  // Catalyst — silently defeating common-subexpression elimination
+  // and plan-cache matching, re-running the probe per occurrence
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, w, kk) =>
+      c == child && kk == k && java.util.Arrays.equals(w, words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Integer.valueOf(k),
+      java.lang.Integer.valueOf(java.util.Arrays.hashCode(words)))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType
       if words.nonEmpty && java.lang.Long.bitCount(words.length.toLong) == 1

@@ -165,6 +165,23 @@ object BpeEncode {
 case class BpeEncode(child: Expression, lefts: Array[UTF8String],
                      rights: Array[UTF8String]) extends UnaryExpression {
 
+  // content equality for the Array fields (see BloomMightContain):
+  // reference equality would defeat Catalyst subexpression
+  // elimination for repeated encodes over the same merge table
+  override def equals(other: Any): Boolean = other match {
+    case BpeEncode(c, l, r) => c == child &&
+      java.util.Arrays.equals(
+        l.asInstanceOf[Array[AnyRef]], lefts.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.equals(
+        r.asInstanceOf[Array[AnyRef]], rights.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    java.lang.Integer.valueOf(
+      java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]])),
+    java.lang.Integer.valueOf(
+      java.util.Arrays.hashCode(rights.asInstanceOf[Array[AnyRef]])))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -167,7 +167,11 @@ object HashKernels {
   }
 
   def minhashUdf(nHashes: Int): Column => Column = {
-    val f = udf((elems: Seq[String]) => minhash(elems, nHashes))
+    // null-propagate like the native kernels' nullSafeEval: Scala
+    // UDFs only auto-handle null for primitive params, so a NULL
+    // token array would otherwise NPE the whole job
+    val f = udf((elems: Seq[String]) =>
+      if (elems == null) null else minhash(elems, nHashes))
     c => f(c)
   }
 

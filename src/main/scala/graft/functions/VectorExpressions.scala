@@ -167,6 +167,52 @@ case class SqDist(left: Expression, right: Expression)
   * at builder time; calls go through the public `call_function` API.
   */
 object GraftFunctions {
+
+  private def arity1(name: String)(f: Expression => Expression)
+  : Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1,
+      s"$name takes exactly 1 argument, got ${exprs.length}")
+    f(exprs.head)
+  }
+
+  private def arity2(name: String)(
+    f: (Expression, Expression) => Expression)
+  : Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"$name takes exactly 2 arguments, got ${exprs.length}")
+    f(exprs.head, exprs(1))
+  }
+
+  /** THE (name, impl class, builder) registry — both wiring paths
+    * ([[register]] at runtime, `graft.GraftExtensions` at config
+    * time) derive from this one seq, so the two can never drift (the
+    * extensions path once silently lacked graft_phash64). Fixed-arity
+    * builders validate the argument count up front so SQL misuse
+    * fails with "takes N arguments", not an IndexOutOfBounds from
+    * `exprs(1)`; the variadic builders (`MinHashBands.build` etc.)
+    * carry their own checks. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_dot", classOf[DotProduct],
+        arity2("graft_dot")(DotProduct(_, _))),
+      ("graft_sqdist", classOf[SqDist],
+        arity2("graft_sqdist")(SqDist(_, _))),
+      ("graft_simhash64", classOf[SimHash64],
+        arity1("graft_simhash64")(SimHash64(_))),
+      ("graft_phash64", classOf[PHash64],
+        arity1("graft_phash64")(PHash64(_))),
+      ("graft_nfc", classOf[NfcNormalize],
+        arity1("graft_nfc")(NfcNormalize(_))),
+      // bands/rows arrive as foldable int literals — plan-time consts
+      ("graft_minhash_bands", classOf[MinHashBands],
+        MinHashBands.build _),
+      // words arrives as a foldable array<bigint> literal, decoded once
+      ("graft_bloom_contains", classOf[BloomMightContain],
+        BloomMightContain.build _),
+      // the round's pair / the full merge table arrive as literals
+      ("graft_bpe_merge", classOf[BpeMergePass], BpeMergePass.build _),
+      ("graft_bpe_encode", classOf[BpeEncode], BpeEncode.build _))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     // Guard each name individually (NOT one sentinel name for the whole
@@ -175,20 +221,9 @@ object GraftFunctions {
     // the per-call path quiet — register() runs on every Column
     // construction, and an unconditional createOrReplace would log a
     // "replaced a previously registered function" WARN each time.
-    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, _, builder) =>
       if (!registry.functionExists(FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, builder, "built-in")
-    ensure("graft_dot")(exprs => DotProduct(exprs.head, exprs(1)))
-    ensure("graft_sqdist")(exprs => SqDist(exprs.head, exprs(1)))
-    ensure("graft_simhash64")(exprs => SimHash64(exprs.head))
-    ensure("graft_phash64")(exprs => PHash64(exprs.head))
-    ensure("graft_nfc")(exprs => NfcNormalize(exprs.head))
-    // bands/rows arrive as foldable int literals — plan-time consts
-    ensure("graft_minhash_bands")(exprs => MinHashBands.build(exprs))
-    // words arrives as a foldable array<bigint> literal, decoded once
-    ensure("graft_bloom_contains")(exprs => BloomMightContain.build(exprs))
-    // the round's pair / the full merge table arrive as literals
-    ensure("graft_bpe_merge")(exprs => BpeMergePass.build(exprs))
-    ensure("graft_bpe_encode")(exprs => BpeEncode.build(exprs))
+    }
   }
 }

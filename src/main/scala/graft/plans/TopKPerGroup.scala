@@ -118,13 +118,36 @@ object TopKPerGroup {
     * for deterministic output. */
   def apply(df: DataFrame, groupCols: Seq[String],
             orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k (the exec's heap " +
+      "compares against peek(), which is null on an empty heap)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"no column $n"))
+    // resolve with the session's resolver (case-insensitive by
+    // default, like every built-in operator) and reject ambiguity
+    // instead of silently binding the first duplicate name
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String) = {
+      val hits = analyzed.output.filter(a => resolver(a.name, n))
+      require(hits.size == 1,
+        if (hits.isEmpty) s"no column $n" else s"ambiguous column $n")
+      hits.head
+    }
+    // grouping on float/double keys would need the analyzer's
+    // NormalizeFloatingNumbers treatment (-0.0 == 0.0, one NaN),
+    // which only rewrites the stock Window/Aggregate nodes — raw
+    // UnsafeRow key bytes here would split those groups. Reject
+    // rather than silently diverge from the window formulation.
+    groupCols.foreach { n =>
+      val dt = attr(n).dataType
+      require(dt != org.apache.spark.sql.types.DoubleType &&
+          dt != org.apache.spark.sql.types.FloatType,
+        s"TopKPerGroup group column $n is $dt: floating-point group " +
+          "keys are not supported (byte-wise grouping would split " +
+          "-0.0/0.0 and NaN bit patterns); bucket or cast first")
+    }
     val order = orderCols.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     GraftBridge.ofRows(spark,

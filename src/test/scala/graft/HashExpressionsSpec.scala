@@ -60,4 +60,37 @@ class HashExpressionsSpec extends SparkSpec {
         s"$q still plans a UDF:\n$plan")
     }
   }
+
+  test("minhash signature null-propagates on a NULL token array") {
+    // the kernel UDF must mirror the native expressions' nullSafeEval:
+    // Scala UDFs only auto-null-handle primitives, so an unguarded
+    // Seq param would NPE the whole job on one null row
+    val df = Seq((1L, Some(Seq("a", "b"))), (2L, None))
+      .toDF("id", "toks")
+    val out = graft.operators.Dedup.minhashSignature(col("toks"), 8)
+    val rows = df.select(col("id"), out.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L) && rows(2L))
+  }
+
+  test("array-literal expressions compare by content (CSE-visible)") {
+    // case-class reference equality on Array fields would make two
+    // textually identical probes unequal to Catalyst, silently
+    // defeating common-subexpression elimination
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val in = BoundReference(0, LongType, nullable = true)
+    val a = graft.functions.BloomMightContain(in, Array(1L, 2L), 3)
+    val b = graft.functions.BloomMightContain(in, Array(1L, 2L), 3)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(a != graft.functions.BloomMightContain(in, Array(1L, 3L), 3))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val sin = BoundReference(0,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val e1 = graft.functions.BpeEncode(sin, Array(u("a")), Array(u("b")))
+    val e2 = graft.functions.BpeEncode(sin, Array(u("a")), Array(u("b")))
+    assert(e1 == e2 && e1.semanticEquals(e2))
+    assert(e1 != graft.functions.BpeEncode(sin, Array(u("a")), Array(u("c"))))
+  }
 }

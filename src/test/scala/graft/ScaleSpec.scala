@@ -420,6 +420,25 @@ class ScaleSpec extends SparkSpec {
       s"global top-k mismatch: native=$native expected=$expected")
   }
 
+  test("TopKPerGroup argument guards: k, resolution, float keys") {
+    val df = Seq((1L, "a", 1.5), (2L, "a", 2.5)).toDF("id", "grp", "x")
+    // k = 0 would NPE against heap.peek() on the executor — fail fast
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerGroup(df, Seq("grp"), Seq(("id", true)), k = 0)
+    }
+    // resolution follows the session resolver (case-insensitive by
+    // default), like every built-in operator
+    val up = graft.plans.TopKPerGroup(df, Seq("GRP"),
+      Seq(("ID", true)), k = 1).select("id").as[Long].collect().toSeq
+    assert(up == Seq(1L))
+    // float/double group keys would group by raw key bytes (no
+    // NormalizeFloatingNumbers pass on a custom node): -0.0 vs 0.0
+    // would split a group the window formulation treats as one
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerGroup(df, Seq("x"), Seq(("id", true)), k = 1)
+    }
+  }
+
   test("partition pruning: hive-partitioned write reads only matching partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-part")
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
@@ -466,6 +485,17 @@ class ScaleSpec extends SparkSpec {
     // through SQL after registration on a cloned session.
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.register(s2)
+    // BOTH wiring paths derive from GraftFunctions.builders — every
+    // registry entry must resolve (graft_phash64 was once silently
+    // missing from the hand-maintained extensions list)
+    val reg = s2.sessionState.functionRegistry
+    graft.functions.GraftFunctions.builders.foreach { case (n, _, _) =>
+      assert(reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"registry entry $n did not register")
+    }
+    // fixed-arity builders reject a wrong argument count loudly
+    intercept[Exception] { s2.sql("SELECT graft_dot(array(1.0D))") }
     val r = s2.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect().head.getDouble(0)
