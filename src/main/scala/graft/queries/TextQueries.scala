@@ -23,6 +23,67 @@ object TextQueries {
   // report "no recall loss" about a different configuration.
   private val simhashBucketCap = 10000
 
+  // ONE jaccard near-dup configuration shared by q_dedup_ngram_jaccard
+  // and q_dedup_clusters — Spark calls AND both oracles interpolate
+  // these, so tuning the threshold/gap/df-cap can never desync the
+  // cluster query from the pair query it claims to close over.
+  private val jaccardThreshold = 0.8
+  private val jaccardMaxIdGap = 25L
+  private val jaccardDfCapPct = 77
+
+  /** The jaccard pair set both queries build on (one definition). */
+  private def jaccardPairsDf(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
+      TA.tokens(col("text")), threshold = jaccardThreshold,
+      maxIdGap = Some(jaccardMaxIdGap), dfCapPct = Some(jaccardDfCapPct))
+
+  /** Rounded jaccard over the `inter`/`sizes` CTEs below — appears in
+    * both the SELECT and the threshold WHERE of each oracle. */
+  private val jaccardSqlExpr =
+    "floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) " +
+      "* 10000.0 + 0.5) / 10000.0"
+
+  /** The oracle CTE chain mirroring [[jaccardPairsDf]] step by step —
+    * shared verbatim by the pair and cluster oracles. */
+  private def jaccardSqlCtes: String =
+    s"""tok0 AS (
+       |  SELECT DISTINCT doc, token FROM (
+       |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
+       |    FROM documents) raw),
+       |hot AS (SELECT token FROM tok0 GROUP BY token
+       |        HAVING count(*) * 100 > $jaccardDfCapPct * (SELECT count(DISTINCT doc) FROM tok0)),
+       |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
+       |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+       |inter AS (
+       |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+       |  FROM tok a JOIN tok b ON a.token = b.token
+       |    AND a.doc < b.doc AND b.doc - a.doc <= $jaccardMaxIdGap
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // ONE chunk geometry shared by q_text_chunk and q_pack_sequences —
+  // the packing query packs EXACTLY the chunks the chunk query emits,
+  // and both oracles interpolate the same constants (same
+  // desync-proofing as the span/substring constants below).
+  private val chunkTokensN = 6
+  private val chunkOverlapN = 2
+  private val chunkStrideN = chunkTokensN - chunkOverlapN
+
+  /** The chunk CTE chain mirroring `Chunking.chunkDocs` — shared by
+    * the q_text_chunk and q_pack_sequences oracles. */
+  private def chunkSqlCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, greatest(len(toks) - $chunkOverlapN, 1), $chunkStrideN)) AS s
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST((s - 1) // $chunkStrideN AS BIGINT) AS chunk_idx,
+       |    array_to_string(list_slice(toks, s, s + ${chunkTokensN - 1}), ' ') AS chunk
+       |  FROM starts)""".stripMargin
+
   /** Permutation-dup clusters (id, root) shared by q_dedup_canonical
     * and q_split_leakproof: root = min doc_id per order-insensitive
     * content fingerprint. One definition so the two queries can never
@@ -219,25 +280,22 @@ object TextQueries {
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      // dfCapPct=77: tokens present in >77% of docs are stopwords for
-      // near-dup purposes — dropping them shrinks the inverted-index
-      // join ~3x and removes its hottest keys (the percent form stays
-      // meaningful at any scale factor; the oracle mirrors the cut).
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L),
-          dfCapPct = Some(77))
-        .orderBy("doc_a", "doc_b")
+      // dfCapPct: tokens present in more of the corpus than the cap
+      // are stopwords for near-dup purposes — dropping them shrinks
+      // the inverted-index join ~3x and removes its hottest keys (the
+      // percent form stays meaningful at any scale factor; the oracle
+      // mirrors the cut). Configuration lives in the shared jaccard*
+      // constants so q_dedup_clusters can never drift from this.
+      jaccardPairsDf(s, d).orderBy("doc_a", "doc_b")
     }),
 
     "q_dedup_clusters" -> ((s, d) => {
-      // Transitive closure of the jaccard near-dup pairs: every doc in
-      // a duplicate cluster mapped to the cluster's min id (the
-      // canonical survivor) — the step that turns pair lists into an
-      // actual keep/drop decision.
-      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id",
-        TA.tokens(col("text")), threshold = 0.8, maxIdGap = Some(25L),
-        dfCapPct = Some(77))
-      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      // Transitive closure of the jaccard near-dup pairs (the SAME
+      // pair set as q_dedup_ngram_jaccard — shared definition): every
+      // doc in a duplicate cluster mapped to the cluster's min id
+      // (the canonical survivor) — the step that turns pair lists
+      // into an actual keep/drop decision.
+      Dedup.connectedComponents(jaccardPairsDf(s, d), "doc_a", "doc_b")
         .select(col("node").as("doc"), col("root"))
         .orderBy("doc")
     }),
@@ -323,12 +381,14 @@ object TextQueries {
     }),
 
     "q_text_chunk" -> ((s, d) => {
-      // 6-token chunks with 2-token overlap (stride 4) — the
-      // sequence-packing precursor; chunk_idx orders chunks within a
-      // doc for deterministic downstream packing.
+      // chunkTokensN-token chunks with chunkOverlapN-token overlap —
+      // the sequence-packing precursor; chunk_idx orders chunks
+      // within a doc for deterministic downstream packing. Geometry
+      // lives in the shared chunk* constants so q_pack_sequences
+      // packs EXACTLY these chunks.
       graft.operators.Chunking
         .chunkDocs(t(s, d, "documents"), "doc_id", "text",
-          chunkTokens = 6, overlap = 2)
+          chunkTokens = chunkTokensN, overlap = chunkOverlapN)
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -444,7 +504,10 @@ object TextQueries {
       // check vacuous).
       Dedup.crossSourceMatrix(t(s, d, "documents"), "doc_id",
           TA.contentFingerprint(TA.tokens(col("text"))), "source")
-        .orderBy("src_a", "src_b")
+        // NULL source is a first-class stratum; pin its placement
+        // (Spark asc = NULLS FIRST, DuckDB = NULLS LAST by default)
+        .orderBy(col("src_a").asc_nulls_first,
+          col("src_b").asc_nulls_first)
     }),
 
     "q_dedup_canonical" -> ((s, d) => {
@@ -556,7 +619,9 @@ object TextQueries {
             .as("dup_ratio"),
           (col("q4_sum").cast("double") / (col("n_docs") * lit(1e4)))
             .as("avg_q"))
-        .orderBy("source", "lang")
+        // NULL source/lang are real strata; pin their placement
+        .orderBy(col("source").asc_nulls_first,
+          col("lang").asc_nulls_first)
     }),
 
     "q_text_lm_score" -> ((s, d) => {
@@ -723,7 +788,7 @@ object TextQueries {
       // without hashing full chunk text twice.
       val chunks = graft.operators.Chunking
         .chunkDocs(t(s, d, "documents"), "doc_id", "text",
-          chunkTokens = 6, overlap = 2)
+          chunkTokens = chunkTokensN, overlap = chunkOverlapN)
       graft.operators.Packing
         .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
           maxTokens = 64, nShards = 8)
@@ -1144,54 +1209,30 @@ object TextQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH tok0 AS (
-        |  SELECT DISTINCT doc, token FROM (
-        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
-        |    FROM documents) raw),
-        |hot AS (SELECT token FROM tok0 GROUP BY token
-        |        HAVING count(*) * 100 > 77 * (SELECT count(DISTINCT doc) FROM tok0)),
-        |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
-        |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
-        |inter AS (
-        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-        |  FROM tok a JOIN tok b ON a.token = b.token
-        |    AND a.doc < b.doc AND b.doc - a.doc <= 25
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        |FROM inter
-        |JOIN sizes na ON na.doc = doc_a
-        |JOIN sizes nb ON nb.doc = doc_b
-        |WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $jaccardSqlCtes
+         |SELECT doc_a, doc_b,
+         |  $jaccardSqlExpr AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc = doc_a
+         |JOIN sizes nb ON nb.doc = doc_b
+         |WHERE $jaccardSqlExpr >= $jaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_clusters" ->
-      """WITH RECURSIVE tok0 AS (
-        |  SELECT DISTINCT doc, token FROM (
-        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
-        |    FROM documents) raw),
-        |hot AS (SELECT token FROM tok0 GROUP BY token
-        |        HAVING count(*) * 100 > 77 * (SELECT count(DISTINCT doc) FROM tok0)),
-        |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
-        |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
-        |inter AS (
-        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-        |  FROM tok a JOIN tok b ON a.token = b.token
-        |    AND a.doc < b.doc AND b.doc - a.doc <= 25
-        |  GROUP BY 1, 2),
-        |prs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes na ON na.doc = doc_a
-        |  JOIN sizes nb ON nb.doc = doc_b
-        |  WHERE floor((CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= 0.8),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-        |          UNION SELECT doc_b, doc_a FROM prs),
-        |reach(s, t) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t)
-        |SELECT s AS doc, least(s, min(t)) AS root
-        |FROM reach GROUP BY s ORDER BY doc""".stripMargin,
+      s"""WITH RECURSIVE $jaccardSqlCtes,
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes na ON na.doc = doc_a
+         |  JOIN sizes nb ON nb.doc = doc_b
+         |  WHERE $jaccardSqlExpr >= $jaccardThreshold),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(s, t) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.t)
+         |SELECT s AS doc, least(s, min(t)) AS root
+         |FROM reach GROUP BY s ORDER BY doc""".stripMargin,
 
     "q_text_redact" ->
       """SELECT event_id,
@@ -1245,21 +1286,10 @@ object TextQueries {
         |ORDER BY keep_id""".stripMargin,
 
     "q_text_chunk" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |starts AS (
-        |  SELECT doc_id, toks,
-        |    unnest(generate_series(1, greatest(len(toks) - 2, 1), 4)) AS s
-        |  FROM t),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST((s - 1) // 4 AS BIGINT) AS chunk_idx,
-        |    array_to_string(list_slice(toks, s, s + 5), ' ') AS chunk
-        |  FROM starts)
-        |SELECT doc_id, chunk_idx, chunk,
-        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH $chunkSqlCtes
+         |SELECT doc_id, chunk_idx, chunk,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_quality_model" ->
       // mirrors TA.linearModelQ8 application: Q4 features (midpoint-
@@ -1343,7 +1373,8 @@ object TextQueries {
         |       substring(md5(CAST(doc_id AS VARCHAR) || ':mixT'), 1, 1)) - 1) * 16 +
         |    strpos('0123456789abcdef',
         |       substring(md5(CAST(doc_id AS VARCHAR) || ':mixT'), 2, 1)) - 1 AS bucket
-        |  FROM documents docs JOIN w ON docs.lang = w.lang),
+        |  FROM documents docs
+        |  JOIN w ON docs.lang IS NOT DISTINCT FROM w.lang),
         |e AS (
         |  SELECT d.*, c.i AS copy
         |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS i) c
@@ -1371,7 +1402,7 @@ object TextQueries {
         |    AS n_digests
         |FROM p GROUP BY 1, 2
         |HAVING CAST(sum(pairs) AS BIGINT) > 0
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     "q_dedup_canonical" ->
       """WITH f AS (
@@ -1521,7 +1552,8 @@ object TextQueries {
         |  (count(*) - count(DISTINCT digest)) / CAST(count(*) AS DOUBLE)
         |    AS dup_ratio,
         |  CAST(sum(q4) AS BIGINT) / (count(*) * 10000.0) AS avg_q
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM b GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     "q_text_lm_score" ->
       """WITH t AS (
@@ -1686,21 +1718,11 @@ object TextQueries {
         |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
-      // Same chunking CTEs as q_text_chunk, then next-fit packing as
-      // a windowed running sum per shard (doc_id % 8). sum(BIGINT)
-      // widens to HUGEINT in DuckDB -> CAST back (SURVEY 7.4).
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |starts AS (
-        |  SELECT doc_id, toks,
-        |    unnest(generate_series(1, greatest(len(toks) - 2, 1), 4)) AS s
-        |  FROM t),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST((s - 1) // 4 AS BIGINT) AS chunk_idx,
-        |    array_to_string(list_slice(toks, s, s + 5), ' ') AS chunk
-        |  FROM starts),
+      // THE chunking CTEs of q_text_chunk (shared definition), then
+      // next-fit packing as a windowed running sum per shard
+      // (doc_id % 8). sum(BIGINT) widens to HUGEINT in DuckDB ->
+      // CAST back (SURVEY 7.4).
+      s"""WITH $chunkSqlCtes,
         |ch AS (
         |  SELECT doc_id, chunk_idx,
         |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
