@@ -122,7 +122,11 @@ object RelationalQueries {
     }),
 
     "q_array_funcs" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // NULL text reads as the empty document (the engine-wide stance
+      // documented at TextAnalysis.contentFingerprint): without the
+      // coalesce, Spark's concat_ws renders a null slice as '' while
+      // DuckDB's array_to_string propagates NULL
+      val toks = split(coalesce(col("text"), lit("")), " ")
       t(s, d, "documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tok"),
@@ -705,9 +709,9 @@ object RelationalQueries {
 
     "q_array_funcs" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tok,
-        |  list_contains(string_split(text, ' '), 'data') AS has_data,
-        |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3
+        |  len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+        |  list_contains(string_split(coalesce(text, ''), ' '), 'data') AS has_data,
+        |  array_to_string(list_sort(string_split(coalesce(text, ''), ' '))[1:3], ',') AS first3
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_map_funcs" ->

@@ -72,7 +72,7 @@ object TextQueries {
     * the q_text_chunk and q_pack_sequences oracles. */
   private def chunkSqlCtes: String =
     s"""t AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS toks
        |  FROM documents),
        |starts AS (
        |  SELECT doc_id, toks,
@@ -203,7 +203,11 @@ object TextQueries {
         col("doc_id"),
         TA.langIdHeuristic(col("text")).as("pred_lang"),
         col("lang"),
-        (TA.langIdHeuristic(col("text")) === col("lang")).as("correct"))
+        // null-SAFE equality: a null ground-truth lang is "not
+        // correct" (false), not a null verdict — and oracle-stable
+        // (plain === would emit NULL, which pandas renders
+        // differently per engine)
+        (TA.langIdHeuristic(col("text")) <=> col("lang")).as("correct"))
         .orderBy("doc_id")
     }),
 
@@ -353,7 +357,10 @@ object TextQueries {
       // angstrom sign) is appended to prove real composition happens
       // — NFC shortens 'cafe'+U+0301 to 'café' in both engines.
       graft.functions.GraftFunctions.register(s)
-      val raw = concat(col("text"), lit(" cafe\u0301 \u212B"))
+      // coalesce: NULL text would null the whole concat and emit a
+      // NULL `changed` verdict (engine stance: NULL text = empty doc)
+      val raw = concat(coalesce(col("text"), lit("")),
+        lit(" cafe\u0301 \u212B"))
       t(s, d, "documents").select(
         col("doc_id"),
         call_function("graft_nfc", raw).as("norm_text"),
@@ -387,7 +394,9 @@ object TextQueries {
       // lives in the shared chunk* constants so q_pack_sequences
       // packs EXACTLY these chunks.
       graft.operators.Chunking
-        .chunkDocs(t(s, d, "documents"), "doc_id", "text",
+        .chunkDocs(t(s, d, "documents")
+            .withColumn("text", coalesce(col("text"), lit(""))),
+          "doc_id", "text",
           chunkTokens = chunkTokensN, overlap = chunkOverlapN)
         .orderBy("doc_id", "chunk_idx")
     }),
@@ -400,8 +409,9 @@ object TextQueries {
       // weights → exact Q8 integer score; `keep` thresholds the
       // integer (0.45), so the decision is engine-exact. Map-only:
       // one corpus scan, one codegen projection, no shuffle before
-      // the final order.
-      val toks = TA.tokens(col("text"))
+      // the final order. NULL text = empty doc (scores as a 1-token
+      // too-short document, not a NULL keep verdict).
+      val toks = TA.tokens(coalesce(col("text"), lit("")))
       def q4(c: org.apache.spark.sql.Column) =
         floor(c * 10000.0d + 0.5d).cast("long")
       val g2 = TA.shingles(toks, 2)
@@ -469,7 +479,9 @@ object TextQueries {
       // boilerplate/repetition quality signal next to q_text_quality;
       // pure codegen array expressions, one corpus scan, no shuffle
       // before the final order.
-      val toks = TA.tokens(col("text"))
+      // NULL text = empty document (engine stance): unguarded, Spark
+      // null-propagates the ratio while the oracle's CASE lands 0.0
+      val toks = TA.tokens(coalesce(col("text"), lit("")))
       def dupRatio(n: Int) = {
         val g = TA.shingles(toks, n)
         when(size(g) === 0, lit(0.0d))
@@ -561,7 +573,9 @@ object TextQueries {
       // cut keeps long documents preferentially without a sort or a
       // global rank — the importance-sampling complement of the
       // uniform q_sample_stratified.
-      val toks = TA.tokens(col("text"))
+      // NULL text = empty doc (1 whitespace token), not a NULL
+      // weight — an unguarded null weight nulls the keep verdict
+      val toks = TA.tokens(coalesce(col("text"), lit("")))
       graft.operators.DataSplit.weightedSample(
           t(s, d, "documents").select(col("doc_id"),
             size(toks).cast("long").as("n_tok")),
@@ -787,7 +801,9 @@ object TextQueries {
       // (shard, bin) so the oracle verifies every packing decision
       // without hashing full chunk text twice.
       val chunks = graft.operators.Chunking
-        .chunkDocs(t(s, d, "documents"), "doc_id", "text",
+        .chunkDocs(t(s, d, "documents")
+            .withColumn("text", coalesce(col("text"), lit(""))),
+          "doc_id", "text",
           chunkTokens = chunkTokensN, overlap = chunkOverlapN)
       graft.operators.Packing
         .packChunks(chunks, "doc_id", "chunk_idx", "n_chunk_tokens",
@@ -1063,7 +1079,7 @@ object TextQueries {
         |  (CASE WHEN ratio < 0.20 THEN 'zh'
         |        WHEN ratio < 0.24 THEN 'de'
         |        WHEN ratio < 0.28 THEN 'en'
-        |        ELSE 'es' END) = lang AS correct
+        |        ELSE 'es' END) IS NOT DISTINCT FROM lang AS correct
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
@@ -1255,7 +1271,7 @@ object TextQueries {
     "q_text_nfc" ->
       """WITH x AS (
         |  SELECT doc_id,
-        |    text || ' cafe' || chr(769) || ' ' || chr(8491) AS raw
+        |    coalesce(text, '') || ' cafe' || chr(769) || ' ' || chr(8491) AS raw
         |  FROM documents)
         |SELECT doc_id, nfc_normalize(raw) AS norm_text,
         |  (length(nfc_normalize(raw)) != length(raw)) AS changed
@@ -1296,7 +1312,7 @@ object TextQueries {
       // rounded 1e-4 units), Q4 literal weights, exact BIGINT Q8
       // score, integer threshold for keep
       """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, t,
@@ -1330,7 +1346,7 @@ object TextQueries {
 
     "q_text_repetition" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -1455,7 +1471,7 @@ object TextQueries {
       }.mkString(" +\n     ")
       s"""WITH b AS (
          |  SELECT doc_id,
-         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+         |    CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) AS w,
          |    md5(CAST(doc_id AS VARCHAR)) AS hex
          |  FROM documents),
          |t AS (SELECT sum(w) AS tot_w FROM b),
