@@ -11,7 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (lower-cased). */
+  /** Whitespace tokenizer (lower-cased).
+    *
+    * Case normalization is DEFINED as the JVM's full Unicode mapping
+    * (Spark's `lower`): context-sensitive (Greek word-final Σ → ς)
+    * and occasionally multi-codepoint (U+0130 İ → i + U+0307).
+    * Engines using the simple one-to-one mapping (DuckDB lowers both
+    * to plain σ/i) diverge on exactly those codepoints — so digests,
+    * fingerprints and token identities over non-ASCII corpora are
+    * cross-engine-comparable only after agreeing on the mapping
+    * (tools/nullcheck.sh documents and excludes the two known cases).
+    */
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** BPE-ish lexer pattern: word pieces, digit runs, single punctuation. */

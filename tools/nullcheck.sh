@@ -1,12 +1,22 @@
 #!/bin/bash
-# NULL-robustness gate: clone sf0.01, inject NULL text/lang/source
-# rows into documents (disjoint id classes), and run the full DuckDB
-# compare against the modified data. The operators treat NULL strata /
-# NULL text as first-class ("NULL text = empty document"), and the
-# driver has regenerated testdata schemas before — this catches the
-# Spark-vs-DuckDB null-semantics divergences (concat_ws vs
-# array_to_string, = vs IS NOT DISTINCT FROM, NULLS FIRST vs LAST)
-# before a data change surfaces them as confusing hash mismatches.
+# NULL- and Unicode-robustness gate: clone sf0.01, inject NULL
+# text/lang/source rows AND multibyte text (sharp-s, Greek sigma, CJK,
+# emoji, combining marks, RTL) into documents (disjoint id classes),
+# then run the full DuckDB compare against the modified data. The
+# operators treat NULL strata / NULL text as first-class ("NULL text =
+# empty document"), and the driver has regenerated testdata schemas
+# before — this catches Spark-vs-DuckDB null-semantics divergences
+# (concat_ws vs array_to_string, = vs IS NOT DISTINCT FROM, NULLS
+# FIRST vs LAST) and multibyte regressions before a data change
+# surfaces them as confusing hash mismatches.
+#
+# Known, deliberate exclusions — codepoints where the JVM's FULL
+# Unicode case mapping (the engine's definition of lower-casing, see
+# TextAnalysis) differs from DuckDB's simple mapping, so they would
+# fail the cross-engine compare by design and are not injected:
+#   - Turkish dotted capital I (U+0130): JVM 'i'+U+0307, DuckDB 'i'.
+#   - Greek word-FINAL capital sigma: JVM context-sensitively lowers
+#     to final form 'ς' (U+03C2), DuckDB to 'σ' everywhere.
 set -e
 cd /root/repo
 SRC=${1:-/root/testdata/sf0.01}
@@ -23,7 +33,13 @@ con = duckdb.connect()
 con.execute(f"""
 COPY (
   SELECT doc_id,
-    CASE WHEN doc_id % 100 = 7 THEN NULL ELSE text END AS text,
+    CASE WHEN doc_id % 100 = 7 THEN NULL
+      WHEN doc_id % 100 = 17 THEN text || ' STRASSE ß GROSS'
+      WHEN doc_id % 100 = 29 THEN text || ' ΕΛΛΗΝΙΚΆ ΑΘΉΝΑ'
+      WHEN doc_id % 100 = 31 THEN text || ' 机器学习与数据处理'
+      WHEN doc_id % 100 = 43 THEN text || ' 🚀🔥 café café'
+      WHEN doc_id % 100 = 53 THEN text || ' مرحبا שלום'
+      ELSE text END AS text,
     CASE WHEN doc_id % 100 = 13 THEN NULL ELSE lang END AS lang,
     CASE WHEN doc_id % 100 = 23 THEN NULL ELSE source END AS source,
     n_chars
