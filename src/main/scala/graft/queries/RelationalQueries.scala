@@ -139,12 +139,16 @@ object RelationalQueries {
       val counts = t(s, d, "events")
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
       counts.groupBy("user_id")
-        .agg(map_from_entries(collect_list(struct(col("event_type"),
+        // maps cannot hold a NULL key — a null event_type stratum
+        // lands under '' instead of killing the job with NULL_MAP_KEY
+        .agg(map_from_entries(collect_list(struct(
+          coalesce(col("event_type"), lit("")).as("event_type"),
           col("c")))).as("m"))
         .select(col("user_id"),
           coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
           coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"))
-        .orderBy("user_id")
+        // null user_id is a real group; pin its placement cross-engine
+        .orderBy(col("user_id").asc_nulls_first)
     }),
 
     // ---- joins ----
@@ -418,8 +422,11 @@ object RelationalQueries {
         .pivot("event_type",
           Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("user_id")
+        // fill ONLY the pivot columns: a bare na.fill(0) would also
+        // rewrite a NULL user_id group key to 0
+        .na.fill(0L,
+          Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy(col("user_id").asc_nulls_first)
     }),
 
     "q_unpivot" -> ((s, d) => {
@@ -719,7 +726,7 @@ object RelationalQueries {
         |  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS purchases,
         |  coalesce(max(CASE WHEN event_type = 'error' THEN c END), 0) AS errors
         |FROM (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_cust,
@@ -975,7 +982,8 @@ object RelationalQueries {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q_unpivot" ->
       """SELECT c_custkey, metric, value FROM (

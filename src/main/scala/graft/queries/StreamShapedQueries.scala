@@ -47,14 +47,18 @@ object StreamShapedQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), unix_micros(col("w.start"))
           .as("session_start_us"), col("cnt"))
-        .orderBy("user_id", "session_start_us")
+        // null user_id sessions are real groups; pin null placement
+        // (Spark asc = NULLS FIRST, DuckDB default = NULLS LAST)
+        .orderBy(col("user_id").asc_nulls_first,
+          col("session_start_us"))
     }),
 
     "q_dedup_key" -> ((s, d) => {
       Envelope.dedupKeepFirst(t(s, d, "events"),
           Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
         .select("user_id", "event_type", "event_id")
-        .orderBy("user_id", "event_type")
+        .orderBy(col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first)
     }),
 
     "q_key_synthesis" -> ((s, d) => {
@@ -108,7 +112,7 @@ object StreamShapedQueries {
         |  FROM flagged)
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS cnt
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, session_start_us""".stripMargin,
 
     "q_dedup_key" ->
       """SELECT user_id, event_type, event_id FROM (
@@ -116,7 +120,8 @@ object StreamShapedQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+        |WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "q_key_synthesis" ->
       """SELECT event_id,
@@ -131,7 +136,10 @@ object StreamShapedQueries {
         |      PARTITION BY epoch_ms(ts) ORDER BY event_id) AS key
         |  FROM events)
         |SELECT event_id,
-        |  '[{"key":"' || key || '"},{"value":"' || event_type || '"}]' AS env,
+        |  '[{"key":"' || key || '"},{' ||
+        |    CASE WHEN event_type IS NULL THEN ''
+        |         ELSE '"value":"' || event_type || '"' END ||
+        |  '}]' AS env,
         |  key AS key2, event_type AS value2
         |FROM k ORDER BY event_id""".stripMargin
   )

@@ -27,7 +27,7 @@ python3 - "$SRC" "$DIR" <<'EOF'
 import duckdb, shutil, sys
 src, dst = sys.argv[1], sys.argv[2]
 for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","embeddings"]:
+          "lineitem","embeddings"]:
     shutil.copyfile(f'{src}/{t}.parquet', f'{dst}/{t}.parquet')
 con = duckdb.connect()
 con.execute(f"""
@@ -45,6 +45,16 @@ COPY (
     n_chars
   FROM read_parquet('{src}/documents.parquet')
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT event_id, ts,
+    CASE WHEN event_id % 1000 = 7 THEN NULL ELSE user_id END AS user_id,
+    CASE WHEN event_id % 1000 = 13 THEN NULL ELSE event_type END AS event_type,
+    value,
+    CASE WHEN event_id % 1000 = 23 THEN NULL ELSE props END AS props
+  FROM read_parquet('{src}/events.parquet')
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
 n = con.execute(f"""SELECT count(*) FILTER (WHERE text IS NULL),
   count(*) FILTER (WHERE lang IS NULL),
