@@ -851,8 +851,11 @@ object Dedup {
     */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, maxIdGap: Long): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"),
-      Similarity.toDouble(col(vecCol)).as("v"))
+    // NULL embeddings carry no similarity signal — excluded like
+    // every vector operator (Similarity.nonNullVecs)
+    val v = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        Similarity.toDouble(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     bandedPairs(a, b, maxIdGap, Seq.empty)

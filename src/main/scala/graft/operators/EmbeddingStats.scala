@@ -39,8 +39,9 @@ object EmbeddingStats {
     */
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
                        grpCol: String, k: Int): DataFrame = {
-    val m = vecs.select(col(idCol).as("id"), col(grpCol).as("grp"),
-      transform(col(vecCol), Similarity.microQuantize(_)).as("mv"))
+    val m = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(grpCol).as("grp"),
+        transform(col(vecCol), Similarity.microQuantize(_)).as("mv"))
     val sums = m.select(col("grp"),
         posexplode(col("mv")).as(Seq("pos", "val")))
       .groupBy("grp", "pos")

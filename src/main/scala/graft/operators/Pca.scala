@@ -39,8 +39,9 @@ object Pca {
   DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val xq = vecs.select(transform(Similarity.toDouble(col(vecCol)),
-      Similarity.microQuantize(_)).as("xq")).as[Seq[Long]]
+    val xq = vecs.filter(col(vecCol).isNotNull)
+      .select(transform(Similarity.toDouble(col(vecCol)),
+        Similarity.microQuantize(_)).as("xq")).as[Seq[Long]]
     // fused per-partition fold: n, per-dim sums, and the upper
     // triangle of product sums in primitive long arrays — the genuine
     // per-partition imperative case (same stance as kmeans' iterate).
@@ -190,7 +191,7 @@ object Pca {
       .toIndexedSeq
     val xd = transform(Similarity.toDouble(col(vecCol)),
       x => Similarity.microQuantize(x).cast("double"))
-    vecs.withColumn("proj",
+    vecs.filter(col(vecCol).isNotNull).withColumn("proj",
       zip_with(typedLit(comps), typedLit(offsets), (row, off) =>
         aggregate(zip_with(row, xd, (c, x) => c * x),
           lit(0.0d), _ + _) - off))

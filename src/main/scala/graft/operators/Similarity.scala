@@ -65,6 +65,17 @@ object Similarity {
     call_function("graft_sqdist", a, b)
   }
 
+  /** Rows with a NULL embedding are EXCLUDED from every vector
+    * operator — the realistic failed-extraction artifact: vector math
+    * has no null-propagating meaning inside an index, a centroid sum,
+    * or a covariance fold, and an unfiltered null crashes the JVM
+    * kernels mid-job (Seq.length on null). Applied at each public
+    * entry; callers needing the dropped rows anti-join the operator's
+    * output ids against its input. */
+  private[operators] def nonNullVecs(df: DataFrame,
+                                     vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+
   /** Cosine similarity of two double-array columns. A zero-norm side
     * (an all-zero embedding — a realistic failed-extraction artifact)
     * scores 0, NOT NaN: doubles order NaN above every value, so a NaN
@@ -123,10 +134,10 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col(idCol).as("q_id"),
+      nonNullVecs(queries, vecCol).select(col(idCol).as("q_id"),
         toDouble(col(vecCol)).as("q_vec"),
         sqrt(normSq(toDouble(col(vecCol)))).as("q_norm")))
-    val c = candidates.select(col(idCol).as("c_id"),
+    val c = nonNullVecs(candidates, vecCol).select(col(idCol).as("c_id"),
       toDouble(col(vecCol)).as("c_vec"),
       sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
@@ -171,11 +182,12 @@ object Similarity {
                     idCol: String, vecCol: String, groupCol: String,
                     k: Int): DataFrame = {
     val q = broadcast(
-      anchors.select(col(idCol).as("q_id"),
+      nonNullVecs(anchors, vecCol).select(col(idCol).as("q_id"),
         col(groupCol).as("q_grp"),
         toDouble(col(vecCol)).as("q_vec"),
         sqrt(normSq(toDouble(col(vecCol)))).as("q_norm")))
-    val c = candidates.select(col(idCol).as("c_id"),
+    val c = nonNullVecs(candidates, vecCol)
+      .select(col(idCol).as("c_id"),
       col(groupCol).as("c_grp"),
       toDouble(col(vecCol)).as("c_vec"),
       sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
@@ -225,7 +237,7 @@ object Similarity {
     val signs: Seq[Seq[Long]] =
       Seq.tabulate(outDim, dim)((j, i) => rpSign(seed, j, i))
     val xq = transform(toDouble(col(vecCol)), microQuantize(_))
-    vecs.withColumn("proj",
+    nonNullVecs(vecs, vecCol).withColumn("proj",
       transform(typedLit(signs), row =>
         aggregate(zip_with(row, xq, (s, x) => s * x), lit(0L), _ + _)))
   }
@@ -281,7 +293,8 @@ object Similarity {
     val spark = candidates.sparkSession
     import spark.implicits._
     requireIntegralId(candidates, idCol, "ivfIndex")
-    val cands = candidates.select(col(idCol).cast("long").as("c_id"),
+    val cands = nonNullVecs(candidates, vecCol)
+      .select(col(idCol).cast("long").as("c_id"),
       toDouble(col(vecCol)).as("c_vec"))
     // trainCoarse = true replaces the hash-sampled centroids with
     // Lloyd-trained ones (the fused distributed kmeans): costs
@@ -354,8 +367,9 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
-    val qs = queries.select(col(idCol).as("q_id"),
-      toDouble(col(vecCol)).as("q_vec"))
+    val qs = nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("q_vec"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("qd").desc, col("cent_id").asc)
     val probes = qs.crossJoin(cents)
@@ -448,8 +462,9 @@ object Similarity {
   def lshIndex(candidates: DataFrame, idCol: String, vecCol: String,
                nPlanes: Int = 6, bucketCap: Int = 2000,
                persistIndex: Boolean = true): LshIndex = {
-    val cb0 = candidates.select(col(idCol).as("c_id"),
-      toDouble(col(vecCol)).as("c_vec"))
+    val cb0 = nonNullVecs(candidates, vecCol)
+      .select(col(idCol).as("c_id"),
+        toDouble(col(vecCol)).as("c_vec"))
       .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
     // persistIndex = false trades re-running the nPlanes kernel for
     // the census consumer against zero cache residue — the one-shot
@@ -473,8 +488,9 @@ object Similarity {
     * bucket. */
   def lshTopKWith(index: LshIndex, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int): DataFrame = {
-    val qb = queries.select(col(idCol).as("q_id"),
-      toDouble(col(vecCol)).as("q_vec"))
+    val qb = nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("q_vec"))
       .withColumn("bucket", lshBucket(col("q_vec"), index.nPlanes))
     val scored = broadcast(qb).join(index.buckets, "bucket")
       .filter(col("q_id") =!= col("c_id"))
@@ -513,8 +529,9 @@ object Similarity {
   def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                         cents: Seq[Seq[Double]]): DataFrame = {
     requireIntegralId(vecs, idCol, "assignToCentroids")
-    assignLiteral(vecs.select(col(idCol).cast("long").as("id"),
-      toDouble(col(vecCol)).as("v")), cents)
+    assignLiteral(nonNullVecs(vecs, vecCol)
+      .select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v")), cents)
   }
 
   private def assignLiteral(v: DataFrame,
@@ -616,7 +633,8 @@ object Similarity {
     requireIntegralId(vecs, idCol, "kmeans")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val v = vecs.select(col(idCol).cast("long").as("id"),
+    val v = nonNullVecs(vecs, vecCol)
+      .select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one job: bounded hash-uniform sample (ordered so ties and
@@ -762,7 +780,7 @@ object Similarity {
     // 8 subspaces × maxIter distributed rounds would cost ~40 job
     // schedules to cluster 4096 rows, pure overhead at any scale.
     requireIntegralId(vecs, idCol, "pqTrain")
-    val sample: Array[Seq[Double]] = vecs
+    val sample: Array[Seq[Double]] = nonNullVecs(vecs, vecCol)
       .select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v"))
       .withColumn("h", xxhash64(col("id")))
@@ -845,7 +863,7 @@ object Similarity {
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                codebook: Array[Array[Seq[Double]]]): DataFrame = {
     val v = toDouble(col(vecCol))
-    vecs.select(col(idCol).as("c_id"),
+    nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
       pqCodesExpr(v, codebook).as("codes"),
       sqrt(normSq(v)).as("c_norm"))
   }
@@ -938,9 +956,10 @@ object Similarity {
       s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
         "only return rows from the ADC shortlist")
     val qv = toDouble(col(vecCol))
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"),
-      pqLutExpr(qv, index.codebook).as("lut")))
+    val q = broadcast(nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"),
+        qv.as("q_vec"), sqrt(normSq(qv)).as("q_norm"),
+        pqLutExpr(qv, index.codebook).as("lut")))
     adcShortlistRerank(
       q.join(index.encoded, col("q_id") =!= col("c_id"))
         .withColumn("adc_base", lit(0.0d)),
@@ -971,9 +990,10 @@ object Similarity {
       .filter(col("rn") <= rerank)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("c_id"))
     // exact rerank on the shortlist only
-    val cands = candidates.select(col(idCol).as("c_id"),
-      toDouble(col(vecCol)).as("c_vec"),
-      sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
+    val cands = nonNullVecs(candidates, vecCol)
+      .select(col(idCol).as("c_id"),
+        toDouble(col(vecCol)).as("c_vec"),
+        sqrt(normSq(toDouble(col(vecCol)))).as("c_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     broadcast(shortlist).join(cands, "c_id")
@@ -1103,9 +1123,10 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val qv = toDouble(col(vecCol))
-    val qs = queries.select(col(idCol).as("q_id"), qv.as("q_vec"),
-      sqrt(normSq(qv)).as("q_norm"),
-      pqLutExpr(qv, index.codebook).as("lut"))
+    val qs = nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"), qv.as("q_vec"),
+        sqrt(normSq(qv)).as("q_norm"),
+        pqLutExpr(qv, index.codebook).as("lut"))
     // coarse probe: rank the literal centroid table per query and keep
     // the nProbe best lists — runs over queries × nCentroids rows. The
     // raw dot(q, cent) rides along: it is the residual decomposition's
@@ -1180,7 +1201,7 @@ object Similarity {
     requireIntegralId(newVecs, idCol, "appendToIvfIndex")
     IvfIndex(index.cents,
       index.assigned.unionByName(ivfAssign(
-        newVecs.dropDuplicates(idCol)
+        nonNullVecs(newVecs, vecCol).dropDuplicates(idCol)
           .select(col(idCol).cast("long").as("c_id"),
             toDouble(col(vecCol)).as("c_vec")), index.cents)))
   }
@@ -1200,7 +1221,7 @@ object Similarity {
                        idCol: String, vecCol: String): LshIndex =
     LshIndex(index.nPlanes,
       index.buckets.unionByName(
-        newVecs.dropDuplicates(idCol)
+        nonNullVecs(newVecs, vecCol).dropDuplicates(idCol)
           .select(col(idCol).as("c_id"),
             toDouble(col(vecCol)).as("c_vec"))
           .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))
@@ -1225,7 +1246,7 @@ object Similarity {
     requireIntegralId(newVecs, idCol, "appendToIvfPqIndex")
     IvfPqIndex(index.cents, index.codebook,
       index.encoded.unionByName(ivfPqEncodeAssigned(
-        ivfAssign(newVecs.dropDuplicates(idCol)
+        ivfAssign(nonNullVecs(newVecs, vecCol).dropDuplicates(idCol)
           .select(col(idCol).cast("long").as("c_id"),
             toDouble(col(vecCol)).as("c_vec")), index.cents),
         index.cents, index.codebook, index.residual)),

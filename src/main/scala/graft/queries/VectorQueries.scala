@@ -286,12 +286,14 @@ object VectorQueries {
     s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
        |na AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
        |         * CAST(embedding[i] AS DOUBLE))) AS nrm
-       |       FROM embeddings, dims GROUP BY vec_id),
+       |       FROM embeddings, dims
+       |       WHERE embedding IS NOT NULL GROUP BY vec_id),
        |pairs AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
        |  FROM $aTbl a JOIN $bTbl b ON $pairCond, dims
-       |  WHERE $aFilter
+       |  WHERE ($aFilter)
+       |    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT p.q_id, p.c_id,
@@ -355,7 +357,8 @@ object VectorQueries {
         |m AS (
         |  SELECT e.vec_id, d.i,
         |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL),
         |s AS (
         |  SELECT o.j, d.i,
         |    CASE WHEN strpos('01234567',
@@ -378,7 +381,8 @@ object VectorQueries {
         |m AS (
         |  SELECT e.vec_id, d.i,
         |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL),
         |p AS (
         |  SELECT a.i - 1 AS i, b.i - 1 AS j, count(*) AS n,
         |    CAST(sum(a.mi) AS BIGINT) AS s_i,
@@ -429,7 +433,8 @@ object VectorQueries {
         |m AS (
         |  SELECT e.vec_id, e.label, d.i,
         |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mi
-        |  FROM embeddings e, dims d),
+        |  FROM embeddings e, dims d
+        |  WHERE e.embedding IS NOT NULL),
         |c AS (
         |  SELECT label, i,
         |    CAST(floor(CAST(sum(mi) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c

@@ -992,6 +992,24 @@ class SimilaritySpec extends SparkSpec {
       "IVF+PQ ADC must surface the appended direction")
   }
 
+  test("NULL embeddings are excluded, never NPE mid-job") {
+    // the realistic failed-extraction artifact: one null vector used
+    // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException
+    val cands = Seq(
+      (1L, Some(Array(1.0f, 0.0f))), (2L, Some(Array(0.9f, 0.1f))),
+      (3L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(q, cands, "vec_id", "embedding",
+      k = 3).select("c_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L), "null-vec candidate must be excluded")
+    val asg = Similarity.kmeans(cands, "vec_id", "embedding", k = 2,
+      maxIter = 3).select("id").as[Long].collect().toSet
+    assert(asg == Set(1L, 2L), "null-vec row must not reach Lloyd")
+    val pq = Similarity.pqIndex(cands, "vec_id", "embedding",
+      m = 2, ksub = 2, persistIndex = false)
+    assert(pq.encoded.count() == 2, "null-vec row must not be encoded")
+  }
+
   test("zero-norm vectors score cosine 0, never NaN rank-1") {
     // an all-zero embedding (failed extraction) must not hijack the
     // top of every list: NaN sorts above every double in a DESC

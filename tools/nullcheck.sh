@@ -27,7 +27,7 @@ python3 - "$SRC" "$DIR" <<'EOF'
 import duckdb, shutil, sys
 src, dst = sys.argv[1], sys.argv[2]
 for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","embeddings"]:
+          "lineitem"]:
     shutil.copyfile(f'{src}/{t}.parquet', f'{dst}/{t}.parquet')
 con = duckdb.connect()
 con.execute(f"""
@@ -55,6 +55,14 @@ COPY (
     CASE WHEN event_id % 1000 = 23 THEN NULL ELSE props END AS props
   FROM read_parquet('{src}/events.parquet')
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT vec_id,
+    CASE WHEN vec_id % 200 = 7 THEN NULL ELSE embedding END AS embedding,
+    label
+  FROM read_parquet('{src}/embeddings.parquet')
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
 n = con.execute(f"""SELECT count(*) FILTER (WHERE text IS NULL),
   count(*) FILTER (WHERE lang IS NULL),
