@@ -711,6 +711,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDoor drops a NULL-text document without crashing") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Decontaminate, Dsir, TextAnalysis => TA}
+    // a null payload carries no trainable content; the door must
+    // reject it through its ordinary gates (null score fails the
+    // quality filter), not crash or let it ride a null join key
+    // through the anti-probes
+    val evalDocs = Seq((900L, "alpha beta gamma", true))
+      .toDF("doc_id", "text", "is_eval")
+    val bloom = Decontaminate.buildShingleBloom(
+      evalDocs, "doc_id", "text", col("is_eval"), n = 3)
+    val dsirCorpus = Seq(
+      (1L, "apple banana cherry damson elder", true),
+      (2L, "hammer wrench pliers chisel rasp", false))
+      .toDF("doc_id", "text", "is_t")
+    val dsir = Dsir.fitModel(dsirCorpus, "doc_id",
+      TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "quince plum fig")).toDF("doc_id", "text")
+    val corpusDigests = Dedup.digestIndex(corpus, "text")
+    val corpusBands = Dedup.hammingBandIndex(
+      corpus.select(col("doc_id"),
+        StreamingOps.doorFingerprint(col("text")).as("fp")),
+      "doc_id", "fp")
+    val scoreQ8 = {
+      val toks = TA.tokens(col("text"))
+      val lenSatQ4 = floor(least(size(toks), lit(100)).cast("double")
+        / 100.0d * 10000.0d + 0.5d).cast("long")
+      TA.linearModelQ8(Seq((lenSatQ4, 10000L)), biasQ8 = 0L)
+    }
+    val rows: Seq[(Timestamp, Long, Option[String])] = Seq(
+      (ts("2024-01-01 10:00:00"), 1L,
+        Some("apple damson cherry banana elder damson apple cherry")),
+      (ts("2024-01-01 10:00:01"), 2L, None))
+    val admitted = StreamingOps.ingestDoor(
+        rows.toDF("ts", "id", "text"), "text", "ts",
+        scoreQ8, minScoreQ8 = 4000000L, bloom, dsir,
+        corpusDigests, corpusBands, "10 minutes")
+      .select("id").as[Long].collect().toSeq
+    assert(admitted == Seq(1L),
+      s"null-text doc must be dropped at the door, got $admitted")
+  }
+
   test("ingestDoor + index append: the full incremental loop closes the near-dup window") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
