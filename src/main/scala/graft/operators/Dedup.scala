@@ -852,8 +852,8 @@ object Dedup {
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, maxIdGap: Long): DataFrame = {
     // NULL embeddings carry no similarity signal — excluded like
-    // every vector operator (Similarity.nonNullVecs)
-    val v = vecs.filter(col(vecCol).isNotNull)
+    // every vector operator
+    val v = Similarity.nonNullVecs(vecs, vecCol)
       .select(col(idCol).as("id"),
         Similarity.toDouble(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))

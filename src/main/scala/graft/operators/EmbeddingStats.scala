@@ -39,7 +39,7 @@ object EmbeddingStats {
     */
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
                        grpCol: String, k: Int): DataFrame = {
-    val m = vecs.filter(col(vecCol).isNotNull)
+    val m = Similarity.nonNullVecs(vecs, vecCol)
       .select(col(idCol).as("id"), col(grpCol).as("grp"),
         transform(col(vecCol), Similarity.microQuantize(_)).as("mv"))
     val sums = m.select(col("grp"),

@@ -39,7 +39,7 @@ object Pca {
   DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val xq = vecs.filter(col(vecCol).isNotNull)
+    val xq = Similarity.nonNullVecs(vecs, vecCol)
       .select(transform(Similarity.toDouble(col(vecCol)),
         Similarity.microQuantize(_)).as("xq")).as[Seq[Long]]
     // fused per-partition fold: n, per-dim sums, and the upper
@@ -191,7 +191,7 @@ object Pca {
       .toIndexedSeq
     val xd = transform(Similarity.toDouble(col(vecCol)),
       x => Similarity.microQuantize(x).cast("double"))
-    vecs.filter(col(vecCol).isNotNull).withColumn("proj",
+    Similarity.nonNullVecs(vecs, vecCol).withColumn("proj",
       zip_with(typedLit(comps), typedLit(offsets), (row, off) =>
         aggregate(zip_with(row, xd, (c, x) => c * x),
           lit(0.0d), _ + _) - off))

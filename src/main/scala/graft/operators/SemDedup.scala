@@ -42,7 +42,7 @@ object SemDedup {
       s"id ('$idCol')", "the dedup verdict joins on a long id")
     val assigned = Similarity.kmeans(vecs, idCol, vecCol, k, maxIter)
       .select(col("id"), col("cluster"))
-    val m = vecs.filter(col(vecCol).isNotNull)
+    val m = Similarity.nonNullVecs(vecs, vecCol)
       .select(col(idCol).cast("long").as("id"),
         Similarity.toDouble(col(vecCol)).as("v"))
       .join(assigned, "id")

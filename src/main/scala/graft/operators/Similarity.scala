@@ -1234,8 +1234,11 @@ object Similarity {
                       idCol: String, vecCol: String): PqIndex =
     PqIndex(index.codebook,
       index.encoded.unionByName(
-        pqEncode(newVecs.dropDuplicates(idCol), idCol, vecCol,
-          index.codebook)))
+        // null-filter BEFORE the id dedup (like the other appends):
+        // dedup-first could arbitrarily keep a null-vec duplicate and
+        // then lose the id entirely when the filter drops it
+        pqEncode(nonNullVecs(newVecs, vecCol).dropDuplicates(idCol),
+          idCol, vecCol, index.codebook)))
 
   /** Fold new vectors into a staged [[IvfPqIndex]]: assign against
     * the frozen coarse quantizer, encode (residual or raw, matching

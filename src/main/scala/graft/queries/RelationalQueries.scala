@@ -136,14 +136,18 @@ object RelationalQueries {
     }),
 
     "q_map_funcs" -> ((s, d) => {
+      // maps cannot hold a NULL key: coalesce in the GROUP key, so a
+      // null event_type stratum lands under '' AND the map keys are
+      // unique by construction (coalescing only at map-build time
+      // would collide a real '' stratum with the null one —
+      // DUPLICATE_MAP_KEY kills the job under the default policy)
       val counts = t(s, d, "events")
-        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"),
+          coalesce(col("event_type"), lit("")).as("event_type"))
+        .agg(count(lit(1)).as("c"))
       counts.groupBy("user_id")
-        // maps cannot hold a NULL key — a null event_type stratum
-        // lands under '' instead of killing the job with NULL_MAP_KEY
         .agg(map_from_entries(collect_list(struct(
-          coalesce(col("event_type"), lit("")).as("event_type"),
-          col("c")))).as("m"))
+          col("event_type"), col("c")))).as("m"))
         .select(col("user_id"),
           coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
           coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"))

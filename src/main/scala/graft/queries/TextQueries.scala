@@ -203,11 +203,13 @@ object TextQueries {
         col("doc_id"),
         TA.langIdHeuristic(col("text")).as("pred_lang"),
         col("lang"),
-        // null-SAFE equality: a null ground-truth lang is "not
-        // correct" (false), not a null verdict — and oracle-stable
-        // (plain === would emit NULL, which pandas renders
-        // differently per engine)
-        (TA.langIdHeuristic(col("text")) <=> col("lang")).as("correct"))
+        // correct = false whenever EITHER side is null (a null
+        // ground-truth lang is "not correct"; ditto a null
+        // prediction, should the heuristic ever emit one) — coalesce
+        // makes that explicit instead of leaning on <=>, whose
+        // NULL<=>NULL = true would silently flip the semantics
+        coalesce(TA.langIdHeuristic(col("text")) === col("lang"),
+          lit(false)).as("correct"))
         .orderBy("doc_id")
     }),
 
@@ -1076,10 +1078,10 @@ object TextQueries {
         |       WHEN ratio < 0.28 THEN 'en'
         |       ELSE 'es' END AS pred_lang,
         |  lang,
-        |  (CASE WHEN ratio < 0.20 THEN 'zh'
+        |  coalesce((CASE WHEN ratio < 0.20 THEN 'zh'
         |        WHEN ratio < 0.24 THEN 'de'
         |        WHEN ratio < 0.28 THEN 'en'
-        |        ELSE 'es' END) IS NOT DISTINCT FROM lang AS correct
+        |        ELSE 'es' END) = lang, false) AS correct
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
