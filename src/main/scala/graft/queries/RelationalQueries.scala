@@ -115,9 +115,12 @@ object RelationalQueries {
     }),
 
     "q_json_funcs" -> ((s, d) => {
+      // try_cast: a non-numeric $.k from a malformed producer reads
+      // as NULL instead of killing the whole job under ANSI mode
+      // (DuckDB TRY_CAST mirrors it)
       t(s, d, "events").select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .orderBy("event_id")
     }),
 
@@ -714,8 +717,11 @@ object RelationalQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_json_funcs" ->
+      // TRY_CAST to JSON first: DuckDB's json_extract_string THROWS
+      // on malformed JSON where Spark's get_json_object returns NULL
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+        |    AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_array_funcs" ->

@@ -52,7 +52,14 @@ COPY (
     CASE WHEN event_id % 1000 = 7 THEN NULL ELSE user_id END AS user_id,
     CASE WHEN event_id % 1000 = 13 THEN NULL ELSE event_type END AS event_type,
     value,
-    CASE WHEN event_id % 1000 = 23 THEN NULL ELSE props END AS props
+    CASE WHEN event_id % 1000 = 23 THEN NULL
+      WHEN event_id % 1000 = 107 THEN '{{bad json'
+      WHEN event_id % 1000 = 113 THEN '{{"k": "str-not-int"}}'
+      WHEN event_id % 1000 = 123 THEN '{{"k": {{"nested": 1}}}}'
+      WHEN event_id % 1000 = 131 THEN '{{"k": null}}'
+      WHEN event_id % 1000 = 143 THEN '{{"k": 1, "k": 2}}'
+      WHEN event_id % 1000 = 153 THEN '{{"κλειδί": 5}}'
+      ELSE props END AS props
   FROM read_parquet('{src}/events.parquet')
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
