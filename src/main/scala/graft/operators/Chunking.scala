@@ -47,7 +47,8 @@ object Chunking {
     val stride = chunkTokens - overlap
     docs
       .select(col(idCol),
-        posexplode(chunkArray(TextAnalysis.tokens(col(textCol)),
+        posexplode(chunkArray(
+          TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
           chunkTokens, overlap, stride)).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),

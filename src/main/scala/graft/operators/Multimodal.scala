@@ -77,11 +77,16 @@ object Multimodal {
         val id = r.getAs[Long]("doc_id")
         val bytes = r.getAs[Array[Byte]]("payload")
         val nFrames = math.max(1, bytes.length / frameBytes)
-        // ceiling stride: floor + take() would sample only the FIRST
-        // maxFrames frames and never cover the payload's tail —
-        // "evenly strided" means the samples span the whole duration
-        val stride = math.max(1, (nFrames + maxFrames - 1) / maxFrames)
-        (0 until nFrames by stride).take(maxFrames).map { f =>
+        // endpoint-inclusive index interpolation rather than a fixed
+        // stride: a ceiling stride covers the tail but can undershoot
+        // the frame budget (nFrames=5, maxFrames=4 → 3 frames); the
+        // interpolated picks always yield min(nFrames, maxFrames)
+        // distinct frames, first and last frame included
+        val k = math.min(nFrames, maxFrames)
+        (0 until k)
+          .map(f => if (k == 1) 0
+                    else (f.toLong * (nFrames - 1) / (k - 1)).toInt)
+          .map { f =>
           val from = f * frameBytes
           val until = math.min(bytes.length, from + frameBytes)
           Row(id, f, java.util.Arrays.copyOfRange(bytes, from, until))

@@ -92,13 +92,15 @@ final class BatchIdGate(path: String) {
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // fsync the directory so the rename itself survives a crash;
-    // best-effort — not every filesystem supports directory fsync,
-    // and the fallback is again only extra replay
+    // best-effort — not every filesystem provider supports opening a
+    // directory (UnsupportedOperationException) or directory fsync
+    // (IOException), and the fallback is again only extra replay, so
+    // swallow every non-fatal failure rather than fail the commit
     try {
       val dir = FileChannel.open(file.toAbsolutePath.getParent,
         StandardOpenOption.READ)
       try dir.force(true) finally dir.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     ()
   }
 }

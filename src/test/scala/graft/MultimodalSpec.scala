@@ -30,11 +30,19 @@ class MultimodalSpec extends SparkSpec {
         frameBytes = 10, maxFrames = 4)
       .orderBy("frame_idx").collect()
     assert(frames.length == 4)
-    // ceiling stride spans the WHOLE payload (10 frames / max 4 →
-    // stride 3 reaches frame 9); the floor form sampled only 0,2,4,6
-    // and never saw the tail
+    // endpoint-inclusive interpolation spans the WHOLE payload
+    // (10 frames / max 4 → 0,3,6,9 — first and last frame included);
+    // a floor stride sampled only 0,2,4,6 and never saw the tail
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6, 9))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+    // the budget is filled whenever nFrames >= maxFrames: the old
+    // ceiling stride gave only 3 frames for nFrames=5, maxFrames=4
+    val five = Multimodal.frameSample(
+        Multimodal.withPayload(Seq((1L, "y" * 50)).toDF("doc_id", "text"),
+          "doc_id", "text", "video"),
+        frameBytes = 10, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(five.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 4))
   }
 
   test("resize meta scales dims down to max side") {

@@ -417,6 +417,15 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.operators.Chunking.chunkDocs(docs, "doc_id", "text", 4, 4)
     }
+    // NULL text follows the documented empty-document stance: one
+    // empty chunk with n_chunk_tokens = 1 (the engine-wide
+    // whitespace-token count of ""), never a NULL chunk whose token
+    // count silently vanishes from downstream budget sums
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nullOut = graft.operators.Chunking
+      .chunkDocs(withNull, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect().toList
+    assert(nullOut == List((9L, 0L, "", 1L)))
   }
 
   test("stratified sample is deterministic and respects rate ordering") {
