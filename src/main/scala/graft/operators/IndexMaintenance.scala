@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{IvfIndex, IvfPqIndex, LshIndex, PqIndex}
+import graft.streaming.BatchIdGate
+
+/** Index REBUILD + atomic swap — the other half of the incremental
+  * `appendTo*Index` story (Similarity.scala): appends fold batches in
+  * under a FROZEN quantizer, which drifts as the data distribution
+  * moves; this module closes the maintenance loop by re-training the
+  * quantizer on the CURRENT corpus, rebuilding the index, and
+  * publishing the result behind a versioned pointer so readers see
+  * old-or-new, never a mix.
+  *
+  * Layout under a store root:
+  * {{{
+  *   root/CURRENT     one file, the published version number —
+  *                    written by [[graft.streaming.BatchIdGate]]
+  *                    (fsync'd temp file + atomic rename, monotone)
+  *   root/v<N>/...    every artifact of version N: quantizer state
+  *                    (centroids / codebook / plane count) AND the
+  *                    encoded corpus, as parquet tables
+  * }}}
+  *
+  * The consistency argument has two halves:
+  *  - WITHIN a version: all artifacts live in one `v<N>` directory and
+  *    every load resolves the pointer ONCE, so a reader can never pair
+  *    version-N codes with version-M codebooks (the mixed read that
+  *    silently returns garbage neighbors).
+  *  - ACROSS the swap: a rebuild writes the complete `v<N+1>` directory
+  *    BEFORE touching the pointer; the pointer move is the BatchIdGate
+  *    rename, so a crash at any instant leaves either the old pointer
+  *    (readers keep the old index; the half-written directory is dead
+  *    weight, and the next rebuild SKIPS past it — [[nextVersion]]
+  *    takes max(pointer, existing dirs) + 1 so a possibly-partial
+  *    staging dir is never adopted) or the new pointer over a fully
+  *    written directory.
+  *
+  * Scale stance: the rebuild is exactly one build — quantizer training
+  * is the bounded-sample collect the builds already do, and writing
+  * the encoded corpus is the same single map-only corpus pass that
+  * backs the in-memory index, now landing in parquet. The pointer and
+  * directory scan are driver-side metadata ops (a handful of paths).
+  * Like BatchIdGate, the pointer file uses local-filesystem atomic
+  * rename; a DFS deployment swaps it for the equivalent atomic rename
+  * of its store (HDFS rename is atomic; object stores use a
+  * conditional put) — the version-directory protocol is unchanged.
+  *
+  * WHEN to rebuild: `q_sim_ann_recall` is the drift alarm (the
+  * documented stance at Similarity.scala appendTo* scaladocs) — a
+  * recall audit against a brute-force sample dropping below its floor
+  * means the frozen quantizer no longer describes the corpus, and the
+  * fix is exactly one [[rebuildPqIndex]]/[[rebuildIvfIndex]]/... call.
+  */
+object IndexMaintenance {
+
+  /** Versioned pointer + staging-directory manager for one index.
+    * Driver-side only, like the gate it wraps. */
+  final class VersionedIndexStore(val root: String) {
+
+    private val pointer = new BatchIdGate(
+      new java.io.File(root, "CURRENT").getPath)
+
+    /** Published version, or -1 when nothing is published yet. */
+    def currentVersion(): Long = pointer.lastCommitted()
+
+    def versionDir(v: Long): String =
+      new java.io.File(root, s"v$v").getPath
+
+    /** Directory of the published version, if any. */
+    def currentDir(): Option[String] = {
+      val v = currentVersion()
+      if (v < 0) None else Some(versionDir(v))
+    }
+
+    /** Next staging version: strictly past BOTH the pointer and every
+      * existing `v<N>` directory — a directory left by a crashed
+      * rebuild (written but never published, possibly partial) is
+      * skipped, never reused. */
+    def nextVersion(): Long = {
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => if (f.isDirectory && f.getName.matches("v\\d+"))
+          Some(f.getName.drop(1).toLong) else None)
+      math.max(currentVersion(), if (dirs.isEmpty) -1L else dirs.max) + 1
+    }
+
+    /** Atomically publish `v` (monotone; fsync'd rename via
+      * BatchIdGate). Call ONLY after every artifact of `v` is fully
+      * written. */
+    def publish(v: Long): Unit = pointer.commit(v)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Parquet save/load per index shape. Quantizer state (driver
+  // literals in the in-memory form) round-trips through parquet rows
+  // — doubles are exact in parquet, and load re-sorts by the id
+  // columns so the reconstructed literals are element-identical.
+  // ---------------------------------------------------------------- //
+
+  private def write(df: DataFrame, dir: String, name: String): Unit =
+    df.write.mode("overwrite")
+      .parquet(new java.io.File(dir, name).getPath)
+
+  private def read(spark: SparkSession, dir: String,
+                   name: String): DataFrame =
+    spark.read.parquet(new java.io.File(dir, name).getPath)
+
+  private def centsDf(spark: SparkSession,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cent_id", "cent_vec")
+  }
+
+  private def loadCents(spark: SparkSession, dir: String)
+  : Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    read(spark, dir, "cents").select("cent_id", "cent_vec")
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+  }
+
+  private def codebookDf(spark: SparkSession,
+                         cb: Array[Array[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cw, j) => (s, j, cw) }
+    }.toSeq.toDF("s", "j", "codeword")
+  }
+
+  private def loadCodebook(spark: SparkSession, dir: String)
+  : Array[Array[Seq[Double]]] = {
+    import spark.implicits._
+    read(spark, dir, "codebook").select("s", "j", "codeword")
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    write(centsDf(spark, index.cents), dir, "cents")
+    write(index.assigned, dir, "assigned")
+  }
+
+  def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(loadCents(spark, dir), read(spark, dir, "assigned"))
+
+  def saveLshIndex(index: LshIndex, dir: String): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    write(Seq(index.nPlanes).toDF("n_planes"), dir, "meta")
+    write(index.buckets, dir, "buckets")
+    write(index.dropped, dir, "dropped")
+  }
+
+  def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    import spark.implicits._
+    LshIndex(read(spark, dir, "meta").as[Int].head(),
+      read(spark, dir, "buckets"), read(spark, dir, "dropped"))
+  }
+
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.encoded.sparkSession
+    write(codebookDf(spark, index.codebook), dir, "codebook")
+    write(index.encoded, dir, "encoded")
+  }
+
+  def loadPqIndex(spark: SparkSession, dir: String): PqIndex =
+    PqIndex(loadCodebook(spark, dir), read(spark, dir, "encoded"))
+
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    write(centsDf(spark, index.cents), dir, "cents")
+    write(codebookDf(spark, index.codebook), dir, "codebook")
+    write(Seq(index.residual).toDF("residual"), dir, "meta")
+    write(index.encoded, dir, "encoded")
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    import spark.implicits._
+    IvfPqIndex(loadCents(spark, dir), loadCodebook(spark, dir),
+      read(spark, dir, "encoded"),
+      read(spark, dir, "meta").as[Boolean].head())
+  }
+
+  /** Published index, if any — resolves the pointer ONCE, so every
+    * artifact comes from the same version even if a rebuild publishes
+    * concurrently. */
+  def currentIvfIndex(store: VersionedIndexStore,
+                      spark: SparkSession): Option[IvfIndex] =
+    store.currentDir().map(loadIvfIndex(spark, _))
+
+  def currentLshIndex(store: VersionedIndexStore,
+                      spark: SparkSession): Option[LshIndex] =
+    store.currentDir().map(loadLshIndex(spark, _))
+
+  def currentPqIndex(store: VersionedIndexStore,
+                     spark: SparkSession): Option[PqIndex] =
+    store.currentDir().map(loadPqIndex(spark, _))
+
+  def currentIvfPqIndex(store: VersionedIndexStore,
+                        spark: SparkSession): Option[IvfPqIndex] =
+    store.currentDir().map(loadIvfPqIndex(spark, _))
+
+  // ---------------------------------------------------------------- //
+  // rebuild*: re-train the quantizer on `corpus` (a FRESH build — the
+  // builds' deterministic hash-sampling / Lloyd training makes
+  // append-then-rebuild row-identical to a fresh build over the same
+  // rows, spec-asserted), write the complete version directory, then
+  // publish. The returned index reads the PUBLISHED parquet, not the
+  // build lineage, so the caller holds exactly what every other
+  // reader of the store sees.
+  // ---------------------------------------------------------------- //
+
+  private def rebuildWith[I](store: VersionedIndexStore, spark: SparkSession,
+                             build: () => I, save: (I, String) => Unit,
+                             load: (SparkSession, String) => I): I = {
+    val v = store.nextVersion()
+    val dir = store.versionDir(v)
+    save(build(), dir)
+    store.publish(v)
+    load(spark, dir)
+  }
+
+  def rebuildIvfIndex(store: VersionedIndexStore, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      nCentroids: Int = 16,
+                      trainCoarse: Boolean = false): IvfIndex =
+    rebuildWith[IvfIndex](store, corpus.sparkSession,
+      () => Similarity.ivfIndex(corpus, idCol, vecCol, nCentroids,
+        persistIndex = false, trainCoarse = trainCoarse),
+      saveIvfIndex, loadIvfIndex)
+
+  def rebuildLshIndex(store: VersionedIndexStore, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      nPlanes: Int = 6, bucketCap: Int = 2000): LshIndex =
+    rebuildWith[LshIndex](store, corpus.sparkSession,
+      () => Similarity.lshIndex(corpus, idCol, vecCol, nPlanes,
+        bucketCap, persistIndex = false),
+      saveLshIndex, loadLshIndex)
+
+  def rebuildPqIndex(store: VersionedIndexStore, corpus: DataFrame,
+                     idCol: String, vecCol: String,
+                     m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
+                     trainSize: Int = 4096): PqIndex =
+    rebuildWith[PqIndex](store, corpus.sparkSession,
+      () => Similarity.pqIndex(corpus, idCol, vecCol, m, ksub, maxIter,
+        trainSize, persistIndex = false),
+      savePqIndex, loadPqIndex)
+
+  def rebuildIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                        maxIter: Int = 5, trainSize: Int = 4096,
+                        residual: Boolean = false,
+                        trainCoarse: Boolean = false): IvfPqIndex =
+    rebuildWith[IvfPqIndex](store, corpus.sparkSession,
+      () => Similarity.ivfPqIndex(corpus, idCol, vecCol, nCentroids, m,
+        ksub, maxIter, trainSize, residual, trainCoarse,
+        persistIndex = false),
+      saveIvfPqIndex, loadIvfPqIndex)
+}

@@ -1,0 +1,210 @@
+package graft
+
+import graft.operators.{IndexMaintenance => IM, Similarity}
+import org.apache.spark.sql.functions._
+
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpStore(): IM.VersionedIndexStore =
+    new IM.VersionedIndexStore(
+      java.nio.file.Files.createTempDirectory("graft-idx").toString)
+
+  // two tight clusters around orthogonal axes (the recall-floor
+  // fixture's shape): every quantizer is deterministic over it
+  private lazy val clustered = {
+    val base = Seq(
+      Array(1.0f, 0.02f, 0.01f, 0.0f),
+      Array(0.0f, 0.01f, 0.02f, 1.0f))
+    (0 until 40).map { i =>
+      val c = base(i % 2)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "rank", "c_id").as[(Long, Int, Long)].collect().toSet
+
+  test("rebuild publishes a version whose loaded index answers " +
+    "queries identically to the in-memory build (all four types)") {
+    val q = clustered.filter(col("vec_id") < 4)
+
+    val ivfStore = tmpStore()
+    val ivfLoaded = IM.rebuildIvfIndex(ivfStore, clustered, "vec_id",
+      "embedding", nCentroids = 4)
+    assert(ivfStore.currentVersion() == 0L)
+    val ivfMem = Similarity.ivfIndex(clustered, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false)
+    assert(ivfLoaded.cents == ivfMem.cents)
+    assert(topkSet(Similarity.ivfTopKWith(ivfLoaded, q, "vec_id",
+        "embedding", 3, nProbe = 2)) ==
+      topkSet(Similarity.ivfTopKWith(ivfMem, q, "vec_id",
+        "embedding", 3, nProbe = 2)))
+
+    val lshStore = tmpStore()
+    val lshLoaded = IM.rebuildLshIndex(lshStore, clustered, "vec_id",
+      "embedding", nPlanes = 4)
+    val lshMem = Similarity.lshIndex(clustered, "vec_id", "embedding",
+      nPlanes = 4, persistIndex = false)
+    assert(lshLoaded.nPlanes == lshMem.nPlanes)
+    assert(topkSet(Similarity.lshTopKWith(lshLoaded, q, "vec_id",
+        "embedding", 3)) ==
+      topkSet(Similarity.lshTopKWith(lshMem, q, "vec_id",
+        "embedding", 3)))
+    // appending to a LOADED index honours the round-tripped census
+    // (dropped table) and plane count exactly like the in-memory one
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToLshIndex(lshLoaded, batch, "vec_id",
+        "embedding").buckets.select("c_id").as[Long].collect().sorted
+        .toSeq ==
+      Similarity.appendToLshIndex(lshMem, batch, "vec_id",
+        "embedding").buckets.select("c_id").as[Long].collect().sorted
+        .toSeq)
+
+    val pqStore = tmpStore()
+    val pqLoaded = IM.rebuildPqIndex(pqStore, clustered, "vec_id",
+      "embedding", m = 2, ksub = 4)
+    val pqMem = Similarity.pqIndex(clustered, "vec_id", "embedding",
+      m = 2, ksub = 4, persistIndex = false)
+    assert(pqLoaded.codebook.map(_.toSeq).toSeq ==
+      pqMem.codebook.map(_.toSeq).toSeq)
+    assert(topkSet(Similarity.pqTopKWith(pqLoaded, q, clustered,
+        "vec_id", "embedding", 3, rerank = 8)) ==
+      topkSet(Similarity.pqTopKWith(pqMem, q, clustered,
+        "vec_id", "embedding", 3, rerank = 8)))
+
+    val ipqStore = tmpStore()
+    val ipqLoaded = IM.rebuildIvfPqIndex(ipqStore, clustered, "vec_id",
+      "embedding", nCentroids = 4, m = 2, ksub = 4, residual = true,
+      trainCoarse = true)
+    val ipqMem = Similarity.ivfPqIndex(clustered, "vec_id", "embedding",
+      nCentroids = 4, m = 2, ksub = 4, residual = true,
+      trainCoarse = true, persistIndex = false)
+    assert(ipqLoaded.cents == ipqMem.cents)
+    assert(ipqLoaded.residual == ipqMem.residual)
+    assert(topkSet(Similarity.ivfPqTopKWith(ipqLoaded, q, clustered,
+        "vec_id", "embedding", 3, nProbe = 2, rerank = 8)) ==
+      topkSet(Similarity.ivfPqTopKWith(ipqMem, q, clustered,
+        "vec_id", "embedding", 3, nProbe = 2, rerank = 8)))
+  }
+
+  test("swap is crash-safe: a written-but-unpublished version is " +
+    "invisible and never adopted; publish flips readers atomically") {
+    val store = tmpStore()
+    val v0 = IM.rebuildIvfIndex(store, clustered, "vec_id", "embedding",
+      nCentroids = 4)
+    assert(store.currentVersion() == 0L)
+    val v0Rows = v0.assigned.select("c_id").as[Long].collect().sorted.toSeq
+
+    // crash mid-rebuild: the new version directory is fully or partly
+    // written, but the pointer never moved
+    val extra = clustered.unionByName(
+      Seq((999L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+        .toDF("vec_id", "embedding"))
+    IM.saveIvfIndex(Similarity.ivfIndex(extra, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false), store.versionDir(1))
+
+    // readers still see v0, bit-for-bit
+    assert(store.currentVersion() == 0L)
+    val seen = IM.currentIvfIndex(store, spark).get
+    assert(seen.assigned.select("c_id").as[Long].collect().sorted.toSeq
+      == v0Rows)
+    assert(!seen.assigned.select("c_id").as[Long].collect().contains(999L))
+
+    // recovery: the next rebuild SKIPS the dead v1 directory (it may
+    // be partial) and publishes v2; only then do readers see the new
+    // corpus member
+    assert(store.nextVersion() == 2L)
+    IM.rebuildIvfIndex(store, extra, "vec_id", "embedding",
+      nCentroids = 4)
+    assert(store.currentVersion() == 2L)
+    assert(IM.currentIvfIndex(store, spark).get
+      .assigned.select("c_id").as[Long].collect().contains(999L))
+
+    // a stale rebuild cannot regress the pointer
+    intercept[IllegalArgumentException] { store.publish(1L) }
+  }
+
+  // drifted-corpus fixture: corpus A lives in the positive unit box,
+  // batch B arrives later FAR outside it — 12 tight clusters at
+  // -100·1 + ±0.8 sign patterns (popcount-4 masks, so every cluster
+  // has the same norm and clusters differ only in direction). Under
+  // the A-trained codebook the per-subspace argmin is dominated by
+  // the -100 offset (2·|b_i|·c_i swamps every codeword difference),
+  // so ALL B vectors collapse to one code and ADC cannot rank them;
+  // a codebook re-trained on A ∪ B gives each ±0.8 combo its own
+  // codeword and separates the clusters again. All values are
+  // integer-derived (no Random), so both recalls are stable numbers.
+  private lazy val corpusA = (0 until 256).map { i =>
+    (i.toLong,
+      Array.tabulate(8)(j => 0.2 + ((i * 31 + j * 17) % 13) / 13.0))
+  }.toDF("vec_id", "embedding")
+
+  // first 12 bytes with popcount 4, ascending
+  private val bMasks =
+    (0 until 256).filter(Integer.bitCount(_) == 4).take(12)
+
+  private def bMember(c: Int, m: Int): Array[Double] =
+    Array.tabulate(8)(j =>
+      -100.0 + (if (((bMasks(c) >> j) & 1) == 1) 0.8 else -0.8) +
+        0.01 * ((m * 5 + j) % 3))
+
+  private lazy val batchB = (for { c <- 0 until 12; m <- 0 until 8 }
+    yield ((1000 + c * 8 + m).toLong, bMember(c, m)))
+    .toDF("vec_id", "embedding")
+
+  test("drift alarm + rebuild: stale-quantizer recall collapses on a " +
+    "drifted batch; re-train + swap restores recall >= 0.9") {
+    val union = corpusA.unionByName(batchB)
+    // queries from the drifted region (skip the lowest-id clusters:
+    // the stale index's all-tied ADC shortlist is resolved by the
+    // ascending-c_id tiebreak, which would hand those clusters their
+    // own members for free and understate the collapse)
+    val queries = (4 until 12)
+      .map(c => ((1000 + c * 8).toLong, bMember(c, 0)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(queries, union, "vec_id",
+      "embedding", 3)
+
+    def recallOf(idx: Similarity.PqIndex): Double =
+      Similarity.recallAtK(exact,
+          Similarity.pqTopKWith(idx, queries, union, "vec_id",
+            "embedding", 3, rerank = 8), "pq")
+        .select("recall").as[Double].head()
+
+    val store = tmpStore()
+    // life before the drift: index built (and published) on A only,
+    // then B folded in with the FROZEN codebook — the documented
+    // append trade
+    val published = IM.rebuildPqIndex(store, corpusA, "vec_id",
+      "embedding", m = 4, ksub = 32)
+    val stale = Similarity.appendToPqIndex(published, batchB, "vec_id",
+      "embedding")
+    val staleRecall = recallOf(stale)
+    assert(staleRecall <= 0.3,
+      s"fixture lost its teeth: stale recall $staleRecall")
+
+    // the alarm fired; rebuild re-trains on A ∪ B and swaps
+    val rebuilt = IM.rebuildPqIndex(store, union, "vec_id", "embedding",
+      m = 4, ksub = 32)
+    assert(store.currentVersion() == 1L)
+    val restoredRecall = recallOf(rebuilt)
+    assert(restoredRecall >= 0.9,
+      s"rebuild did not restore recall: $restoredRecall (stale was " +
+        s"$staleRecall)")
+
+    // append-then-rebuild == fresh build over the same rows: the
+    // published artifact is row-identical to building from scratch on
+    // A ∪ B (training is deterministic, parquet round-trip exact)
+    val fresh = Similarity.pqIndex(union, "vec_id", "embedding",
+      m = 4, ksub = 32, persistIndex = false)
+    assert(rebuilt.codebook.map(_.toSeq).toSeq ==
+      fresh.codebook.map(_.toSeq).toSeq)
+    assert(rebuilt.encoded.select("c_id", "codes")
+        .as[(Long, Seq[Int])].collect().toSet ==
+      fresh.encoded.select("c_id", "codes")
+        .as[(Long, Seq[Int])].collect().toSet)
+  }
+}
