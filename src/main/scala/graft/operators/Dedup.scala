@@ -489,9 +489,10 @@ object Dedup {
     * helper, so batch and consumers can never band differently). This
     * is the static corpus side of
     * [[graft.streaming.StreamingOps.nearDupAgainstCorpus]]; in
-    * production it materializes as a table bucketed by (band, bits)
-    * and the batch dedup job appends accepted docs to it between
-    * micro-batches. */
+    * production it materializes as the band-partitioned,
+    * bits-bucketed table [[createBandedIndexTable]] writes, and the
+    * ingest loop appends accepted docs to it between micro-batches
+    * ([[appendToBandedIndexTable]]). */
   def hammingBandIndex(hashed: DataFrame, idCol: String,
                        hashCol: String): DataFrame =
     bandedIndex64(hashed.select(col(idCol).as("doc"),
@@ -506,8 +507,10 @@ object Dedup {
     * per-row expression (the one private helper batch and stream share),
     * so the append is `index ∪ band(batch)` — a NARROW union: no
     * corpus scan, no shuffle, cost O(|batch|) regardless of index
-    * size. In production the index is a table bucketed by (band,
-    * bits); the append is a partitioned INSERT into those buckets.
+    * size. This is the in-memory tense; the production tense is
+    * [[appendToBandedIndexTable]], which hashes the banded batch into
+    * the index table's bucket layout so door probes stay
+    * exchange-free on the corpus side across batches.
     *
     * Exactness: for a batch whose doc ids are disjoint from the
     * index's (the ingest contract — door-admitted arrivals carry
@@ -523,6 +526,88 @@ object Dedup {
   def appendToBandedIndex(index: DataFrame, hashed: DataFrame,
                           idCol: String, hashCol: String): DataFrame =
     index.unionByName(hammingBandIndex(hashed, idCol, hashCol))
+
+  // ------------------------------------------------------------------
+  // The TABLE tense of the banded/digest indexes — the production form
+  // the scaladocs above point at. The DataFrame appends are unions:
+  // correct, but a union of N appended batches loses any bucketing the
+  // base had, so after enough batches the door probes shuffle the
+  // corpus side again. These operators keep the index in a managed
+  // bucketed table instead: the corpus pays its layout shuffle once at
+  // create/append time, and EVERY later probe joins it exchange-free
+  // on the corpus side (ScaleSpec asserts the plan after multiple
+  // appended batches). Single-writer: the ingest loop's foreachBatch
+  // is the only appender (gated by BatchIdGate for replay), the same
+  // contract as the in-memory appends.
+  // ------------------------------------------------------------------
+
+  /** Layout of the banded-index table: PARTITIONED by `band` (each
+    * door probe filters one band, so partition pruning drops 3/4 of
+    * the files before any IO) and BUCKETED+sorted by `bits` — the
+    * probe's actual equi-key. Bucketing by (band, bits) would NOT
+    * serve the probes: with `band` pinned by the filter, the join key
+    * is `bits` alone, and a hash(band, bits) distribution does not
+    * satisfy a bits-keyed join requirement — the planner would
+    * re-shuffle the corpus anyway. */
+  private val BandedTableKeys = Seq("bits")
+  private val BandedTablePartitions = Seq("band")
+
+  /** Materialize a [[hammingBandIndex]] as the bucketed table the
+    * door probes against. `buckets` is per band; size it like a
+    * shuffle partition count at full corpus scale. */
+  def createBandedIndexTable(hashed: DataFrame, idCol: String,
+                             hashCol: String, table: String,
+                             buckets: Int): Unit =
+    graft.sources.BucketedTables.writeBucketed(
+      hammingBandIndex(hashed, idCol, hashCol), table, buckets,
+      BandedTableKeys, partitionCols = BandedTablePartitions)
+
+  /** The table tense of [[appendToBandedIndex]]: band the batch (a
+    * map-only projection) and hash it into the table's existing
+    * bucket layout — a batch-sized shuffle; the corpus rows already
+    * in the table are neither read nor rewritten, and the bucketing
+    * contract survives (Spark validates the spec). Content equals
+    * `hammingBandIndex(corpus ∪ batches)` row-for-row
+    * (spec-asserted). */
+  def appendToBandedIndexTable(hashed: DataFrame, idCol: String,
+                               hashCol: String, table: String,
+                               buckets: Int): Unit =
+    graft.sources.BucketedTables.appendBucketed(
+      hammingBandIndex(hashed, idCol, hashCol), table, buckets,
+      BandedTableKeys, partitionCols = BandedTablePartitions)
+
+  /** Restore single-file buckets after a run of appends (content
+    * unchanged; merge joins stop re-sorting multi-file buckets). Run
+    * from the maintenance owner, not the ingest loop. */
+  def compactBandedIndexTable(spark: org.apache.spark.sql.SparkSession,
+                              table: String, buckets: Int): Unit =
+    graft.sources.BucketedTables.compactBucketed(spark, table, buckets,
+      BandedTableKeys, BandedTablePartitions)
+
+  /** Materialize a [[digestIndex]] as a table bucketed by `digest` —
+    * the digest probe's equi-key, so
+    * [[graft.streaming.StreamingOps.dedupAgainstCorpus]] joins it
+    * with zero corpus-side exchange. */
+  def createDigestIndexTable(docs: DataFrame, textCol: String,
+                             table: String, buckets: Int): Unit =
+    graft.sources.BucketedTables.writeBucketed(
+      digestIndex(docs, textCol), table, buckets, Seq("digest"))
+
+  /** The table tense of [[appendToDigestIndex]]: dedup the batch's
+    * digests within itself (batch-sized shuffle) and hash them into
+    * the table's bucket layout. Disjointness from the corpus is the
+    * same ingest contract as the DataFrame form; a replayed batch
+    * only duplicates rows the LEFT ANTI probe is immune to. */
+  def appendToDigestIndexTable(docs: DataFrame, textCol: String,
+                               table: String, buckets: Int): Unit =
+    graft.sources.BucketedTables.appendBucketed(
+      digestIndex(docs, textCol), table, buckets, Seq("digest"))
+
+  /** [[compactBandedIndexTable]]'s digest twin. */
+  def compactDigestIndexTable(spark: org.apache.spark.sql.SparkSession,
+                              table: String, buckets: Int): Unit =
+    graft.sources.BucketedTables.compactBucketed(spark, table, buckets,
+      Seq("digest"))
 
   /** The static digest table
     * [[graft.streaming.StreamingOps.dedupAgainstCorpus]] probes: one

@@ -60,9 +60,10 @@ object StreamingOps {
     * [[graft.operators.Dedup.exactDigest]] already exists in the
     * static corpus index (left-anti equi-join, re-planned per
     * micro-batch so index refreshes between batches are picked up;
-    * in production the static side is the bucketed digest table the
-    * batch dedup maintains, so the join is exchange-free on the
-    * corpus side), then drop in-stream repeats with digest-keyed
+    * in production the static side is the digest-bucketed table
+    * [[graft.operators.Dedup.createDigestIndexTable]] maintains, so
+    * the join is exchange-free on the corpus side even after many
+    * appended batches), then drop in-stream repeats with digest-keyed
     * state bounded by the watermark. Same digest on both paths ⇒
     * batch and streaming agree on what "duplicate" means.
     */
@@ -134,9 +135,13 @@ object StreamingOps {
     *    stream is the deliberate trade: the re-aggregation an explode
     *    needs would be a second stateful op, which Spark disallows
     *    after flatMapGroupsWithState and which would carry corpus-sized
-    *    state. In production `corpusBands` is a table bucketed by
-    *    (band, bits), so each probe is exchange-free on the corpus side
-    *    — the same stance as [[dedupAgainstCorpus]]'s digest table.
+    *    state. In production `corpusBands` is the managed table
+    *    [[graft.operators.Dedup.createBandedIndexTable]] maintains —
+    *    partitioned by band (each probe prunes to its own band's
+    *    files) and bucketed by bits, the probe's equi-key — so each
+    *    probe is exchange-free on the corpus side even after many
+    *    appended batches (ScaleSpec asserts the plan); the same
+    *    stance as [[dedupAgainstCorpus]]'s digest table.
     * 2. **In-stream state**: survivors are deduped on the full 64-bit
     *    fingerprint with watermark-bounded state, dropping same-batch
     *    and cross-batch arrivals whose fingerprint is identical (the

@@ -798,6 +798,127 @@ class ScaleSpec extends SparkSpec {
       "the stream side must never explode")
   }
 
+  test("bucketed index tables: door probes stay exchange-free on the " +
+    "corpus side after 2 appended batches; append == rebuild; " +
+    "compaction preserves both") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"doc number $i with body ${(i * 13) % 7}"))
+      .toDF("doc_id", "text")
+    val corpus = docsDf(0 until 60)
+    val simOf = StreamingOps.doorFingerprint(col("text"))
+    val b1 = docsDf(100 until 120)
+    val b2 = docsDf(200 until 220)
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), simOf.as("fp"))
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // force the real at-scale shape: without this the tiny test corpus
+    // would broadcast and trivially (meaninglessly) pass. AQE is off
+    // so the executed plan keeps raw join/exchange nodes for the
+    // structural corpus-side assertions (AQE wraps them in query
+    // stages that tree-collect cannot see through).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.createBandedIndexTable(fp(corpus), "doc_id", "fp",
+        "graft_bands_tbl", buckets = 4)
+      Dedup.appendToBandedIndexTable(fp(b1), "doc_id", "fp",
+        "graft_bands_tbl", buckets = 4)
+      Dedup.appendToBandedIndexTable(fp(b2), "doc_id", "fp",
+        "graft_bands_tbl", buckets = 4)
+      Dedup.createDigestIndexTable(corpus, "text",
+        "graft_digests_tbl", buckets = 4)
+      Dedup.appendToDigestIndexTable(b1, "text",
+        "graft_digests_tbl", buckets = 4)
+      Dedup.appendToDigestIndexTable(b2, "text",
+        "graft_digests_tbl", buckets = 4)
+
+      // append == rebuild, row-identical, THROUGH the table path
+      val unionAll = corpus.unionByName(b1).unionByName(b2)
+      def bandRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc", "sim", "band", "bits")
+          .as[(Long, Long, Int, Long)].collect().toSet
+      assert(bandRows(spark.table("graft_bands_tbl")) ==
+        bandRows(Dedup.hammingBandIndex(fp(unionAll), "doc_id", "fp")))
+      def digestRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("digest").as[String].collect().toSet
+      assert(digestRows(spark.table("graft_digests_tbl")) ==
+        digestRows(Dedup.digestIndex(unionAll, "text")))
+
+      // the probes: batch tense of the door's stateless halves over
+      // the table-backed corpus sides. Every anti-join's CORPUS (right)
+      // subtree must be exchange-free — the bucketed layout pays the
+      // shuffle at write time; only the arriving batch may shuffle.
+      val arrivals = docsDf(300 until 310)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf(
+          "2024-01-01 00:00:00")))
+      def assertCorpusSideFree(label: String,
+                               df: org.apache.spark.sql.DataFrame,
+                               expectJoins: Int): Unit = {
+        assert(df.count() == 10, s"$label: all arrivals are novel")
+        val plan = df.queryExecution.executedPlan
+        val joins = plan.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }
+        assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+          s"$label: broadcast disabled, probes must plan shuffled joins")
+        assert(joins.size == expectJoins,
+          s"$label: expected $expectJoins probe joins, got ${joins.size}")
+        joins.foreach { j =>
+          val right: SparkPlan = j match {
+            case s: SortMergeJoinExec => s.right
+            case s: ShuffledHashJoinExec => s.right
+          }
+          assert(right.collect {
+              case e: ShuffleExchangeExec => e }.isEmpty,
+            s"$label: corpus side of a probe shuffled:\n$plan")
+        }
+      }
+      assertCorpusSideFree("banded probe",
+        StreamingOps.nearDupAgainstCorpus(arrivals, simOf, "ts",
+          spark.table("graft_bands_tbl"), "10 minutes"), 4)
+      assertCorpusSideFree("digest probe",
+        StreamingOps.dedupAgainstCorpus(arrivals, "text", "ts",
+          spark.table("graft_digests_tbl"), "10 minutes"), 1)
+
+      // compaction rewrites the accumulated append files (3 per
+      // bucket) into one; content and the exchange-free probe survive
+      val bandFiles = spark.table("graft_bands_tbl")
+        .select(input_file_name()).distinct().count()
+      Dedup.compactBandedIndexTable(spark, "graft_bands_tbl", 4)
+      Dedup.compactDigestIndexTable(spark, "graft_digests_tbl", 4)
+      val bandFilesAfter = spark.table("graft_bands_tbl")
+        .select(input_file_name()).distinct().count()
+      assert(bandFilesAfter < bandFiles,
+        s"compaction must shrink the file count " +
+          s"($bandFiles -> $bandFilesAfter)")
+      assert(bandRows(spark.table("graft_bands_tbl")) ==
+        bandRows(Dedup.hammingBandIndex(fp(unionAll), "doc_id", "fp")))
+      assert(digestRows(spark.table("graft_digests_tbl")) ==
+        digestRows(Dedup.digestIndex(unionAll, "text")))
+      assertCorpusSideFree("banded probe post-compact",
+        StreamingOps.nearDupAgainstCorpus(arrivals, simOf, "ts",
+          spark.table("graft_bands_tbl"), "10 minutes"), 4)
+      assertCorpusSideFree("digest probe post-compact",
+        StreamingOps.dedupAgainstCorpus(arrivals, "text", "ts",
+          spark.table("graft_digests_tbl"), "10 minutes"), 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_bands_tbl")
+      spark.sql("DROP TABLE IF EXISTS graft_digests_tbl")
+      spark.sql("DROP TABLE IF EXISTS graft_bands_tbl_compacting")
+      spark.sql("DROP TABLE IF EXISTS graft_digests_tbl_compacting")
+    }
+  }
+
   test("slidingDrift streaming plan: one windowed aggregate, zero joins") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
