@@ -356,6 +356,38 @@ object Similarity {
     cands.withColumn("cent_id", best.getField("c"))
   }
 
+  /** The rank-th nearest centroid id for one vector, as a pure
+    * expression over the FROZEN centroid literal — the streaming-probe
+    * tense of [[ivfAssign]]: rank 1 is bit-identical to the build's
+    * assignment (same safeCosDiv(dot)/norm scoring, same
+    * smallest-cent_id tie-break), so an arriving vector probes exactly
+    * the list a rebuild would have put it in; ranks 2..n are the
+    * nProbe widening. Row-local — no join, no shuffle, composes with
+    * any downstream stateful op
+    * ([[graft.streaming.StreamingOps.semanticProbe]]). */
+  private[graft] def centroidRankExpr(vec: Column,
+                                      cents: Seq[(Long, Seq[Double])],
+                                      rank: Int): Column = {
+    require(rank >= 1 && rank <= cents.size,
+      s"centroid rank $rank out of range [1, ${cents.size}]")
+    val ids = typedLit(cents.map(_._1))
+    val centsL = typedLit(cents.map(_._2))
+    val norms = typedLit(cents.map(c =>
+      math.sqrt(c._2.foldLeft(0.0d)((a, x) => a + x * x))))
+    val scored = transform(sequence(lit(0), lit(cents.size - 1)),
+      i => struct(
+        safeCosDiv(dot(vec, element_at(centsL, i + lit(1))),
+          element_at(norms, i + lit(1))).as("s"),
+        element_at(ids, i + lit(1)).as("c")))
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("s") > r.getField("s"), lit(-1))
+        .when(l.getField("s") < r.getField("s"), lit(1))
+        .when(l.getField("c") < r.getField("c"), lit(-1))
+        .when(l.getField("c") > r.getField("c"), lit(1))
+        .otherwise(lit(0)))
+    element_at(sorted, rank).getField("c")
+  }
+
   /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each
     * query probes its `nProbe` nearest centroid lists and
     * exact-reranks only inside them. The probe ranking runs over

@@ -57,7 +57,13 @@ object BucketedTables {
     * Each append adds one file per touched bucket; the bucketing (and
     * so the exchange-free join) survives, but merge joins re-sort
     * multi-file buckets per partition, so run [[compactBucketed]] on
-    * a maintenance cadence to restore single-file buckets. */
+    * a maintenance cadence to restore single-file buckets.
+    *
+    * Visibility: the WRITING session's catalog refreshes itself;
+    * any OTHER session (including the session that spawned a
+    * `foreachBatch` whose clone did the append) caches the table's
+    * file listing and must `spark.catalog.refreshTable(table)` before
+    * its next read, or it keeps planning over the pre-append files. */
   def appendBucketed(df: DataFrame, table: String, buckets: Int,
                      keyCols: Seq[String],
                      partitionCols: Seq[String] = Nil): Unit =

@@ -219,6 +219,18 @@ class MQMicroBatchStream(options: MQOptions)
   override def deserializeOffset(json: String): Offset =
     MQOffset.fromJson(json)
 
+  /** Offsets arriving from the engine are NOT always MQOffset: on a
+    * restart that redelivers a checkpointed batch, Spark hands the
+    * raw `SerializedOffset` (the offset-log JSON, never passed
+    * through [[deserializeOffset]]) to `metrics`/`commit` — a blind
+    * asInstanceOf is a ClassCastException that kills the restarted
+    * query exactly when recovery matters. Coerce through the JSON
+    * form, which both shapes carry. */
+  private def asMQOffset(o: Offset): MQOffset = o match {
+    case m: MQOffset => m
+    case other => MQOffset.fromJson(other.json())
+  }
+
   override def getDefaultReadLimit: ReadLimit =
     options.maxMessagesPerTrigger
       .map(m => ReadLimit.maxRows(m))
@@ -232,7 +244,7 @@ class MQMicroBatchStream(options: MQOptions)
     * — A12): advance at most `maxRows` per trigger; stall entirely when
     * halted (A9) or GET-inhibited (A10). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[MQOffset].pos
+    val s = asMQOffset(start).pos
     if (halted || transport.inhibited) MQOffset(s)
     else {
       val available = availableNowCap.getOrElse(transport.depth())
@@ -258,8 +270,8 @@ class MQMicroBatchStream(options: MQOptions)
 
   override def planInputPartitions(start: Offset, end: Offset)
   : Array[InputPartition] = {
-    val s = start.asInstanceOf[MQOffset].pos
-    val e = end.asInstanceOf[MQOffset].pos
+    val s = asMQOffset(start).pos
+    val e = asMQOffset(end).pos
     // offset == count of messages ever observed, so the planned
     // high-water mark IS the cumulative received count (max() keeps it
     // monotone under replanning/replay of an old range).
@@ -280,7 +292,7 @@ class MQMicroBatchStream(options: MQOptions)
     */
   override def commit(end: Offset): Unit =
     if (!options.keepMessages) {
-      val pos = end.asInstanceOf[MQOffset].pos
+      val pos = asMQOffset(end).pos
       try {
         transport.commit(pos)
         messagesCommitted = math.max(messagesCommitted, pos)
@@ -301,7 +313,7 @@ class MQMicroBatchStream(options: MQOptions)
   override def metrics(latestConsumed: java.util.Optional[Offset])
   : java.util.Map[String, String] = {
     val consumed = if (latestConsumed.isPresent)
-      latestConsumed.get.asInstanceOf[MQOffset].pos else 0L
+      asMQOffset(latestConsumed.get).pos else 0L
     val depth = transport.depth()
     java.util.Map.of(
       "queueDepth", depth.toString,

@@ -190,6 +190,81 @@ object StreamingOps {
     }
   }
 
+  /** Semantic (embedding) dedup at the ingest door — the streaming
+    * tense of [[graft.operators.SemDedup.semDedup]]'s verdict for an
+    * arrival against a FIXED corpus: an arriving vector is dropped
+    * when the staged IVF index holds a cosine-near-identical corpus
+    * vector in the arrival's own centroid list (SemDeDup's
+    * within-cluster comparison, which is what keeps the check
+    * sub-quadratic at any scale). Per probe rank p:
+    *
+    *  - the arrival's rank-p centroid id is a ROW-LOCAL expression
+    *    over the index's frozen centroid literal
+    *    ([[graft.operators.Similarity.centroidRankExpr]] — rank 1 is
+    *    bit-identical to the build's own assignment), so the stream
+    *    side needs no join to find its list;
+    *  - one LEFT ANTI equi-join on cent_id against the index's
+    *    assigned table, with `cosine >= cosThreshold` as the residual
+    *    condition — the [[nearDupAgainstCorpus]] probe shape with
+    *    cent_id playing the band and cosine playing the hamming
+    *    cutoff. In production `index.assigned` is a table bucketed by
+    *    cent_id, so the corpus side never exchanges.
+    *
+    * `nProbe` > 1 widens to the arrival's 2nd..n-th nearest lists
+    * (one chained anti-join each, the banded-probe trade — never a
+    * stream-side explode): strictly MORE dropping, for corpora where
+    * near-identical pairs straddle a centroid boundary. nProbe = 1 is
+    * the batch-parity tense (SemDeDup compares within one cluster).
+    *
+    * Stateless — no watermark, no state: embeddings cannot key the
+    * door's within-watermark dedup (float arrays are not a stable
+    * state key), so in-stream semantic pairs inside one batch are NOT
+    * caught here; they are caught at the next index refresh
+    * ([[graft.operators.Similarity.appendToIvfIndex]] /
+    * [[graft.operators.IndexMaintenance.rebuildIvfIndex]]), exactly
+    * the [[nearDupAgainstCorpus]] hamming-1..3 stance. NULL
+    * embeddings pass untouched (no semantic evidence to drop on;
+    * guarded so the rank expression never sorts null scores).
+    */
+  def semanticProbe(stream: DataFrame, vecCol: String,
+                    index: graft.operators.Similarity.IvfIndex,
+                    cosThreshold: Double = 0.95,
+                    nProbe: Int = 1): DataFrame = {
+    import graft.operators.Similarity
+    require(nProbe >= 1 && nProbe <= index.cents.size,
+      s"nProbe $nProbe out of range [1, ${index.cents.size}]")
+    require(!stream.columns.contains("graft_cent"),
+      "input stream already has a graft_cent column")
+    val v = Similarity.toDouble(col(vecCol))
+    (1 to nProbe).foldLeft(stream) { (df, p) =>
+      val corpusList = index.assigned
+        .select(col("cent_id").as("graft_probe_cent"),
+          col("c_vec").as("graft_corpus_vec"))
+      df.withColumn("graft_cent",
+          when(col(vecCol).isNotNull,
+            Similarity.centroidRankExpr(v, index.cents, p)))
+        .join(corpusList,
+          col("graft_cent") === col("graft_probe_cent") &&
+            Similarity.cosine(v, col("graft_corpus_vec"))
+              >= cosThreshold,
+          "left_anti")
+        .drop("graft_cent")
+    }
+  }
+
+  /** Idempotent micro-batch landing write — the partition-overwrite
+    * half of the [[BatchIdGate]] replay contract: batch N always
+    * writes (and on redelivery REWRITES) the `batch_id=N` partition
+    * directory, so replaying a batch after a crash can never duplicate
+    * rows in the corpus — the write is the transactional-with-batchId
+    * side effect, the gate is just the fast-path skip for the
+    * non-transactional ones (index appends). Readers take the corpus
+    * root; `batch_id` surfaces as a partition column. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+                           dir: String): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"$dir/batch_id=$batchId")
+
   /** Per-doc door scores for [[admitAtDoor]], exposed for parity
     * testing: quality (any BIGINT Q8 score expression, typically
     * [[graft.operators.TextAnalysis.linearModelQ8]]) plus shingle
@@ -312,6 +387,13 @@ object StreamingOps {
    * changes each gate's bit-exact parity with its batch twin — the
    * contract the whole door is specified against. Revisit only
    * together with the batch operators. */
+  /* The optional FIFTH gate: pass `semIndex` (the staged IVF index
+   * over the corpus embeddings) and the door chains [[semanticProbe]]
+   * on `semVecCol` after the fingerprint probes — semantically
+   * near-identical arrivals (paraphrases the text gates cannot see)
+   * are dropped against the corpus, still with zero additional
+   * stateful ops (the probe is a stateless anti-join). Docs with a
+   * NULL embedding pass the semantic gate untouched. */
   def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
                  scoreQ8: Column, minScoreQ8: Long,
                  bloom: graft.operators.Decontaminate.BloomModel,
@@ -319,14 +401,21 @@ object StreamingOps {
                  corpusDigests: DataFrame, corpusBands: DataFrame,
                  lateness: String,
                  maxHamming: Int = 3, shingleN: Int = 3,
-                 maxContamPermille: Long = 500L): DataFrame = {
+                 maxContamPermille: Long = 500L,
+                 semIndex: Option[graft.operators.Similarity.IvfIndex]
+                   = None,
+                 semVecCol: String = "embedding",
+                 semCosThreshold: Double = 0.95,
+                 semNProbe: Int = 1): DataFrame = {
     val gated = admitAtDoor(
       dsirAdmitAtDoor(stream, textCol, dsir),
       textCol, scoreQ8, minScoreQ8, bloom, shingleN, maxContamPermille)
     val probed = bandProbe(
       digestProbe(gated, textCol, corpusDigests).drop("graft_digest"),
       doorFingerprint(col(textCol)), corpusBands, maxHamming)
-    dedupWithinWatermark(probed, tsCol, lateness, "graft_sim")
+    val sem = semIndex.fold(probed)(ix =>
+      semanticProbe(probed, semVecCol, ix, semCosThreshold, semNProbe))
+    dedupWithinWatermark(sem, tsCol, lateness, "graft_sim")
       .drop("graft_sim")
   }
 

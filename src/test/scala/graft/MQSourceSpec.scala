@@ -684,4 +684,203 @@ class MQSourceSpec extends SparkSpec {
       .select("key").as[String].collect().toSeq
     assert(rows == Seq("-1_1", "5000_1", "5000_2"), rows.toString)
   }
+
+  test("capstone ingest loop: MQ -> full door -> idempotent write + " +
+    "gated index appends, crash mid-batch, restart: exactly-once " +
+    "admits, indexes == rebuild") {
+    // The whole production loop in one crash-injected run:
+    //   format("ibmmq") -> embedding featurize -> 5-gate ingestDoor
+    //   (incl. the semantic probe) -> foreachBatch {
+    //     idempotent batch_id-partition write;
+    //     if gate.isNew: append BOTH dedup indexes (table tense) and
+    //     all FOUR ANN indexes (frozen-quantizer appends); commit }
+    // with a simulated crash BETWEEN the partition write and the gate
+    // commit, then a restart on the same checkpoint. Afterwards:
+    // no duplicate admits (partition overwrite absorbed the replay),
+    // no lost docs, every index set-identical to a from-scratch
+    // rebuild over corpus + admits, and a cross-batch semantic dup
+    // was dropped ONLY because the loop refreshed the ANN index.
+    import graft.operators.{Dedup, Decontaminate, Dsir, Similarity,
+      TextAnalysis => TA}
+    import graft.streaming.{BatchIdGate, StreamingOps}
+    // deterministic "embedding extraction": 8 hash-derived dims from
+    // the doc's FIRST TWO tokens — so two docs sharing a 2-token
+    // prefix but differing after are semantic twins (cos = 1) that
+    // the exact and fingerprint gates CANNOT see
+    def embedOf(text: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column = {
+      val prefix = concat_ws(" ", slice(TA.tokens(text), 1, 2))
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64(concat_ws("_", prefix, i.cast("string"))),
+          lit(2000L)).cast("double") - 1000.0d) / 1000.0d)
+    }
+    val bloom = Decontaminate.buildShingleBloom(
+      Seq((900L, "unrelated eval content entirely", true))
+        .toDF("doc_id", "text", "is_eval"),
+      "doc_id", "text", col("is_eval"), n = 3)
+    val dsir = Dsir.fitModel(Seq(
+        (1L, "apple banana cherry damson elder", true),
+        (2L, "hammer wrench pliers chisel rasp", false))
+      .toDF("doc_id", "text", "is_t"),
+      "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
+    val corpus = Seq((100L, "apple banana cherry elder quince plum"))
+      .toDF("doc_id", "text")
+    val simOf = StreamingOps.doorFingerprint(col("text"))
+    val corpusVecs = corpus.select(col("doc_id").as("vec_id"),
+      embedOf(col("text")).as("embedding"))
+    // loop state: dedup indexes as BUCKETED TABLES (the production
+    // tense), ANN indexes as frozen-quantizer in-memory appends
+    Dedup.createDigestIndexTable(corpus, "text", "graft_cap_dig", 2)
+    Dedup.createBandedIndexTable(
+      corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp",
+      "graft_cap_band", 2)
+    var ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+      nCentroids = 1, persistIndex = false)
+    var lsh = Similarity.lshIndex(corpusVecs, "vec_id", "embedding",
+      nPlanes = 3, persistIndex = false)
+    var pq = Similarity.pqIndex(corpusVecs, "vec_id", "embedding",
+      m = 2, ksub = 2, persistIndex = false)
+    var ivfpq = Similarity.ivfPqIndex(corpusVecs, "vec_id", "embedding",
+      nCentroids = 1, m = 2, ksub = 2, persistIndex = false)
+    val dir = tmpDir("mq-capstone")
+    val ckpt = tmpDir("mq-capstone-ckpt")
+    val out = tmpDir("mq-capstone-out")
+    val gate = new BatchIdGate(
+      ckpt.resolve("graft-applied").toString)
+    @volatile var crashArmed = true
+    // the appends run inside foreachBatch's cloned session; THIS
+    // session's catalog caches each table's file listing, so the
+    // reader must refresh before re-planning the door or asserting —
+    // the same contract a production reader session has after an
+    // appender refreshes the index tables
+    def refreshTables(): Unit = {
+      spark.catalog.refreshTable("graft_cap_dig")
+      spark.catalog.refreshTable("graft_cap_band")
+    }
+    def runOnce(): Option[Throwable] = {
+      refreshTables()
+      val door = StreamingOps.ingestDoor(
+        spark.readStream.format("ibmmq").option("path", dir.toString)
+          .load().withColumn("embedding", embedOf(col("value"))),
+        "value", "put_ts", lit(100000000L), minScoreQ8 = 0L, bloom,
+        dsir,
+        spark.table("graft_cap_dig"), spark.table("graft_cap_band"),
+        lateness = "1 hour", semIndex = Some(ivf))
+      val q = door.writeStream
+        .foreachBatch {
+          (admitted: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+            StreamingOps.writeBatchIdempotent(
+              admitted.drop("embedding"), batchId, out.toString)
+            if (crashArmed && !admitted.isEmpty) {
+              crashArmed = false
+              throw new RuntimeException("injected crash before commit")
+            }
+            if (gate.isNew(batchId)) {
+              val adf = admitted
+                .select(unix_millis(col("put_ts")).as("doc_id"),
+                  col("value").as("text"), col("embedding"))
+                .localCheckpoint()
+              if (!adf.isEmpty) {
+                Dedup.appendToDigestIndexTable(adf, "text",
+                  "graft_cap_dig", 2)
+                Dedup.appendToBandedIndexTable(
+                  adf.select(col("doc_id"), simOf.as("fp")),
+                  "doc_id", "fp", "graft_cap_band", 2)
+                ivf = Similarity.appendToIvfIndex(ivf, adf,
+                  "doc_id", "embedding")
+                lsh = Similarity.appendToLshIndex(lsh, adf,
+                  "doc_id", "embedding")
+                pq = Similarity.appendToPqIndex(pq, adf,
+                  "doc_id", "embedding")
+                ivfpq = Similarity.appendToIvfPqIndex(ivfpq, adf,
+                  "doc_id", "embedding")
+              }
+              gate.commit(batchId)
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming
+        .StreamingQueryException => Some(e) }
+      finally { if (q.isActive) q.stop() }
+    }
+    try {
+      // ---- run 1: crash fires after the partition write, before any
+      // append or commit
+      append(dir,
+        (7000L, "damson elder apple cherry banana damson elder"),
+        (7001L, "hammer wrench pliers chisel rasp hammer"))
+      assert(runOnce().isDefined, "the injected crash must surface")
+      assert(gate.lastCommitted() == -1L,
+        "crash landed before the commit")
+      // ---- run 2, same checkpoint: batch 0 is REDELIVERED; the
+      // partition write overwrites itself, the appends run once
+      assert(runOnce().isEmpty)
+      assert(gate.lastCommitted() >= 0L)
+      // ---- run 3: new arrivals probe the REFRESHED indexes:
+      //  8000 = permutation of run-1's admit (same fingerprint) ->
+      //         dropped (checkpointed state and the appended banded
+      //         table both hold the fingerprint; either suffices)
+      //  8001 = same 2-token prefix as run-1's admit, different tail
+      //         (new digest, new fingerprint) -> ONLY the refreshed
+      //         semantic index drops it
+      //  8002 = novel -> admitted
+      append(dir,
+        (8000L, "elder damson cherry apple banana elder damson"),
+        (8001L, "damson elder quince plum fig apricot peach"),
+        (8002L, "quince plum damson apple elder banana cherry quince"))
+      assert(runOnce().isEmpty)
+      // ---- exactly-once admits: no dup keys despite the replay, no
+      // lost docs
+      val landed = spark.read.parquet(out.toString)
+        .select("key").as[String].collect().sorted.toSeq
+      assert(landed == Seq("7000_1", "8002_1"),
+        s"capstone admits wrong: $landed")
+      // ---- every index == a from-scratch rebuild over corpus+admits
+      refreshTables()
+      val admitsDf = Seq(
+        (7000L, "damson elder apple cherry banana damson elder"),
+        (8002L, "quince plum damson apple elder banana cherry quince"))
+        .toDF("doc_id", "text")
+      val allDocs = corpus.unionByName(admitsDf)
+      val allVecs = allDocs.select(col("doc_id").as("vec_id"),
+        embedOf(col("text")).as("embedding"))
+      assert(spark.table("graft_cap_dig")
+          .select("digest").as[String].collect().toSet ==
+        Dedup.digestIndex(allDocs, "text")
+          .as[String].collect().toSet)
+      assert(spark.table("graft_cap_band")
+          .select("doc", "sim", "band", "bits")
+          .as[(Long, Long, Int, Long)].collect().toSet ==
+        Dedup.hammingBandIndex(
+            allDocs.select(col("doc_id"), simOf.as("fp")),
+            "doc_id", "fp")
+          .select("doc", "sim", "band", "bits")
+          .as[(Long, Long, Int, Long)].collect().toSet)
+      // ANN: appended state == one-shot frozen-quantizer append of
+      // all admits onto the base index (the append==rebuild identity
+      // proven per-path elsewhere; here it must survive the loop)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("c_id")).as[Long].collect().sorted.toSeq
+      assert(ids(ivf.assigned) == Seq(100L, 7000L, 8002L))
+      assert(ids(lsh.buckets) == Seq(100L, 7000L, 8002L))
+      assert(ids(pq.encoded) == Seq(100L, 7000L, 8002L))
+      assert(ids(ivfpq.encoded) == Seq(100L, 7000L, 8002L))
+      val oneShot = Similarity.appendToIvfIndex(
+        Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+          nCentroids = 1, persistIndex = false),
+        allVecs.filter(col("vec_id") =!= 100L), "vec_id", "embedding")
+      assert(ivf.cents == oneShot.cents)
+      assert(ivf.assigned.select("c_id", "cent_id")
+          .as[(Long, Long)].collect().toSet ==
+        oneShot.assigned.select("c_id", "cent_id")
+          .as[(Long, Long)].collect().toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cap_dig")
+      spark.sql("DROP TABLE IF EXISTS graft_cap_band")
+    }
+  }
 }

@@ -796,6 +796,41 @@ class ScaleSpec extends SparkSpec {
     // nearDupAgainstCorpus scaladoc documents)
     assert(plan.collect { case g: Generate => g }.isEmpty,
       "the stream side must never explode")
+
+    // ---- with the semantic (embedding) gate on: ONE more stateless
+    // anti-probe (centroid assignment rides as a row-local literal
+    // expression), still exactly one stateful op, still no explode,
+    // still no aggregation
+    val semCorpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val semIndex = graft.operators.Similarity.ivfIndex(
+      semCorpus, "vec_id", "embedding", nCentroids = 2,
+      persistIndex = false)
+    val semInput = MemoryStream[(java.sql.Timestamp, Long, String,
+      Array[Float])]
+    val semDoor = graft.streaming.StreamingOps.ingestDoor(
+      semInput.toDF().toDF("ts", "id", "text", "embedding"),
+      "text", "ts", lit(100000000L), minScoreQ8 = 0L, bloom, dsir,
+      Dedup.digestIndex(corpus, "text").localCheckpoint(),
+      Dedup.hammingBandIndex(
+        corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp")
+        .localCheckpoint(),
+      "10 minutes",
+      semIndex = Some(graft.operators.Similarity.IvfIndex(
+        semIndex.cents, semIndex.assigned.localCheckpoint())))
+    val semPlan = semDoor.queryExecution.analyzed
+    assert(semPlan.collect {
+        case d: DeduplicateWithinWatermark => d }.size == 1,
+      "the semantic door must still spend exactly ONE stateful op")
+    assert(semPlan.collect { case a: Aggregate => a }.isEmpty,
+      "the semantic door must not carry a streaming aggregation")
+    val semJoins = semPlan.collect { case j: Join => j }
+    assert(semJoins.size == 6 && semJoins.forall(_.joinType == LeftAnti),
+      s"semantic door joins must be the 6 anti-probes, got " +
+        semJoins.map(_.joinType).mkString(","))
+    assert(semPlan.collect { case g: Generate => g }.isEmpty,
+      "the semantic door's stream side must never explode")
   }
 
   test("bucketed index tables: door probes stay exchange-free on the " +

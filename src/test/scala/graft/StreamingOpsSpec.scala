@@ -857,6 +857,74 @@ class StreamingOpsSpec extends SparkSpec {
     assert(corrupt.lastCommitted() == 7L)
   }
 
+  test("semanticProbe drops near-identical embeddings against the " +
+    "staged IVF index: drop/keep fixture, NULL passes, batch parity, " +
+    "nProbe widens across a centroid boundary") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // exact centroids (constructed index, not sampled) so every
+    // assignment in the fixture is arithmetically forced
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val emptyAssigned = Seq.empty[(Long, Seq[Double], Long)]
+      .toDF("c_id", "c_vec", "cent_id")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.02f, 0.0f, 0.0f)),   // cluster 0
+      (1L, Array(0.98f, 0.0f, 0.01f, 0.0f)),  // cluster 0
+      (2L, Array(0.0f, 0.01f, 0.0f, 1.0f)),   // cluster 1
+      // near the boundary but in cluster 0 (cos to c0 beats c1)
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.appendToIvfIndex(
+      Similarity.IvfIndex(cents, emptyAssigned),
+      corpus, "vec_id", "embedding")
+    val rows: Seq[(Timestamp, Long, Array[Float])] = Seq(
+      // near-identical to corpus 0, same cluster → DROP
+      (ts("2024-01-01 10:00:00"), 10L, Array(1.0f, 0.021f, 0.0f, 0.0f)),
+      // cluster 0 but angled (cos ~0.8 to every member) → KEEP
+      (ts("2024-01-01 10:00:01"), 11L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      // near-identical to corpus 2 in cluster 1 → DROP
+      (ts("2024-01-01 10:00:02"), 12L, Array(0.0f, 0.012f, 0.0f, 1.0f)),
+      // novel direction → KEEP
+      (ts("2024-01-01 10:00:03"), 13L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      // NULL embedding: no semantic evidence → KEEP, never crash
+      (ts("2024-01-01 10:00:04"), 14L, null),
+      // near-identical TWIN of corpus 3 but lands in cluster 1
+      // (cos to c1 beats c0) — the straddle nProbe exists for
+      (ts("2024-01-01 10:00:05"), 15L, Array(0.99f, 0.0f, 0.0f, 1.0f)))
+    def probe(df: org.apache.spark.sql.DataFrame, nProbe: Int) =
+      StreamingOps.semanticProbe(df, "embedding", index,
+        cosThreshold = 0.95, nProbe = nProbe)
+    // ---- streaming tense
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = probe(input.toDF().toDF("ts", "id", "embedding"), 1)
+      .writeStream.format("memory").queryName("sem_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("sem_sink")
+        .select("id").as[Long].collect().sorted.toSeq
+      // nProbe=1: the straddler (15) is MISSED — it probes cluster 1
+      // where its twin is not
+      assert(streamIds == Seq(11L, 13L, 14L, 15L),
+        s"semantic gate admitted $streamIds")
+      // column ownership: no graft_ residue
+      assert(spark.table("sem_sink").columns.toSeq ==
+        Seq("ts", "id", "embedding"))
+      // ---- batch parity: stateless probe, identical verdicts
+      val batchIds = probe(rows.toDF("ts", "id", "embedding"), 1)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(batchIds == streamIds)
+    } finally q.stop()
+    // ---- nProbe=2 also probes the straddler's second-nearest list
+    // and catches the boundary twin; everything else is unchanged
+    val wide = probe(rows.toDF("ts", "id", "embedding"), 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(wide == Seq(11L, 13L, 14L),
+      s"nProbe=2 must catch the boundary twin, admitted $wide")
+  }
+
   test("DSIR gate admits target-like docs at the door, batch parity") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
