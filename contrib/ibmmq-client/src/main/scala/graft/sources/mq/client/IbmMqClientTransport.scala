@@ -1,0 +1,205 @@
+package graft.sources.mq.client
+
+import java.util.Hashtable
+
+import com.ibm.mq.{MQException, MQGetMessageOptions, MQMessage, MQQueue, MQQueueManager}
+import com.ibm.mq.constants.CMQC
+
+import graft.sources.mq.{MQCcsid, MQRecord, MQTransport}
+
+/** The real `com.ibm.mq.allclient` implementation of the
+  * [[graft.sources.mq.MQTransport]] seam — the compiled-shape twin of
+  * [[graft.sources.mq.FileMQTransport]] for the day the client jar is
+  * on the classpath (it is NOT in the offline build; see this
+  * module's README for wiring). Semantics map the reference receiver
+  * one-to-one:
+  *
+  *  - connection + MQCSP auth + TLS cipher  → reference
+  *    IBMMQReceiver.java:395-450 (the `MQEnvironment`-era properties
+  *    carried in the per-connection hashtable instead of JVM globals,
+  *    so two queues with different credentials can coexist)
+  *  - browse-cursor read, destructive commit under syncpoint →
+  *    IBMMQReceiver.java:230-260, 357-360
+  *  - GET-inhibited probe                    → IBMMQReceiver.java:232-235
+  *  - CCSID decode at the byte boundary      → IBMMQReceiver.java:242-249
+  *  - put time (ms) + native sequence number → IBMMQReceiver.java:250-251
+  *
+  * Positional contract: absolute position = messages destructively
+  * committed before the current queue content (`committedBase`) plus
+  * the browse index. `read(start, end)` browses from the head and
+  * skips to `start - committedBase`, so a replay between checkpointed
+  * offsets re-reads the same messages until `commit` removes them —
+  * exactly the replayability the Spark source needs. `depth()` is the
+  * seam's MONOTONE high-water mark (committedBase + current depth),
+  * never the shrinking browse depth.
+  *
+  * Thread-safety: driver-side calls (`depth`, `commit`) and
+  * executor-side calls (`read`) each run on their OWN deserialized
+  * copy of this transport (it is Serializable; the MQ handles are
+  * `@transient lazy`, re-opened per JVM), matching how the file
+  * transport behaves under Spark's task serialization.
+  */
+final class IbmMqClientTransport(
+    host: String, port: Int, queueManager: String, channel: String,
+    queue: String, user: Option[String], password: Option[String],
+    sslCipherSuite: Option[String], ccsid: Option[Int])
+  extends MQTransport {
+
+  @transient private lazy val qmgr: MQQueueManager = {
+    val props = new Hashtable[String, AnyRef]()
+    props.put(CMQC.HOST_NAME_PROPERTY, host)
+    props.put(CMQC.PORT_PROPERTY, Integer.valueOf(port))
+    props.put(CMQC.CHANNEL_PROPERTY, channel)
+    // MQCSP authentication (not the compatibility-mode RemoteUserID):
+    // the reference's auth block, IBMMQReceiver.java:404-417
+    user.foreach { u =>
+      props.put(CMQC.USER_ID_PROPERTY, u)
+      props.put(CMQC.USE_MQCSP_AUTHENTICATION_PROPERTY,
+        java.lang.Boolean.TRUE)
+    }
+    password.foreach(p => props.put(CMQC.PASSWORD_PROPERTY, p))
+    sslCipherSuite.foreach(c =>
+      props.put(CMQC.SSL_CIPHER_SUITE_PROPERTY, c))
+    new MQQueueManager(queueManager, props)
+  }
+
+  /** One handle per purpose: browse for `read`, destructive-shared
+    * for `commit` — the reference opens with
+    * MQOO_INPUT_AS_Q_DEF | MQOO_BROWSE (IBMMQReceiver.java:227-229). */
+  @transient private lazy val browseQueue: MQQueue =
+    qmgr.accessQueue(queue,
+      CMQC.MQOO_BROWSE | CMQC.MQOO_INQUIRE | CMQC.MQOO_FAIL_IF_QUIESCING)
+
+  @transient private lazy val getQueue: MQQueue =
+    qmgr.accessQueue(queue,
+      CMQC.MQOO_INPUT_SHARED | CMQC.MQOO_FAIL_IF_QUIESCING)
+
+  /** Messages destructively removed by `commit` so far this
+    * connection — the base the positional contract adds browse
+    * indexes to. Recovered on reconnect from the Spark checkpoint via
+    * `commit(upTo)`'s idempotence: a fresh transport starts at 0 and
+    * the first commit fast-forwards it (the gets that already
+    * happened in a previous life find a shorter queue, so the skip
+    * count self-corrects against currentDepth). */
+  @transient private var committedBase: Long = 0L
+
+  override def depth(): Long = synchronized {
+    committedBase + browseQueue.getCurrentDepth().toLong
+  }
+
+  override def inhibited: Boolean = synchronized {
+    // MQQA_GET_INHIBITED, the reference's pause gate
+    // (IBMMQReceiver.java:232-235)
+    browseQueue.getInhibitGet() == CMQC.MQQA_GET_INHIBITED
+  }
+
+  private def decode(msg: MQMessage): String = {
+    val bytes = new Array[Byte](msg.getMessageLength)
+    msg.readFully(bytes)
+    // decode HERE, where the bytes are — the reference forces
+    // characterSet before reading (IBMMQReceiver.java:242-249)
+    new String(bytes,
+      ccsid.map(MQCcsid.charsetFor)
+        .getOrElse(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def read(start: Long, end: Long): Iterator[MQRecord] =
+    synchronized {
+      val out = Vector.newBuilder[MQRecord]
+      val gmo = new MQGetMessageOptions
+      gmo.options = CMQC.MQGMO_BROWSE_FIRST | CMQC.MQGMO_NO_WAIT |
+        CMQC.MQGMO_FAIL_IF_QUIESCING
+      var pos = committedBase
+      var more = true
+      while (more && pos < end) {
+        val msg = new MQMessage
+        ccsid.foreach(c => msg.characterSet = c)
+        try {
+          browseQueue.get(msg, gmo)
+          if (pos >= start)
+            out += MQRecord(
+              msg.putDateTime.getTimeInMillis, // ms resolution, :250
+              msg.sequenceNumber,              // native seq, :251
+              decode(msg))
+          pos += 1
+          gmo.options = CMQC.MQGMO_BROWSE_NEXT | CMQC.MQGMO_NO_WAIT |
+            CMQC.MQGMO_FAIL_IF_QUIESCING
+        } catch {
+          case e: MQException
+            if e.reasonCode == CMQC.MQRC_NO_MSG_AVAILABLE => more = false
+        }
+      }
+      out.result().iterator
+    }
+
+  /** Destructive acknowledgement under ONE syncpoint unit of work —
+    * the reference's per-batch `qmgr.commit()`
+    * (IBMMQReceiver.java:357-360). A failure backs the whole range
+    * out, so messages redeliver rather than vanish. */
+  override def commit(upTo: Long): Unit = synchronized {
+    val n = upTo - committedBase
+    if (n > 0) {
+      val gmo = new MQGetMessageOptions
+      gmo.options = CMQC.MQGMO_NO_WAIT | CMQC.MQGMO_SYNCPOINT |
+        CMQC.MQGMO_FAIL_IF_QUIESCING
+      var i = 0L
+      try {
+        while (i < n) {
+          val msg = new MQMessage
+          getQueue.get(msg, gmo)
+          i += 1
+        }
+        qmgr.commit()
+        committedBase = upTo
+      } catch {
+        case e: MQException
+          if e.reasonCode == CMQC.MQRC_NO_MSG_AVAILABLE =>
+            // fewer messages than expected: a previous life already
+            // removed some before crashing post-get, pre-checkpoint —
+            // commit what was taken and fast-forward (idempotence)
+            qmgr.commit()
+            committedBase = upTo
+        case e: MQException =>
+          qmgr.backout()
+          throw e
+      }
+    }
+  }
+
+  override def sameMillisPrefix(pos: Long): Int = synchronized {
+    // resume support for the per-millisecond key counter (A4): count
+    // the run of same-millisecond messages immediately before `pos`.
+    // One browse pass from the head — O(pos - committedBase), driver
+    // side, once per restart, never on the per-batch path.
+    val millis = read(committedBase, pos + 1)
+      .map(_.putMillis).toVector
+    if (millis.isEmpty) 0
+    else {
+      val last = millis.last
+      millis.init.reverseIterator.takeWhile(_ == last).length
+    }
+  }
+
+  /** Write side: PUT*n + qmgr.commit() in one unit of work. The
+    * txn-ledger dedup the file transport implements maps onto an
+    * application property marker; left to the deployment because the
+    * right ledger (a side queue vs a DB table) is site policy. */
+  override def put(txnId: String, payloads: Seq[String]): Unit =
+    synchronized {
+      val outQ = qmgr.accessQueue(queue,
+        CMQC.MQOO_OUTPUT | CMQC.MQOO_FAIL_IF_QUIESCING)
+      try {
+        payloads.foreach { p =>
+          val msg = new MQMessage
+          ccsid.foreach(c => msg.characterSet = c)
+          msg.writeString(p)
+          val pmo = new com.ibm.mq.MQPutMessageOptions
+          pmo.options = CMQC.MQPMO_SYNCPOINT
+          outQ.put(msg, pmo)
+        }
+        qmgr.commit()
+      } catch {
+        case e: MQException => qmgr.backout(); throw e
+      } finally outQ.close()
+    }
+}
