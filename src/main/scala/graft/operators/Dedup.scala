@@ -659,41 +659,84 @@ object Dedup {
     * generation beyond that, buckets above `bucketCap` dropped as
     * skew. Input: `hashed` with an id column and a LongType
     * fingerprint column. Output: (doc_a, doc_b, hamming).
+    *
+    * Factored through DISTINCT fingerprints (r9): real corpora carry
+    * large identical-fingerprint groups (token permutations collapse
+    * to one simhash; shared boilerplate prefixes to one phash — the
+    * derived-sf1 corpus holds 50k docs over 4.8k distinct phashes),
+    * and the doc-level band self-join enumerated every such group
+    * C(n,2) times PER BAND before deduping. Instead:
+    *  1. hamming-0 pairs expand identical-fingerprint groups by one
+    *     equi-join on the full 64-bit hash — enumeration IS the
+    *     output, nothing speculative;
+    *  2. the banded join runs over distinct fingerprints only
+    *     (hamming 1..maxHamming by construction, so it cannot
+    *     re-find the identical pairs), then two equi-joins expand
+    *     each fingerprint pair to its doc pairs — again
+    *     output-bound.
+    * Same result rows, but band-bucket work scales with distinct
+    * fingerprints, not docs (measured at derived sf1: 114 s → the
+    * banded join's quadratic term collapses ~100×). The census stays
+    * at DOC granularity (a fingerprint's docs band identically, so
+    * dropping a (band, bits) bucket of docs and dropping its member
+    * fingerprints from that band are the same set), and an
+    * identical-fingerprint pair is emitted iff at least one of its
+    * fingerprint's four buckets survives — exactly the old "pair
+    * found via any surviving band" semantics.
     */
   def hammingNearDupsBanded(hashed: DataFrame, idCol: String,
                             hashCol: String, maxHamming: Int,
                             bucketCap: Int = 10000,
                             persistIndex: Boolean = true): DataFrame = {
-    // Materialized BEFORE the census: its three consumers (hot-bucket
-    // census + both self-join sides) would otherwise each recompute
-    // the fingerprint — the dominant per-row cost. The anti-join
-    // below is a cheap broadcast filter over this cache.
+    // Materialized BEFORE everything: the (doc, sim) projection is
+    // consumed by the census, the identical-group expansion (both
+    // sides) and the distinct-pair expansion (both sides), and the
+    // fingerprint expression is the dominant per-row cost.
     // `persistIndex = false` for one-shot callers (payloadNearDups)
     // that would otherwise leak MEMORY_AND_DISK blocks with no handle
     // to unpersist — same stance as Similarity.lshIndex.
-    val raw = bandedIndex64(hashed.select(col(idCol).as("doc"),
-        col(hashCol).as("sim")))
-    val banded =
-      if (persistIndex) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
-    // Skew guard as census + broadcast anti-join (no corpus-wide
-    // sort — see minhashNearDups).
-    val hotBuckets = banded.groupBy(col("band"), col("bits"))
+    val h0 = hashed.select(col(idCol).as("doc"), col(hashCol).as("sim"))
+    val h = if (persistIndex) h0.persist(StorageLevel.MEMORY_AND_DISK)
+            else h0
+    // Skew census at DOC granularity (unchanged semantics), applied
+    // to the distinct-fingerprint banding via broadcast anti-join.
+    val hotBuckets = bandedIndex64(h)
+      .groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap).select("band", "bits")
-    val capped = banded
+    val cappedSims = bandedIndex64(
+        h.select(col("sim")).distinct().select(col("sim").as("doc"),
+          col("sim")))
+      .select(col("band"), col("bits"), col("sim"))
       .join(broadcast(hotBuckets), Seq("band", "bits"), "left_anti")
-    val l = capped.select(col("band"), col("bits"),
-      col("doc").as("doc_a"), col("sim").as("sim_a"))
-    val r = capped.select(col("band"), col("bits"),
-      col("doc").as("doc_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("band", "bits"))
+    // 1) identical-fingerprint pairs (hamming 0): fingerprints with
+    // >= 1 surviving bucket expand to their within-group doc pairs
+    // through one equi-join on the full hash
+    val liveSims = cappedSims.select("sim").distinct()
+    val hLive = h.join(liveSims, Seq("sim"))
+    val identical = hLive.select(col("sim"), col("doc").as("doc_a"))
+      .join(hLive.select(col("sim"), col("doc").as("doc_b")), Seq("sim"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    // 2) distinct-fingerprint pairs through the banded join, then
+    // expanded to doc pairs (a doc pair maps to exactly ONE
+    // fingerprint pair, so no cross-part duplicates are possible)
+    val simPairs = cappedSims
+      .select(col("band"), col("bits"), col("sim").as("sim_a"))
+      .join(cappedSims.select(col("band"), col("bits"),
+        col("sim").as("sim_b")), Seq("band", "bits"))
+      .filter(col("sim_a") < col("sim_b"))
+      .select(col("sim_a"), col("sim_b"))
+      .dropDuplicates("sim_a", "sim_b")
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val near = simPairs
+      .join(h.select(col("sim").as("sim_a"), col("doc").as("da")), "sim_a")
+      .join(h.select(col("sim").as("sim_b"), col("doc").as("db")), "sim_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    identical.unionByName(near)
   }
 
   /** Connected components over a near-dup pair list: pairs only say

@@ -55,8 +55,19 @@ object TextQueries {
        |tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
        |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
        |inter AS (
+       |  -- block-banded form of the gap-bounded token self-join (the
+       |  -- same banding the Spark side uses): 0 < b.doc - a.doc <= g
+       |  -- implies b's block is a's or the next one, so replicating a
+       |  -- into (blk, blk+1) makes the join EQUI on (token, blk) and
+       |  -- each qualifying row pair matches exactly once — identical
+       |  -- result, but per-key work is bounded by 2 blocks of g docs
+       |  -- instead of a token's full document frequency squared
        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-       |  FROM tok a JOIN tok b ON a.token = b.token
+       |  FROM (SELECT doc, token, doc // $jaccardMaxIdGap AS blk FROM tok
+       |        UNION ALL
+       |        SELECT doc, token, doc // $jaccardMaxIdGap + 1 AS blk FROM tok) a
+       |  JOIN (SELECT doc, token, doc // $jaccardMaxIdGap AS blk FROM tok) b
+       |    ON a.token = b.token AND a.blk = b.blk
        |    AND a.doc < b.doc AND b.doc - a.doc <= $jaccardMaxIdGap
        |  GROUP BY 1, 2)""".stripMargin
 

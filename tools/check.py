@@ -23,10 +23,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import time
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        print(f"[check] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
         spark_df = pd.read_parquet(path)
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(spark_df)}"
@@ -69,6 +72,8 @@ def main(sf_dir, out_dir):
                 if bad:
                     break
         results[name] = bad or f"OK rows={len(s)}"
+        print(f"[check] {name} done in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
     for k, v in sorted(results.items()):
