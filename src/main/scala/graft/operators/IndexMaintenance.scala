@@ -251,6 +251,78 @@ object IndexMaintenance {
         trainSize, persistIndex = false),
       savePqIndex, loadPqIndex)
 
+  /** Outcome of one [[maintainPqIndex]]/[[maintainIvfIndex]] step:
+    * the live index (rebuilt or untouched), the audited recall that
+    * drove the decision, and whether a rebuild+swap happened. */
+  final case class Maintenance[I](index: I, recall: Double,
+                                  rebuilt: Boolean)
+
+  /** Deterministic hash-uniform audit sample of corpus vectors (the
+    * kmeans-seeding stance: smallest xxhash64 of the id — no Random,
+    * so the same corpus always audits with the same queries). */
+  private def auditSample(corpus: DataFrame, idCol: String,
+                          vecCol: String, n: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .withColumn("graft_h", xxhash64(col(idCol)))
+      .orderBy(col("graft_h"), col(idCol)).limit(n)
+      .drop("graft_h")
+
+  private def recallOf(exact: DataFrame, ann: DataFrame): Double = {
+    val spark = exact.sparkSession
+    import spark.implicits._
+    Similarity.recallAtK(exact, ann, "audit")
+      .select("recall").as[Double].head()
+  }
+
+  // ---------------------------------------------------------------- //
+  // maintain*: the alarm wired to its response. The appends'
+  // scaladocs defer quantizer drift to "periodic re-train with
+  // q_sim_ann_recall as the alarm"; this is that loop as ONE
+  // operator: audit recall@k of the live index against a bounded
+  // brute-force sample of its own corpus, and rebuild + atomically
+  // swap ONLY when it falls below `recallFloor`. Audit cost is
+  // sampleQueries brute-force rows (|S|·|corpus| dot products — the
+  // q_sim_ann_recall shape, bounded by the sample size); a healthy
+  // index costs exactly the audit and touches neither the store nor
+  // the pointer. Run from the maintenance owner between ingest
+  // batches — the same single-writer stance as the appends.
+  // ---------------------------------------------------------------- //
+
+  def maintainPqIndex(store: VersionedIndexStore, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      current: PqIndex, recallFloor: Double,
+                      k: Int = 3, rerank: Int = 16,
+                      sampleQueries: Int = 64,
+                      m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
+                      trainSize: Int = 4096): Maintenance[PqIndex] = {
+    val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
+    val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
+      vecCol, k)
+    val r = recallOf(exact, Similarity.pqTopKWith(current, sample,
+      corpus, idCol, vecCol, k, rerank))
+    if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
+    else Maintenance(rebuildPqIndex(store, corpus, idCol, vecCol, m,
+      ksub, maxIter, trainSize), r, rebuilt = true)
+  }
+
+  def maintainIvfIndex(store: VersionedIndexStore, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       current: IvfIndex, recallFloor: Double,
+                       k: Int = 3, nProbe: Int = 2,
+                       sampleQueries: Int = 64,
+                       nCentroids: Int = 16,
+                       trainCoarse: Boolean = false)
+  : Maintenance[IvfIndex] = {
+    val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
+    val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
+      vecCol, k)
+    val r = recallOf(exact, Similarity.ivfTopKWith(current, sample,
+      idCol, vecCol, k, nProbe))
+    if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
+    else Maintenance(rebuildIvfIndex(store, corpus, idCol, vecCol,
+      nCentroids, trainCoarse), r, rebuilt = true)
+  }
+
   def rebuildIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
                         idCol: String, vecCol: String,
                         nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,

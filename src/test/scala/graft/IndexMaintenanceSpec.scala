@@ -207,4 +207,42 @@ class IndexMaintenanceSpec extends SparkSpec {
       fresh.encoded.select("c_id", "codes")
         .as[(Long, Seq[Int])].collect().toSet)
   }
+
+  test("maintainPqIndex: healthy index is audit-only (no swap); " +
+    "drifted index triggers rebuild + swap and clears the floor") {
+    val store = tmpStore()
+    val published = IM.rebuildPqIndex(store, corpusA, "vec_id",
+      "embedding", m = 4, ksub = 32)
+    assert(store.currentVersion() == 0L)
+
+    // healthy: the corpus IS what the codebook trained on — the
+    // audit passes and the store is untouched
+    val healthy = IM.maintainPqIndex(store, corpusA, "vec_id",
+      "embedding", published, recallFloor = 0.9, k = 3, rerank = 16,
+      m = 4, ksub = 32)
+    assert(!healthy.rebuilt && healthy.recall >= 0.9,
+      s"healthy audit recall ${healthy.recall}")
+    assert(store.currentVersion() == 0L, "no-op must not bump version")
+
+    // drift: batch B appended under the frozen codebook; the audit
+    // sample now includes collapsed-code vectors, recall falls below
+    // the floor, and maintain rebuilds + swaps atomically
+    val union = corpusA.unionByName(batchB)
+    val stale = Similarity.appendToPqIndex(published, batchB, "vec_id",
+      "embedding")
+    val out = IM.maintainPqIndex(store, union, "vec_id", "embedding",
+      stale, recallFloor = 0.9, k = 3, rerank = 16, m = 4, ksub = 32)
+    assert(out.rebuilt, s"drifted audit recall ${out.recall} must " +
+      "trigger a rebuild")
+    assert(out.recall < 0.9)
+    assert(store.currentVersion() == 1L, "rebuild must publish v1")
+    // the returned (published) index clears the floor on the same
+    // deterministic audit
+    val after = IM.maintainPqIndex(store, union, "vec_id", "embedding",
+      out.index, recallFloor = 0.9, k = 3, rerank = 16,
+      m = 4, ksub = 32)
+    assert(!after.rebuilt && after.recall >= 0.9,
+      s"post-rebuild audit recall ${after.recall}")
+    assert(store.currentVersion() == 1L)
+  }
 }
