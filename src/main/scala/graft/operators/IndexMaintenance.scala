@@ -323,6 +323,44 @@ object IndexMaintenance {
       nCentroids, trainCoarse), r, rebuilt = true)
   }
 
+  def maintainLshIndex(store: VersionedIndexStore, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       current: LshIndex, recallFloor: Double,
+                       k: Int = 3, sampleQueries: Int = 64,
+                       nPlanes: Int = 6, bucketCap: Int = 2000)
+  : Maintenance[LshIndex] = {
+    val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
+    val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
+      vecCol, k)
+    val r = recallOf(exact, Similarity.lshTopKWith(current, sample,
+      idCol, vecCol, k))
+    if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
+    else Maintenance(rebuildLshIndex(store, corpus, idCol, vecCol,
+      nPlanes, bucketCap), r, rebuilt = true)
+  }
+
+  def maintainIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         current: IvfPqIndex, recallFloor: Double,
+                         k: Int = 3, nProbe: Int = 2, rerank: Int = 16,
+                         sampleQueries: Int = 64,
+                         nCentroids: Int = 16, m: Int = 8,
+                         ksub: Int = 16, maxIter: Int = 5,
+                         trainSize: Int = 4096,
+                         residual: Boolean = false,
+                         trainCoarse: Boolean = false)
+  : Maintenance[IvfPqIndex] = {
+    val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
+    val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
+      vecCol, k)
+    val r = recallOf(exact, Similarity.ivfPqTopKWith(current, sample,
+      corpus, idCol, vecCol, k, nProbe, rerank))
+    if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
+    else Maintenance(rebuildIvfPqIndex(store, corpus, idCol, vecCol,
+      nCentroids, m, ksub, maxIter, trainSize, residual, trainCoarse),
+      r, rebuilt = true)
+  }
+
   def rebuildIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
                         idCol: String, vecCol: String,
                         nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,

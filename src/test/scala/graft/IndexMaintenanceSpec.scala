@@ -245,4 +245,39 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"post-rebuild audit recall ${after.recall}")
     assert(store.currentVersion() == 1L)
   }
+
+  test("maintain covers all four index families: healthy no-op and " +
+    "forced rebuild+swap wiring") {
+    // recall restoration is pinned by the PQ drift test; this pins
+    // the WIRING per family — a passing audit touches nothing, and a
+    // failing one (forced via an unattainable floor) publishes a new
+    // version whose loaded index is returned
+    val ivfStore = tmpStore()
+    val ivf0 = IM.rebuildIvfIndex(ivfStore, clustered, "vec_id",
+      "embedding", nCentroids = 2)
+    val ivfOk = IM.maintainIvfIndex(ivfStore, clustered, "vec_id",
+      "embedding", ivf0, recallFloor = 0.5, nProbe = 2,
+      nCentroids = 2)
+    assert(!ivfOk.rebuilt && ivfStore.currentVersion() == 0L)
+    val ivfForced = IM.maintainIvfIndex(ivfStore, clustered, "vec_id",
+      "embedding", ivf0, recallFloor = 1.01, nProbe = 2,
+      nCentroids = 2)
+    assert(ivfForced.rebuilt && ivfStore.currentVersion() == 1L)
+    assert(ivfForced.index.cents == ivf0.cents) // same corpus, same build
+
+    val lshStore = tmpStore()
+    val lsh0 = IM.rebuildLshIndex(lshStore, clustered, "vec_id",
+      "embedding", nPlanes = 4)
+    val lshForced = IM.maintainLshIndex(lshStore, clustered, "vec_id",
+      "embedding", lsh0, recallFloor = 1.01, nPlanes = 4)
+    assert(lshForced.rebuilt && lshStore.currentVersion() == 1L)
+
+    val ipqStore = tmpStore()
+    val ipq0 = IM.rebuildIvfPqIndex(ipqStore, clustered, "vec_id",
+      "embedding", nCentroids = 2, m = 2, ksub = 4)
+    val ipqForced = IM.maintainIvfPqIndex(ipqStore, clustered,
+      "vec_id", "embedding", ipq0, recallFloor = 1.01,
+      nCentroids = 2, m = 2, ksub = 4)
+    assert(ipqForced.rebuilt && ipqStore.currentVersion() == 1L)
+  }
 }
