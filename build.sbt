@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Opt-in offline compile-check of the real-client MQ adapter:
+//   sbt -Dgraft.mqstub=true compile   (and `test` for its contract spec)
+// adds contrib/ibmmq-client plus shape-only public-API stubs of
+// com.ibm.mq (contrib/mq-api-stubs) so the adapter's API usage is
+// compile-verified in the zero-egress build. CHECK MODE ONLY — never
+// package with the flag set; with the real com.ibm.mq.allclient jar
+// present, compile the adapter per contrib/ibmmq-client/README.md
+// WITHOUT the stubs.
+val mqStubMode = sys.props.get("graft.mqstub").contains("true")
+Compile / unmanagedSourceDirectories ++= (if (mqStubMode) Seq(
+  baseDirectory.value / "contrib" / "mq-api-stubs" / "src" / "main" / "java",
+  baseDirectory.value / "contrib" / "ibmmq-client" / "src" / "main" / "scala",
+) else Seq.empty)
+Test / unmanagedSourceDirectories ++= (if (mqStubMode) Seq(
+  baseDirectory.value / "contrib" / "ibmmq-client" / "src" / "test" / "scala",
+) else Seq.empty)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,7 +135,17 @@ final class IbmMqClientTransport(
   /** Destructive acknowledgement under ONE syncpoint unit of work —
     * the reference's per-batch `qmgr.commit()`
     * (IBMMQReceiver.java:357-360). A failure backs the whole range
-    * out, so messages redeliver rather than vanish. */
+    * out, so messages redeliver rather than vanish.
+    *
+    * SINGLE-CONSUMER ASSUMPTION: the queue must have exactly one
+    * consumer (this transport). The shortfall fast-forward below
+    * attributes "fewer messages than expected" to a previous life of
+    * THIS consumer crashing between its destructive gets and its
+    * checkpoint; on a SHARED queue a second consumer (or message
+    * expiry) produces the same MQRC_NO_MSG_AVAILABLE and the
+    * fast-forward would silently skip live messages. The shortfall is
+    * logged with expected/actual counts so a shared-queue
+    * misdeployment is visible in the driver log. */
   override def commit(upTo: Long): Unit = synchronized {
     val n = upTo - committedBase
     if (n > 0) {
@@ -154,9 +164,17 @@ final class IbmMqClientTransport(
       } catch {
         case e: MQException
           if e.reasonCode == CMQC.MQRC_NO_MSG_AVAILABLE =>
-            // fewer messages than expected: a previous life already
-            // removed some before crashing post-get, pre-checkpoint —
-            // commit what was taken and fast-forward (idempotence)
+            // fewer messages than expected: under the single-consumer
+            // assumption a previous life already removed some before
+            // crashing post-get, pre-checkpoint — commit what was
+            // taken and fast-forward (idempotence). Logged because on
+            // a shared queue this same signal means another consumer
+            // took live messages and the fast-forward skips them.
+            System.err.println(
+              s"[graft-mq] commit shortfall on $queue: expected $n " +
+              s"messages, got $i — fast-forwarding committedBase to " +
+              s"$upTo under the single-consumer assumption (see " +
+              "IbmMqClientTransport.commit scaladoc)")
             qmgr.commit()
             committedBase = upTo
         case e: MQException =>

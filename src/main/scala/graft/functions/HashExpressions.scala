@@ -63,6 +63,55 @@ case class PHash64(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+object MinHashSig {
+  /** Function-registry builder: `n` must be a foldable integer
+    * literal (plan-time constant array width). */
+  def build(exprs: Seq[Expression]): MinHashSig = {
+    require(exprs.length == 2,
+      "graft_minhash_sig(array<string>, n) takes 2 args")
+    require(exprs(1).foldable, "n must be a literal")
+    val n = exprs(1).eval() match {
+      case v: Number => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"n must be an integer literal, got $other")
+    }
+    MinHashSig(exprs.head, n)
+  }
+}
+
+/** Raw minhash signature (`n` independent minima) as one array —
+  * the native form of the former ScalaUDF seam: same one-pass
+  * `ArrayData` kernel as [[MinHashBands]], null-propagating via
+  * nullSafeEval, and staying inside whole-stage codegen. */
+case class MinHashSig(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash_sig requires n > 0")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(
+      HashKernels.minhashData(a.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.minhashData($a, $n))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object MinHashBands {
   /** Function-registry builder: `bands`/`rows` must be foldable
     * integer literals — validated here with a clear message instead

@@ -1,7 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** One-pass hash kernels for the dedup sketches.
   *
@@ -164,15 +162,6 @@ object HashKernels {
       }
       h
     }
-  }
-
-  def minhashUdf(nHashes: Int): Column => Column = {
-    // null-propagate like the native kernels' nullSafeEval: Scala
-    // UDFs only auto-handle null for primitive params, so a NULL
-    // token array would otherwise NPE the whole job
-    val f = udf((elems: Seq[String]) =>
-      if (elems == null) null else minhash(elems, nHashes))
-    c => f(c)
   }
 
   /** 64-bit perceptual hash (aHash) of an opaque binary payload: the

@@ -206,6 +206,8 @@ object GraftFunctions {
       // bands/rows arrive as foldable int literals — plan-time consts
       ("graft_minhash_bands", classOf[MinHashBands],
         MinHashBands.build _),
+      ("graft_minhash_sig", classOf[MinHashSig],
+        MinHashSig.build _),
       // words arrives as a foldable array<bigint> literal, decoded once
       ("graft_bloom_contains", classOf[BloomMightContain],
         BloomMightContain.build _),

@@ -348,9 +348,11 @@ object Dedup {
 
   /** MinHash signature of a string-array column: `nHashes` independent
     * min-hashes from a one-pass JVM kernel (each element hashed once,
-    * position variants derived by mixing — see HashKernels). */
+    * position variants derived by mixing — see HashKernels). Native
+    * codegen expression, not a ScalaUDF — the projection stays inside
+    * whole-stage codegen. */
   def minhashSignature(elems: Column, nHashes: Int): Column =
-    graft.functions.HashKernels.minhashUdf(nHashes)(elems)
+    kernel("graft_minhash_sig", elems, lit(nHashes))
 
   /** Native codegen call into the one-pass kernel (no ScalaUDF
     * boundary — the projection stays inside whole-stage codegen). */
@@ -584,6 +586,19 @@ object Dedup {
     graft.sources.BucketedTables.compactBucketed(spark, table, buckets,
       BandedTableKeys, BandedTablePartitions)
 
+  /** Audit-gated tense of [[compactBandedIndexTable]] — the banded
+    * table's analogue of [[graft.operators.IndexMaintenance]]'s
+    * `maintain*Index`: measures files-per-bucket amplification and
+    * compacts only above `maxFilesPerBucket`, so the maintenance
+    * owner makes ONE idempotent call per cadence and under-threshold
+    * calls cost a file listing, not a rewrite. Returns true iff it
+    * compacted. */
+  def maintainBandedIndexTable(spark: org.apache.spark.sql.SparkSession,
+                               table: String, buckets: Int,
+                               maxFilesPerBucket: Double = 2.0): Boolean =
+    graft.sources.BucketedTables.maintainBucketed(spark, table, buckets,
+      BandedTableKeys, BandedTablePartitions, maxFilesPerBucket)
+
   /** Materialize a [[digestIndex]] as a table bucketed by `digest` —
     * the digest probe's equi-key, so
     * [[graft.streaming.StreamingOps.dedupAgainstCorpus]] joins it
@@ -608,6 +623,13 @@ object Dedup {
                               table: String, buckets: Int): Unit =
     graft.sources.BucketedTables.compactBucketed(spark, table, buckets,
       Seq("digest"))
+
+  /** [[maintainBandedIndexTable]]'s digest twin. */
+  def maintainDigestIndexTable(spark: org.apache.spark.sql.SparkSession,
+                               table: String, buckets: Int,
+                               maxFilesPerBucket: Double = 2.0): Boolean =
+    graft.sources.BucketedTables.maintainBucketed(spark, table, buckets,
+      Seq("digest"), Nil, maxFilesPerBucket)
 
   /** The static digest table
     * [[graft.streaming.StreamingOps.dedupAgainstCorpus]] probes: one

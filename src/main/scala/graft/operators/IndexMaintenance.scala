@@ -78,12 +78,26 @@ object IndexMaintenance {
     /** Next staging version: strictly past BOTH the pointer and every
       * existing `v<N>` directory — a directory left by a crashed
       * rebuild (written but never published, possibly partial) is
-      * skipped, never reused. */
+      * skipped, never reused. The scan goes through the root path's
+      * own Hadoop FileSystem (resolved from the active session's
+      * Hadoop conf), i.e. the SAME store the parquet artifacts are
+      * written to — so on an HDFS/S3A deployment a crashed staging
+      * dir is still seen and skipped. Only the CURRENT pointer keeps
+      * the documented local-FS atomic-rename limitation (swap
+      * BatchIdGate's store for an HDFS rename / conditional put on a
+      * DFS deployment). */
     def nextVersion(): Long = {
-      val dirs = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => if (f.isDirectory && f.getName.matches("v\\d+"))
-          Some(f.getName.drop(1).toLong) else None)
+      val hconf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(hconf)
+      val dirs =
+        if (!fs.exists(rootPath)) Array.empty[Long]
+        else fs.listStatus(rootPath)
+          .flatMap(st => if (st.isDirectory &&
+              st.getPath.getName.matches("v\\d+"))
+            Some(st.getPath.getName.drop(1).toLong) else None)
       math.max(currentVersion(), if (dirs.isEmpty) -1L else dirs.max) + 1
     }
 

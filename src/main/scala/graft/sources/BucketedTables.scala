@@ -38,7 +38,16 @@ object BucketedTables {
                     partitionCols: Seq[String] = Nil): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(keyCols.nonEmpty, "need at least one bucketing column")
-    val w = df.write.mode(mode).format("parquet")
+    // hash-repartition into the bucket layout BEFORE writing: without
+    // it every write task emits a file into every bucket it holds rows
+    // for (up to tasks × buckets small files per write — the classic
+    // small-files failure at scale); with it each bucket's rows land
+    // on one task and write exactly one file. The shuffle is the same
+    // Murmur3 `hash(key) pmod n` the bucket spec records, batch-sized
+    // on appends, corpus-sized once on create.
+    val keyExprs = keyCols.map(org.apache.spark.sql.functions.col)
+    val w = df.repartition(buckets, keyExprs: _*)
+      .write.mode(mode).format("parquet")
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
     (if (partitionCols.nonEmpty)
@@ -54,9 +63,10 @@ object BucketedTables {
     * semantics). Cost: one batch-sized shuffle into `buckets` files —
     * the corpus already in the table is NOT rewritten or read.
     *
-    * Each append adds one file per touched bucket; the bucketing (and
+    * Each append adds AT MOST one file per touched bucket (the write
+    * repartitions into the bucket layout first); the bucketing (and
     * so the exchange-free join) survives, but merge joins re-sort
-    * multi-file buckets per partition, so run [[compactBucketed]] on
+    * multi-file buckets per partition, so run [[maintainBucketed]] on
     * a maintenance cadence to restore single-file buckets.
     *
     * Visibility: the WRITING session's catalog refreshes itself;
@@ -75,9 +85,13 @@ object BucketedTables {
     * then swap via catalog rename. Content is unchanged — only the
     * file layout. The swap is drop-then-rename, NOT atomic: a reader
     * planning a query in the gap sees a missing table, and a crash in
-    * the gap leaves the data under `<table>_compacting` (recovery:
-    * re-run, which restarts from the live table, or rename manually).
-    * Run it from the single maintenance owner between jobs — the same
+    * the gap leaves the data ONLY under `<table>_compacting`.
+    * Recovery is re-running this method: on entry it detects the
+    * half-swapped state (live table missing, staging present) and
+    * finishes the interrupted rename BEFORE anything else — staging
+    * is never dropped unless the live table still exists, so the
+    * single surviving copy of the data cannot be deleted. Run it from
+    * the single maintenance owner between jobs — the same
     * single-writer stance as the index appends; readers needing an
     * always-live handle put the TABLE NAME behind an
     * [[graft.operators.IndexMaintenance.VersionedIndexStore]] pointer
@@ -86,14 +100,39 @@ object BucketedTables {
                       keyCols: Seq[String],
                       partitionCols: Seq[String] = Nil): Unit = {
     val staging = table + "_compacting"
+    val liveExists = spark.catalog.tableExists(table)
+    val stagingExists = spark.catalog.tableExists(staging)
+    if (!liveExists && stagingExists) {
+      // crashed between DROP TABLE <live> and RENAME: the staging
+      // table holds the only copy — finish the swap and return (the
+      // staging copy IS the compacted form, so there is nothing left
+      // to rewrite)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      if (partitionCols.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $table")
+      return
+    }
+    if (!liveExists)
+      throw new IllegalStateException(
+        s"compactBucketed: table $table does not exist and no staging copy found")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    // repartition by the bucket keys first so each bucket's rows
-    // arrive on one task and write exactly one file (without it every
-    // write task can emit a file into every bucket it sees rows for)
-    val keyExprs = keyCols.map(org.apache.spark.sql.functions.col)
-    writeBucketed(
-      spark.table(table).repartition(buckets, keyExprs: _*),
-      staging, buckets, keyCols, partitionCols = partitionCols)
+    // Pin the bucketed scan ON for the copy: the source table's scan
+    // then has one partition per bucket, writeBucketed's repartition
+    // into the same layout is recognized as already satisfied and
+    // elided, and each task rewrites exactly its own bucket — the
+    // whole compaction is SHUFFLE-FREE (bucket-local file merge), the
+    // only plan that survives at corpus scale. Without the pin,
+    // Spark's DisableUnnecessaryBucketedScan drops the bucket-aligned
+    // read AFTER the exchange was already elided on its claim, and
+    // size-packed file splits smear each bucket across writer tasks
+    // (2 files/bucket observed instead of 1).
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.get(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try
+      writeBucketed(spark.table(table), staging, buckets, keyCols,
+        partitionCols = partitionCols)
+    finally spark.conf.set(autoScanKey, prevAutoScan)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     // renaming a managed partitioned table moves its directory but the
@@ -102,5 +141,75 @@ object BucketedTables {
     // lists stale directories and returns empty
     if (partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** Data files per bucket slot — the layout-health metric that
+    * decides compaction. A freshly written table is exactly 1.0
+    * (single file per bucket per partition directory); every append
+    * adds one file per touched bucket, and each extra file is a
+    * per-partition re-sort the merge join pays on every probe. The
+    * count goes through the table location's own Hadoop FileSystem
+    * (not java.io), so it is correct on HDFS/S3A deployments too.
+    * Bucket slots = buckets × partition directories (1 for an
+    * unpartitioned table); empty slots are counted as slots, so the
+    * metric under-reports on sparse tables — acceptable, since sparse
+    * tables are by the same token cheap to over-compact. */
+  def fileAmplification(spark: SparkSession, table: String,
+                        buckets: Int): Double = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0.0
+    def isHidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    var dataFiles = 0L
+    var partitionDirs = 0L
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val seenDirs = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!isHidden(name)) {
+        dataFiles += 1
+        val parent = st.getPath.getParent
+        if (parent != root && !seenDirs.contains(parent.toString)) {
+          seenDirs += parent.toString
+          partitionDirs += 1
+        }
+      }
+    }
+    val slots = buckets.toLong * math.max(1L, partitionDirs)
+    if (slots == 0) 0.0 else dataFiles.toDouble / slots
+  }
+
+  /** Audit-gated maintenance: the one idempotent call a maintenance
+    * owner makes per table per cadence. Measures
+    * [[fileAmplification]] and compacts ONLY above
+    * `maxFilesPerBucket` — the same audit-then-act contract as
+    * [[graft.operators.IndexMaintenance]]'s recall-gated index
+    * rebuilds, so under-threshold calls are free no-ops and calling
+    * it twice in a row never rewrites twice. A crashed previous
+    * compaction (live table missing, staging present) is recovered
+    * first, unconditionally — finishing the interrupted swap is
+    * cheaper than any audit and the half-swapped state would fail the
+    * audit's table read anyway. Returns true iff a compaction (or
+    * crash recovery) ran. */
+  def maintainBucketed(spark: SparkSession, table: String, buckets: Int,
+                       keyCols: Seq[String],
+                       partitionCols: Seq[String] = Nil,
+                       maxFilesPerBucket: Double = 2.0): Boolean = {
+    require(maxFilesPerBucket >= 1.0,
+      s"maxFilesPerBucket below 1.0 ($maxFilesPerBucket) would recompact a fresh table forever")
+    val staging = table + "_compacting"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging)) {
+      compactBucketed(spark, table, buckets, keyCols, partitionCols)
+      return true
+    }
+    val amp = fileAmplification(spark, table, buckets)
+    if (amp > maxFilesPerBucket) {
+      compactBucketed(spark, table, buckets, keyCols, partitionCols)
+      true
+    } else false
   }
 }

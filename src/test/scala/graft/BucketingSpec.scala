@@ -47,4 +47,122 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  test("maintainBucketed: audit-gated — fresh table no-op, appended table compacted, idempotent") {
+    import spark.implicits._
+    def rows(a: Int, b: Int) =
+      (a until b).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    try {
+      BucketedTables.writeBucketed(rows(0, 40), "maint_bkt", 4, Seq("k"))
+      // fresh table: exactly one file per bucket -> amplification 1.0
+      assert(BucketedTables.fileAmplification(spark, "maint_bkt", 4) == 1.0)
+      assert(!BucketedTables.maintainBucketed(spark, "maint_bkt", 4,
+        Seq("k")), "fresh table must be a no-op")
+      // three appends push files-per-bucket to ~4 > threshold 2.0
+      BucketedTables.appendBucketed(rows(40, 80), "maint_bkt", 4, Seq("k"))
+      BucketedTables.appendBucketed(rows(80, 120), "maint_bkt", 4, Seq("k"))
+      BucketedTables.appendBucketed(rows(120, 160), "maint_bkt", 4, Seq("k"))
+      val ampBefore = BucketedTables.fileAmplification(spark, "maint_bkt", 4)
+      assert(ampBefore > 2.0, s"appends must amplify files, got $ampBefore")
+      val expect = rows(0, 160).as[(Long, String)].collect().toSet
+      assert(BucketedTables.maintainBucketed(spark, "maint_bkt", 4,
+        Seq("k")), "over-threshold table must compact")
+      assert(BucketedTables.fileAmplification(spark, "maint_bkt", 4) == 1.0)
+      assert(spark.table("maint_bkt").as[(Long, String)].collect().toSet
+        == expect, "compaction must be row-identical")
+      // idempotent: the second call finds a healthy layout and does nothing
+      assert(!BucketedTables.maintainBucketed(spark, "maint_bkt", 4,
+        Seq("k")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS maint_bkt")
+      spark.sql("DROP TABLE IF EXISTS maint_bkt_compacting")
+    }
+  }
+
+  test("compactBucketed crash recovery: half-swapped state resumes, never drops the only copy") {
+    import spark.implicits._
+    val data = (0 until 30).map(i => (i.toLong, s"p${i % 3}", s"v$i"))
+      .toDF("k", "p", "v")
+    try {
+      // reproduce the crash window exactly: live table dropped, fully
+      // written staging left behind (partitioned, to exercise the
+      // MSCK path of the resumed swap too)
+      BucketedTables.writeBucketed(data, "crash_bkt", 2, Seq("k"),
+        partitionCols = Seq("p"))
+      val expect = data.select("k", "p", "v")
+        .as[(Long, String, String)].collect().toSet
+      def tableRows() = spark.table("crash_bkt").select("k", "p", "v")
+        .as[(Long, String, String)].collect().toSet
+      BucketedTables.writeBucketed(spark.table("crash_bkt"),
+        "crash_bkt_compacting", 2, Seq("k"), partitionCols = Seq("p"))
+      spark.sql("DROP TABLE crash_bkt") // <- crash here, pre-rename
+      // recommended recovery = re-run; it must FINISH the swap, not
+      // drop the staging copy (the only copy) first
+      BucketedTables.compactBucketed(spark, "crash_bkt", 2, Seq("k"),
+        partitionCols = Seq("p"))
+      assert(tableRows() == expect, "recovered table must hold all rows")
+      assert(!spark.catalog.tableExists("crash_bkt_compacting"))
+      // maintainBucketed performs the same recovery unconditionally
+      BucketedTables.writeBucketed(spark.table("crash_bkt"),
+        "crash_bkt_compacting", 2, Seq("k"), partitionCols = Seq("p"))
+      spark.sql("DROP TABLE crash_bkt")
+      assert(BucketedTables.maintainBucketed(spark, "crash_bkt", 2,
+        Seq("k"), Seq("p")), "maintain must report the recovery ran")
+      assert(tableRows() == expect)
+      // and with neither live nor staging present, fail loudly
+      spark.sql("DROP TABLE crash_bkt")
+      intercept[IllegalStateException] {
+        BucketedTables.compactBucketed(spark, "crash_bkt", 2, Seq("k"),
+          partitionCols = Seq("p"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS crash_bkt")
+      spark.sql("DROP TABLE IF EXISTS crash_bkt_compacting")
+    }
+  }
+
+  test("maintainBandedIndexTable / maintainDigestIndexTable: one idempotent call, probe layout preserved") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"doc number $i body ${(i * 13) % 7}"))
+      .toDF("doc_id", "text")
+    val fp = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"),
+      graft.streaming.StreamingOps.doorFingerprint(col("text")).as("fp"))
+    try {
+      Dedup.createBandedIndexTable(fp(docsDf(0 until 40)), "doc_id",
+        "fp", "maint_bands", buckets = 2)
+      Dedup.createDigestIndexTable(docsDf(0 until 40), "text",
+        "maint_digs", buckets = 2)
+      // fresh: audits pass, nothing rewritten
+      assert(!Dedup.maintainBandedIndexTable(spark, "maint_bands", 2))
+      assert(!Dedup.maintainDigestIndexTable(spark, "maint_digs", 2))
+      // a run of appends degrades the layout past the floor
+      for (b <- 0 until 3) {
+        val batch = docsDf((100 + 40 * b) until (140 + 40 * b))
+        Dedup.appendToBandedIndexTable(fp(batch), "doc_id", "fp",
+          "maint_bands", buckets = 2)
+        Dedup.appendToDigestIndexTable(batch, "text", "maint_digs",
+          buckets = 2)
+      }
+      val bandExpect = spark.table("maint_bands")
+        .select("doc", "sim", "band", "bits")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(Dedup.maintainBandedIndexTable(spark, "maint_bands", 2))
+      assert(Dedup.maintainDigestIndexTable(spark, "maint_digs", 2))
+      assert(spark.table("maint_bands")
+        .select("doc", "sim", "band", "bits")
+        .as[(Long, Long, Int, Long)].collect().toSet == bandExpect)
+      assert(spark.table("maint_digs").count() ==
+        spark.table("maint_digs").select("digest").distinct().count())
+      // compacted layout is healthy again: maintain is now a no-op
+      assert(!Dedup.maintainBandedIndexTable(spark, "maint_bands", 2))
+      assert(!Dedup.maintainDigestIndexTable(spark, "maint_digs", 2))
+    } finally {
+      Seq("maint_bands", "maint_digs", "maint_bands_compacting",
+        "maint_digs_compacting").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -62,15 +62,28 @@ class HashExpressionsSpec extends SparkSpec {
   }
 
   test("minhash signature null-propagates on a NULL token array") {
-    // the kernel UDF must mirror the native expressions' nullSafeEval:
-    // Scala UDFs only auto-null-handle primitives, so an unguarded
-    // Seq param would NPE the whole job on one null row
+    // native nullSafeEval: a NULL token array yields a NULL signature,
+    // never an NPE mid-job
     val df = Seq((1L, Some(Seq("a", "b"))), (2L, None))
       .toDF("id", "toks")
     val out = graft.operators.Dedup.minhashSignature(col("toks"), 8)
     val rows = df.select(col("id"), out.as("sig"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!rows(1L) && rows(2L))
+  }
+
+  test("native minhash signature matches the driver-side kernel and plans no UDF") {
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("b", "c", "d")))
+      .toDF("id", "toks")
+    val out = df.select(col("id"),
+      graft.operators.Dedup.minhashSignature(col("toks"), 16).as("sig"))
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "minhashSignature must be native codegen, not a ScalaUDF")
+    val got = out.as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) ==
+      graft.functions.HashKernels.minhash(Seq("a", "b", "c"), 16).toSeq)
+    assert(got(2L) ==
+      graft.functions.HashKernels.minhash(Seq("b", "c", "d"), 16).toSeq)
   }
 
   test("array-literal expressions compare by content (CSE-visible)") {
