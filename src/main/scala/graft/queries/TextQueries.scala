@@ -37,6 +37,28 @@ object TextQueries {
       TA.tokens(col("text")), threshold = jaccardThreshold,
       maxIdGap = Some(jaccardMaxIdGap), dfCapPct = Some(jaccardDfCapPct))
 
+  /** One-row precision verdict for a sketch-family audit: the
+    * emitted-pair set `checked` (already joined to its independently
+    * recomputed exact metric) folds to
+    * `(checked_nonzero, n_violations)`. The matching oracle is the
+    * CONSTANT row `(1, 0)` — the exact pair set is not
+    * oracle-enumerable (that is WHY these families are sketches), but
+    * the no-false-positive contract is still hash-checkable: a pair
+    * violating its exact predicate flips n_violations, and an
+    * operator that silently emits nothing flips checked_nonzero, so
+    * the audit cannot pass vacuously. */
+  private def precisionVerdict(checked: DataFrame,
+                               violation: org.apache.spark.sql.Column)
+  : DataFrame =
+    checked.agg(
+      (count(lit(1)) > 0).cast("long").as("checked_nonzero"),
+      coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+
+  private val precisionOracleSql: String =
+    "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
+      "CAST(0 AS BIGINT) AS n_violations"
+
   /** Rounded jaccard over the `inter`/`sizes` CTEs below — appears in
     * both the SELECT and the threshold WHERE of each oracle. */
   private val jaccardSqlExpr =
@@ -337,6 +359,78 @@ object TextQueries {
           TA.tokens(col("text")), maxHamming = 3,
           bucketCap = simhashBucketCap)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_minhash_precision" -> ((s, d) => {
+      // Precision twin for q_minhash_neardup (rows-only by design):
+      // every emitted pair's exact 3-shingle Jaccard is recomputed
+      // through a FRESH documents scan + plain id equi-joins — none
+      // of the operator's signature/band/bucket machinery — and must
+      // clear the same threshold. rnd() is floor-form, so an emitted
+      // jaccard >= 0.7 implies the unrounded exact value is too.
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        array_distinct(TA.shingles(TA.tokens(col("text")), 3)).as("sh"))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id",
+        TA.shingles(TA.tokens(col("text")), 3), threshold = 0.7)
+      val checked = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .withColumn("exact",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      precisionVerdict(checked,
+        col("exact") < 0.7 || col("doc_a") >= col("doc_b"))
+    }),
+
+    "q_dedup_simhash_precision" -> ((s, d) => {
+      // Precision twin for q_dedup_simhash: emitted (doc_a, doc_b,
+      // hamming) re-verified against fingerprints recomputed on a
+      // fresh scan — reported hamming must equal bit_count(xor) of
+      // the recomputed fingerprints, clear maxHamming, and respect
+      // the id-gap window the operator claims.
+      val docs = t(s, d, "documents")
+      val fp = docs.select(col("doc_id"),
+        Dedup.simhash64(TA.tokens(col("text"))).as("fp"))
+      val pairs = Dedup.simhashNearDups(docs, "doc_id",
+        TA.tokens(col("text")), maxHamming = 12, maxIdGap = 25L)
+      val checked = pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+          "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          "doc_b")
+        .withColumn("exact_ham",
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      precisionVerdict(checked,
+        col("exact_ham") =!= col("hamming") || col("exact_ham") > 12 ||
+          col("doc_b") - col("doc_a") > 25L ||
+          col("doc_a") >= col("doc_b"))
+    }),
+
+    "q_dedup_simhash_banded_precision" -> ((s, d) => {
+      // Precision twin for q_dedup_simhash_banded at the SAME
+      // bucketCap: the banded/factored join may MISS pairs (recall —
+      // audited by q_dedup_simhash_audit) but every pair it emits
+      // must be a true hamming <= 3 pair of the recomputed
+      // fingerprints.
+      val docs = t(s, d, "documents")
+      val fp = docs.select(col("doc_id"),
+        Dedup.simhash64(TA.tokens(col("text"))).as("fp"))
+      val pairs = Dedup.simhashNearDupsBanded(docs, "doc_id",
+        TA.tokens(col("text")), maxHamming = 3,
+        bucketCap = simhashBucketCap)
+      val checked = pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+          "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          "doc_b")
+        .withColumn("exact_ham",
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      precisionVerdict(checked,
+        col("exact_ham") =!= col("hamming") || col("exact_ham") > 3 ||
+          col("doc_a") >= col("doc_b"))
     }),
 
     "q_dedup_simhash_audit" -> ((s, d) => {
@@ -946,6 +1040,34 @@ object TextQueries {
       graft.operators.Multimodal.payloadNearDups(
           blobs, "doc_id", "payload", maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_dedup_phash_precision" -> ((s, d) => {
+      // Precision twin for q_dedup_phash: the emitted binary-modality
+      // pairs re-verified against perceptual hashes recomputed
+      // directly from the payload bytes on a fresh scan (no banding,
+      // no distinct-fingerprint factorization) — reported hamming
+      // must equal the recomputed bit_count(xor) and clear
+      // maxHamming = 3.
+      val blobs = graft.operators.Multimodal.withPayload(
+        t(s, d, "documents").withColumn("blob_src",
+          substring(col("text"), 1, 64)),
+        "doc_id", "blob_src", "text")
+      val fp = blobs.select(col("doc_id"),
+        graft.operators.Multimodal.perceptualHash(col("payload"))
+          .as("fp"))
+      val pairs = graft.operators.Multimodal.payloadNearDups(
+        blobs, "doc_id", "payload", maxHamming = 3)
+      val checked = pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+          "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          "doc_b")
+        .withColumn("exact_ham",
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      precisionVerdict(checked,
+        col("exact_ham") =!= col("hamming") || col("exact_ham") > 3 ||
+          col("doc_a") >= col("doc_b"))
     })
   )
 
@@ -1236,6 +1358,17 @@ object TextQueries {
         |LEFT JOIN reb ON reb.doc_id = d.doc_id
         |LEFT JOIN szs ON szs.sdoc = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Precision (no-false-positive) twins for the sketch families:
+    // the exact pair set cannot be enumerated in SQL (that is the
+    // point of the sketches), but the Spark side recomputes every
+    // EMITTED pair's exact metric on an independent path and folds to
+    // a verdict row this constant oracle pins — non-vacuously, since
+    // an operator emitting nothing fails checked_nonzero.
+    "q_minhash_precision" -> precisionOracleSql,
+    "q_dedup_simhash_precision" -> precisionOracleSql,
+    "q_dedup_simhash_banded_precision" -> precisionOracleSql,
+    "q_dedup_phash_precision" -> precisionOracleSql,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardSqlCtes
