@@ -1,0 +1,140 @@
+// sf1 (100x) streaming-door parity evidence (VERDICT r9 item 8).
+// Prereq: derive the sf1 corpus first:
+//   /opt/spark/bin/spark-shell --master local[16] --driver-memory 8g \
+//     --conf spark.ui.enabled=false -I tools/derive_sf1.scala <<< ""
+// Then:
+//   /opt/spark/bin/spark-shell --master local[32] --driver-memory 8g \
+//     --jars target/scala-2.13/sparkibmmqspark_2.13-0.1.0.jar \
+//     --conf spark.ui.enabled=false \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     -I tools/door_parity_sf1.scala <<< ""
+// Runs the composed 5-gate ingestDoor as a REAL STREAM (format("ibmmq"),
+// capped micro-batches) over door state built from the derived sf1
+// corpus — 50k docs whose near-dup pairs form a ~36k-doc giant
+// component and whose fingerprints collapse ~10:1 (the adversarial
+// densities that break naive probes) — and asserts the stream admits
+// exactly the same normalized-text classes as the SAME composed door
+// called on the static frame (the StreamingOpsSpec parity contract,
+// now at 100x index scale).
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Decontaminate, Dedup, Dsir, Similarity, TextAnalysis => TA}
+import graft.streaming.StreamingOps
+
+val sf1 = "/tmp/sf1d"
+require(new java.io.File(sf1, "documents.parquet").exists,
+  s"derive sf1 first (tools/derive_sf1.scala -> $sf1)")
+val corpus = graft.Tables.load(spark, sf1, "documents")
+  .select("doc_id", "text").persist()
+println(s"CORPUS: ${corpus.count()} docs")
+
+// ---- door state over the FULL sf1 corpus ----
+val corpusDigests = Dedup.digestIndex(corpus, "text").persist()
+val simOf = StreamingOps.doorFingerprint(col("text"))
+val corpusBands = Dedup.hammingBandIndex(
+  corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp").persist()
+println(s"INDEX: digests=${corpusDigests.count()} bandRows=${corpusBands.count()}" +
+  s" distinctFp=${corpusBands.select("bits").distinct().count()}")
+val bloom = Decontaminate.buildShingleBloom(
+  corpus.withColumn("is_eval", col("doc_id") % 997 === 0),
+  "doc_id", "text", col("is_eval"), n = 3)
+val dsir = Dsir.fitModel(
+  corpus.filter(col("doc_id") % 7 < 2).limit(4000)
+    .withColumn("is_t", col("doc_id") % 2 === 0),
+  "doc_id", TA.tokens(col("text")), isTarget = col("is_t"))
+def embedOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  val prefix = concat_ws(" ", slice(TA.tokens(text), 1, 2))
+  transform(sequence(lit(0), lit(7)), i =>
+    (pmod(xxhash64(concat_ws("_", prefix, i.cast("string"))),
+      lit(2000L)).cast("double") - 1000.0d) / 1000.0d)
+}
+val ivf = Similarity.ivfIndex(
+  corpus.select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding")),
+  "vec_id", "embedding", nCentroids = 16, persistIndex = true)
+
+// ---- arrivals: the adversarial mix ----
+// 2000 exact corpus dups + 2000 fingerprint-near variants of GIANT-
+// component members + 1000 semantic twins (shared 2-token prefix,
+// new tails) + 1000 novel docs; plus every 10th message repeated
+// in-stream. put_ts strictly increasing.
+val sample = corpus.orderBy(xxhash64(col("doc_id"))).limit(2000)
+  .select(col("doc_id"), col("text")).collect()
+val novelWords = Array("zeta", "kappa", "lambda", "sigma", "omega",
+  "delta", "theta", "rho", "phi", "chi")
+def novelDoc(i: Int): String =
+  (0 until 40).map(j => novelWords((i * 13 + j * 7) % 10) + ((i + j) % 97))
+    .mkString(" ")
+val arrivalTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+sample.foreach(r => arrivalTexts += r.getString(1))                    // exact dups
+sample.foreach { r =>                                                  // near variants
+  val t = r.getString(1); val toks = t.split(" ")
+  arrivalTexts += (toks.take(toks.length - 1) :+ "tailvariant").mkString(" ")
+}
+sample.take(1000).foreach { r =>                                       // semantic twins
+  val toks = r.getString(1).split(" ")
+  arrivalTexts += (toks.take(2) ++ (0 until 30).map(j =>
+    "semtail" + ((j * 31) % 89))).mkString(" ")
+}
+(0 until 1000).foreach(i => arrivalTexts += novelDoc(i))               // novel
+val withRepeats = arrivalTexts.zipWithIndex.flatMap { case (t, i) =>
+  if (i % 10 == 0) Seq(t, t) else Seq(t) }
+val qdir = java.nio.file.Files.createTempDirectory("door-parity")
+val base = 1700000000000L
+val sb = new StringBuilder
+withRepeats.zipWithIndex.foreach { case (m, i) =>
+  sb.append(base + i).append('\t').append(m).append('\n') }
+java.nio.file.Files.write(qdir.resolve("queue.jsonl"),
+  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+println(s"ARRIVALS: ${withRepeats.length} messages")
+
+def scoreQ8Of(textCol: String): org.apache.spark.sql.Column = {
+  val toks = TA.tokens(col(textCol))
+  val lenSatQ4 = floor(least(size(toks), lit(100)).cast("double")
+    / 100.0d * 10000.0d + 0.5d).cast("long")
+  TA.linearModelQ8(Seq((lenSatQ4, 10000L)), biasQ8 = 0L)
+}
+def door(df: DataFrame): DataFrame =
+  StreamingOps.ingestDoor(df, "value", "put_ts", scoreQ8Of("value"),
+    minScoreQ8 = 2000000L, bloom, dsir, corpusDigests, corpusBands,
+    lateness = "10 minutes", semIndex = Some(ivf))
+
+// ---- stream run: real source, capped micro-batches ----
+val ckpt = java.nio.file.Files.createTempDirectory("door-parity-ckpt")
+val out = java.nio.file.Files.createTempDirectory("door-parity-out")
+val t0 = System.nanoTime
+val q = door(
+    (spark.readStream.format("ibmmq").option("path", qdir.toString)
+      .option("maxMessagesPerTrigger", "2000").load()
+      .withColumn("embedding", embedOf(col("value")))))
+  .select("key", "value")
+  .writeStream.format("parquet").option("path", out.toString)
+  .option("checkpointLocation", ckpt.toString)
+  .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+q.awaitTermination(600000)
+val streamSecs = (System.nanoTime - t0) / 1e9
+
+// ---- batch twin: SAME composed call on the static frame ----
+val batchDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(
+      withRepeats.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.Row(new java.sql.Timestamp(base + i), m) }.toSeq, 32),
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("put_ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType))))
+  .withColumn("embedding", embedOf(col("value")))
+val batchAdmitted = door(batchDf).select(lower(trim(col("value"))))
+  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+val streamAdmitted = spark.read.parquet(out.toString)
+  .select(lower(trim(col("value"))))
+  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+println(s"STREAM: admitted=${streamAdmitted.size} of ${withRepeats.length} in " +
+  f"$streamSecs%.1f s (${withRepeats.length / streamSecs}%.0f docs/s)")
+println(s"BATCH:  admitted=${batchAdmitted.size}")
+val onlyStream = streamAdmitted -- batchAdmitted
+val onlyBatch = batchAdmitted -- streamAdmitted
+println(s"PARITY: onlyStream=${onlyStream.size} onlyBatch=${onlyBatch.size} " +
+  (if (onlyStream.isEmpty && onlyBatch.isEmpty) "OK" else "MISMATCH"))
+if (onlyStream.nonEmpty) println("  e.g. only-stream: " + onlyStream.head.take(80))
+if (onlyBatch.nonEmpty) println("  e.g. only-batch: " + onlyBatch.head.take(80))
