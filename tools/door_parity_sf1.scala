@@ -24,8 +24,8 @@ import graft.streaming.StreamingOps
 val sf1 = "/tmp/sf1d"
 require(new java.io.File(sf1, "documents.parquet").exists,
   s"derive sf1 first (tools/derive_sf1.scala -> $sf1)")
-val corpus = graft.Tables.load(spark, sf1, "documents")
-  .select("doc_id", "text").persist()
+val corpus = (graft.Tables.load(spark, sf1, "documents")
+  .select("doc_id", "text").persist())
 println(s"CORPUS: ${corpus.count()} docs")
 
 // ---- door state over the FULL sf1 corpus ----
@@ -57,13 +57,13 @@ val ivf = Similarity.ivfIndex(
 // component members + 1000 semantic twins (shared 2-token prefix,
 // new tails) + 1000 novel docs; plus every 10th message repeated
 // in-stream. put_ts strictly increasing.
-val sample = corpus.orderBy(xxhash64(col("doc_id"))).limit(2000)
-  .select(col("doc_id"), col("text")).collect()
+val sample = (corpus.orderBy(xxhash64(col("doc_id"))).limit(2000)
+  .select(col("doc_id"), col("text")).collect())
 val novelWords = Array("zeta", "kappa", "lambda", "sigma", "omega",
   "delta", "theta", "rho", "phi", "chi")
 def novelDoc(i: Int): String =
-  (0 until 40).map(j => novelWords((i * 13 + j * 7) % 10) + ((i + j) % 97))
-    .mkString(" ")
+  ((0 until 40).map(j => novelWords((i * 13 + j * 7) % 10) + ((i + j) % 97))
+    .mkString(" "))
 val arrivalTexts = scala.collection.mutable.ArrayBuffer.empty[String]
 sample.foreach(r => arrivalTexts += r.getString(1))                    // exact dups
 sample.foreach { r =>                                                  // near variants
@@ -102,19 +102,19 @@ def door(df: DataFrame): DataFrame =
 val ckpt = java.nio.file.Files.createTempDirectory("door-parity-ckpt")
 val out = java.nio.file.Files.createTempDirectory("door-parity-out")
 val t0 = System.nanoTime
-val q = door(
+val q = (door(
     (spark.readStream.format("ibmmq").option("path", qdir.toString)
       .option("maxMessagesPerTrigger", "2000").load()
       .withColumn("embedding", embedOf(col("value")))))
   .select("key", "value")
   .writeStream.format("parquet").option("path", out.toString)
   .option("checkpointLocation", ckpt.toString)
-  .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+  .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
 q.awaitTermination(600000)
 val streamSecs = (System.nanoTime - t0) / 1e9
 
 // ---- batch twin: SAME composed call on the static frame ----
-val batchDf = spark.createDataFrame(
+val batchDf = (spark.createDataFrame(
     spark.sparkContext.parallelize(
       withRepeats.zipWithIndex.map { case (m, i) =>
         org.apache.spark.sql.Row(new java.sql.Timestamp(base + i), m) }.toSeq, 32),
@@ -123,12 +123,12 @@ val batchDf = spark.createDataFrame(
         org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.StringType))))
-  .withColumn("embedding", embedOf(col("value")))
-val batchAdmitted = door(batchDf).select(lower(trim(col("value"))))
-  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
-val streamAdmitted = spark.read.parquet(out.toString)
+  .withColumn("embedding", embedOf(col("value"))))
+val batchAdmitted = (door(batchDf).select(lower(trim(col("value"))))
+  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet)
+val streamAdmitted = (spark.read.parquet(out.toString)
   .select(lower(trim(col("value"))))
-  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet)
 println(s"STREAM: admitted=${streamAdmitted.size} of ${withRepeats.length} in " +
   f"$streamSecs%.1f s (${withRepeats.length / streamSecs}%.0f docs/s)")
 println(s"BATCH:  admitted=${batchAdmitted.size}")
