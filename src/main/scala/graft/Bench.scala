@@ -68,6 +68,15 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
+      // Per-rep evidence on stderr (stdout carries ONLY the JSON
+      // line): sweep medians on this box occasionally spike several-
+      // fold vs the isolated protocol (BENCH_r08/r09 pagerank 21-25 s
+      // vs 4-6 s isolated, unreproducible after the fact) — printing
+      // every rep makes the next spike attributable (one cold/GC rep
+      // vs sustained pressure) instead of a number to argue about.
+      System.err.println(
+        s"[bench] $name reps=[" +
+          times.map(t => f"$t%.2f").mkString(",") + "]")
       // Between queries, release the LAST rep's blocks too and nudge
       // GC for broadcast/codegen debris — measured: a heavy-query
       // sweep in one JVM otherwise inflates late queries up to 20x
