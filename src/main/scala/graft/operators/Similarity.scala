@@ -285,7 +285,36 @@ object Similarity {
     * ties keep the smallest cent_id, matching the max_by form this
     * replaces. In a real deployment `assigned` materializes as a table
     * bucketed by cent_id, amortized over all queries.
+    *
+    * SIZE `nCentroids` WITH THE CORPUS ([[suggestedNCentroids]]):
+    * every downstream probe — [[ivfTopKWith]],
+    * [[graft.streaming.StreamingOps.semanticProbe]] — pays
+    * O(N / nCentroids) candidate comparisons per query, while the
+    * query side pays O(nCentroids) row-local centroid scores. A
+    * nCentroids frozen while the corpus grows makes probe cost grow
+    * linearly with N (measured: the ingest door's semantic gate
+    * inflated ~17× from sf0.1 to sf1 at a fixed 16 centroids —
+    * docs/SCALE.md round 10); nCentroids ≈ √N balances the two terms
+    * at O(√N) each, the standard IVF sizing. The default 16 is a
+    * small-fixture setting, not a deployment recommendation.
     */
+  /** Scale-correct coarse-quantizer size for an N-vector corpus:
+    * `max(16, ceil(√N))`, the balance point where the query side's
+    * O(nCentroids) row-local centroid ranking and the probe side's
+    * O(N / nCentroids) within-list comparisons are both O(√N) — the
+    * standard IVF sizing rule (FAISS's nlist guidance has the same
+    * shape). Floored at the small-fixture default so tiny corpora
+    * keep non-degenerate lists. Callers that freeze nCentroids while
+    * the corpus grows get linearly-degrading probes; callers that
+    * re-train on a maintenance cadence
+    * ([[graft.operators.IndexMaintenance.rebuildIvfIndex]]) should
+    * re-derive this from the CURRENT corpus count at each rebuild. */
+  def suggestedNCentroids(nVectors: Long): Int = {
+    require(nVectors >= 0, s"nVectors=$nVectors must be >= 0")
+    math.max(16L, math.ceil(math.sqrt(nVectors.toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   def ivfIndex(candidates: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16,
                persistIndex: Boolean = true,

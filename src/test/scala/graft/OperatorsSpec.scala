@@ -801,6 +801,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rec("ivf") >= 0.9, s"ivf recall ${rec("ivf")}")
   }
 
+  test("suggestedNCentroids: sqrt-of-corpus sizing, floored at 16") {
+    import Similarity.suggestedNCentroids
+    assert(suggestedNCentroids(0L) === 16)
+    assert(suggestedNCentroids(100L) === 16)      // sqrt=10 < floor
+    assert(suggestedNCentroids(256L) === 16)      // sqrt exactly at floor
+    assert(suggestedNCentroids(5000L) === 71)     // ceil(70.7)
+    assert(suggestedNCentroids(50000L) === 224)   // ceil(223.6)
+    assert(suggestedNCentroids(1000000000000L) === 1000000)  // 1e12 vecs
+    // probe cost balance: list length N/c stays within one centroid
+    // count of the query side's c scores (both O(sqrt N))
+    val n = 123456L
+    val c = suggestedNCentroids(n)
+    assert(n.toDouble / c <= c + 1, s"list ${n / c} vs cents $c")
+    assertThrows[IllegalArgumentException](suggestedNCentroids(-1L))
+  }
+
   test("PQ encode: argmin codeword per subspace from a hand codebook") {
     // m=2 subspaces of 1 dim each; codewords chosen so the argmin is
     // unambiguous: sub0 {0.0, 1.0}, sub1 {0.0, 2.0}

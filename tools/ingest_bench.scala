@@ -51,9 +51,15 @@ def embedOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     (pmod(xxhash64(concat_ws("_", prefix, i.cast("string"))),
       lit(2000L)).cast("double") - 1000.0d) / 1000.0d)
 }
+// scale-correct coarse quantizer: nCentroids tracks sqrt(corpus) so
+// the semantic gate's per-arrival probe stays O(sqrt N) — a frozen 16
+// at sf1 made the gate ~17x more expensive (measured, SCALE.md r10)
+val CENTROIDS = (sys.env.get("CENTROIDS").map(_.toInt)
+  .getOrElse(Similarity.suggestedNCentroids(nCorpus)))
+println(s"CENTROIDS: $CENTROIDS (corpus $nCorpus)")
 val ivf = Similarity.ivfIndex(
   docs.select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding")),
-  "vec_id", "embedding", nCentroids = 16, persistIndex = true)
+  "vec_id", "embedding", nCentroids = CENTROIDS, persistIndex = true)
 
 // ---- arrival queue: exact dups + near/semantic variants ----
 val qdir = java.nio.file.Files.createTempDirectory("ingest-bench")
