@@ -239,12 +239,25 @@ object IndexMaintenance {
     load(spark, dir)
   }
 
+  /** `Similarity.AutoCentroids` (the IVF-family default here) →
+    * re-derive the coarse-quantizer size from the CURRENT corpus
+    * count at rebuild time (`suggestedNCentroids`, the √N rule) —
+    * the rebuild is the one moment the size can track growth, and a
+    * frozen count degrades every probe linearly in N (measured,
+    * docs/SCALE.md round 10). One corpus count per actual rebuild;
+    * the healthy no-rebuild path in maintain* never pays it. */
+  private def resolveCentroids(nCentroids: Int, corpus: DataFrame): Int =
+    if (nCentroids == Similarity.AutoCentroids)
+      Similarity.suggestedNCentroids(corpus.count())
+    else nCentroids
+
   def rebuildIvfIndex(store: VersionedIndexStore, corpus: DataFrame,
                       idCol: String, vecCol: String,
-                      nCentroids: Int = 16,
+                      nCentroids: Int = Similarity.AutoCentroids,
                       trainCoarse: Boolean = false): IvfIndex =
     rebuildWith[IvfIndex](store, corpus.sparkSession,
-      () => Similarity.ivfIndex(corpus, idCol, vecCol, nCentroids,
+      () => Similarity.ivfIndex(corpus, idCol, vecCol,
+        resolveCentroids(nCentroids, corpus),
         persistIndex = false, trainCoarse = trainCoarse),
       saveIvfIndex, loadIvfIndex)
 
@@ -324,7 +337,7 @@ object IndexMaintenance {
                        current: IvfIndex, recallFloor: Double,
                        k: Int = 3, nProbe: Int = 2,
                        sampleQueries: Int = 64,
-                       nCentroids: Int = 16,
+                       nCentroids: Int = Similarity.AutoCentroids,
                        trainCoarse: Boolean = false)
   : Maintenance[IvfIndex] = {
     val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
@@ -358,7 +371,8 @@ object IndexMaintenance {
                          current: IvfPqIndex, recallFloor: Double,
                          k: Int = 3, nProbe: Int = 2, rerank: Int = 16,
                          sampleQueries: Int = 64,
-                         nCentroids: Int = 16, m: Int = 8,
+                         nCentroids: Int = Similarity.AutoCentroids,
+                         m: Int = 8,
                          ksub: Int = 16, maxIter: Int = 5,
                          trainSize: Int = 4096,
                          residual: Boolean = false,
@@ -377,12 +391,14 @@ object IndexMaintenance {
 
   def rebuildIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
                         idCol: String, vecCol: String,
-                        nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                        nCentroids: Int = Similarity.AutoCentroids,
+                        m: Int = 8, ksub: Int = 16,
                         maxIter: Int = 5, trainSize: Int = 4096,
                         residual: Boolean = false,
                         trainCoarse: Boolean = false): IvfPqIndex =
     rebuildWith[IvfPqIndex](store, corpus.sparkSession,
-      () => Similarity.ivfPqIndex(corpus, idCol, vecCol, nCentroids, m,
+      () => Similarity.ivfPqIndex(corpus, idCol, vecCol,
+        resolveCentroids(nCentroids, corpus), m,
         ksub, maxIter, trainSize, residual, trainCoarse,
         persistIndex = false),
       saveIvfPqIndex, loadIvfPqIndex)

@@ -315,6 +315,15 @@ object Similarity {
       .min(Int.MaxValue.toLong).toInt
   }
 
+  /** Sentinel accepted by the [[IndexMaintenance]] rebuild/maintain
+    * entry points: derive nCentroids from the corpus count at build
+    * time ([[suggestedNCentroids]]). It is their DEFAULT because
+    * re-training is exactly where the corpus has grown — a
+    * maintenance cadence that freezes the centroid count
+    * re-introduces the linear probe degradation the rebuild exists
+    * to prevent. */
+  val AutoCentroids: Int = -1
+
   def ivfIndex(candidates: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16,
                persistIndex: Boolean = true,

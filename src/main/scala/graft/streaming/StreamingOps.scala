@@ -225,6 +225,18 @@ object StreamingOps {
     * the [[nearDupAgainstCorpus]] hamming-1..3 stance. NULL
     * embeddings pass untouched (no semantic evidence to drop on;
     * guarded so the rank expression never sorts null scores).
+    *
+    * Sizing: the probe's per-arrival cost is O(corpusSize /
+    * index.cents.size) — size the index's coarse quantizer with
+    * [[graft.operators.Similarity.suggestedNCentroids]] (√N; a
+    * frozen count degrades this gate linearly in corpus growth —
+    * measured 17× at 10×, docs/SCALE.md round 10). Boundary: the
+    * centroid set rides into codegen as a plan literal
+    * (nCentroids·dim doubles), fine through ~10⁵ centroids
+    * (√N of a 10-billion-vector corpus); beyond that the coarse
+    * quantizer itself needs to move behind a broadcast join or a
+    * two-level (hierarchical) quantizer — a documented limit, not a
+    * silent one.
     */
   def semanticProbe(stream: DataFrame, vecCol: String,
                     index: graft.operators.Similarity.IvfIndex,

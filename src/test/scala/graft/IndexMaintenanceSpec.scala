@@ -26,6 +26,26 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def topkSet(df: org.apache.spark.sql.DataFrame) =
     df.select("q_id", "rank", "c_id").as[(Long, Int, Long)].collect().toSet
 
+  test("rebuild's AutoCentroids default re-derives the quantizer " +
+    "size from the CURRENT corpus (sqrt-N rule)") {
+    // 900 vectors: sqrt = 30, above the floor — a frozen 16 would be
+    // visibly wrong here. Fixture is two clusters like `clustered`.
+    val big = (0 until 900).map { i =>
+      val c = if (i % 2 == 0) Array(1.0f, 0.02f, 0.01f, 0.0f)
+              else Array(0.0f, 0.01f, 0.02f, 1.0f)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val store = tmpStore()
+    val auto = IM.rebuildIvfIndex(store, big, "vec_id", "embedding")
+    assert(auto.cents.size === Similarity.suggestedNCentroids(900L))
+    assert(auto.cents.size === 30)
+    // explicit sizes still win (pinned-fixture escape hatch)
+    val pinned = IM.rebuildIvfIndex(store, big, "vec_id", "embedding",
+      nCentroids = 4)
+    assert(pinned.cents.size === 4)
+  }
+
   test("rebuild publishes a version whose loaded index answers " +
     "queries identically to the in-memory build (all four types)") {
     val q = clustered.filter(col("vec_id") < 4)
