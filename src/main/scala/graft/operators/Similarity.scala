@@ -372,8 +372,16 @@ object Similarity {
     * ONE definition shared by [[ivfIndex]] (build) and
     * [[appendToIvfIndex]] (incremental refresh), so an appended
     * vector can never land in a different list than a rebuild with
-    * the same quantizer would put it in. */
+    * the same quantizer would put it in. Above
+    * [[LiteralQuantizerMax]] centroids the literal form is replaced
+    * by the bit-identical [[ivfAssignBroadcast]] — same results,
+    * quantizer behind a broadcast instead of inside the plan. */
   private def ivfAssign(cands: DataFrame,
+                        cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size > LiteralQuantizerMax) ivfAssignBroadcast(cands, cents)
+    else ivfAssignLiteral(cands, cents)
+
+  private[graft] def ivfAssignLiteral(cands: DataFrame,
                         cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val ids = typedLit(cents.map(_._1))
     val centsL = typedLit(cents.map(_._2))
@@ -392,6 +400,333 @@ object Similarity {
     val best = aggregate(scored, zero, (acc, x) =>
       when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
     cands.withColumn("cent_id", best.getField("c"))
+  }
+
+  /** Largest coarse-quantizer the PLAN-LITERAL batch assignment
+    * carries before [[ivfAssign]] switches (bit-identically) to
+    * [[ivfAssignBroadcast]]. The boundary is MEASURED, not assumed:
+    * the literal form's `transform`+`aggregate` fold pays interpreted
+    * higher-order-lambda cost per centroid per row (plus a plan that
+    * serializes the matrix with every task closure), so it loses to
+    * the broadcast JVM loop well before the plan size itself hurts —
+    * 20k vecs × dim 64 assignment-only medians: K=16 0.51 s vs
+    * 0.25 s, K=64 0.74 vs 0.18, K=256 1.97 vs 0.21, K=1024 7.81 vs
+    * 0.36, K=4096 ~31 vs ~1 (docs/SCALE.md round 10). 64 keeps the
+    * expression form exercised at fixture scale — it is also the
+    * form the STREAMING door must use (row-local, no object
+    * boundary) — while every √N-sized real corpus takes the
+    * broadcast path. */
+  val LiteralQuantizerMax: Int = 64
+
+  /** Spark SQL's total order on doubles for the JVM twin of the
+    * assignment fold: NaN compares GREATER than every non-NaN value
+    * (and equal to itself), unlike the JVM's always-false `>`. A
+    * NaN-scored centroid therefore wins the fold in BOTH forms —
+    * bit-parity on corrupt vectors, not just clean ones. */
+  private def gtSqlDouble(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  /** JVM twin of `graft_dot` against a (never-null) centroid: index-
+    * order summation; boxed null on a dim mismatch or a null element,
+    * exactly as the codegen kernel — so degenerate vectors lose every
+    * fold comparison and surface as the `cent_id = -1` sentinel in
+    * both forms. */
+  private def dotOrNull(v: scala.collection.Seq[Any],
+                        c: Array[Double]): java.lang.Double = {
+    if (v.length != c.length) return null
+    var s = 0.0d
+    var i = 0
+    while (i < c.length) {
+      v(i) match {
+        case d: java.lang.Double => s += d.doubleValue() * c(i)
+        case null                => return null
+        case other => s += other.asInstanceOf[Number].doubleValue() * c(i)
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** One centroid's score for one vector — the JVM twin of the
+    * literal fold's `safeCosDiv(dot(v, cent), ‖cent‖)` INCLUDING the
+    * degenerate branch: a zero-norm centroid scores 0.0 even against
+    * a null-dot vector (safeCosDiv tests the denominator first). */
+  private def centScoreOrNull(v: scala.collection.Seq[Any],
+                              c: Array[Double],
+                              norm: Double): java.lang.Double =
+    if (norm == 0.0d) java.lang.Double.valueOf(0.0d)
+    else if (v == null) null
+    else {
+      val d = dotOrNull(v, c)
+      if (d == null) null
+      else java.lang.Double.valueOf(d.doubleValue() / norm)
+    }
+
+  /** The broadcast quantizer artifact: ids / row-major matrix /
+    * fold-order norms, built once on the driver and shipped via
+    * torrent — never serialized into the plan or the task binary. */
+  private def broadcastQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                 cents: Seq[(Long, Seq[Double])])
+  : org.apache.spark.broadcast.Broadcast[
+      (Array[Long], Array[Array[Double]], Array[Double])] = {
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val norms = mat.map(c => math.sqrt(
+      c.foldLeft(0.0d)((a, x) => a + x * x)))
+    spark.sparkContext.broadcast((ids, mat, norms))
+  }
+
+  /** [[ivfAssignLiteral]] with the quantizer BEHIND A BROADCAST — the
+    * large-K tense of the assignment, and the closing of the
+    * documented plan-literal boundary: at √N sizing a 10-billion-
+    * vector corpus needs ~10⁵ centroids, far past what a `typedLit`
+    * plan constant can carry, while a torrent broadcast of the same
+    * matrix is one executor-cached artifact.
+    *
+    * Results are BIT-IDENTICAL to the literal fold (XlQuantizerSpec
+    * pins it): same index-order dot, same safeCosDiv zero-norm
+    * branch, same NULL-on-mismatch skip, same SQL NaN ordering, same
+    * first-max tie-break over the id-sorted centroid order (callers
+    * keep `cents` sorted by cent_id — [[ivfIndex]] does). Plan shape:
+    * ONE map-only `mapPartitions` projection — zero exchanges, zero
+    * joins, plan size independent of K (ScaleSpec asserts both).
+    * Requires `c_vec` as array<double> (the shared cands shape). */
+  def ivfAssignBroadcast(cands: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = cands.sparkSession
+    val bc = broadcastQuantizer(spark, cents)
+    val vecIdx = cands.schema.fieldIndex("c_vec")
+    val outSchema = cands.schema.add("cent_id",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    cands.mapPartitions { rows =>
+      val (ids, mat, norms) = bc.value
+      rows.map { r =>
+        val v = r.getAs[scala.collection.Seq[Any]](vecIdx)
+        var bestId = -1L
+        var bestS = Double.NegativeInfinity
+        var k = 0
+        while (k < mat.length) {
+          val s = centScoreOrNull(v, mat(k), norms(k))
+          if (s != null && gtSqlDouble(s.doubleValue(), bestS)) {
+            bestS = s.doubleValue(); bestId = ids(k)
+          }
+          k += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestId)
+      }
+    }(enc)
+  }
+
+  /** Query-side twin of [[ivfAssignBroadcast]]: [[ivfTopKWith]]'s
+    * probe ranking materializes queries × centroids rows through a
+    * window (fine while K is crossJoin-sized; Q·K rows at K ≈ 10⁵ is
+    * not) — this computes each query's top-`nProbe` centroid ids as
+    * ONE map-only projection over the broadcast quantizer, then runs
+    * the identical equi-join rerank. Probe selection matches the
+    * literal form's ordering (score desc, cent_id asc; dot/‖cent‖ is
+    * ordering-identical to cosine per query — the query's own norm is
+    * a positive per-row constant, and a zero-norm query degenerates
+    * to all-zero scores → id-ascending probes in both forms).
+    * XlQuantizerSpec pins result equality with [[ivfTopKWith]]. */
+  def ivfTopKXL(index: IvfIndex, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    require(nProbe >= 1 && nProbe <= index.cents.size,
+      s"nProbe=$nProbe out of range [1, ${index.cents.size}]")
+    val bc = broadcastQuantizer(spark, index.cents)
+    val qs = nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+    val vecIdx = qs.schema.fieldIndex("q_vec")
+    val outSchema = qs.schema.add("probe_cents",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val np = nProbe
+    val probed = qs.mapPartitions { rows =>
+      val (ids, mat, norms) = bc.value
+      rows.map { r =>
+        val v = r.getAs[scala.collection.Seq[Any]](vecIdx)
+        val scores = new Array[java.lang.Double](mat.length)
+        var i = 0
+        while (i < mat.length) {
+          scores(i) = centScoreOrNull(v, mat(i), norms(i)); i += 1
+        }
+        val taken = new Array[Boolean](mat.length)
+        val out = new scala.collection.mutable.ArrayBuffer[Long](np)
+        var round = 0
+        while (round < np) {
+          var sel = -1
+          var selS = Double.NegativeInfinity
+          var haveSel = false
+          i = 0
+          while (i < mat.length) {
+            val s = scores(i)
+            if (!taken(i) && s != null &&
+                (!haveSel || gtSqlDouble(s.doubleValue(), selS))) {
+              sel = i; selS = s.doubleValue(); haveSel = true
+            }
+            i += 1
+          }
+          if (sel >= 0) { taken(sel) = true; out += ids(sel) }
+          round += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out.toSeq)
+      }
+    }(enc)
+    val probes = probed.select(col("q_id"), col("q_vec"),
+      explode(col("probe_cents")).as("cent_id"))
+    // identical rerank tail to ivfTopKWith
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probes).join(index.assigned, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** SQL double equality for the two-level tie-break: NaN == NaN
+    * (Spark's total order), unlike the JVM. */
+  private def eqSqlDouble(a: Double, b: Double): Boolean =
+    (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)) || a == b
+
+  /** Two-level (hierarchical) coarse quantizer: √K super-centroids
+    * over the K leaf centroids, leaves grouped under their nearest
+    * super. Exhaustive assignment is O(K·dim) per row — at √N
+    * sizing of a 10B-vector corpus (K ≈ 10⁵) that is ~10⁸ flops per
+    * arriving vector; routing through the hierarchy costs
+    * O((√K·wProbe + K/√K·wProbe)·dim) ≈ O(√K·dim) — FAISS's IMI
+    * stance. The price is approximation at super-cluster boundaries:
+    * a leaf's true nearest vector may sit under an unprobed super —
+    * `wProbe` is the recall/cost dial, audited (not guessed) by
+    * XlQuantizerSpec's agreement floor against the exact assignment. */
+  final case class TwoLevelQuantizer(
+      supers: Seq[(Long, Seq[Double])],
+      children: Map[Long, Seq[(Long, Seq[Double])]]) {
+    def nCentroids: Int = children.valuesIterator.map(_.size).sum
+  }
+
+  /** Build the hierarchy over an existing centroid set by running the
+    * deterministic [[kmeans]] ON THE CENTROIDS themselves (K rows — a
+    * bounded job at any corpus size; the corpus is never read).
+    * `k1 = 0` (default) sizes the super layer at ⌈√K⌉, the balance
+    * point of the two routing terms. */
+  def twoLevelQuantizer(cents: Seq[(Long, Seq[Double])],
+                        k1: Int = 0): TwoLevelQuantizer = {
+    require(cents.nonEmpty, "twoLevelQuantizer needs >= 1 centroid")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val kk1 = math.min(cents.size,
+      if (k1 > 0) k1
+      else math.max(1, math.ceil(math.sqrt(cents.size.toDouble)).toInt))
+    val res = kmeansWithAudit(
+      cents.toDF("cent_id", "cent_vec"), "cent_id", "cent_vec",
+      kk1, maxIter = 5)
+    val supers = res.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+    val asg = res.assignments
+      .select(col("id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    require(asg.valuesIterator.forall(_ >= 0),
+      "twoLevelQuantizer: a centroid failed super-assignment " +
+        "(degenerate vector in the quantizer)")
+    val children = cents.groupBy(c => asg(c._1))
+      .map { case (s, cs) => (s, cs.sortBy(_._1)) }
+    TwoLevelQuantizer(supers, children)
+  }
+
+  /** Nearest-leaf assignment routed through a [[TwoLevelQuantizer]]
+    * behind a broadcast: per row, rank the √K supers exhaustively
+    * (same score/tie semantics as the exact fold), then argmax over
+    * ONLY the probed supers' leaves. Same map-only plan shape as
+    * [[ivfAssignBroadcast]] — zero exchanges, zero joins, nothing in
+    * the plan; deterministic (fixed scan order, explicit
+    * score-desc/id-asc tie-break). Leaves under an unprobed super are
+    * invisible to the row — the approximation [[twoLevelQuantizer]]
+    * documents; agreement vs exact is the audit, wProbe the dial.
+    * One scoped divergence from the flat forms: a vector that scores
+    * null against EVERY super (dim mismatch, null element) cannot be
+    * routed and gets the -1 sentinel outright, even where the flat
+    * scan would still reach a degenerate zero-norm leaf (which
+    * safeCosDiv scores 0.0 against anything) — the sentinel is the
+    * more honest answer for a vector the quantizer cannot place. */
+  def ivfAssignTwoLevel(cands: DataFrame, tlq: TwoLevelQuantizer,
+                        wProbe: Int = 2): DataFrame = {
+    require(wProbe >= 1 && wProbe <= tlq.supers.size,
+      s"wProbe=$wProbe out of range [1, ${tlq.supers.size}]")
+    val spark = cands.sparkSession
+    val superMat = tlq.supers.map(_._2.toArray).toArray
+    val superNorms = superMat.map(c => math.sqrt(
+      c.foldLeft(0.0d)((a, x) => a + x * x)))
+    val childIds = tlq.supers.map { case (sid, _) =>
+      tlq.children.getOrElse(sid, Nil).map(_._1).toArray }.toArray
+    val childMat = tlq.supers.map { case (sid, _) =>
+      tlq.children.getOrElse(sid, Nil).map(_._2.toArray).toArray }.toArray
+    val childNorms = childMat.map(_.map(c => math.sqrt(
+      c.foldLeft(0.0d)((a, x) => a + x * x))))
+    val bc = spark.sparkContext.broadcast(
+      (superMat, superNorms, childIds, childMat, childNorms))
+    val vecIdx = cands.schema.fieldIndex("c_vec")
+    val outSchema = cands.schema.add("cent_id",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val w = wProbe
+    cands.mapPartitions { rows =>
+      val (sMat, sNorms, cIds, cMat, cNorms) = bc.value
+      rows.map { r =>
+        val v = r.getAs[scala.collection.Seq[Any]](vecIdx)
+        // super scores once; selection = w rounds of first-max scan
+        // (w is small — O(w·√K) beats sorting √K entries per row)
+        val sScores = new Array[java.lang.Double](sMat.length)
+        var i = 0
+        while (i < sMat.length) {
+          sScores(i) = centScoreOrNull(v, sMat(i), sNorms(i)); i += 1
+        }
+        val taken = new Array[Boolean](sMat.length)
+        var bestId = -1L
+        var bestS = Double.NegativeInfinity
+        var haveBest = false
+        var round = 0
+        while (round < w) {
+          var sel = -1
+          var selS = Double.NegativeInfinity
+          var haveSel = false
+          i = 0
+          while (i < sMat.length) {
+            val s = sScores(i)
+            if (!taken(i) && s != null &&
+                (!haveSel || gtSqlDouble(s.doubleValue(), selS))) {
+              sel = i; selS = s.doubleValue(); haveSel = true
+            }
+            i += 1
+          }
+          if (sel >= 0) {
+            taken(sel) = true
+            val ids = cIds(sel); val mat = cMat(sel); val ns = cNorms(sel)
+            var j = 0
+            while (j < mat.length) {
+              val s = centScoreOrNull(v, mat(j), ns(j))
+              if (s != null) {
+                val sv = s.doubleValue()
+                if (!haveBest || gtSqlDouble(sv, bestS) ||
+                    (eqSqlDouble(sv, bestS) && ids(j) < bestId)) {
+                  bestS = sv; bestId = ids(j); haveBest = true
+                }
+              }
+              j += 1
+            }
+          }
+          round += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestId)
+      }
+    }(enc)
   }
 
   /** The rank-th nearest centroid id for one vector, as a pure

@@ -205,6 +205,52 @@ object VectorQueries {
         .orderBy("method")
     }),
 
+    "q_sim_ann_xl_parity" -> ((s, d) => {
+      // XL-quantizer parity audit (round 10): the broadcast-transport
+      // assignment and probe forms must agree with the plan-literal
+      // forms EXACTLY (same math, different transport — the form the
+      // engine auto-switches to past LiteralQuantizerMax centroids,
+      // where √N sizing of a 10B-vector corpus lands), and the
+      // two-level hierarchy must clear its agreement floor. One-row
+      // verdict with a CONSTANT oracle — the *_precision audit shape:
+      // any transport divergence flips a diff counter, an empty
+      // corpus flips checked_nonzero, so it cannot pass vacuously.
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      val n = emb.count()
+      val k = Similarity.suggestedNCentroids(n)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", k)
+      val cands = emb.select(col("vec_id").cast("long").as("c_id"),
+        Similarity.toDouble(col("embedding")).as("c_vec"))
+      val exact = Similarity.ivfAssignBroadcast(cands, idx.cents)
+        .select(col("c_id"), col("cent_id").as("cent_bc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assignDiff = idx.assigned.select(col("c_id"), col("cent_id"))
+        .join(exact, "c_id")
+        .filter(col("cent_id") =!= col("cent_bc")).count()
+      val q = emb.filter(col("vec_id") < nQueries)
+      val lit3 = Similarity.ivfTopKWith(idx, q, "vec_id", "embedding",
+        3, nProbe = 4).select("q_id", "rank", "c_id")
+      val xl3 = Similarity.ivfTopKXL(idx, q, "vec_id", "embedding",
+        3, nProbe = 4).select("q_id", "rank", "c_id")
+      val probeDiff =
+        lit3.exceptAll(xl3).count() + xl3.exceptAll(lit3).count()
+      // two-level contract checkable at ANY corpus: full-probe
+      // routing is EXACT (narrow-wProbe agreement is a corpus-shape
+      // property — ~0.98 at wProbe=4 on sf0.01 but needing
+      // wProbe ≈ 2/3·k1 on the structureless sf1 embeddings, the
+      // measured curve in docs/SCALE.md — so it is data, not a gate)
+      val tlq = Similarity.twoLevelQuantizer(idx.cents)
+      val two = Similarity.ivfAssignTwoLevel(cands, tlq,
+        wProbe = tlq.supers.size)
+        .select(col("c_id"), col("cent_id").as("cent_tl"))
+      val tlDiff = exact.join(two, "c_id")
+        .filter(col("cent_bc") =!= col("cent_tl")).count()
+      import s.implicits._
+      Seq((if (n > 0) 1L else 0L, assignDiff, probeDiff, tlDiff))
+        .toDF("checked_nonzero", "n_assign_diff", "n_probe_diff",
+          "n_twolevel_fullprobe_diff")
+    }),
+
     "q_embed_cluster" -> ((s, d) => {
       // Semantic grouping: k-means over the embeddings, summarized
       // per cluster (size + inertia). Rows-only — an iterative
@@ -303,6 +349,15 @@ object VectorQueries {
        |               JOIN na y ON y.vec_id = p.c_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // constant verdict row, the *_precision audit shape: the index
+    // structures are not oracle-enumerable, but the cross-transport
+    // parity contract is still hash-checkable
+    "q_sim_ann_xl_parity" ->
+      ("SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
+        "CAST(0 AS BIGINT) AS n_assign_diff, " +
+        "CAST(0 AS BIGINT) AS n_probe_diff, " +
+        "CAST(0 AS BIGINT) AS n_twolevel_fullprobe_diff"),
+
     "q_sim_cosine_topk" ->
       (duckCosine("embeddings", "embeddings",
         s"a.vec_id < $nQueries", "a.vec_id <> b.vec_id") +

@@ -234,9 +234,17 @@ object StreamingOps {
     * centroid set rides into codegen as a plan literal
     * (nCentroids·dim doubles), fine through ~10⁵ centroids
     * (√N of a 10-billion-vector corpus); beyond that the coarse
-    * quantizer itself needs to move behind a broadcast join or a
-    * two-level (hierarchical) quantizer — a documented limit, not a
-    * silent one.
+    * quantizer itself needs to move behind a broadcast or a
+    * two-level (hierarchical) quantizer. The BATCH side has both
+    * since round 10 ([[graft.operators.Similarity.ivfAssignBroadcast]]
+    * auto-switched past `LiteralQuantizerMax`,
+    * [[graft.operators.Similarity.twoLevelQuantizer]]); the stream
+    * side keeps the row-local literal — its anti-join probes cannot
+    * aggregate a per-arrival argmin without adding stateful ops to
+    * the door's one-op budget — so past the boundary the door's gate
+    * takes the two-level LITERAL (√K supers in-plan, children behind
+    * the existing broadcast equi-join machinery): a documented next
+    * step, not a silent limit.
     */
   def semanticProbe(stream: DataFrame, vecCol: String,
                     index: graft.operators.Similarity.IvfIndex,

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The large-K ("XL") coarse-quantizer paths: assignment and probe
+  * with the quantizer behind a BROADCAST instead of a plan literal,
+  * and the two-level hierarchy that cuts per-row routing to O(√K·dim).
+  *
+  * The load-bearing claim is BIT-PARITY of ivfAssignBroadcast with the
+  * literal fold — including the degenerate corners where the two
+  * engines' semantics could plausibly drift: SQL's NaN-largest
+  * ordering, safeCosDiv's zero-norm-centroid branch, NULL-dot
+  * sentinel on dim mismatch / null elements.
+  */
+class XlQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters + every degenerate shape the kernels document:
+  // zero vector (id 90), NaN element (91), dim mismatch (92),
+  // null element (93)
+  private lazy val cands: DataFrame = {
+    val base = Seq(
+      Seq(1.0d, 0.02d, 0.01d, 0.0d),
+      Seq(0.0d, 0.01d, 0.02d, 1.0d))
+    val normal = (0 until 40).map { i =>
+      val c = base(i % 2)
+      (i.toLong, c.zipWithIndex.map { case (x, j) =>
+        Option(x + 0.001d * ((i * 7 + j) % 5)) })
+    }
+    val degenerate = Seq(
+      (90L, Seq(Option(0.0d), Option(0.0d), Option(0.0d), Option(0.0d))),
+      (91L, Seq(Option(Double.NaN), Option(1.0d), Option(0.0d), Option(0.0d))),
+      (92L, Seq(Option(1.0d), Option(2.0d), Option(3.0d))),
+      (93L, Seq(Option(1.0d), None, Option(0.0d), Option(0.0d))))
+    (normal ++ degenerate).toDF("c_id", "c_vec")
+  }
+
+  // id-sorted (the ivfIndex contract), with a zero-norm centroid (id 7)
+  // pinning the safeCosDiv denominator-first branch
+  private lazy val cents: Seq[(Long, Seq[Double])] = Seq(
+    (0L, Seq(1.0d, 0.0d, 0.0d, 0.0d)),
+    (1L, Seq(0.0d, 0.0d, 0.0d, 1.0d)),
+    (2L, Seq(0.9d, 0.1d, 0.0d, 0.0d)),
+    (3L, Seq(0.0d, 0.1d, 0.9d, 0.0d)),
+    (7L, Seq(0.0d, 0.0d, 0.0d, 0.0d)))
+
+  private def asgMap(df: DataFrame): Map[Long, Long] =
+    df.select("c_id", "cent_id").as[(Long, Long)].collect().toMap
+
+  test("ivfAssignBroadcast is bit-identical to the literal fold, " +
+    "including every degenerate corner") {
+    val lit = asgMap(Similarity.ivfAssignLiteral(cands, cents))
+    val bc = asgMap(Similarity.ivfAssignBroadcast(cands, cents))
+    assert(bc === lit)
+    // the corners actually exercise the branches they claim to:
+    // NaN is LARGEST in SQL order, so the NaN-scored row picks the
+    // first centroid, not the sentinel
+    assert(lit(91L) === cents.head._1)
+    // dim mismatch and null element: every dot NULL except the
+    // zero-norm centroid, whose safeCosDiv scores 0.0 > -Inf
+    assert(lit(92L) === 7L)
+    assert(lit(93L) === 7L)
+    // zero VECTOR is well-formed: scores 0.0 everywhere, first max wins
+    assert(lit(90L) === 0L)
+  }
+
+  test("broadcast assignment plans as one map-only projection whose " +
+    "size does not grow with K") {
+    def planOf(k: Int): String = {
+      val cs = (0 until k).map(i =>
+        (i.toLong, Seq(i * 1.0d, 1.0d, 0.0d, 0.0d)))
+      Similarity.ivfAssignBroadcast(cands, cs)
+        .queryExecution.executedPlan.toString
+    }
+    val p50 = planOf(50)
+    val p500 = planOf(500)
+    assert(!p50.contains("Exchange") && !p50.contains("Join"))
+    // the quantizer is NOT in the plan: 10x the centroids, same plan
+    assert(math.abs(p500.length - p50.length) < 100,
+      s"plan grew with K: ${p50.length} -> ${p500.length}")
+    // the literal form, for contrast, carries the matrix in the plan
+    val lit50 = Similarity.ivfAssignLiteral(cands,
+      (0 until 50).map(i => (i.toLong, Seq(i * 1.0d, 1.0d, 0.0d, 0.0d))))
+      .queryExecution.analyzed.toString
+    assert(lit50.length > p50.length)
+  }
+
+  test("ivfIndex auto-dispatches past LiteralQuantizerMax and stays " +
+    "bit-identical to the literal assignment") {
+    val n = Similarity.LiteralQuantizerMax + 104 // rows > K > threshold
+    val big = (0 until n).map { i =>
+      (i.toLong, Seq(Option((i % 97) * 1.0d), Option(((i * 31) % 89) * 1.0d),
+        Option(1.0d), Option((i % 7) * 1.0d)))
+    }.toDF("c_id", "c_vec")
+    val k = Similarity.LiteralQuantizerMax + 54
+    val idx = Similarity.ivfIndex(
+      big.withColumn("c_vec", col("c_vec").cast("array<float>")),
+      "c_id", "c_vec", nCentroids = k, persistIndex = false)
+    assert(idx.cents.size === k)
+    val viaIndex = asgMap(idx.assigned)
+    val viaLiteral = asgMap(Similarity.ivfAssignLiteral(
+      big.withColumn("c_vec", col("c_vec").cast("array<double>")),
+      idx.cents))
+    assert(viaIndex === viaLiteral)
+  }
+
+  test("twoLevelQuantizer partitions the centroid set exactly") {
+    val cs = (0 until 25).map { i =>
+      (i.toLong, Seq((i % 5) * 1.0d, (i / 5) * 1.0d, 1.0d, 0.0d)) }
+    val tlq = Similarity.twoLevelQuantizer(cs)
+    assert(tlq.supers.size === 5) // ceil(sqrt(25))
+    val childIds = tlq.children.values.flatten.map(_._1).toSeq
+    assert(childIds.size === 25)
+    assert(childIds.toSet === cs.map(_._1).toSet)
+    assert(tlq.nCentroids === 25)
+  }
+
+  test("two-level assignment with wProbe = all supers equals the " +
+    "exact assignment; narrow wProbe clears the agreement floor") {
+    val tlq = Similarity.twoLevelQuantizer(cents)
+    val exact = asgMap(Similarity.ivfAssignBroadcast(cands, cents))
+    val all = asgMap(Similarity.ivfAssignTwoLevel(
+      cands, tlq, wProbe = tlq.supers.size))
+    // routable rows: full-probe two-level == exact. The dim-mismatch
+    // and null-element rows (92, 93) score null against EVERY super
+    // and get the -1 sentinel (scaladoc-documented divergence: the
+    // flat scan can still reach the zero-norm leaf, scored 0.0 by
+    // safeCosDiv's denominator-first branch)
+    assert(all.filter(_._1 < 92L) === exact.filter(_._1 < 92L))
+    assert(all(92L) === -1L && all(93L) === -1L)
+    assert(exact(92L) === 7L && exact(93L) === 7L)
+    val narrow = asgMap(Similarity.ivfAssignTwoLevel(cands, tlq,
+      wProbe = math.min(2, tlq.supers.size)))
+    val wellFormed = exact.keySet.filter(_ < 90L)
+    val agree = wellFormed.count(id => narrow(id) == exact(id))
+    assert(agree.toDouble / wellFormed.size >= 0.9,
+      s"two-level agreement $agree/${wellFormed.size} below floor")
+  }
+
+  test("ivfTopKXL returns exactly ivfTopKWith's results " +
+    "(including a zero-norm query)") {
+    val corpus = cands.filter(col("c_id") < 90L)
+      .select(col("c_id").as("vec_id"),
+        col("c_vec").cast("array<float>").as("embedding"))
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false)
+    val queries = corpus.filter(col("vec_id") < 6L)
+      .unionByName(Seq((99L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    def key(df: DataFrame) =
+      df.select("q_id", "rank", "c_id").as[(Long, Int, Long)]
+        .collect().toSet
+    val lit = key(Similarity.ivfTopKWith(idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    val xl = key(Similarity.ivfTopKXL(idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2))
+    assert(xl === lit)
+    assert(lit.nonEmpty)
+  }
+}
