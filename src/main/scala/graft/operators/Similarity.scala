@@ -1266,17 +1266,198 @@ object Similarity {
     * ties). Output: (c_id, codes array<int>, c_norm).
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-               codebook: Array[Array[Seq[Double]]]): DataFrame = {
+               codebook: Array[Array[Seq[Double]]]): DataFrame =
+    if (codebook.length * codebook(0).length > CodebookLiteralMax)
+      pqCodesBroadcast(
+        nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
+          toDouble(col(vecCol)).as("c_vec")),
+        codebook, cents = None)
+    else {
+      val v = toDouble(col(vecCol))
+      nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
+        pqCodesExpr(v, codebook).as("codes"),
+        sqrt(normSq(v)).as("c_norm"))
+    }
+
+  /** [[pqEncode]] forced onto the plan-literal expression form —
+    * the parity seam for XlQuantizerSpec (and any caller pinning a
+    * fixture to the expression transport). */
+  def pqEncodeLiteral(vecs: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Seq[Double]]]): DataFrame = {
     val v = toDouble(col(vecCol))
     nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
       pqCodesExpr(v, codebook).as("codes"),
       sqrt(normSq(v)).as("c_norm"))
   }
 
+  /** [[pqEncode]] forced onto the broadcast transport — the other
+    * half of the parity seam. */
+  def pqEncodeBroadcast(vecs: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Seq[Double]]]): DataFrame =
+    pqCodesBroadcast(
+      nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
+        toDouble(col(vecCol)).as("c_vec")),
+      codebook, cents = None)
+
+  /** Largest codebook (m·ksub codewords) the PLAN-LITERAL encode
+    * carries before [[pqEncode]] / the IVF+PQ encode switch
+    * (bit-identically) to [[pqCodesBroadcast]] — the same measured
+    * boundary as [[LiteralQuantizerMax]]: the literal form's nested
+    * `transform`+`aggregate` folds pay interpreted
+    * higher-order-lambda cost per codeword per row, so FAISS-sized
+    * codebooks (m=64, ksub=256 → 16k codewords/row) are only viable
+    * through the broadcast JVM loop. Measured (20k vecs × dim 64,
+    * encode-only medians): 128 words 1.30 s literal vs 0.27
+    * broadcast, 512 words 3.29 vs 0.23, 4096 words 23.3 vs 0.26 —
+    * the default m=8×ksub=16 config already sits past the crossover,
+    * so 64 routes it (and everything bigger) to the broadcast loop
+    * while the small spec fixtures keep the expression form. */
+  val CodebookLiteralMax: Int = 64
+
+  /** JVM twin of `graft_sqdist` over a boxed (null-preserving) slice
+    * of the encode vector vs a (never-null) codeword: index-order
+    * summation, boxed null on a short/overhanging slice or a null
+    * element — exactly the `slice` + kernel NULL semantics of the
+    * literal fold, so degenerate vectors produce the same `-1` codes
+    * in both forms. */
+  private def sliceSqDistOrNull(arr: Array[java.lang.Double],
+                                start: Int,
+                                w: Array[Double]): java.lang.Double = {
+    if (start + w.length > arr.length) return null
+    var s = 0.0d
+    var j = 0
+    while (j < w.length) {
+      val x = arr(start + j)
+      if (x == null) return null
+      val d = x.doubleValue() - w(j)
+      s += d * d
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** [[pqCodesExpr]] + norm with the codebook (and, for the residual
+    * path, the coarse centroids) BEHIND A BROADCAST — the PQ tense of
+    * [[ivfAssignBroadcast]], closing the same two boundaries at once:
+    * plan size (the codebook literal is re-serialized with every task
+    * closure) and the interpreted per-codeword lambda cost that makes
+    * FAISS-sized codebooks infeasible as expressions. Bit-identical
+    * to the literal forms (XlQuantizerSpec): same index-order d2,
+    * same strict-< smallest-code tie-break, same NULL semantics —
+    * short/ragged vectors and null elements yield `-1` codes, and the
+    * residual path replicates `zip_with`'s null-padding (residual
+    * length = max of the two, missing side → null element) plus the
+    * null-vector result of a missed centroid lookup (cent_id = -1 →
+    * all codes -1).
+    *
+    * Input: any frame with `c_vec` (+ `cent_id` when `cents` is
+    * given, the residual path). Output: input columns minus `c_vec`,
+    * plus `codes` (array<int>) and `c_norm` (norm of the ORIGINAL
+    * vector, never the residual). One map-only `mapPartitions`
+    * projection — zero exchanges, zero joins, plan independent of
+    * m·ksub. */
+  private def pqCodesBroadcast(df: DataFrame,
+      codebook: Array[Array[Seq[Double]]],
+      cents: Option[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val spark = df.sparkSession
+    val m = codebook.length
+    val cb = codebook.map(_.map(_.toArray))
+    val centMap: Map[Long, Array[Double]] =
+      cents.map(_.map { case (id, v) => (id, v.toArray) }.toMap)
+        .getOrElse(Map.empty)
+    val residual = cents.isDefined
+    val bc = spark.sparkContext.broadcast((cb, centMap))
+    val vecIdx = df.schema.fieldIndex("c_vec")
+    val centIdx = if (residual) df.schema.fieldIndex("cent_id") else -1
+    val keep = df.schema.fields.zipWithIndex
+      .filter(_._1.name != "c_vec").map(_._2)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keep.map(df.schema.fields(_)) :+
+        org.apache.spark.sql.types.StructField("codes",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType,
+            containsNull = false), nullable = false) :+
+        org.apache.spark.sql.types.StructField("c_norm",
+          org.apache.spark.sql.types.DoubleType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val (book, cmap) = bc.value
+      rows.map { r =>
+        val raw = r.getAs[scala.collection.Seq[Any]](vecIdx)
+        // boxed copy of the ORIGINAL vector (null-preserving)
+        val v: Array[java.lang.Double] =
+          if (raw == null) null
+          else raw.map {
+            case d: java.lang.Double => d
+            case null                => null
+            case o => java.lang.Double.valueOf(
+              o.asInstanceOf[Number].doubleValue())
+          }.toArray
+        // norm of the original vector: null vec / null element -> null
+        var normV: java.lang.Double = null
+        if (v != null) {
+          var s = 0.0d; var ok = true; var i = 0
+          while (ok && i < v.length) {
+            if (v(i) == null) ok = false
+            else { s += v(i).doubleValue() * v(i).doubleValue(); i += 1 }
+          }
+          if (ok) normV = java.lang.Double.valueOf(math.sqrt(s))
+        }
+        // the encode vector: raw, or the zip_with-padded residual
+        val encVec: Array[java.lang.Double] =
+          if (!residual) v
+          else if (v == null) null
+          else {
+            val cid = if (r.isNullAt(centIdx)) Long.MinValue
+                      else r.getLong(centIdx)
+            cmap.get(cid) match {
+              case None => null // element_at miss -> null residual
+              case Some(c) =>
+                val n = math.max(v.length, c.length)
+                val out = new Array[java.lang.Double](n)
+                var i = 0
+                while (i < n) {
+                  val x = if (i < v.length) v(i) else null
+                  out(i) =
+                    if (x == null || i >= c.length) null
+                    else java.lang.Double.valueOf(x.doubleValue() - c(i))
+                  i += 1
+                }
+                out
+            }
+          }
+        val codes = new Array[Int](m)
+        var s2 = 0
+        while (s2 < m) {
+          val words = book(s2)
+          val sub = words(0).length
+          var bestC = -1
+          var bestD = Double.MaxValue
+          if (encVec != null) {
+            var ci = 0
+            while (ci < words.length) {
+              val d2 = sliceSqDistOrNull(encVec, s2 * sub, words(ci))
+              if (d2 != null && d2.doubleValue() < bestD) {
+                bestD = d2.doubleValue(); bestC = ci
+              }
+              ci += 1
+            }
+          }
+          codes(s2) = bestC
+          s2 += 1
+        }
+        val outVals = keep.map(r.get(_)).toSeq :+ codes.toSeq :+ normV
+        org.apache.spark.sql.Row.fromSeq(outVals)
+      }
+    }(enc)
+  }
+
   /** The per-vector PQ code array as one expression over a double
     * vector column: per-subspace argmin over the literal codebook.
     * Shared by [[pqEncode]] and the composed [[ivfPqIndex]] so both
-    * produce byte-identical codes. */
+    * produce byte-identical codes; above [[CodebookLiteralMax]]
+    * codewords both switch to the bit-identical
+    * [[pqCodesBroadcast]]. */
   private def pqCodesExpr(v: Column,
                           codebook: Array[Array[Seq[Double]]]): Column = {
     val m = codebook.length
@@ -1500,12 +1681,39 @@ object Similarity {
   private def ivfPqEncodeAssigned(assigned: DataFrame,
                                   cents: Seq[(Long, Seq[Double])],
                                   codebook: Array[Array[Seq[Double]]],
-                                  residual: Boolean): DataFrame = {
+                                  residual: Boolean): DataFrame =
+    if (codebook.length * codebook(0).length > CodebookLiteralMax)
+      pqCodesBroadcast(
+        assigned.select(col("c_id"), col("cent_id"), col("c_vec")),
+        codebook, cents = if (residual) Some(cents) else None)
+    else {
+      val encCol = if (residual) residualExpr(cents) else col("c_vec")
+      assigned.select(col("c_id"), col("cent_id"),
+        pqCodesExpr(encCol, codebook).as("codes"),
+        sqrt(normSq(col("c_vec"))).as("c_norm"))
+    }
+
+  /** The literal form of the composed encode — the parity seam for
+    * XlQuantizerSpec's residual-path comparison. */
+  private[graft] def ivfPqEncodeAssignedLiteral(assigned: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      codebook: Array[Array[Seq[Double]]],
+      residual: Boolean): DataFrame = {
     val encCol = if (residual) residualExpr(cents) else col("c_vec")
     assigned.select(col("c_id"), col("cent_id"),
       pqCodesExpr(encCol, codebook).as("codes"),
       sqrt(normSq(col("c_vec"))).as("c_norm"))
   }
+
+  /** The broadcast form of the composed encode — the other half of
+    * the parity seam. */
+  private[graft] def ivfPqEncodeAssignedBroadcast(assigned: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      codebook: Array[Array[Seq[Double]]],
+      residual: Boolean): DataFrame =
+    pqCodesBroadcast(
+      assigned.select(col("c_id"), col("cent_id"), col("c_vec")),
+      codebook, cents = if (residual) Some(cents) else None)
 
   /** v − cent(cent_id): THE residual definition, shared by codebook
     * training and (append-)encoding so the two cannot diverge. */

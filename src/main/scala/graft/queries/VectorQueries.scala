@@ -245,10 +245,24 @@ object VectorQueries {
         .select(col("c_id"), col("cent_id").as("cent_tl"))
       val tlDiff = exact.join(two, "c_id")
         .filter(col("cent_bc") =!= col("cent_tl")).count()
+      // PQ transport parity at the DEFAULT config (m=8 × ksub=16 =
+      // 128 codewords — past CodebookLiteralMax, so production takes
+      // the broadcast loop; this pins it against the expression form)
+      val book = Similarity.pqTrain(emb, "vec_id", "embedding",
+        8, 16, 5, 4096)
+      val pl = Similarity.pqEncodeLiteral(emb, "vec_id", "embedding",
+        book).select(col("c_id"), col("codes").as("codes_l"),
+        col("c_norm").as("norm_l"))
+      val pb = Similarity.pqEncodeBroadcast(emb, "vec_id", "embedding",
+        book).select(col("c_id"), col("codes").as("codes_b"),
+        col("c_norm").as("norm_b"))
+      val pqDiff = pl.join(pb, "c_id")
+        .filter(col("codes_l") =!= col("codes_b") ||
+          !(col("norm_l") <=> col("norm_b"))).count()
       import s.implicits._
-      Seq((if (n > 0) 1L else 0L, assignDiff, probeDiff, tlDiff))
+      Seq((if (n > 0) 1L else 0L, assignDiff, probeDiff, tlDiff, pqDiff))
         .toDF("checked_nonzero", "n_assign_diff", "n_probe_diff",
-          "n_twolevel_fullprobe_diff")
+          "n_twolevel_fullprobe_diff", "n_pq_encode_diff")
     }),
 
     "q_embed_cluster" -> ((s, d) => {
@@ -356,7 +370,8 @@ object VectorQueries {
       ("SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
         "CAST(0 AS BIGINT) AS n_assign_diff, " +
         "CAST(0 AS BIGINT) AS n_probe_diff, " +
-        "CAST(0 AS BIGINT) AS n_twolevel_fullprobe_diff"),
+        "CAST(0 AS BIGINT) AS n_twolevel_fullprobe_diff, " +
+        "CAST(0 AS BIGINT) AS n_pq_encode_diff"),
 
     "q_sim_cosine_topk" ->
       (duckCosine("embeddings", "embeddings",

@@ -139,6 +139,90 @@ class XlQuantizerSpec extends SparkSpec {
       s"two-level agreement $agree/${wellFormed.size} below floor")
   }
 
+  // m=2 subspaces of dim 2 over the dim-4 fixture, ksub=3
+  private lazy val book: Array[Array[Seq[Double]]] = Array(
+    Array(Seq(0.0d, 0.0d), Seq(1.0d, 0.0d), Seq(0.5d, 0.5d)),
+    Array(Seq(0.0d, 1.0d), Seq(0.02d, 0.01d), Seq(0.5d, 0.5d)))
+
+  private def encSet(df: DataFrame) = df.collect().map { r =>
+    val nrm = if (r.isNullAt(r.fieldIndex("c_norm"))) None
+      else Some(java.lang.Double.doubleToLongBits(
+        r.getDouble(r.fieldIndex("c_norm"))))
+    (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes")).toList, nrm)
+  }.toSet
+
+  test("pqEncodeBroadcast is bit-identical to the literal fold, " +
+    "including every degenerate corner") {
+    val lit = encSet(Similarity.pqEncodeLiteral(cands, "c_id", "c_vec", book))
+    val bc = encSet(Similarity.pqEncodeBroadcast(cands, "c_id", "c_vec", book))
+    assert(bc === lit)
+    val byId = lit.map(t => (t._1, (t._2, t._3))).toMap
+    // short vector (92): sub 0 encodes, sub 1 overhangs -> -1; its
+    // norm is over its OWN 3 elements (dot(v,v) never mismatches)
+    assert(byId(92L)._1(1) === -1 && byId(92L)._1(0) >= 0)
+    assert(byId(92L)._2.isDefined)
+    // null element at index 1 (93): sub 0 nulls out -> -1, sub 1
+    // encodes; norm is null
+    assert(byId(93L)._1 === List(-1, byId(93L)._1(1)) &&
+      byId(93L)._1(1) >= 0)
+    assert(byId(93L)._2.isEmpty)
+    // NaN element (91): NaN d2 never beats MaxValue -> sub 0 = -1;
+    // norm is NaN (a real bits value, not null)
+    assert(byId(91L)._1(0) === -1)
+    assert(byId(91L)._2 === Some(
+      java.lang.Double.doubleToLongBits(Double.NaN)))
+  }
+
+  test("composed IVF+PQ encode parity: literal == broadcast for raw " +
+    "AND residual codes (including the missed-centroid sentinel)") {
+    val assigned = Similarity.ivfAssignLiteral(cands, cents)
+    for (residual <- Seq(false, true)) {
+      val lit = encSet(Similarity.ivfPqEncodeAssignedLiteral(
+        assigned, cents, book, residual))
+      val bc = encSet(Similarity.ivfPqEncodeAssignedBroadcast(
+        assigned, cents, book, residual))
+      assert(bc === lit, s"residual=$residual")
+    }
+    // row 92 (len 3) was assigned to the zero-norm centroid (id 7),
+    // so its residual zip_with-pads to [v0-0, v1-0, v2-0, null]:
+    // sub 0 encodes, sub 1 nulls out -> -1 (both transports agree,
+    // asserted above; this pins the actual padding semantics)
+    val res = Similarity.ivfPqEncodeAssignedBroadcast(
+      assigned, cents, book, residual = true)
+    val m92 = res.filter(col("c_id") === 92L)
+      .select("codes").collect().head.getSeq[Int](0)
+    assert(m92(0) >= 0 && m92(1) === -1)
+    // a TRUE missed centroid (cent_id = -1, only reachable without
+    // the zero-norm centroid): null residual -> all codes -1, and
+    // the two transports still agree
+    val centsNoZero = cents.filter(_._1 != 7L)
+    val asg2 = Similarity.ivfAssignLiteral(cands, centsNoZero)
+    assert(asg2.filter(col("c_id") === 92L)
+      .select("cent_id").head().getLong(0) === -1L)
+    val lit2 = encSet(Similarity.ivfPqEncodeAssignedLiteral(
+      asg2, centsNoZero, book, residual = true))
+    val bc2 = encSet(Similarity.ivfPqEncodeAssignedBroadcast(
+      asg2, centsNoZero, book, residual = true))
+    assert(bc2 === lit2)
+    assert(lit2.find(_._1 == 92L).get._2 === List(-1, -1))
+  }
+
+  test("pqIndex auto-dispatches past CodebookLiteralMax and stays " +
+    "bit-identical to the literal encode") {
+    val corpus = cands.filter(col("c_id") < 90L)
+      .select(col("c_id").as("vec_id"),
+        col("c_vec").cast("array<float>").as("embedding"))
+    // m=4, ksub=32 -> 128 words > CodebookLiteralMax (64)
+    val idx = Similarity.pqIndex(corpus, "vec_id", "embedding",
+      m = 4, ksub = 32, persistIndex = false)
+    assert(idx.codebook.length * idx.codebook(0).length >
+      Similarity.CodebookLiteralMax)
+    val viaIndex = encSet(idx.encoded)
+    val viaLiteral = encSet(Similarity.pqEncodeLiteral(
+      corpus, "vec_id", "embedding", idx.codebook))
+    assert(viaIndex === viaLiteral)
+  }
+
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
     "(including a zero-norm query)") {
     val corpus = cands.filter(col("c_id") < 90L)
