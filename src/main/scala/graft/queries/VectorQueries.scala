@@ -245,11 +245,13 @@ object VectorQueries {
         .select(col("c_id"), col("cent_id").as("cent_tl"))
       val tlDiff = exact.join(two, "c_id")
         .filter(col("cent_bc") =!= col("cent_tl")).count()
-      // PQ transport parity at the DEFAULT config (m=8 × ksub=16 =
-      // 128 codewords — past CodebookLiteralMax, so production takes
-      // the broadcast loop; this pins it against the expression form)
+      // PQ transport parity at the DEFAULT m=8 × ksub=16 shape (128
+      // codewords — past CodebookLiteralMax, so production takes the
+      // broadcast loop; this pins it against the expression form).
+      // Transport parity holds for ANY codebook, so train cheaply:
+      // 2 Lloyd rounds on a 2048 sample, not the production 5/4096
       val book = Similarity.pqTrain(emb, "vec_id", "embedding",
-        8, 16, 5, 4096)
+        8, 16, 2, 2048)
       val pl = Similarity.pqEncodeLiteral(emb, "vec_id", "embedding",
         book).select(col("c_id"), col("codes").as("codes_l"),
         col("c_norm").as("norm_l"))
