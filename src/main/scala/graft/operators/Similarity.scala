@@ -768,7 +768,18 @@ object Similarity {
     * equi-join on cent_id. */
   def ivfTopKWith(index: IvfIndex, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nProbe: Int = 2): DataFrame = {
+                  nProbe: Int = 2): DataFrame =
+    // past the literal boundary the probe ranking's queries×centroids
+    // crossJoin is the catastrophic shape (Q·10⁵ rows through a
+    // window) — auto-switch to the result-equal broadcast projection,
+    // the same dispatch [[ivfAssign]] applies on the build side
+    if (index.cents.size > LiteralQuantizerMax)
+      ivfTopKXL(index, queries, idCol, vecCol, k, nProbe)
+    else ivfTopKLiteral(index, queries, idCol, vecCol, k, nProbe)
+
+  private[graft] def ivfTopKLiteral(index: IvfIndex, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))

@@ -228,8 +228,12 @@ object VectorQueries {
         .join(exact, "c_id")
         .filter(col("cent_id") =!= col("cent_bc")).count()
       val q = emb.filter(col("vec_id") < nQueries)
-      val lit3 = Similarity.ivfTopKWith(idx, q, "vec_id", "embedding",
-        3, nProbe = 4).select("q_id", "rank", "c_id")
+      // transport-pinned forms on BOTH sides: ivfTopKWith itself
+      // auto-dispatches to XL past the literal boundary, which the
+      // suggested K exceeds from sf0.1 up — comparing it against
+      // ivfTopKXL would then be vacuous
+      val lit3 = Similarity.ivfTopKLiteral(idx, q, "vec_id",
+        "embedding", 3, nProbe = 4).select("q_id", "rank", "c_id")
       val xl3 = Similarity.ivfTopKXL(idx, q, "vec_id", "embedding",
         3, nProbe = 4).select("q_id", "rank", "c_id")
       val probeDiff =

@@ -236,11 +236,14 @@ class XlQuantizerSpec extends SparkSpec {
     def key(df: DataFrame) =
       df.select("q_id", "rank", "c_id").as[(Long, Int, Long)]
         .collect().toSet
-    val lit = key(Similarity.ivfTopKWith(idx, queries,
+    val lit = key(Similarity.ivfTopKLiteral(idx, queries,
       "vec_id", "embedding", k = 3, nProbe = 2))
     val xl = key(Similarity.ivfTopKXL(idx, queries,
       "vec_id", "embedding", k = 3, nProbe = 2))
     assert(xl === lit)
     assert(lit.nonEmpty)
+    // the public entry dispatches by index size: small stays literal
+    assert(key(Similarity.ivfTopKWith(idx, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2)) === lit)
   }
 }
