@@ -530,7 +530,13 @@ object Similarity {
     * ordering-identical to cosine per query — the query's own norm is
     * a positive per-row constant, and a zero-norm query degenerates
     * to all-zero scores → id-ascending probes in both forms).
-    * XlQuantizerSpec pins result equality with [[ivfTopKWith]]. */
+    * XlQuantizerSpec pins result equality with the literal form. One
+    * scoped divergence: a query whose vector scores null against
+    * EVERY centroid (dim mismatch, null element) probes nothing here,
+    * while the literal window still ranks its all-null scores and
+    * probes the id-ascending lists — the empty probe is the more
+    * honest answer for a query the quantizer cannot place (the
+    * [[ivfAssignTwoLevel]] stance). */
   def ivfTopKXL(index: IvfIndex, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 nProbe: Int = 2): DataFrame = {
