@@ -46,6 +46,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(pinned.cents.size === 4)
   }
 
+  test("maintenance inherits the XL dispatch: an AutoCentroids " +
+    "rebuild past LiteralQuantizerMax round-trips the store and " +
+    "answers queries identically to the in-memory broadcast build") {
+    // 5000 vectors -> sqrt-N = 71 centroids > LiteralQuantizerMax
+    // (64): the rebuild's assignment runs on the broadcast transport,
+    // the quantizer round-trips through the versioned parquet store,
+    // and the loaded index's probes dispatch to ivfTopKXL
+    val big = (0 until 5000).map { i =>
+      val c = if (i % 2 == 0) Array(1.0f, 0.02f, 0.01f, 0.0f)
+              else Array(0.0f, 0.01f, 0.02f, 1.0f)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val store = tmpStore()
+    val loaded = IM.rebuildIvfIndex(store, big, "vec_id", "embedding")
+    assert(loaded.cents.size === Similarity.suggestedNCentroids(5000L))
+    assert(loaded.cents.size > Similarity.LiteralQuantizerMax)
+    val mem = Similarity.ivfIndex(big, "vec_id", "embedding",
+      nCentroids = loaded.cents.size, persistIndex = false)
+    assert(loaded.cents === mem.cents)
+    val q = big.filter(col("vec_id") < 4)
+    assert(topkSet(Similarity.ivfTopKWith(loaded, q, "vec_id",
+        "embedding", 3, nProbe = 2)) ===
+      topkSet(Similarity.ivfTopKWith(mem, q, "vec_id",
+        "embedding", 3, nProbe = 2)))
+    mem.assigned.unpersist()
+  }
+
   test("rebuild publishes a version whose loaded index answers " +
     "queries identically to the in-memory build (all four types)") {
     val q = clustered.filter(col("vec_id") < 4)

@@ -925,6 +925,40 @@ class StreamingOpsSpec extends SparkSpec {
       s"nProbe=2 must catch the boundary twin, admitted $wide")
   }
 
+  test("semanticProbe agrees with an XL-built index: the row-local " +
+    "literal rank-1 lands arrivals in the lists the BROADCAST " +
+    "assignment filled") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // 5000 vectors -> sqrt-N = 71 centroids > LiteralQuantizerMax:
+    // the index build runs on the broadcast transport, the door's
+    // probe stays the row-local centroid literal — the cross-
+    // transport bit-parity theorem is what makes them agree, and
+    // this pins the composition end to end
+    val corpus = (0 until 5000).map { i =>
+      val c = if (i % 2 == 0) Array(1.0f, 0.02f, 0.01f, 0.0f)
+              else Array(0.0f, 0.01f, 0.02f, 1.0f)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      Similarity.suggestedNCentroids(5000L), persistIndex = false)
+    assert(index.cents.size > Similarity.LiteralQuantizerMax)
+    // corpus member 0's embedding, per the generator above
+    val twin = Array(1.0f, 0.021f, 0.012f, 0.003f)
+    val novel = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows: Seq[(Timestamp, Long, Array[Float])] = Seq(
+      (ts("2024-01-01 10:00:00"), 10L, twin),   // near corpus 0 → DROP
+      (ts("2024-01-01 10:00:01"), 11L, novel))  // novel → KEEP
+    val out = StreamingOps.semanticProbe(
+        rows.toDF("ts", "id", "embedding"), "embedding", index,
+        cosThreshold = 0.999, nProbe = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L),
+      s"XL-index semantic gate admitted $out (twin must drop via the " +
+        "list the broadcast assignment filled)")
+  }
+
   test("DSIR gate admits target-like docs at the door, batch parity") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
