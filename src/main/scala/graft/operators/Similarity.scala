@@ -767,6 +767,34 @@ object Similarity {
     element_at(sorted, rank).getField("c")
   }
 
+  /** Row-local rank-th-centroid column FACTORY for streaming
+    * consumers ([[graft.streaming.StreamingOps.semanticProbe]]): one
+    * ranker per probe site, shared across ranks so the quantizer is
+    * broadcast once. At ≤ [[LiteralQuantizerMax]] it returns the
+    * [[centroidRankExpr]] fold (plan-transparent, fixture-friendly);
+    * past it, ranks come from the native codegen
+    * [[graft.functions.CentroidRank]] kernel — STILL row-local (no
+    * object boundary, composes with the door's single stateful op),
+    * but O(K) tight JVM work per row instead of O(K) interpreted
+    * lambdas, with the matrix behind a broadcast handle instead of
+    * inside the plan. Bit-identical ranks for vectors the quantizer
+    * can place (XlQuantizerSpec); an unplaceable vector yields NULL
+    * from the kernel where the fold's null-score sort is undefined —
+    * the door guards those upstream either way. */
+  private[graft] def centroidRanker(cents: Seq[(Long, Seq[Double])])
+  : (Column, Int) => Column =
+    if (cents.size <= LiteralQuantizerMax)
+      (vec, rank) => centroidRankExpr(vec, cents, rank)
+    else {
+      val kernel = new graft.functions.CentroidRankKernel(
+        broadcastQuantizer(
+          org.apache.spark.sql.SparkSession.active, cents))
+      (vec, rank) => org.apache.spark.sql.graftbridge.GraftBridge.column(
+        graft.functions.CentroidRank(
+          org.apache.spark.sql.graftbridge.GraftBridge.expression(vec),
+          kernel, rank))
+    }
+
   /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each
     * query probes its `nProbe` nearest centroid lists and
     * exact-reranks only inside them. The probe ranking runs over

@@ -256,13 +256,17 @@ object StreamingOps {
     require(!stream.columns.contains("graft_cent"),
       "input stream already has a graft_cent column")
     val v = Similarity.toDouble(col(vecCol))
+    // one ranker for all probe ranks: past LiteralQuantizerMax the
+    // centroid matrix is broadcast ONCE and each rank is a native
+    // codegen kernel call (row-local, still composes with the single
+    // stateful op) instead of an O(K)-interpreted literal fold
+    val ranker = Similarity.centroidRanker(index.cents)
     (1 to nProbe).foldLeft(stream) { (df, p) =>
       val corpusList = index.assigned
         .select(col("cent_id").as("graft_probe_cent"),
           col("c_vec").as("graft_corpus_vec"))
       df.withColumn("graft_cent",
-          when(col(vecCol).isNotNull,
-            Similarity.centroidRankExpr(v, index.cents, p)))
+          when(col(vecCol).isNotNull, ranker(v, p)))
         .join(corpusList,
           col("graft_cent") === col("graft_probe_cent") &&
             Similarity.cosine(v, col("graft_corpus_vec"))

@@ -13,4 +13,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column ⇄ Expression, for expressions that carry non-literal
+    * driver state (a broadcast handle) and therefore cannot go
+    * through the function registry's Expression-only builders. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

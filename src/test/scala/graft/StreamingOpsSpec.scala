@@ -926,15 +926,16 @@ class StreamingOpsSpec extends SparkSpec {
   }
 
   test("semanticProbe agrees with an XL-built index: the row-local " +
-    "literal rank-1 lands arrivals in the lists the BROADCAST " +
-    "assignment filled") {
+    "native rank kernel lands arrivals in the lists the BROADCAST " +
+    "assignment filled, batch and streaming") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
     // 5000 vectors -> sqrt-N = 71 centroids > LiteralQuantizerMax:
-    // the index build runs on the broadcast transport, the door's
-    // probe stays the row-local centroid literal — the cross-
-    // transport bit-parity theorem is what makes them agree, and
-    // this pins the composition end to end
+    // the index build runs on the broadcast mapPartitions transport
+    // and the door's probe rank on the native CentroidRank kernel —
+    // two different XL transports whose bit-parity theorems compose,
+    // pinned end to end here (drop requires the kernel's rank-1 to
+    // equal the assignment that filled the list)
     val corpus = (0 until 5000).map { i =>
       val c = if (i % 2 == 0) Array(1.0f, 0.02f, 0.01f, 0.0f)
               else Array(0.0f, 0.01f, 0.02f, 1.0f)
@@ -957,6 +958,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Seq(11L),
       s"XL-index semantic gate admitted $out (twin must drop via the " +
         "list the broadcast assignment filled)")
+    // the STREAMING tense: past LiteralQuantizerMax the probe rank is
+    // the native CentroidRank kernel — prove it serializes, codegens,
+    // and verdicts identically inside a real streaming query
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = StreamingOps.semanticProbe(
+        input.toDF().toDF("ts", "id", "embedding"), "embedding", index,
+        cosThreshold = 0.999, nProbe = 1)
+      .writeStream.format("memory").queryName("sem_xl_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("sem_xl_sink")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(streamIds == out,
+        s"streaming XL gate admitted $streamIds, batch admitted $out")
+    } finally q.stop()
   }
 
   test("DSIR gate admits target-like docs at the door, batch parity") {

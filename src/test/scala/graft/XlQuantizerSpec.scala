@@ -223,6 +223,46 @@ class XlQuantizerSpec extends SparkSpec {
     assert(viaIndex === viaLiteral)
   }
 
+  test("native centroid-rank kernel matches the literal fold for " +
+    "every rank on placeable vectors (incl. NaN and zero), NULL on " +
+    "unplaceable ones") {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val norms = mat.map(c => math.sqrt(
+      c.foldLeft(0.0d)((a, x) => a + x * x)))
+    val kernel = new graft.functions.CentroidRankKernel(
+      spark.sparkContext.broadcast((ids, mat, norms)))
+    def native(df: DataFrame, rank: Int) = df.withColumn("r",
+      GraftBridge.column(graft.functions.CentroidRank(
+        GraftBridge.expression(col("c_vec")), kernel, rank)))
+    // rows 90 (zero) and 91 (NaN element) ARE placeable: zero scores
+    // 0.0 everywhere, NaN rides SQL's NaN-largest order in BOTH forms
+    val placeable = cands.filter(col("c_id") < 92L)
+    for (rank <- 1 to cents.size) {
+      val nat = native(placeable, rank)
+        .select("c_id", "r").as[(Long, Long)].collect().toMap
+      val lit = placeable.withColumn("r",
+          Similarity.centroidRankExpr(col("c_vec"), cents, rank))
+        .select("c_id", "r").as[(Long, Long)].collect().toMap
+      assert(nat === lit, s"rank=$rank")
+    }
+    // dim mismatch (92) and null element (93) score null against
+    // every centroid except the zero-norm one... which scores 0.0 —
+    // so they ARE placeable onto it; drop it and they become truly
+    // unplaceable: the kernel yields SQL NULL
+    val idsNz = cents.filter(_._1 != 7L)
+    val kernelNz = new graft.functions.CentroidRankKernel(
+      spark.sparkContext.broadcast((idsNz.map(_._1).toArray,
+        idsNz.map(_._2.toArray).toArray,
+        idsNz.map(c => math.sqrt(
+          c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray)))
+    val un = cands.filter(col("c_id") >= 92L).withColumn("r",
+      GraftBridge.column(graft.functions.CentroidRank(
+        GraftBridge.expression(col("c_vec")), kernelNz, 1)))
+    assert(un.count() === 2 && un.filter(col("r").isNotNull).count() === 0)
+  }
+
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
     "(including a zero-norm query)") {
     val corpus = cands.filter(col("c_id") < 90L)
