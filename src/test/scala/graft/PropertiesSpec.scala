@@ -133,4 +133,54 @@ class PropertiesSpec extends SparkSpec {
           g.map(t => s"'${t._1}'->${t._3}").mkString(", "))
     }
   }
+
+  test("property: XL transport parity — broadcast assignment equals " +
+    "the literal fold, and the native rank kernel equals the literal " +
+    "rank, over adversarial quantizers (zero-norm, NaN, huge values)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val dim = 3
+    // element pool stresses every comparison branch: zero-norm
+    // centroids, NaN scores, overflow-to-Inf products, exact ties
+    val elem = Gen.oneOf(-1.0d, 0.0d, 0.5d, 1.0d, 2.0d,
+      Double.NaN, 1e300)
+    val centsGen = for {
+      k <- Gen.choose(2, 5)
+      vs <- Gen.listOfN(k, Gen.listOfN(dim, elem))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Double]) }
+    val batchGen = for {
+      n <- Gen.choose(8, 16)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.frequency(9 -> elem.map(Option(_)), 1 -> Gen.const(None))))
+    } yield vs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+    val cases = samples(Gen.zip(centsGen, batchGen), 6)
+    assert(cases.nonEmpty)
+    cases.foreach { case (cents, batch) =>
+      val df = batch.toDF("c_id", "c_vec")
+      val lit = Similarity.ivfAssignLiteral(df, cents)
+        .select("c_id", "cent_id").as[(Long, Long)].collect().toMap
+      val bc = Similarity.ivfAssignBroadcast(df, cents)
+        .select("c_id", "cent_id").as[(Long, Long)].collect().toMap
+      assert(bc === lit, s"assignment parity, cents=$cents")
+      // rank parity on WELL-FORMED vectors (no null elements: the
+      // literal comparator is undefined over null scores, and the
+      // door guards them upstream)
+      val wf = batch.filter(_._2.forall(_.isDefined)).toDF("c_id", "c_vec")
+      val kernel = new graft.functions.CentroidRankKernel(
+        spark.sparkContext.broadcast((cents.map(_._1).toArray,
+          cents.map(_._2.toArray).toArray,
+          cents.map(c => math.sqrt(
+            c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray)))
+      for (rank <- Seq(1, cents.size)) {
+        val nat = wf.withColumn("r",
+            GraftBridge.column(graft.functions.CentroidRank(
+              GraftBridge.expression(col("c_vec")), kernel, rank)))
+          .select("c_id", "r").as[(Long, Long)].collect().toMap
+        val litR = wf.withColumn("r",
+            Similarity.centroidRankExpr(col("c_vec"), cents, rank))
+          .select("c_id", "r").as[(Long, Long)].collect().toMap
+        assert(nat === litR, s"rank=$rank parity, cents=$cents")
+      }
+    }
+  }
 }
