@@ -4,49 +4,46 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
-/** Serializable rank-th-nearest-centroid kernel over a
-  * TORRENT-BROADCAST quantizer — the streaming tense of the XL
-  * transports in [[graft.operators.Similarity]]: the ingest door's
-  * semantic gate must stay ROW-LOCAL (no object boundary, it composes
-  * with the one allowed stateful op), but its plan-literal form pays
-  * interpreted higher-order-lambda cost per centroid per row AND
-  * carries the matrix in the plan. This kernel is the third transport:
-  * a native codegen expression whose generated code calls ONE tight
-  * JVM method, with the quantizer behind a broadcast handle that
+/** Serializable top-`nProbe`-centroid kernel over a TORRENT-BROADCAST
+  * quantizer — the streaming tense of the XL transports in
+  * [[graft.operators.Similarity]]: the ingest door's semantic gate
+  * must stay ROW-LOCAL (no object boundary, it composes with the one
+  * allowed stateful op), but its plan-literal form pays interpreted
+  * higher-order-lambda cost per centroid per row AND carries the
+  * matrix in the plan. This kernel is the third transport: a native
+  * codegen expression whose generated code calls ONE tight JVM
+  * method, with the quantizer behind a broadcast handle that
   * serializes as bytes-sized task state.
   *
+  * The kernel returns ALL probe ranks in one pass (an array of the
+  * top-`nProbe` centroid ids): the door references `rank p` as a
+  * `try_element_at`, so K centroids are scored ONCE per arrival, not
+  * once per probe rank, and there is no in-band id sentinel — a
+  * vector the quantizer cannot place yields a SHORT (possibly empty)
+  * array, whose missing elements read as SQL NULL at the consumer.
+  *
   * Both the interpreted `eval` and the generated code call the same
-  * [[rankOf]], so the two execution paths cannot diverge. Scoring is
-  * bit-identical to `centroidRankExpr` / the assignment folds for
-  * vectors the quantizer can place: same index-order dot, same
-  * zero-norm-denominator-first 0.0, same SQL NaN-largest ordering,
-  * same score-desc/id-asc selection (ids must arrive sorted
-  * ascending, the `ivfIndex` contract). A vector that scores null
-  * against every centroid (null element, dim mismatch vs every
-  * centroid) yields SQL NULL — the same unplaceable-vector stance as
-  * `ivfTopKXL` (the literal form's comparator is undefined over null
-  * scores and the door guards them upstream anyway).
+  * [[ranksOf]], so the two execution paths cannot diverge. Scoring
+  * and ordering are bit-identical to `centroidRankExpr` for vectors
+  * the quantizer can place: same index-order dot, same
+  * zero-norm-denominator-first 0.0, same SQL NaN-largest ordering
+  * (shared [[graft.operators.Similarity.gtSqlDouble]] — one
+  * definition, not a copy), same score-desc/id-asc selection (ids
+  * must arrive sorted ascending, the `ivfIndex` contract).
   */
 final class CentroidRankKernel(
     bc: Broadcast[(Array[Long], Array[Array[Double]], Array[Double])])
   extends Serializable {
 
-  /** Marker for SQL NULL (no rank-th placeable centroid). */
-  val NullSentinel: Long = Long.MinValue
+  def nCentroids: Int = bc.value._1.length
 
-  // SQL's total order on doubles: NaN greater than everything non-NaN
-  private def gtSql(a: Double, b: Double): Boolean =
-    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
-    else if (java.lang.Double.isNaN(b)) false
-    else a > b
-
-  def rankOf(vec: ArrayData, rank: Int): Long = {
+  /** Top-`nProbe` placeable centroid ids, best first; shorter than
+    * `nProbe` when fewer centroids are placeable for this vector. */
+  def ranksOf(vec: ArrayData, nProbe: Int): Array[Long] = {
     val (ids, mat, norms) = bc.value
-    require(rank >= 1 && rank <= ids.length,
-      s"centroid rank $rank out of range [1, ${ids.length}]")
     val n = vec.numElements()
     val scores = new Array[Double](ids.length)
     val valid = new Array[Boolean](ids.length)
@@ -66,70 +63,70 @@ final class CentroidRankKernel(
       }
       k += 1
     }
-    // rank rounds of first-max selection over the id-sorted order:
+    // nProbe rounds of first-max selection over the id-sorted order:
     // equal scores (incl. NaN==NaN, SQL-equal) keep the smaller id
-    val taken = new Array[Boolean](ids.length)
+    val out = new Array[Long](nProbe)
+    var found = 0
     var round = 0
-    var sel = -1
-    while (round < rank) {
-      sel = -1
+    while (round < nProbe) {
+      var sel = -1
       var selS = 0.0d
       var have = false
       k = 0
       while (k < ids.length) {
-        if (!taken(k) && valid(k) && (!have || gtSql(scores(k), selS))) {
+        if (valid(k) && (!have ||
+            graft.operators.Similarity.gtSqlDouble(scores(k), selS))) {
           sel = k; selS = scores(k); have = true
         }
         k += 1
       }
-      if (sel >= 0) taken(sel) = true
+      if (sel >= 0) {
+        valid(sel) = false // taken
+        out(found) = ids(sel); found += 1
+      }
       round += 1
     }
-    if (sel >= 0) ids(sel) else NullSentinel
+    if (found == nProbe) out else java.util.Arrays.copyOf(out, found)
   }
 }
 
-/** The expression wrapper: `graft_centroid_rank(vec)` with the kernel
-  * (and its broadcast handle) attached at construction — it cannot go
-  * through the function registry (builders only receive Expressions),
-  * so consumers build it via `GraftBridge.column`. See
-  * [[CentroidRankKernel]] for semantics. */
-case class CentroidRank(child: Expression, kernel: CentroidRankKernel,
-                        rank: Int)
+/** The expression wrapper: `graft_centroid_ranks(vec)` with the
+  * kernel (and its broadcast handle) attached at construction — it
+  * cannot go through the function registry (builders only receive
+  * Expressions), so consumers build it via `GraftBridge.column`. See
+  * [[CentroidRankKernel]] for semantics. `nProbe` is validated at
+  * construction (driver plan-build time), not per row. */
+case class CentroidRanks(child: Expression, kernel: CentroidRankKernel,
+                         nProbe: Int)
   extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= kernel.nCentroids,
+    s"nProbe $nProbe out of range [1, ${kernel.nCentroids}]")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_centroid_rank requires array<double>, got $t")
+        s"graft_centroid_ranks requires array<double>, got $t")
     }
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
 
-  // NULL on an unplaceable vector, even with a non-null child
-  override def nullable: Boolean = true
+  override def prettyName: String = "graft_centroid_ranks"
 
-  override def prettyName: String = "graft_centroid_rank"
-
-  override def nullSafeEval(v: Any): Any = {
-    val r = kernel.rankOf(v.asInstanceOf[ArrayData], rank)
-    if (r == kernel.NullSentinel) null else r
-  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      kernel.ranksOf(v.asInstanceOf[ArrayData], nProbe))
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val kRef = ctx.addReferenceObj("graftCentroidRankKernel", kernel,
         classOf[CentroidRankKernel].getName)
-      val r = ctx.freshName("r")
       s"""
-         |long $r = $kRef.rankOf($v, $rank);
-         |if ($r == Long.MIN_VALUE) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $r;
-         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData($kRef.ranksOf($v, $nProbe));
        """.stripMargin
     })
 

@@ -422,8 +422,10 @@ object Similarity {
     * assignment fold: NaN compares GREATER than every non-NaN value
     * (and equal to itself), unlike the JVM's always-false `>`. A
     * NaN-scored centroid therefore wins the fold in BOTH forms —
-    * bit-parity on corrupt vectors, not just clean ones. */
-  private def gtSqlDouble(a: Double, b: Double): Boolean =
+    * bit-parity on corrupt vectors, not just clean ones. ONE
+    * definition shared with [[graft.functions.CentroidRankKernel]]
+    * (the semantics live here, not in per-kernel copies). */
+  private[graft] def gtSqlDouble(a: Double, b: Double): Boolean =
     if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
     else if (java.lang.Double.isNaN(b)) false
     else a > b
@@ -767,32 +769,35 @@ object Similarity {
     element_at(sorted, rank).getField("c")
   }
 
-  /** Row-local rank-th-centroid column FACTORY for streaming
-    * consumers ([[graft.streaming.StreamingOps.semanticProbe]]): one
-    * ranker per probe site, shared across ranks so the quantizer is
-    * broadcast once. At ≤ [[LiteralQuantizerMax]] it returns the
-    * [[centroidRankExpr]] fold (plan-transparent, fixture-friendly);
-    * past it, ranks come from the native codegen
-    * [[graft.functions.CentroidRank]] kernel — STILL row-local (no
-    * object boundary, composes with the door's single stateful op),
-    * but O(K) tight JVM work per row instead of O(K) interpreted
-    * lambdas, with the matrix behind a broadcast handle instead of
-    * inside the plan. Bit-identical ranks for vectors the quantizer
-    * can place (XlQuantizerSpec); an unplaceable vector yields NULL
-    * from the kernel where the fold's null-score sort is undefined —
-    * the door guards those upstream either way. */
-  private[graft] def centroidRanker(cents: Seq[(Long, Seq[Double])])
-  : (Column, Int) => Column =
+  /** Row-local top-`nProbe` centroid-id ARRAY for streaming
+    * consumers ([[graft.streaming.StreamingOps.semanticProbe]]
+    * references rank p as `try_element_at(col, p)`). At
+    * ≤ [[LiteralQuantizerMax]] it is an array of the
+    * [[centroidRankExpr]] folds (plan-transparent,
+    * fixture-friendly); past it, ONE native codegen
+    * [[graft.functions.CentroidRanks]] kernel call — STILL row-local
+    * (no object boundary, composes with the door's single stateful
+    * op), scoring the K centroids ONCE per row for all probe ranks,
+    * tight JVM work instead of O(K·nProbe) interpreted lambdas, with
+    * the matrix behind a broadcast handle instead of inside the
+    * plan. Bit-identical ranks for vectors the quantizer can place
+    * (XlQuantizerSpec); an unplaceable vector yields a SHORT array
+    * from the kernel (missing ranks read as NULL downstream) where
+    * the fold's null-score sort is undefined — the door guards those
+    * upstream either way. */
+  private[graft] def centroidRanks(vec: Column,
+                                   cents: Seq[(Long, Seq[Double])],
+                                   nProbe: Int): Column =
     if (cents.size <= LiteralQuantizerMax)
-      (vec, rank) => centroidRankExpr(vec, cents, rank)
+      array((1 to nProbe).map(p => centroidRankExpr(vec, cents, p)): _*)
     else {
       val kernel = new graft.functions.CentroidRankKernel(
         broadcastQuantizer(
           org.apache.spark.sql.SparkSession.active, cents))
-      (vec, rank) => org.apache.spark.sql.graftbridge.GraftBridge.column(
-        graft.functions.CentroidRank(
+      org.apache.spark.sql.graftbridge.GraftBridge.column(
+        graft.functions.CentroidRanks(
           org.apache.spark.sql.graftbridge.GraftBridge.expression(vec),
-          kernel, rank))
+          kernel, nProbe))
     }
 
   /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each

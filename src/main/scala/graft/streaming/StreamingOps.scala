@@ -253,20 +253,26 @@ object StreamingOps {
     import graft.operators.Similarity
     require(nProbe >= 1 && nProbe <= index.cents.size,
       s"nProbe $nProbe out of range [1, ${index.cents.size}]")
-    require(!stream.columns.contains("graft_cent"),
-      "input stream already has a graft_cent column")
+    require(!stream.columns.contains("graft_cent") &&
+        !stream.columns.contains("graft_cents"),
+      "input stream already has a graft_cent/graft_cents column")
     val v = Similarity.toDouble(col(vecCol))
-    // one ranker for all probe ranks: past LiteralQuantizerMax the
-    // centroid matrix is broadcast ONCE and each rank is a native
-    // codegen kernel call (row-local, still composes with the single
-    // stateful op) instead of an O(K)-interpreted literal fold
-    val ranker = Similarity.centroidRanker(index.cents)
-    (1 to nProbe).foldLeft(stream) { (df, p) =>
+    // ALL probe ranks computed once per arrival up front
+    // (Similarity.centroidRanks): past LiteralQuantizerMax that is
+    // ONE native codegen kernel call scoring the K centroids once —
+    // row-local, still composes with the single stateful op — instead
+    // of nProbe O(K)-interpreted literal folds; each probe stage then
+    // reads its rank with try_element_at (NULL past a short array =
+    // unplaceable vector = nothing to probe, row passes)
+    val withRanks = stream.withColumn("graft_cents",
+      when(col(vecCol).isNotNull,
+        Similarity.centroidRanks(v, index.cents, nProbe)))
+    val probed = (1 to nProbe).foldLeft(withRanks) { (df, p) =>
       val corpusList = index.assigned
         .select(col("cent_id").as("graft_probe_cent"),
           col("c_vec").as("graft_corpus_vec"))
       df.withColumn("graft_cent",
-          when(col(vecCol).isNotNull, ranker(v, p)))
+          try_element_at(col("graft_cents"), lit(p)))
         .join(corpusList,
           col("graft_cent") === col("graft_probe_cent") &&
             Similarity.cosine(v, col("graft_corpus_vec"))
@@ -274,6 +280,7 @@ object StreamingOps {
           "left_anti")
         .drop("graft_cent")
     }
+    probed.drop("graft_cents")
   }
 
   /** Idempotent micro-batch landing write — the partition-overwrite

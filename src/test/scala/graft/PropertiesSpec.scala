@@ -171,11 +171,13 @@ class PropertiesSpec extends SparkSpec {
           cents.map(_._2.toArray).toArray,
           cents.map(c => math.sqrt(
             c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray)))
+      val natAll = wf.withColumn("rs",
+        GraftBridge.column(graft.functions.CentroidRanks(
+          GraftBridge.expression(col("c_vec")), kernel, cents.size)))
       for (rank <- Seq(1, cents.size)) {
-        val nat = wf.withColumn("r",
-            GraftBridge.column(graft.functions.CentroidRank(
-              GraftBridge.expression(col("c_vec")), kernel, rank)))
-          .select("c_id", "r").as[(Long, Long)].collect().toMap
+        val nat = natAll
+          .select(col("c_id"), try_element_at(col("rs"), org.apache.spark.sql.functions.lit(rank)))
+          .as[(Long, Long)].collect().toMap
         val litR = wf.withColumn("r",
             Similarity.centroidRankExpr(col("c_vec"), cents, rank))
           .select("c_id", "r").as[(Long, Long)].collect().toMap

@@ -233,15 +233,18 @@ class XlQuantizerSpec extends SparkSpec {
       c.foldLeft(0.0d)((a, x) => a + x * x)))
     val kernel = new graft.functions.CentroidRankKernel(
       spark.sparkContext.broadcast((ids, mat, norms)))
-    def native(df: DataFrame, rank: Int) = df.withColumn("r",
-      GraftBridge.column(graft.functions.CentroidRank(
-        GraftBridge.expression(col("c_vec")), kernel, rank)))
+    // the kernel scores once and returns ALL ranks; compare each
+    // array slot against the literal per-rank fold.
     // rows 90 (zero) and 91 (NaN element) ARE placeable: zero scores
     // 0.0 everywhere, NaN rides SQL's NaN-largest order in BOTH forms
     val placeable = cands.filter(col("c_id") < 92L)
+    val natAll = placeable.withColumn("rs",
+        GraftBridge.column(graft.functions.CentroidRanks(
+          GraftBridge.expression(col("c_vec")), kernel, cents.size)))
     for (rank <- 1 to cents.size) {
-      val nat = native(placeable, rank)
-        .select("c_id", "r").as[(Long, Long)].collect().toMap
+      val nat = natAll
+        .select(col("c_id"), try_element_at(col("rs"), org.apache.spark.sql.functions.lit(rank)))
+        .as[(Long, Long)].collect().toMap
       val lit = placeable.withColumn("r",
           Similarity.centroidRankExpr(col("c_vec"), cents, rank))
         .select("c_id", "r").as[(Long, Long)].collect().toMap
@@ -250,17 +253,20 @@ class XlQuantizerSpec extends SparkSpec {
     // dim mismatch (92) and null element (93) score null against
     // every centroid except the zero-norm one... which scores 0.0 —
     // so they ARE placeable onto it; drop it and they become truly
-    // unplaceable: the kernel yields SQL NULL
+    // unplaceable: the kernel yields an EMPTY array (ranks read NULL)
     val idsNz = cents.filter(_._1 != 7L)
     val kernelNz = new graft.functions.CentroidRankKernel(
       spark.sparkContext.broadcast((idsNz.map(_._1).toArray,
         idsNz.map(_._2.toArray).toArray,
         idsNz.map(c => math.sqrt(
           c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray)))
-    val un = cands.filter(col("c_id") >= 92L).withColumn("r",
-      GraftBridge.column(graft.functions.CentroidRank(
+    val un = cands.filter(col("c_id") >= 92L).withColumn("rs",
+      GraftBridge.column(graft.functions.CentroidRanks(
         GraftBridge.expression(col("c_vec")), kernelNz, 1)))
-    assert(un.count() === 2 && un.filter(col("r").isNotNull).count() === 0)
+    assert(un.count() === 2)
+    assert(un.filter(size(col("rs")) > 0).count() === 0)
+    assert(un.filter(
+      try_element_at(col("rs"), lit(1)).isNotNull).count() === 0)
   }
 
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
