@@ -1779,7 +1779,24 @@ object Similarity {
     * [[bruteForceTopK]], so [[recallAtK]] measures it directly. */
   def ivfPqTopKWith(index: IvfPqIndex, queries: DataFrame,
                     candidates: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nProbe: Int = 2, rerank: Int = 32): DataFrame = {
+                    k: Int, nProbe: Int = 2, rerank: Int = 32): DataFrame =
+    ivfPqTopKImpl(index, queries, candidates, idCol, vecCol, k, nProbe,
+      rerank, xlProbe = index.cents.size > LiteralQuantizerMax)
+
+  /** [[ivfPqTopKWith]] with the coarse-probe transport pinned — the
+    * parity seam for XlQuantizerSpec. The probes are the same
+    * (q_id, lists) set either way (centroid ranking is
+    * ordering-identical to the window form, XlQuantizerSpec pins
+    * result equality); the XL form replaces the queries × centroids
+    * crossJoin-through-a-window with ONE kernel call per query plus
+    * an explode — the [[ivfTopKXL]] shape, with the residual
+    * decomposition's base term `dot(q, cent)` re-attached by a
+    * broadcast equi-join against the (small) centroid table instead
+    * of riding the cross product. */
+  private[graft] def ivfPqTopKImpl(index: IvfPqIndex, queries: DataFrame,
+                    candidates: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int, rerank: Int,
+                    xlProbe: Boolean): DataFrame = {
     require(rerank >= k,
       s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
         "only return rows from the ADC shortlist")
@@ -1790,21 +1807,40 @@ object Similarity {
       .select(col(idCol).as("q_id"), qv.as("q_vec"),
         sqrt(normSq(qv)).as("q_norm"),
         pqLutExpr(qv, index.codebook).as("lut"))
-    // coarse probe: rank the literal centroid table per query and keep
-    // the nProbe best lists — runs over queries × nCentroids rows. The
-    // raw dot(q, cent) rides along: it is the residual decomposition's
-    // base term (0 when the index holds raw-vector codes)
-    val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("qd").desc, col("cent_id").asc)
-    val probes = qs.crossJoin(cents)
-      .withColumn("qd", cosine(col("q_vec"), col("cent_vec")))
-      .withColumn("adc_base",
-        if (index.residual) dot(col("q_vec"), col("cent_vec"))
-        else lit(0.0d))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
-        col("cent_id"), col("adc_base"))
+    // coarse probe: nProbe best lists per query. The raw dot(q, cent)
+    // rides along: it is the residual decomposition's base term
+    // (0 when the index holds raw-vector codes)
+    val probes =
+      if (!xlProbe) {
+        val cents = broadcast(index.cents.toDF("cent_id", "cent_vec"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("qd").desc, col("cent_id").asc)
+        qs.crossJoin(cents)
+          .withColumn("qd", cosine(col("q_vec"), col("cent_vec")))
+          .withColumn("adc_base",
+            if (index.residual) dot(col("q_vec"), col("cent_vec"))
+            else lit(0.0d))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= nProbe)
+          .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
+            col("cent_id"), col("adc_base"))
+      } else {
+        val exploded = qs
+          .withColumn("graft_cents",
+            centroidRanks(col("q_vec"), index.cents, nProbe))
+          .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
+            explode(col("graft_cents")).as("cent_id"))
+        val withBase =
+          if (index.residual)
+            exploded.join(
+                broadcast(index.cents.toDF("cent_id", "cent_vec")),
+                "cent_id")
+              .withColumn("adc_base", dot(col("q_vec"), col("cent_vec")))
+              .drop("cent_vec")
+          else exploded.withColumn("adc_base", lit(0.0d))
+        withBase.select(col("q_id"), col("q_vec"), col("q_norm"),
+          col("lut"), col("cent_id"), col("adc_base"))
+      }
     adcShortlistRerank(
       broadcast(probes).join(index.encoded, "cent_id")
         .filter(col("q_id") =!= col("c_id")),

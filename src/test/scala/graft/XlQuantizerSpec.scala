@@ -269,6 +269,30 @@ class XlQuantizerSpec extends SparkSpec {
       try_element_at(col("rs"), lit(1)).isNotNull).count() === 0)
   }
 
+  test("IVF+PQ coarse probe: XL transport returns exactly the " +
+    "window form's results, raw AND residual") {
+    val corpus = cands.filter(col("c_id") < 90L)
+      .select(col("c_id").as("vec_id"),
+        col("c_vec").cast("array<float>").as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 6L)
+    def key(df: DataFrame) =
+      df.select("q_id", "rank", "c_id").as[(Long, Int, Long)]
+        .collect().toSet
+    for (residual <- Seq(false, true)) {
+      val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+        nCentroids = 4, m = 2, ksub = 4, residual = residual,
+        persistIndex = false)
+      val lit = key(Similarity.ivfPqTopKImpl(idx, queries, corpus,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerank = 8,
+        xlProbe = false))
+      val xl = key(Similarity.ivfPqTopKImpl(idx, queries, corpus,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerank = 8,
+        xlProbe = true))
+      assert(xl === lit, s"residual=$residual")
+      assert(lit.nonEmpty)
+    }
+  }
+
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
     "(including a zero-norm query)") {
     val corpus = cands.filter(col("c_id") < 90L)
