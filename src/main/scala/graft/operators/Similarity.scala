@@ -984,12 +984,12 @@ object Similarity {
   def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                         cents: Seq[Seq[Double]]): DataFrame = {
     requireIntegralId(vecs, idCol, "assignToCentroids")
-    assignLiteral(nonNullVecs(vecs, vecCol)
+    assignDispatch(nonNullVecs(vecs, vecCol)
       .select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v")), cents)
   }
 
-  private def assignLiteral(v: DataFrame,
+  private[graft] def assignLiteral(v: DataFrame,
                             cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, "assignLiteral needs at least one centroid")
     val centsL = typedLit(cents.map(_.toSeq))
@@ -1010,6 +1010,76 @@ object Similarity {
       .select(col("id"), col("v"), col("best.c").as("cluster"),
         col("best.d2").as("d2"))
   }
+
+  /** [[assignLiteral]] with the centroid table BEHIND A BROADCAST —
+    * the d2 (k-means) twin of [[ivfAssignBroadcast]], closing the
+    * LAST literal model-fold in the ANN family: `trainCoarse`
+    * rebuilds at AutoCentroids sizing run the final k-means
+    * assignment at K > [[LiteralQuantizerMax]], where the literal
+    * form pays the measured interpreted-HOF cost. Bit-identical
+    * (XlQuantizerSpec): same index-order (x−c)² sum, same NULL on
+    * dim mismatch / null element (the skipped centroid), same
+    * strict-< first-min tie-break over ascending cluster ids, same
+    * (−1, Double.MaxValue) fallback for a vector no centroid can
+    * score. [[assignToCentroids]] and the [[kmeans]] final
+    * assignment dispatch on K automatically. */
+  private[graft] def assignBroadcastD2(v: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignBroadcastD2 needs at least one centroid")
+    val spark = v.sparkSession
+    val bc = spark.sparkContext.broadcast(cents.map(_.toArray).toArray)
+    val idIdx = v.schema.fieldIndex("id")
+    val vecIdx = v.schema.fieldIndex("v")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      v.schema(idIdx), v.schema(vecIdx),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    v.mapPartitions { rows =>
+      val mat = bc.value
+      rows.map { r =>
+        val raw = r.getAs[scala.collection.Seq[Any]](vecIdx)
+        val vec: Array[java.lang.Double] =
+          if (raw == null) null
+          else raw.map {
+            case d: java.lang.Double => d
+            case null                => null
+            case o => java.lang.Double.valueOf(
+              o.asInstanceOf[Number].doubleValue())
+          }.toArray
+        var bestC = -1L
+        var bestD = Double.MaxValue
+        var k = 0
+        while (vec != null && k < mat.length) {
+          val c = mat(k)
+          if (c.length == vec.length) {
+            var s = 0.0d
+            var ok = true
+            var i = 0
+            while (ok && i < c.length) {
+              val x = vec(i)
+              if (x == null) ok = false
+              else {
+                val d = x.doubleValue() - c(i)
+                s += d * d
+                i += 1
+              }
+            }
+            if (ok && s < bestD) { bestD = s; bestC = k.toLong }
+          }
+          k += 1
+        }
+        org.apache.spark.sql.Row(r.get(idIdx), r.get(vecIdx), bestC, bestD)
+      }
+    }(enc)
+  }
+
+  private def assignDispatch(v: DataFrame,
+                             cents: Seq[Seq[Double]]): DataFrame =
+    if (cents.size > LiteralQuantizerMax) assignBroadcastD2(v, cents)
+    else assignLiteral(v, cents)
 
   /** Per-round k-means convergence evidence: inertia (Σ d2 of the
     * round's assignment, exact decimal sum) and the max centroid
@@ -1117,7 +1187,7 @@ object Similarity {
     // cents(i) = centroid of cluster id i
     var cents: Array[Seq[Double]] = seeds.toArray
 
-    def assign(): DataFrame = assignLiteral(v, cents.toSeq)
+    def assign(): DataFrame = assignDispatch(v, cents.toSeq)
 
     // built ONCE over the persisted corpus and reused every round —
     // no per-round Catalyst planning, the rounds are plain jobs

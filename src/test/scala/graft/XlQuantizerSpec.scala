@@ -106,6 +106,38 @@ class XlQuantizerSpec extends SparkSpec {
     assert(viaIndex === viaLiteral)
   }
 
+  test("assignBroadcastD2 is bit-identical to the d2 literal fold " +
+    "(the kmeans assignment), and assignToCentroids dispatches past " +
+    "the boundary") {
+    val v = cands.select(col("c_id").as("id"), col("c_vec").as("v"))
+    def m(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("cluster")),
+        java.lang.Double.doubleToLongBits(
+          r.getDouble(r.fieldIndex("d2"))))
+    }.toSet
+    // d2 semantics differ from the cosine fold on purpose: NaN d2
+    // never beats MaxValue, and the zero-norm centroid is ordinary —
+    // the degenerate rows (91/92/93) land on (-1, MaxValue) in BOTH
+    // transports; parity is the claim, per-corner stances are pinned
+    // by the literal fold's own KMeansSpec contract
+    val cs: Seq[Seq[Double]] = cents.map(_._2)
+    val lit = m(Similarity.assignLiteral(v, cs))
+    val bc = m(Similarity.assignBroadcastD2(v, cs))
+    assert(bc === lit)
+    assert(lit.exists(t => t._2 == -1L)) // degenerate rows present
+    // dispatch: past LiteralQuantizerMax the public entry takes the
+    // broadcast transport, row-identical to the literal form
+    val bigCs: Seq[Seq[Double]] =
+      (0 until Similarity.LiteralQuantizerMax + 6).map(i =>
+        Seq(i * 1.0d, 1.0d, (i % 9) * 0.5d, 0.0d))
+    val viaPublic = m(Similarity.assignToCentroids(
+      cands.select(col("c_id"), col("c_vec").as("embedding")),
+      "c_id", "embedding", bigCs))
+    val viaLiteral = m(Similarity.assignLiteral(v, bigCs))
+    assert(viaPublic === viaLiteral)
+  }
+
   test("twoLevelQuantizer partitions the centroid set exactly") {
     val cs = (0 until 25).map { i =>
       (i.toLong, Seq((i % 5) * 1.0d, (i / 5) * 1.0d, 1.0d, 0.0d)) }
