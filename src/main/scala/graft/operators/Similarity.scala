@@ -807,14 +807,21 @@ object Similarity {
     * equi-join on cent_id. */
   def ivfTopKWith(index: IvfIndex, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nProbe: Int = 2): DataFrame =
+                  nProbe: Int = 2): DataFrame = {
+    // the window form always capped nProbe at K silently (rn <= n
+    // keeps at most K lists); clamp BEFORE dispatching so the XL
+    // branch — whose kernel validates its range — behaves identically
+    // across the boundary (a recall sweep crossing K must not start
+    // throwing only on big indexes)
+    val np = math.min(nProbe, index.cents.size)
     // past the literal boundary the probe ranking's queries×centroids
     // crossJoin is the catastrophic shape (Q·10⁵ rows through a
     // window) — auto-switch to the result-equal broadcast projection,
     // the same dispatch [[ivfAssign]] applies on the build side
     if (index.cents.size > LiteralQuantizerMax)
-      ivfTopKXL(index, queries, idCol, vecCol, k, nProbe)
-    else ivfTopKLiteral(index, queries, idCol, vecCol, k, nProbe)
+      ivfTopKXL(index, queries, idCol, vecCol, k, np)
+    else ivfTopKLiteral(index, queries, idCol, vecCol, k, np)
+  }
 
   private[graft] def ivfTopKLiteral(index: IvfIndex, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
@@ -1854,15 +1861,21 @@ object Similarity {
       rerank, xlProbe = index.cents.size > LiteralQuantizerMax)
 
   /** [[ivfPqTopKWith]] with the coarse-probe transport pinned — the
-    * parity seam for XlQuantizerSpec. The probes are the same
-    * (q_id, lists) set either way (centroid ranking is
-    * ordering-identical to the window form, XlQuantizerSpec pins
-    * result equality); the XL form replaces the queries × centroids
-    * crossJoin-through-a-window with ONE kernel call per query plus
-    * an explode — the [[ivfTopKXL]] shape, with the residual
-    * decomposition's base term `dot(q, cent)` re-attached by a
-    * broadcast equi-join against the (small) centroid table instead
-    * of riding the cross product. */
+    * parity seam for XlQuantizerSpec. For queries the quantizer can
+    * place, the probes are the same (q_id, lists) set either way
+    * (centroid ranking is ordering-identical to the window form,
+    * XlQuantizerSpec pins result equality below AND above the
+    * boundary); an UNPLACEABLE query (null element / dim mismatch
+    * against every centroid) probes nothing in the XL form where the
+    * window form still ranks its all-null scores — the
+    * [[ivfTopKXL]] / [[ivfAssignTwoLevel]] documented stance. The XL
+    * form replaces the queries × centroids crossJoin-through-a-window
+    * with ONE kernel call per query plus an explode, with the
+    * residual decomposition's base term `dot(q, cent)` re-attached by
+    * a broadcast equi-join against the (small) centroid table instead
+    * of riding the cross product. nProbe is clamped at K (the window
+    * form's silent cap) so behavior cannot flip at the dispatch
+    * boundary. */
   private[graft] def ivfPqTopKImpl(index: IvfPqIndex, queries: DataFrame,
                     candidates: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbe: Int, rerank: Int,
@@ -1870,6 +1883,7 @@ object Similarity {
     require(rerank >= k,
       s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
         "only return rows from the ADC shortlist")
+    val np = math.min(nProbe, index.cents.size)
     val spark = queries.sparkSession
     import spark.implicits._
     val qv = toDouble(col(vecCol))
@@ -1891,13 +1905,13 @@ object Similarity {
             if (index.residual) dot(col("q_vec"), col("cent_vec"))
             else lit(0.0d))
           .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= nProbe)
+          .filter(col("rn") <= np)
           .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
             col("cent_id"), col("adc_base"))
       } else {
         val exploded = qs
           .withColumn("graft_cents",
-            centroidRanks(col("q_vec"), index.cents, nProbe))
+            centroidRanks(col("q_vec"), index.cents, np))
           .select(col("q_id"), col("q_vec"), col("q_norm"), col("lut"),
             explode(col("graft_cents")).as("cent_id"))
         val withBase =

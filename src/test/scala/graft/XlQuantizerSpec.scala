@@ -325,6 +325,56 @@ class XlQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ coarse probe ABOVE the literal boundary: the kernel " +
+    "transport (the branch production actually dispatches to) matches " +
+    "the window form, and nProbe > nCentroids clamps instead of " +
+    "throwing") {
+    // the small-index case above pins the explode/residual-join shape
+    // over the literal folds; with cents.size <= LiteralQuantizerMax
+    // the CentroidRanks kernel itself never runs inside an ivfPq
+    // pipeline. This fixture crosses the boundary for real: 72
+    // hash-sampled centroids > LiteralQuantizerMax (64), so
+    // centroidRanks takes the codegen-kernel branch and the public
+    // entry auto-dispatches to it
+    val n = 160
+    val big = (0 until n).map { i =>
+      (i.toLong, Seq((i % 97).toFloat, ((i * 31) % 89).toFloat,
+        1.0f, (i % 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val k = Similarity.LiteralQuantizerMax + 8
+    val queries = big.filter(col("vec_id") < 6L)
+    def key(df: DataFrame) =
+      df.select("q_id", "rank", "c_id").as[(Long, Int, Long)]
+        .collect().toSet
+    for (residual <- Seq(false, true)) {
+      val idx = Similarity.ivfPqIndex(big, "vec_id", "embedding",
+        nCentroids = k, m = 2, ksub = 4, residual = residual,
+        persistIndex = false)
+      assert(idx.cents.size > Similarity.LiteralQuantizerMax)
+      val lit = key(Similarity.ivfPqTopKImpl(idx, queries, big,
+        "vec_id", "embedding", k = 3, nProbe = 3, rerank = 8,
+        xlProbe = false))
+      val xl = key(Similarity.ivfPqTopKImpl(idx, queries, big,
+        "vec_id", "embedding", k = 3, nProbe = 3, rerank = 8,
+        xlProbe = true))
+      assert(xl === lit, s"residual=$residual")
+      assert(lit.nonEmpty)
+      // the public entry dispatches to the kernel transport here
+      assert(key(Similarity.ivfPqTopKWith(idx, queries, big,
+        "vec_id", "embedding", k = 3, nProbe = 3, rerank = 8)) === lit)
+      // nProbe past the centroid count: the window form silently kept
+      // all lists (rn <= nProbe); the kernel validates its range, so
+      // the entry clamps BEFORE dispatch — same results, no throw
+      val allLit = key(Similarity.ivfPqTopKImpl(idx, queries, big,
+        "vec_id", "embedding", k = 3, nProbe = idx.cents.size + 50,
+        rerank = 8, xlProbe = false))
+      val allXl = key(Similarity.ivfPqTopKWith(idx, queries, big,
+        "vec_id", "embedding", k = 3, nProbe = idx.cents.size + 50,
+        rerank = 8))
+      assert(allXl === allLit, s"residual=$residual clamp")
+    }
+  }
+
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
     "(including a zero-norm query)") {
     val corpus = cands.filter(col("c_id") < 90L)
