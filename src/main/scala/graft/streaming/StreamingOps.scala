@@ -198,11 +198,10 @@ object StreamingOps {
     * within-cluster comparison, which is what keeps the check
     * sub-quadratic at any scale). Per probe rank p:
     *
-    *  - the arrival's rank-p centroid id is a ROW-LOCAL expression
-    *    over the index's frozen centroid literal
-    *    ([[graft.operators.Similarity.centroidRankExpr]] — rank 1 is
+    *  - the arrival's probe ranks are ONE ROW-LOCAL expression
+    *    ([[graft.operators.Similarity.centroidRanks]] — rank 1 is
     *    bit-identical to the build's own assignment), so the stream
-    *    side needs no join to find its list;
+    *    side needs no join to find its lists;
     *  - one LEFT ANTI equi-join on cent_id against the index's
     *    assigned table, with `cosine >= cosThreshold` as the residual
     *    condition — the [[nearDupAgainstCorpus]] probe shape with
@@ -230,21 +229,23 @@ object StreamingOps {
     * index.cents.size) — size the index's coarse quantizer with
     * [[graft.operators.Similarity.suggestedNCentroids]] (√N; a
     * frozen count degrades this gate linearly in corpus growth —
-    * measured 17× at 10×, docs/SCALE.md round 10). Boundary: the
-    * centroid set rides into codegen as a plan literal
-    * (nCentroids·dim doubles), fine through ~10⁵ centroids
-    * (√N of a 10-billion-vector corpus); beyond that the coarse
-    * quantizer itself needs to move behind a broadcast or a
-    * two-level (hierarchical) quantizer. The BATCH side has both
-    * since round 10 ([[graft.operators.Similarity.ivfAssignBroadcast]]
-    * auto-switched past `LiteralQuantizerMax`,
-    * [[graft.operators.Similarity.twoLevelQuantizer]]); the stream
-    * side keeps the row-local literal — its anti-join probes cannot
-    * aggregate a per-arrival argmin without adding stateful ops to
-    * the door's one-op budget — so past the boundary the door's gate
-    * takes the two-level LITERAL (√K supers in-plan, children behind
-    * the existing broadcast equi-join machinery): a documented next
-    * step, not a silent limit.
+    * measured 17× at 10×, docs/SCALE.md round 10). Transport: at
+    * K ≤ `LiteralQuantizerMax` the ranks are
+    * [[graft.operators.Similarity.centroidRankExpr]] folds over the
+    * frozen centroid literal (plan-transparent); past it,
+    * [[graft.operators.Similarity.centroidRanks]] auto-switches to
+    * ONE native codegen [[graft.functions.CentroidRanks]] kernel call
+    * per arrival — all probe ranks in a single K-scan, the quantizer
+    * behind a broadcast handle instead of inside the plan — still
+    * row-local, still composing with the door's single stateful op
+    * (parity and the door-level XL test: XlQuantizerSpec). The
+    * remaining documented next step is the EXTREME-K cost axis, not a
+    * transport limit: the kernel scans all K centroids per arrival,
+    * fine through ~10⁵ (√N of a 10-billion-vector corpus); past that
+    * the door's gate takes the batch side's two-level hierarchy
+    * ([[graft.operators.Similarity.twoLevelQuantizer]], √K supers
+    * routing wProbe·√K children) to cut the per-arrival scan to
+    * O(wProbe·√K·dim).
     */
   def semanticProbe(stream: DataFrame, vecCol: String,
                     index: graft.operators.Similarity.IvfIndex,
