@@ -214,24 +214,41 @@ object VectorQueries {
       // two-level hierarchy must clear its agreement floor. One-row
       // verdict with a CONSTANT oracle — the *_precision audit shape:
       // any transport divergence flips a diff counter, an empty
-      // corpus flips checked_nonzero, so it cannot pass vacuously.
+      // corpus OR an empty compare sample flips checked_nonzero, so
+      // it cannot pass vacuously.
       val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
       val n = emb.count()
       val k = Similarity.suggestedNCentroids(n)
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", k)
       val cands = emb.select(col("vec_id").cast("long").as("c_id"),
         Similarity.toDouble(col("embedding")).as("c_vec"))
-      val exact = Similarity.ivfAssignBroadcast(cands, idx.cents)
-        .select(col("c_id"), col("cent_id").as("cent_bc"))
+      // assignment parity with BOTH transports pinned — comparing the
+      // index's own assignment against a broadcast recompute would go
+      // vacuous exactly where it matters (past LiteralQuantizerMax the
+      // build side IS the broadcast form; √N crosses 64 at the derived
+      // sf1 run, K≈448). The literal fold at XL K is the interpreted
+      // cost the dispatch exists to avoid, so the pinned compare runs
+      // on a deterministic id-spread sample (≤2048 rows — parity is
+      // per-row, so the sample is coverage, not an estimate); full
+      // corpus wherever n ≤ 2048
+      val samStep = math.max(1L, n / 2048L)
+      val sample = cands.filter(pmod(col("c_id"), lit(samStep)) === 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assignDiff = idx.assigned.select(col("c_id"), col("cent_id"))
+      // the non-vacuous guard must cover the SAMPLE, not just the
+      // corpus: an id distribution that misses every residue-0 id
+      // would zero the diffs with nothing compared
+      val nSample = sample.count()
+      val exact = Similarity.ivfAssignBroadcast(sample, idx.cents)
+        .select(col("c_id"), col("cent_id").as("cent_bc"))
+      val assignDiff = Similarity
+        .ivfAssignLiteral(sample, idx.cents)
+        .select(col("c_id"), col("cent_id"))
         .join(exact, "c_id")
-        .filter(col("cent_id") =!= col("cent_bc")).count()
+        .filter(!(col("cent_id") <=> col("cent_bc"))).count()
       val q = emb.filter(col("vec_id") < nQueries)
-      // transport-pinned forms on BOTH sides: ivfTopKWith itself
-      // auto-dispatches to XL past the literal boundary, which the
-      // suggested K exceeds from sf0.1 up — comparing it against
-      // ivfTopKXL would then be vacuous
+      // transport-pinned forms on BOTH sides here too: ivfTopKWith
+      // auto-dispatches to XL past the literal boundary (the sf1-scale
+      // run), where comparing it against ivfTopKXL would be vacuous
       val lit3 = Similarity.ivfTopKLiteral(idx, q, "vec_id",
         "embedding", 3, nProbe = 4).select("q_id", "rank", "c_id")
       val xl3 = Similarity.ivfTopKXL(idx, q, "vec_id", "embedding",
@@ -244,29 +261,36 @@ object VectorQueries {
       // wProbe ≈ 2/3·k1 on the structureless sf1 embeddings, the
       // measured curve in docs/SCALE.md — so it is data, not a gate)
       val tlq = Similarity.twoLevelQuantizer(idx.cents)
-      val two = Similarity.ivfAssignTwoLevel(cands, tlq,
+      val two = Similarity.ivfAssignTwoLevel(sample, tlq,
         wProbe = tlq.supers.size)
         .select(col("c_id"), col("cent_id").as("cent_tl"))
       val tlDiff = exact.join(two, "c_id")
-        .filter(col("cent_bc") =!= col("cent_tl")).count()
+        .filter(!(col("cent_bc") <=> col("cent_tl"))).count()
       // PQ transport parity at the DEFAULT m=8 × ksub=16 shape (128
       // codewords — past CodebookLiteralMax, so production takes the
       // broadcast loop; this pins it against the expression form).
       // Transport parity holds for ANY codebook, so train cheaply:
-      // 2 Lloyd rounds on a 2048 sample, not the production 5/4096
+      // 2 Lloyd rounds on a 2048 sample, not the production 5/4096.
+      // The encode compare runs on the same id-spread sample as the
+      // assign parity — the literal form past CodebookLiteralMax is
+      // the measured-5x interpreted fold the dispatch avoids, and
+      // per-row parity needs row coverage, not corpus volume
       val book = Similarity.pqTrain(emb, "vec_id", "embedding",
         8, 16, 2, 2048)
-      val pl = Similarity.pqEncodeLiteral(emb, "vec_id", "embedding",
-        book).select(col("c_id"), col("codes").as("codes_l"),
-        col("c_norm").as("norm_l"))
-      val pb = Similarity.pqEncodeBroadcast(emb, "vec_id", "embedding",
-        book).select(col("c_id"), col("codes").as("codes_b"),
-        col("c_norm").as("norm_b"))
+      val sampleEmb = emb
+        .filter(pmod(col("vec_id").cast("long"), lit(samStep)) === 0)
+      val pl = Similarity.pqEncodeLiteral(sampleEmb, "vec_id",
+        "embedding", book).select(col("c_id"),
+        col("codes").as("codes_l"), col("c_norm").as("norm_l"))
+      val pb = Similarity.pqEncodeBroadcast(sampleEmb, "vec_id",
+        "embedding", book).select(col("c_id"),
+        col("codes").as("codes_b"), col("c_norm").as("norm_b"))
       val pqDiff = pl.join(pb, "c_id")
         .filter(col("codes_l") =!= col("codes_b") ||
           !(col("norm_l") <=> col("norm_b"))).count()
       import s.implicits._
-      Seq((if (n > 0) 1L else 0L, assignDiff, probeDiff, tlDiff, pqDiff))
+      Seq((if (n > 0 && nSample > 0) 1L else 0L,
+          assignDiff, probeDiff, tlDiff, pqDiff))
         .toDF("checked_nonzero", "n_assign_diff", "n_probe_diff",
           "n_twolevel_fullprobe_diff", "n_pq_encode_diff")
     }),
