@@ -185,4 +185,43 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: XL transport parity — the d2 (k-means) broadcast " +
+    "assignment equals the d2 literal fold over adversarial " +
+    "quantizers, incl. a dim-mismatched centroid and null elements") {
+    import graft.operators.Similarity
+    // same adversarial pool as the cosine parity above; the d2 fold
+    // has its own comparator corners (strict < keeps the FIRST min;
+    // NaN/Inf d2 never beats the MaxValue seed; a null element or
+    // dim mismatch skips that centroid; a vector no centroid can
+    // score falls back to (-1, MaxValue))
+    val dim = 3
+    val elem = Gen.oneOf(-1.0d, 0.0d, 0.5d, 1.0d, 2.0d,
+      Double.NaN, 1e300)
+    val centsGen = for {
+      k <- Gen.choose(2, 5)
+      vs <- Gen.listOfN(k, Gen.listOfN(dim, elem))
+    } yield vs.map(v => v: Seq[Double])
+    val batchGen = for {
+      n <- Gen.choose(8, 16)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.frequency(9 -> elem.map(Option(_)), 1 -> Gen.const(None))))
+    } yield vs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+    val cases = samples(Gen.zip(centsGen, batchGen), 6)
+    assert(cases.nonEmpty)
+    cases.foreach { case (cents0, batch) =>
+      // append a dim-2 centroid: BOTH forms must skip it for every
+      // dim-3 vector (never chosen, never poisoning the argmin)
+      val cents = cents0 :+ (Seq(1.0d, 2.0d): Seq[Double])
+      val df = batch.toDF("id", "v")
+      def m(r: org.apache.spark.sql.DataFrame) =
+        r.select("id", "cluster", "d2").as[(Long, Long, Double)]
+          .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      val lit = m(Similarity.assignLiteral(df, cents))
+      val bc = m(Similarity.assignBroadcastD2(df, cents))
+      assert(bc === lit, s"d2 parity, cents=$cents")
+      // the mismatched centroid (index cents0.size) is never selected
+      assert(!bc.values.exists(_._1 == cents0.size.toLong))
+    }
+  }
 }
