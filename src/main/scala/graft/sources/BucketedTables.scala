@@ -90,7 +90,11 @@ object BucketedTables {
     * half-swapped state (live table missing, staging present) and
     * finishes the interrupted rename BEFORE anything else — staging
     * is never dropped unless the live table still exists, so the
-    * single surviving copy of the data cannot be deleted. Run it from
+    * single surviving copy of the data cannot be deleted. A crash in
+    * the LATER window (renamed but partitions not yet re-registered)
+    * is likewise healed at entry: partitioned tables get an
+    * idempotent MSCK before the live table is read, so the rewrite
+    * can never compact a stale-partition empty read. Run it from
     * the single maintenance owner between jobs — the same
     * single-writer stance as the index appends; readers needing an
     * always-live handle put the TABLE NAME behind an
@@ -115,6 +119,21 @@ object BucketedTables {
     if (!liveExists)
       throw new IllegalStateException(
         s"compactBucketed: table $table does not exist and no staging copy found")
+    if (partitionCols.nonEmpty) {
+      // close the OTHER crash window: between a swap's RENAME and its
+      // MSCK. On catalogs that keep explicit per-partition locations
+      // (Hive), the renamed table's partitions still point at the
+      // pre-rename paths, reads list stale directories and return
+      // empty — and the recompaction below would then compact that
+      // empty read and DROP the only real copy. Re-registering
+      // partitions at entry is idempotent, bounded by
+      // partition-directory count (cheaper than the recursive file
+      // listing the maintenance audit already does), and keeps
+      // "re-run this method" the universal crash recovery. The
+      // session-scoped InMemoryCatalog rewrites partition locations
+      // on rename, so the repair is a no-op there.
+      spark.sql(s"MSCK REPAIR TABLE $table")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     // Pin the bucketed scan ON for the copy: the source table's scan
     // then has one partition per bucket, writeBucketed's repartition
