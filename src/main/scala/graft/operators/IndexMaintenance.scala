@@ -67,7 +67,10 @@ object IndexMaintenance {
     def currentVersion(): Long = pointer.lastCommitted()
 
     def versionDir(v: Long): String =
-      new java.io.File(root, s"v$v").getPath
+      // Hadoop Path join, not java.io.File: a scheme URI root
+      // (hdfs://, s3a://) must survive the concatenation for the
+      // artifact paths to land in the same store nextVersion scans
+      new org.apache.hadoop.fs.Path(root, s"v$v").toString
 
     /** Directory of the published version, if any. */
     def currentDir(): Option[String] = {
@@ -116,11 +119,11 @@ object IndexMaintenance {
 
   private def write(df: DataFrame, dir: String, name: String): Unit =
     df.write.mode("overwrite")
-      .parquet(new java.io.File(dir, name).getPath)
+      .parquet(new org.apache.hadoop.fs.Path(dir, name).toString)
 
   private def read(spark: SparkSession, dir: String,
                    name: String): DataFrame =
-    spark.read.parquet(new java.io.File(dir, name).getPath)
+    spark.read.parquet(new org.apache.hadoop.fs.Path(dir, name).toString)
 
   private def centsDf(spark: SparkSession,
                       cents: Seq[(Long, Seq[Double])]): DataFrame = {
