@@ -177,18 +177,33 @@ object BucketedTables {
                         buckets: Int): Double = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val root = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawRoot = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = rawRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fully qualify so equality against listFiles' (already qualified)
+    // paths can terminate the upward walk reliably
+    val root = fs.makeQualified(rawRoot)
     if (!fs.exists(root)) return 0.0
     def isHidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    // hidden check walks EVERY segment below the root, not just the
+    // leaf: a crashed write's _temporary/... or .staging/... subtree
+    // holds normally-named part files that would otherwise count as
+    // data (and their dirs as partition slots), skewing the audit
+    // toward spurious compactions
+    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        if (isHidden(cur.getName)) return true
+        cur = cur.getParent
+      }
+      false
+    }
     var dataFiles = 0L
     var partitionDirs = 0L
     val it = fs.listFiles(root, /* recursive = */ true)
     val seenDirs = scala.collection.mutable.Set.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (!isHidden(name)) {
+      if (!hiddenBelowRoot(st.getPath)) {
         dataFiles += 1
         val parent = st.getPath.getParent
         if (parent != root && !seenDirs.contains(parent.toString)) {

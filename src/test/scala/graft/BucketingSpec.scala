@@ -73,6 +73,23 @@ class BucketingSpec extends SparkSpec {
       // idempotent: the second call finds a healthy layout and does nothing
       assert(!BucketedTables.maintainBucketed(spark, "maint_bkt", 4,
         Seq("k")))
+      // a crashed write's _temporary subtree (normally-named part
+      // files under a hidden dir) must not count as data or partition
+      // slots — the audit walks every segment below the root
+      val ident = spark.sessionState.sqlParser
+        .parseTableIdentifier("maint_bkt")
+      val loc = new java.io.File(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .location.toString))
+      val junk = new java.io.File(loc, "_temporary/0/task_0")
+      assert(junk.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(junk, "part-00000.parquet").toPath,
+        Array.fill(16)(0x5a.toByte))
+      assert(BucketedTables.fileAmplification(spark, "maint_bkt", 4)
+        == 1.0, "hidden-subtree files must not skew the audit")
+      assert(!BucketedTables.maintainBucketed(spark, "maint_bkt", 4,
+        Seq("k")), "junk under _temporary must not trigger compaction")
     } finally {
       spark.sql("DROP TABLE IF EXISTS maint_bkt")
       spark.sql("DROP TABLE IF EXISTS maint_bkt_compacting")
