@@ -42,22 +42,65 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Greedy BPE training over a (word, freq) table. Each round is a
-    * vocab-sized aggregate; the only driver state is the 1-row winner
-    * and the accumulated merge list (numMerges rows). */
+  /** Word-freq tables at or below this row count train driver-side
+    * (the Heaps'-law case: even a 100 TB corpus yields ~10^6-10^7
+    * distinct words ≈ hundreds of MB — it FITS, and the classic
+    * incremental-pair-count loop runs tens of thousands of merges in
+    * seconds where the distributed rounds would schedule ~2 jobs +
+    * one block-store checkpoint PER MERGE: scheduler-bound for days
+    * at a GPT-2-scale 30k-merge vocabulary, independent of cluster
+    * size). Same stance as pqTrain's lloydDriver and ModelFit's
+    * driver-side Cramer: the reduction is distributed, the iteration
+    * is driver-local once the state is provably bounded. */
+  val DriverTrainMaxWords: Long = 8L * 1000 * 1000
+
+  /** Greedy BPE training over a (word, freq) table.
+    *
+    * Two regimes, merge-for-merge identical (BpeSpec pins parity):
+    *  - vocab fits [[DriverTrainMaxWords]] (always, in practice):
+    *    collect the (word, freq) table ONCE and run the incremental
+    *    driver loop — per merge, only the words that contain the
+    *    winning pair update their pair counts ([[trainDriver]]).
+    *  - over-bound fallback: the distributed rounds — each merge is
+    *    a vocab-sized aggregate + 1-row argmax ([[trainDistributed]]).
+    */
   def train(words: DataFrame, numMerges: Int,
-            wordCol: String = "word", freqCol: String = "freq"): Seq[Merge] = {
+            wordCol: String = "word", freqCol: String = "freq",
+            maxDriverWords: Long = DriverTrainMaxWords): Seq[Merge] = {
     require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    // materialize the vocab-sized reduction once; both regimes (and
+    // the distributed path's per-round lineage truncation) reuse it
+    val wf = words.select(col(wordCol).cast("string").as("word"),
+        col(freqCol).cast("long").as("freq"))
+      .filter(col("freq").isNotNull)
+      .localCheckpoint(true)
+    if (wf.count() <= maxDriverWords) {
+      val spark = wf.sparkSession
+      import spark.implicits._
+      trainDriver(wf.as[(String, Long)].collect(), numMerges)
+    } else trainDistributed(wf, numMerges)
+  }
+
+  /** The distributed merge rounds — the over-bound fallback. Each
+    * round: explode adjacent symbol pairs weighted by freq,
+    * partial+final aggregate, 1-row argmax to the driver, apply the
+    * winner with the codegen `graft_bpe_merge` literal.
+    * localCheckpoint truncates per-round lineage so round r never
+    * replays rounds 1..r-1. ~2 scheduled jobs per merge — fine for
+    * bench-sized merge counts, the reason [[trainDriver]] exists for
+    * production vocabularies. */
+  private[graft] def trainDistributed(words: DataFrame,
+                                      numMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // initial symbols via the SAME codepoint splitter encode uses
     // (graft_bpe_encode with an empty merge table = chars) — a regex
     // split('') would keep a trailing "" and break surrogate pairs
     var syms = words.select(
-        call_function("graft_bpe_encode", col(wordCol),
+        call_function("graft_bpe_encode", col("word"),
           typedLit(Seq.empty[String]), typedLit(Seq.empty[String]))
           .as("syms"),
-        col(freqCol).cast("long").as("freq"))
+        col("freq"))
       .filter(size(col("syms")) >= 2)
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
@@ -87,6 +130,142 @@ object Bpe {
         syms = next
         r += 1
       }
+    }
+    merges.result()
+  }
+
+  /** The driver-local incremental merge loop (Sennrich's reference
+    * shape): pair counts + an inverted pair→words index + an ordered
+    * set for the argmax. Per merge, only words CONTAINING the winner
+    * touch the counts — O(affected symbols · log |pairs|), not a
+    * distributed job. Bit-parity with [[trainDistributed]]:
+    *  - symbols come from the same [[graft.functions.BpeKernels]]
+    *    codepoint splitter and non-overlapping mergePass;
+    *  - counts are the same overlap-counting adjacent-pair sums
+    *    (`"aaa"` contributes (a,a) twice);
+    *  - the argmax tie-breaks (count desc, left asc, right asc) with
+    *    UTF8String's binary comparator — the exact ordering Spark's
+    *    `asc` gives the distributed argmax.
+    * Index entries are lazy (never removed when a pair is destroyed);
+    * a winner's candidate list is re-validated against the live word
+    * before it is touched, and a pair that re-forms later (possible:
+    * a merged symbol can recreate a previously-exhausted adjacency)
+    * simply re-enters the structures. */
+  private[graft] def trainDriver(words: Array[(String, Long)],
+                                 numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.BpeKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    def symsOf(w: String): Array[UTF8String] = {
+      val a = BpeKernels.chars(UTF8String.fromString(w))
+      val out = new Array[UTF8String](a.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = a.getUTF8String(i); i += 1 }
+      out
+    }
+    // reuse the codegen kernel's mergePass so driver merges are the
+    // same non-overlapping left-to-right pass bit for bit
+    def mergeWord(s: Array[UTF8String], l: UTF8String,
+                  r: UTF8String): Array[UTF8String] = {
+      val out = BpeKernels.mergePass(
+        new GenericArrayData(s.asInstanceOf[Array[AnyRef]]), l, r)
+      val res = new Array[UTF8String](out.numElements())
+      var i = 0
+      while (i < res.length) { res(i) = out.getUTF8String(i); i += 1 }
+      res
+    }
+    def hasPair(s: Array[UTF8String], l: UTF8String,
+                r: UTF8String): Boolean = {
+      var i = 0
+      while (i + 1 < s.length) {
+        if (s(i).equals(l) && s(i + 1).equals(r)) return true
+        i += 1
+      }
+      false
+    }
+
+    type Pair = (UTF8String, UTF8String)
+    val syms = mutable.ArrayBuffer.empty[Array[UTF8String]]
+    val freqs = mutable.ArrayBuffer.empty[Long]
+    words.foreach { case (w, f) =>
+      if (w != null) {
+        val a = symsOf(w)
+        if (a.length >= 2) { syms += a; freqs += f }
+      }
+    }
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val occurs = mutable.HashMap.empty[Pair, mutable.ArrayBuffer[Int]]
+    // (count desc, left asc, right asc) — head is the round's winner
+    implicit val ord: Ordering[(Long, UTF8String, UTF8String)] =
+      new Ordering[(Long, UTF8String, UTF8String)] {
+        def compare(a: (Long, UTF8String, UTF8String),
+                    b: (Long, UTF8String, UTF8String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) return c
+          val lc = a._2.compareTo(b._2)
+          if (lc != 0) lc else a._3.compareTo(b._3)
+        }
+      }
+    val tree = mutable.TreeSet.empty[(Long, UTF8String, UTF8String)]
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) tree.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu > 0L) { counts(p) = nu; tree.add((nu, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def addOccur(p: Pair, wi: Int): Unit =
+      occurs.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += wi
+
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      val f = freqs(wi)
+      val seenHere = mutable.HashSet.empty[Pair]
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        bump(p, f)
+        if (seenHere.add(p)) addOccur(p, wi)
+        i += 1
+      }
+      wi += 1
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    while (r < numMerges && tree.nonEmpty) {
+      val (c, l, rr) = tree.head
+      merges += Merge(r, l.toString, rr.toString, c)
+      val merged = UTF8String.concat(l, rr)
+      val cand = occurs.remove((l, rr))
+        .getOrElse(mutable.ArrayBuffer.empty[Int])
+      val seenWord = mutable.HashSet.empty[Int]
+      cand.foreach { w =>
+        if (seenWord.add(w) && hasPair(syms(w), l, rr)) {
+          val s = syms(w)
+          val f = freqs(w)
+          var i = 0
+          while (i + 1 < s.length) { bump((s(i), s(i + 1)), -f); i += 1 }
+          val ns = mergeWord(s, l, rr)
+          syms(w) = ns
+          val seenHere = mutable.HashSet.empty[Pair]
+          var j = 0
+          while (j + 1 < ns.length) {
+            val np = (ns(j), ns(j + 1))
+            bump(np, f)
+            // only pairs touching the freshly merged symbol can be
+            // NEW in this word; pre-existing pairs keep their index
+            // entries
+            if ((np._1.equals(merged) || np._2.equals(merged)) &&
+                seenHere.add(np)) addOccur(np, w)
+            j += 1
+          }
+        }
+      }
+      r += 1
     }
     merges.result()
   }

@@ -16,22 +16,77 @@ object Budget {
     * other hash-bucket uses of the id). The C4/RefinedWeb "no domain
     * may dominate" balancing step.
     *
-    * Shape: one row_number window partitioned by the group key. A
-    * pathologically hot group lands in one task; if a group can
-    * exceed a task's row budget, pre-thin it with a hash-threshold
-    * filter (keep rows whose salted bucket < ~cap·256/|group| using
-    * an approximate group count) and let this exact cap finish the
-    * job — the two-phase form of the same contract.
+    * Shape: two-phase. A group-count aggregate (map-side combined,
+    * one row per group) finds groups over `cap · preThinFactor`; rows
+    * of those groups are PRE-THINNED by a threshold on the leading 32
+    * bits of the SAME salted order hash — thresholding a prefix of
+    * the hash keeps a strict prefix of the exact keep-order, so the
+    * exact row_number window that finishes the job sees an expected
+    * `cap · preThinFactor` rows per hot group instead of the full
+    * group in one task (the mega-domain that used to be this
+    * operator's scale escape hatch). A hot group whose thinned
+    * survivor count dips below `cap` (binomially unlikely at the
+    * default 8× margin, but possible) is RESCUED through the exact
+    * one-phase window over its full rows, so the result is
+    * bit-identical to the one-phase form for every input — the
+    * pre-thin is a transport optimization, never a semantics change.
+    * When no group is over the pre-thin bar, the plan IS the
+    * one-phase window plus one tiny aggregate.
+    *
+    * @param preThinFactor expected survivors per hot group =
+    *        `cap · preThinFactor`; higher = smaller rescue
+    *        probability, more rows through the exact window.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
-                  cap: Int): DataFrame = {
+                  cap: Int, preThinFactor: Int = 8): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(concat(col(idCol).cast("string"), lit(":cap"))),
-        col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap)
-      .drop("__rn")
+    require(preThinFactor >= 2,
+      s"preThinFactor must be >= 2, got $preThinFactor")
+    require(Seq("__rn", "__n", "__g", "__thr", "__s", "__g2")
+        .forall(c => !df.columns.contains(c)),
+      "input already has a __rn/__n/__g/__thr/__s/__g2 column")
+    val orderHash = md5(concat(col(idCol).cast("string"), lit(":cap")))
+    def exactCap(in: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(orderHash, col(idCol))
+      in.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap)
+        .drop("__rn")
+    }
+    val target = cap.toLong * preThinFactor.toLong
+    val hot = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > target)
+    if (hot.isEmpty) return exactCap(df)
+    // leading 32 bits of the order hash as a uniform integer: the
+    // md5 hex string is fixed-length lowercase, so its lexicographic
+    // (= keep) order is the numeric order of the 128-bit value, and
+    // a threshold on the first 8 hex chars keeps a strict prefix
+    val bucket32 = conv(substring(orderHash, 1, 8), 16, 10).cast("long")
+    val thr = hot.select(col(groupCol).as("__g"),
+      ((lit(1L << 32) * lit(target)) / col("__n") + lit(1L)).as("__thr"))
+    val thinned = df
+      .join(broadcast(thr), col(groupCol) <=> col("__g"), "left")
+      .filter(col("__thr").isNull || bucket32 < col("__thr"))
+    // rescue guard: every hot group must keep >= cap survivors for
+    // the prefix argument to finish exactly (hot means |group| >
+    // target >= 2·cap, so min(cap, |group|) = cap); a group that
+    // missed the bar — including one with ZERO survivors, hence the
+    // left join from `thr` — re-runs through the one-phase window
+    // over its full rows
+    val surv = thinned.filter(col("__thr").isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__s"))
+    val rescue = thr.select(col("__g").as("__g2"))
+      .join(surv, col("__g2") <=> col(groupCol), "left")
+      .filter(coalesce(col("__s"), lit(0L)) < cap)
+      .select(col("__g2"))
+    val main = exactCap(
+        thinned.join(broadcast(rescue), col(groupCol) <=> col("__g2"),
+          "left_anti"))
+      .drop("__g", "__thr")
+    val rescued = exactCap(
+      df.join(broadcast(rescue), col(groupCol) <=> col("__g2"),
+        "left_semi"))
+    main.unionByName(rescued)
   }
 
   /** Keep rows in priority order until the running total of

@@ -90,24 +90,75 @@ object IndexMaintenance {
       * BatchIdGate's store for an HDFS rename / conditional put on a
       * DFS deployment). */
     def nextVersion(): Long = {
+      val (fs, _) = fsAndRoot()
+      val dirs = versionsOnDisk(fs)
+      math.max(currentVersion(), if (dirs.isEmpty) -1L else dirs.max) + 1
+    }
+
+    private def fsAndRoot()
+    : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
       val hconf = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration())
       val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(hconf)
-      val dirs =
-        if (!fs.exists(rootPath)) Array.empty[Long]
-        else fs.listStatus(rootPath)
-          .flatMap(st => if (st.isDirectory &&
-              st.getPath.getName.matches("v\\d+"))
-            Some(st.getPath.getName.drop(1).toLong) else None)
-      math.max(currentVersion(), if (dirs.isEmpty) -1L else dirs.max) + 1
+      (rootPath.getFileSystem(hconf), rootPath)
+    }
+
+    private def versionsOnDisk(
+        fs: org.apache.hadoop.fs.FileSystem): Array[Long] = {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(rootPath)) Array.empty[Long]
+      else fs.listStatus(rootPath)
+        .flatMap(st => if (st.isDirectory &&
+            st.getPath.getName.matches("v\\d+"))
+          Some(st.getPath.getName.drop(1).toLong) else None)
     }
 
     /** Atomically publish `v` (monotone; fsync'd rename via
       * BatchIdGate). Call ONLY after every artifact of `v` is fully
       * written. */
     def publish(v: Long): Unit = pointer.commit(v)
+
+    /** Retention GC: delete version directories STRICTLY below
+      * `min(v, currentVersion())`. Never the published version, and
+      * never an in-flight staging directory (staging versions are by
+      * construction > CURRENT — [[nextVersion]] allocates past the
+      * pointer — so the cutoff cannot reach them). A no-op while
+      * nothing is published (every directory is then potential
+      * staging). Returns the versions actually deleted, ascending.
+      *
+      * Crash safety: deletions only touch dirs the pointer can no
+      * longer reach, so a crash mid-GC leaves a loadable store —
+      * CURRENT and everything at or above it is untouched, and a
+      * half-deleted victim is below the cutoff and simply gets
+      * re-deleted by the next GC pass.
+      *
+      * Concurrency: a reader that resolved the pointer BEFORE a
+      * rebuild published may still be reading an old version — run GC
+      * with a retention window ([[retainVersions]] with n ≥ 1, or an
+      * explicit version floor here) sized to the longest read a
+      * deployment allows, the same contract DeltaLake's VACUUM
+      * retention window carries. */
+    def releaseBelow(v: Long): Seq[Long] = {
+      val cur = currentVersion()
+      if (cur < 0) return Nil
+      val cut = math.min(v, cur)
+      val (fs, rootPath) = fsAndRoot()
+      versionsOnDisk(fs).filter(_ < cut).sorted.toSeq.flatMap { ver =>
+        val p = new org.apache.hadoop.fs.Path(rootPath, s"v$ver")
+        if (fs.delete(p, true)) Some(ver) else None
+      }
+    }
+
+    /** Keep CURRENT plus the `n` versions directly below it; delete
+      * everything older ([[releaseBelow]] CURRENT − n). `n = 1` is
+      * the minimum that tolerates a reader straddling one
+      * rebuild+swap; size `n` to the deployment's longest read. */
+    def retainVersions(n: Int): Seq[Long] = {
+      require(n >= 0, s"retainVersions(n) needs n >= 0, got $n")
+      val cur = currentVersion()
+      if (cur < 0) Nil else releaseBelow(cur - n)
+    }
   }
 
   // ---------------------------------------------------------------- //

@@ -812,7 +812,9 @@ object Similarity {
     // keeps at most K lists); clamp BEFORE dispatching so the XL
     // branch — whose kernel validates its range — behaves identically
     // across the boundary (a recall sweep crossing K must not start
-    // throwing only on big indexes)
+    // throwing only on big indexes). Both bounds: nProbe < 1 would
+    // return empty on the literal side but throw in the XL kernel.
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val np = math.min(nProbe, index.cents.size)
     // past the literal boundary the probe ranking's queries×centroids
     // crossJoin is the catastrophic shape (Q·10⁵ rows through a
@@ -1393,7 +1395,9 @@ object Similarity {
     * ties). Output: (c_id, codes array<int>, c_norm).
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-               codebook: Array[Array[Seq[Double]]]): DataFrame =
+               codebook: Array[Array[Seq[Double]]]): DataFrame = {
+    require(codebook.nonEmpty && codebook(0).nonEmpty,
+      "pqEncode: codebook must have at least one subspace with one codeword")
     if (codebook.length * codebook(0).length > CodebookLiteralMax)
       pqCodesBroadcast(
         nonNullVecs(vecs, vecCol).select(col(idCol).as("c_id"),
@@ -1405,6 +1409,7 @@ object Similarity {
         pqCodesExpr(v, codebook).as("codes"),
         sqrt(normSq(v)).as("c_norm"))
     }
+  }
 
   /** [[pqEncode]] forced onto the plan-literal expression form —
     * the parity seam for XlQuantizerSpec (and any caller pinning a
@@ -1808,7 +1813,10 @@ object Similarity {
   private def ivfPqEncodeAssigned(assigned: DataFrame,
                                   cents: Seq[(Long, Seq[Double])],
                                   codebook: Array[Array[Seq[Double]]],
-                                  residual: Boolean): DataFrame =
+                                  residual: Boolean): DataFrame = {
+    require(codebook.nonEmpty && codebook(0).nonEmpty,
+      "ivfPqEncodeAssigned: codebook must have at least one subspace " +
+        "with one codeword")
     if (codebook.length * codebook(0).length > CodebookLiteralMax)
       pqCodesBroadcast(
         assigned.select(col("c_id"), col("cent_id"), col("c_vec")),
@@ -1819,6 +1827,7 @@ object Similarity {
         pqCodesExpr(encCol, codebook).as("codes"),
         sqrt(normSq(col("c_vec"))).as("c_norm"))
     }
+  }
 
   /** The literal form of the composed encode — the parity seam for
     * XlQuantizerSpec's residual-path comparison. */
@@ -1883,6 +1892,7 @@ object Similarity {
     require(rerank >= k,
       s"rerank ($rerank) must be >= k ($k): the exact re-scoring can " +
         "only return rows from the ADC shortlist")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val np = math.min(nProbe, index.cents.size)
     val spark = queries.sparkSession
     import spark.implicits._

@@ -288,6 +288,12 @@ object VectorQueries {
       val pqDiff = pl.join(pb, "c_id")
         .filter(col("codes_l") =!= col("codes_b") ||
           !(col("norm_l") <=> col("norm_b"))).count()
+      // every compare above is an eager count, so nothing still needs
+      // the caches — release them here rather than letting them pile
+      // up across a 132-query sweep (the sweep-inflation failure mode
+      // Bench.scala documents)
+      sample.unpersist()
+      idx.assigned.unpersist()
       import s.implicits._
       Seq((if (n > 0 && nSample > 0) 1L else 0L,
           assignDiff, probeDiff, tlDiff, pqDiff))

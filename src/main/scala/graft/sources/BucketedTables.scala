@@ -113,7 +113,7 @@ object BucketedTables {
       // to rewrite)
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       if (partitionCols.nonEmpty)
-        spark.sql(s"MSCK REPAIR TABLE $table")
+        spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
       return
     }
     if (!liveExists)
@@ -125,14 +125,18 @@ object BucketedTables {
       // (Hive), the renamed table's partitions still point at the
       // pre-rename paths, reads list stale directories and return
       // empty — and the recompaction below would then compact that
-      // empty read and DROP the only real copy. Re-registering
-      // partitions at entry is idempotent, bounded by
+      // empty read and DROP the only real copy. SYNC PARTITIONS
+      // (Spark 3.2+) both ADDs the post-rename directories and DROPs
+      // the stale pre-rename entries a Hive metastore keeps (plain
+      // MSCK is add-only, so the heal would be InMemoryCatalog-scoped
+      // without it). Re-registering partitions at entry is
+      // idempotent, bounded by
       // partition-directory count (cheaper than the recursive file
       // listing the maintenance audit already does), and keeps
       // "re-run this method" the universal crash recovery. The
       // session-scoped InMemoryCatalog rewrites partition locations
       // on rename, so the repair is a no-op there.
-      spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     }
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     // Pin the bucketed scan ON for the copy: the source table's scan
@@ -159,7 +163,7 @@ object BucketedTables {
     // paths — re-register them or every read of the renamed table
     // lists stale directories and returns empty
     if (partitionCols.nonEmpty)
-      spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
 
   /** Data files per bucket slot — the layout-health metric that

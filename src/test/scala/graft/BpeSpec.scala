@@ -85,4 +85,53 @@ class BpeSpec extends SparkSpec {
     val m7 = Bpe.train(corpus.repartition(7), numMerges = 4)
     assert(m1 == m7)
   }
+
+  test("driver-local and distributed merge loops agree on the fixture") {
+    val driver = Bpe.trainDriver(
+      Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      numMerges = 8)
+    val dist = Bpe.trainDistributed(
+      corpus.select(col("word"), col("freq")), numMerges = 8)
+    assert(driver == dist)
+    // and the public entry point (which dispatches driver-side at
+    // this size) produces the same list
+    assert(Bpe.train(corpus, numMerges = 8) == driver)
+  }
+
+  test("driver-local == distributed merge-for-merge on a generated corpus") {
+    // pseudo-random words over a 5-letter alphabet with repeated
+    // substructure (so merges chain, overlap cases like "aaa" occur,
+    // and previously-exhausted pairs can re-form) — seeded, so the
+    // corpus is deterministic
+    val rng = new scala.util.Random(11)
+    val alpha = "abcde"
+    val wordsArr = (0 until 300).map { i =>
+      val len = 2 + rng.nextInt(9)
+      val w = (0 until len)
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      (w, (1 + rng.nextInt(20)).toLong)
+    }.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    val driver = Bpe.trainDriver(wordsArr, numMerges = 40)
+    val dist = Bpe.trainDistributed(
+      wordsArr.toSeq.toDF("word", "freq"), numMerges = 40)
+    assert(driver.size == dist.size)
+    driver.zip(dist).foreach { case (d, t) => assert(d == t) }
+  }
+
+  test("over-bound dispatch falls back to the distributed rounds") {
+    // maxDriverWords = 0 forces the fallback; the result must not
+    // change (the dispatch is a transport choice, not a semantics one)
+    val viaDist = Bpe.train(corpus, numMerges = 3, maxDriverWords = 0L)
+    val viaDriver = Bpe.train(corpus, numMerges = 3)
+    assert(viaDist == viaDriver)
+  }
+
+  test("driver loop handles surrogate pairs and multi-occurrence words") {
+    val words = Array(("😀a😀a", 4L), ("aaa", 3L), ("a😀", 2L))
+    val driver = Bpe.trainDriver(words, numMerges = 5)
+    val dist = Bpe.trainDistributed(
+      words.toSeq.toDF("word", "freq"), numMerges = 5)
+    assert(driver == dist)
+  }
 }

@@ -402,11 +402,169 @@ class IndexMaintenanceSpec extends SparkSpec {
       readers.foreach(_.join(120000))
     }
     assert(failures.isEmpty, failures.toArray.mkString("; "))
-    // superseded version dirs stay readable (no release/GC yet): a
-    // straggler holding v0 mid-query still completes correctly
+    // superseded version dirs stay readable (GC is opt-in via
+    // retainVersions, not automatic): a straggler holding v0
+    // mid-query still completes correctly
     assert(answerOf(IM.loadIvfIndex(spark, store.versionDir(0L))) ==
       expected(0))
     assert(answerOf(IM.loadIvfIndex(spark, store.versionDir(1L))) ==
       expected(1))
+  }
+
+  // tmpStore roots are plain local paths, so java.io.File sees them
+  private def dirExists(store: IM.VersionedIndexStore, v: Long): Boolean =
+    new java.io.File(store.versionDir(v)).exists()
+
+  test("retention GC: retainVersions keeps CURRENT + n, deletes older, " +
+    "and never touches staging or the published version") {
+    val store = tmpStore()
+    // publish v0..v3
+    (0 until 4).foreach { _ =>
+      IM.rebuildIvfIndex(store, clustered, "vec_id", "embedding",
+        nCentroids = 4)
+    }
+    assert(store.currentVersion() == 3L)
+    // plus an in-flight staging dir ABOVE the pointer (a rebuild in
+    // progress / crashed before publish)
+    IM.saveIvfIndex(Similarity.ivfIndex(clustered, "vec_id",
+      "embedding", nCentroids = 4, persistIndex = false),
+      store.versionDir(7L))
+
+    val deleted = store.retainVersions(1)
+    assert(deleted == Seq(0L, 1L))
+    assert(!dirExists(store, 0L) && !dirExists(store, 1L))
+    // CURRENT and the retained predecessor both still load + answer
+    val q = clustered.filter(col("vec_id") < 4)
+    Seq(2L, 3L).foreach { v =>
+      val idx = IM.loadIvfIndex(spark, store.versionDir(v))
+      assert(topkSet(Similarity.ivfTopKWith(idx, q, "vec_id",
+        "embedding", 3, nProbe = 2)).nonEmpty)
+    }
+    // staging survived, and version allocation still skips past it
+    assert(dirExists(store, 7L))
+    assert(store.nextVersion() == 8L)
+
+    // releaseBelow clamps at the published version: even an absurd
+    // cutoff never deletes CURRENT (or the staging dir above it)
+    val deleted2 = store.releaseBelow(Long.MaxValue)
+    assert(deleted2 == Seq(2L))
+    assert(dirExists(store, 3L) && dirExists(store, 7L))
+    assert(store.currentVersion() == 3L)
+    assert(IM.currentIvfIndex(store, spark).nonEmpty)
+  }
+
+  test("retention GC: no-op before anything is published; idempotent; " +
+    "crash mid-GC leaves a loadable store") {
+    val fresh = tmpStore()
+    // unpublished store: every dir is potential staging — GC refuses
+    IM.saveIvfIndex(Similarity.ivfIndex(clustered, "vec_id",
+      "embedding", nCentroids = 4, persistIndex = false),
+      fresh.versionDir(0L))
+    assert(fresh.releaseBelow(Long.MaxValue) == Nil)
+    assert(fresh.retainVersions(0) == Nil)
+    assert(dirExists(fresh, 0L))
+
+    val store = tmpStore()
+    (0 until 3).foreach { _ =>
+      IM.rebuildIvfIndex(store, clustered, "vec_id", "embedding",
+        nCentroids = 4)
+    }
+    // simulate a crash mid-GC: v0 half-deleted (one artifact gone)
+    val v0cents = new org.apache.hadoop.fs.Path(
+      store.versionDir(0L), "cents")
+    val fs = v0cents.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(v0cents, true))
+    // the store is still loadable at CURRENT, and the next GC pass
+    // finishes the job
+    assert(IM.currentIvfIndex(store, spark).nonEmpty)
+    assert(store.retainVersions(1) == Seq(0L))
+    assert(!dirExists(store, 0L))
+    // idempotent: nothing left below the window
+    assert(store.retainVersions(1) == Nil)
+    assert(store.currentVersion() == 2L)
+  }
+
+  test("concurrent-reader soak with GC interleaved: readers stay " +
+    "green while old versions are released behind them") {
+    def corpusShift(dx: Float) = {
+      val base = Seq(
+        Array(1.0f + dx, 0.02f, 0.01f, 0.0f),
+        Array(0.0f, 0.01f + dx, 0.02f, 1.0f))
+      (0 until 40).map { i =>
+        val c = base(i % 2)
+        (i.toLong, c.zipWithIndex.map { case (x, j) =>
+          x + 0.001f * ((i * 7 + j) % 5) })
+      }.toDF("vec_id", "embedding")
+    }
+    val corpora = Seq(corpusShift(0.0f), corpusShift(0.4f),
+      corpusShift(0.9f))
+    val q = clustered.filter(col("vec_id") < 4)
+    def answerOf(idx: Similarity.IvfIndex) =
+      topkSet(Similarity.ivfTopKWith(idx, q, "vec_id", "embedding", 3,
+        nProbe = 2))
+    val expected = corpora.map(c => answerOf(Similarity.ivfIndex(
+      c, "vec_id", "embedding", nCentroids = 4,
+      persistIndex = false))).toIndexedSeq
+
+    val store = tmpStore()
+    IM.rebuildIvfIndex(store, corpora(0), "vec_id", "embedding",
+      nCentroids = 4)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // readers publish the version they RESOLVED most recently; the GC
+    // below waits until every reader has moved to the final version
+    // before releasing old dirs — the "retention window >= longest
+    // read" contract made concrete
+    val observed = new java.util.concurrent.atomic.AtomicLongArray(2)
+    val readers = (0 until 2).map { r =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val v = store.currentVersion()
+            observed.set(r, v)
+            Thread.sleep(5)
+            val ans = answerOf(IM.loadIvfIndex(spark,
+              store.versionDir(v)))
+            if (ans != expected(v.toInt))
+              failures.add(s"reader $r: version $v answered a blend")
+          } catch {
+            case e: Throwable =>
+              failures.add(s"reader $r: ${e.getClass.getName}: " +
+                e.getMessage)
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      IM.rebuildIvfIndex(store, corpora(1), "vec_id", "embedding",
+        nCentroids = 4)
+      IM.rebuildIvfIndex(store, corpora(2), "vec_id", "embedding",
+        nCentroids = 4)
+      assert(store.currentVersion() == 2L)
+      // wait until both readers have resolved v2 — their in-flight
+      // loads are then v2 loads, so releasing v0 cannot race a read
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((observed.get(0) < 2L || observed.get(1) < 2L) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(observed.get(0) == 2L && observed.get(1) == 2L,
+        "readers never reached v2")
+      val deleted = store.retainVersions(1)
+      assert(deleted == Seq(0L))
+      // let the readers churn over the post-GC store for a few more
+      // iterations
+      Thread.sleep(400)
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(120000))
+    }
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    assert(!dirExists(store, 0L))
+    assert(answerOf(IM.loadIvfIndex(spark, store.versionDir(1L))) ==
+      expected(1))
+    assert(answerOf(IM.currentIvfIndex(store, spark).get) == expected(2))
   }
 }

@@ -657,6 +657,56 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => wider.contains(r._1)))
   }
 
+  test("per-group cap two-phase pre-thin: bit-identical to one-phase " +
+    "on a hot group, and the plan carries the pre-thin filter") {
+    // one mega-group (5000 rows) + two small ones; cap 10 at the
+    // default 8x factor puts only the mega-group over the bar
+    val df = ((0L until 5000L).map(i => (i, "hot")) ++
+      (5000L until 5030L).map(i => (i, "warm")) ++
+      (6000L until 6005L).map(i => (i, "cold"))).toDF("id", "grp")
+    val two = graft.operators.Budget.capPerGroup(df, "id", "grp", 10)
+    // a sky-high factor disables the pre-thin: that IS the one-phase
+    // reference form
+    val one = graft.operators.Budget.capPerGroup(df, "id", "grp", 10,
+      preThinFactor = Int.MaxValue)
+    assert(two.select("id", "grp").as[(Long, String)].collect().toSet ==
+      one.select("id", "grp").as[(Long, String)].collect().toSet)
+    // group sizes behave: capped hot group, pass-through cold group
+    val sizes = two.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("hot" -> 10L, "warm" -> 10L, "cold" -> 5L))
+    // the hot plan thins BEFORE the window; the one-phase plan doesn't
+    assert(two.queryExecution.executedPlan.toString.contains("__thr"))
+    assert(!one.queryExecution.executedPlan.toString.contains("__thr"))
+  }
+
+  test("per-group cap rescue: a hot group whose pre-thin survivors " +
+    "dip below cap still returns the exact one-phase rows") {
+    // ids 13000..13199 are a FOUND fixture: at cap=5, factor=2
+    // (threshold floor(2^32*10/200)+1 = 214748365) exactly 4 of the
+    // 200 salted md5 buckets fall under the threshold — one fewer
+    // than the cap, so the prefix argument fails and the rescue path
+    // must re-run the group through the exact window
+    val hotIds = (13000L until 13200L)
+    val df = (hotIds.map(i => (i, "hot")) ++
+      (0L until 3L).map(i => (i, "tiny"))).toDF("id", "grp")
+    // confirm the fixture still forces the rescue (guards against the
+    // hash or threshold formula drifting silently)
+    val thr = (1L << 32) * 10L / 200L + 1L
+    val survivors = df.filter($"grp" === "hot")
+      .filter(conv(substring(md5(concat($"id".cast("string"),
+        lit(":cap"))), 1, 8), 16, 10).cast("long") < thr)
+      .count()
+    assert(survivors == 4L, s"fixture drifted: $survivors survivors")
+    val two = graft.operators.Budget.capPerGroup(df, "id", "grp", 5,
+      preThinFactor = 2)
+    val one = graft.operators.Budget.capPerGroup(df, "id", "grp", 5,
+      preThinFactor = Int.MaxValue)
+    assert(two.select("id", "grp").as[(Long, String)].collect().toSet ==
+      one.select("id", "grp").as[(Long, String)].collect().toSet)
+    assert(two.filter($"grp" === "hot").count() == 5L)
+  }
+
   test("weight budget: exact prefix cut in priority order, any bucketing") {
     // weights 1..20, priority = id asc (bucket = id / 5 is monotone)
     val df = (1L to 20L).map(i => (i, i)).toDF("id", "w")
