@@ -636,4 +636,52 @@ object StreamingOps {
           out.iterator
         })
   }
+
+  /** [[statefulKeyCounter]] on Spark 4's `transformWithState` — the
+    * operator Structured Streaming is migrating stateful processing
+    * onto (typed per-key state handles, timers, TTL; requires the
+    * RocksDB state store provider). Same contract, spec-pinned to
+    * emit identically: seq = running count within the key's
+    * millisecond. Kept as a twin rather than a replacement so
+    * deployments on the HDFS-backed state store keep the
+    * flatMapGroupsWithState form. */
+  def statefulKeyCounterTws(records: Dataset[(Long, String)])
+  : Dataset[(Long, Int, String)] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_._1)
+      .transformWithState(new MsCounterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The per-ms counter as a [[org.apache.spark.sql.streaming.StatefulProcessor]]:
+    * one Int ValueState per active millisecond key (no TTL — the
+    * production deployment keys by event time and bounds state with
+    * the watermark, mirroring [[statefulKeyCounter]]'s stance). */
+  private[graft] final class MsCounterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Int, String)] {
+    @transient private var seqState
+    : org.apache.spark.sql.streaming.ValueState[Int] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seqState = getHandle.getValueState[Int]("seq",
+        Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(ms: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[(Long, Int, String)] = {
+      var seq = if (seqState.exists()) seqState.get() else 0
+      val out = rows.map { case (_, payload) =>
+        seq += 1
+        (ms, seq, payload)
+      }.toVector
+      seqState.update(seq)
+      out.iterator
+    }
+  }
 }

@@ -883,4 +883,117 @@ class MQSourceSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_cap_band")
     }
   }
+
+  test("capstone maintenance cadence: audit-gated maintain* inside " +
+    "foreachBatch — healthy batches never swap the pointer, the " +
+    "drifted batch triggers exactly one rebuild, admits unaffected") {
+    // The maintenance loop wired where production runs it: each
+    // ingested batch appends to the PQ index under the FROZEN
+    // codebook, then maintainPqIndex audits recall against the
+    // accumulated corpus and rebuilds+swaps ONLY when the audit
+    // fails. Vectors ride in the MQ payload (csv), the corpus is
+    // what landed in the idempotent out dir — no side state.
+    import graft.operators.{IndexMaintenance => IM, Similarity}
+    import graft.streaming.{BatchIdGate, StreamingOps}
+    // the IndexMaintenanceSpec drift fixture: corpus A in the
+    // positive unit box; batch B far outside it collapses every code
+    // under the A-trained codebook
+    val corpusA = (0 until 256).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(j => 0.2 + ((i * 31 + j * 17) % 13) / 13.0))
+    }.toDF("vec_id", "embedding")
+    val bMasks = (0 until 256).filter(Integer.bitCount(_) == 4).take(12)
+    def bMember(c: Int, m: Int): Array[Double] =
+      Array.tabulate(8)(j =>
+        -100.0 + (if (((bMasks(c) >> j) & 1) == 1) 0.8 else -0.8) +
+          0.01 * ((m * 5 + j) % 3))
+    def healthyVec(i: Int): Array[Double] =
+      Array.tabulate(8)(j => 0.2 + ((i * 31 + j * 17) % 13) / 13.0)
+    def csv(v: Array[Double]) = v.mkString(",")
+
+    val dir = tmpDir("mq-maint")
+    val ckpt = tmpDir("mq-maint-ckpt")
+    val out = tmpDir("mq-maint-out")
+    val corpusDir = tmpDir("mq-maint-corpus")
+    corpusA.write.mode("overwrite").parquet(corpusDir.toString)
+    val store = new IM.VersionedIndexStore(
+      ckpt.resolve("pq-store").toString)
+    var pq = IM.rebuildPqIndex(store, corpusA, "vec_id", "embedding",
+      m = 4, ksub = 32)
+    assert(store.currentVersion() == 0L)
+    val gate = new BatchIdGate(ckpt.resolve("graft-applied").toString)
+    // (version after maintain, rebuilt, recall) per applied batch
+    val events = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Double)]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("ibmmq")
+        .option("path", dir.toString).load()
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+            StreamingOps.writeBatchIdempotent(batch, batchId,
+              out.toString)
+            if (gate.isNew(batchId)) {
+              val s = batch.sparkSession
+              def vecOf(c: org.apache.spark.sql.Column) =
+                transform(split(c, ","), x => x.cast("double"))
+              val adf = batch.select(
+                  unix_millis(col("put_ts")).as("vec_id"),
+                  vecOf(col("value")).as("embedding"))
+                .localCheckpoint()
+              if (!adf.isEmpty)
+                pq = Similarity.appendToPqIndex(pq, adf, "vec_id",
+                  "embedding")
+              // corpus = seed table + everything that LANDED
+              val corpus = s.read.parquet(corpusDir.toString)
+                .unionByName(s.read.parquet(out.toString).select(
+                  unix_millis(col("put_ts")).as("vec_id"),
+                  vecOf(col("value")).as("embedding")))
+              val m = IM.maintainPqIndex(store, corpus, "vec_id",
+                "embedding", pq, recallFloor = 0.9, k = 3,
+                rerank = 16, m = 4, ksub = 32)
+              pq = m.index
+              events += ((store.currentVersion(), m.rebuilt, m.recall))
+              gate.commit(batchId)
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(180000) finally { if (q.isActive) q.stop() }
+    }
+    // batch 1: healthy arrivals from A's distribution -> audit-only
+    append(dir, (0 until 8).map(i =>
+      ((2000 + i).toLong, csv(healthyVec(300 + i)))): _*)
+    runOnce()
+    // batch 2: the drifted clusters -> frozen-codebook collapse ->
+    // exactly one audit-gated rebuild + swap
+    append(dir, (for { c <- 0 until 12; m <- 0 until 8 }
+      yield ((3000 + c * 8 + m).toLong, csv(bMember(c, m)))): _*)
+    runOnce()
+    // batch 3: healthy again mid-new-version -> audit-only
+    append(dir, (0 until 8).map(i =>
+      ((4000 + i).toLong, csv(healthyVec(400 + i)))): _*)
+    runOnce()
+
+    assert(events.size == 3, s"applied batches: $events")
+    val Seq(e1, e2, e3) = events.toSeq
+    assert(e1 == ((0L, false, e1._3)) && e1._3 >= 0.9,
+      s"healthy batch swapped or failed audit: $e1")
+    assert(e2._1 == 1L && e2._2 && e2._3 < 0.9,
+      s"drifted batch did not rebuild: $e2")
+    assert(e3 == ((1L, false, e3._3)) && e3._3 >= 0.9,
+      s"post-rebuild healthy batch swapped again: $e3")
+    assert(store.currentVersion() == 1L,
+      "exactly one rebuild across the run")
+    // admits unaffected by the mid-run swap: every message landed
+    // exactly once (batch replay absorbed by the idempotent write)
+    val landed = spark.read.parquet(out.toString)
+      .select("key").as[String].collect().sorted.toSeq
+    assert(landed.size == 8 + 96 + 8 && landed.distinct == landed,
+      s"landed ${landed.size} keys")
+    // and the live index covers corpus + every arrival
+    assert(pq.encoded.count() == 256L + 8L + 96L + 8L)
+  }
 }

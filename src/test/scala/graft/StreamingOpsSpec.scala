@@ -480,6 +480,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin of the per-ms counter emits " +
+    "identically (Spark 4 stateful API, RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState only runs on the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)]
+    val counted = StreamingOps.statefulKeyCounterTws(input.toDS())
+    val q = counted.toDF("ms", "seq", "payload")
+      .writeStream.format("memory").queryName("ctr_tws_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the SAME arrivals as the flatMapGroupsWithState test — the
+      // twin contract is emit-identical output
+      input.addData((1000L, "a"), (1000L, "b"), (1001L, "c"))
+      q.processAllAvailable()
+      input.addData((1000L, "d")) // same ms arrives in a LATER batch
+      q.processAllAvailable()
+      val rows = spark.table("ctr_tws_sink")
+        .as[(Long, Int, String)].collect().toSet
+      assert(rows == Set((1000L, 1, "a"), (1000L, 2, "b"),
+        (1001L, 1, "c"), (1000L, 3, "d")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ingest door: quality + bloom decontamination, batch parity") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
@@ -1021,6 +1054,57 @@ class StreamingOpsSpec extends SparkSpec {
       assert(batchIds == streamIds)
       assert(spark.table("dsir_sink").columns.toSeq ==
         Seq("ts", "id", "text"))
+    } finally q.stop()
+  }
+
+  test("orderedMerge: interleaved arrivals across queues emit in " +
+    "global (put_ts, seq, queue) order within the watermark; " +
+    "later-than-watermark arrivals drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Int, String, String)]
+    val merged = graft.sources.mq.MQSources.orderedMerge(
+      input.toDF().toDF("queue", "put_ts", "seq", "key", "value"),
+      lateness = "2 seconds")
+    val q = merged.writeStream.format("memory").queryName("om_sink")
+      .outputMode(OutputMode.Append).start()
+    def rec(qn: String, t: String, s: Int) =
+      (qn, ts(t), s, s"$qn@$t#$s", "payload")
+    try {
+      // batch 1: two queues interleaved, arrival order deliberately
+      // NOT the event order; the same-millisecond tie (10:00:03 on
+      // both queues, seq 1 each) must resolve by queue name
+      input.addData(
+        rec("qA", "2024-01-01 10:00:05", 1),
+        rec("qB", "2024-01-01 10:00:04", 1),
+        rec("qA", "2024-01-01 10:00:03", 1),
+        rec("qB", "2024-01-01 10:00:03", 1))
+      q.processAllAvailable() // wm -> 10:00:03
+      // batch 2: watermark advances to 10:00:08 -> releases :03/:03,
+      // then :04, :05; the :10 record waits
+      input.addData(rec("qB", "2024-01-01 10:00:10", 1))
+      q.processAllAvailable()
+      // batch 3: a record older than the watermark (:04 < :08) is
+      // dropped — the documented lateness horizon; :12 waits
+      input.addData(
+        rec("qA", "2024-01-01 10:00:04", 9),
+        rec("qA", "2024-01-01 10:00:12", 1))
+      q.processAllAvailable() // wm -> 10:00:10; timeout flushes :10
+      input.addData(rec("qB", "2024-01-01 10:00:20", 1))
+      q.processAllAvailable() // wm -> 10:00:18 -> releases :12
+      val got = spark.table("om_sink")
+        .select("queue", "put_ts", "seq", "key")
+        .as[(String, Timestamp, Int, String)].collect().toList
+      // emitted sequence is globally ordered ACROSS batches
+      val keys = got.map(r => (r._2.getTime, r._3, r._1))
+      assert(keys == keys.sorted, s"out of order: $got")
+      // exactly the in-watermark records, the tie broken qA-then-qB,
+      // and the late seq=9 record absent
+      assert(got.map(_._4) == List(
+        "qA@2024-01-01 10:00:03#1", "qB@2024-01-01 10:00:03#1",
+        "qB@2024-01-01 10:00:04#1", "qA@2024-01-01 10:00:05#1",
+        "qB@2024-01-01 10:00:10#1", "qA@2024-01-01 10:00:12#1"))
+      // the :20 record is still held (watermark has not passed it)
+      assert(!got.exists(_._4.contains("10:00:20")))
     } finally q.stop()
   }
 }
