@@ -600,8 +600,9 @@ object Similarity {
   }
 
   /** SQL double equality for the two-level tie-break: NaN == NaN
-    * (Spark's total order), unlike the JVM. */
-  private def eqSqlDouble(a: Double, b: Double): Boolean =
+    * (Spark's total order), unlike the JVM. Shared with
+    * [[graft.functions.TwoLevelRankKernel]] — one definition. */
+  private[graft] def eqSqlDouble(a: Double, b: Double): Boolean =
     (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)) || a == b
 
   /** Two-level (hierarchical) coarse quantizer: √K super-centroids
@@ -664,11 +665,17 @@ object Similarity {
     * scan would still reach a degenerate zero-norm leaf (which
     * safeCosDiv scores 0.0 against anything) — the sentinel is the
     * more honest answer for a vector the quantizer cannot place. */
-  def ivfAssignTwoLevel(cands: DataFrame, tlq: TwoLevelQuantizer,
-                        wProbe: Int = 2): DataFrame = {
-    require(wProbe >= 1 && wProbe <= tlq.supers.size,
-      s"wProbe=$wProbe out of range [1, ${tlq.supers.size}]")
-    val spark = cands.sparkSession
+  /** The broadcast two-level quantizer artifact: super matrix /
+    * fold-order norms, then per-super (build-order) child ids /
+    * matrix / norms — children id-sorted within each super (the
+    * [[twoLevelQuantizer]] contract). ONE artifact shape shared by
+    * [[ivfAssignTwoLevel]] and the streaming
+    * [[graft.functions.TwoLevelRankKernel]]. */
+  private[graft] def broadcastTwoLevel(
+      spark: org.apache.spark.sql.SparkSession, tlq: TwoLevelQuantizer)
+  : org.apache.spark.broadcast.Broadcast[
+      (Array[Array[Double]], Array[Double], Array[Array[Long]],
+        Array[Array[Array[Double]]], Array[Array[Double]])] = {
     val superMat = tlq.supers.map(_._2.toArray).toArray
     val superNorms = superMat.map(c => math.sqrt(
       c.foldLeft(0.0d)((a, x) => a + x * x)))
@@ -678,8 +685,16 @@ object Similarity {
       tlq.children.getOrElse(sid, Nil).map(_._2.toArray).toArray }.toArray
     val childNorms = childMat.map(_.map(c => math.sqrt(
       c.foldLeft(0.0d)((a, x) => a + x * x))))
-    val bc = spark.sparkContext.broadcast(
+    spark.sparkContext.broadcast(
       (superMat, superNorms, childIds, childMat, childNorms))
+  }
+
+  def ivfAssignTwoLevel(cands: DataFrame, tlq: TwoLevelQuantizer,
+                        wProbe: Int = 2): DataFrame = {
+    require(wProbe >= 1 && wProbe <= tlq.supers.size,
+      s"wProbe=$wProbe out of range [1, ${tlq.supers.size}]")
+    val spark = cands.sparkSession
+    val bc = broadcastTwoLevel(spark, tlq)
     val vecIdx = cands.schema.fieldIndex("c_vec")
     val outSchema = cands.schema.add("cent_id",
       org.apache.spark.sql.types.LongType, nullable = false)
@@ -785,7 +800,7 @@ object Similarity {
     * from the kernel (missing ranks read as NULL downstream) where
     * the fold's null-score sort is undefined — the door guards those
     * upstream either way. */
-  private[graft] def centroidRanks(vec: Column,
+  def centroidRanks(vec: Column,
                                    cents: Seq[(Long, Seq[Double])],
                                    nProbe: Int): Column =
     if (cents.size <= LiteralQuantizerMax)
@@ -799,6 +814,31 @@ object Similarity {
           org.apache.spark.sql.graftbridge.GraftBridge.expression(vec),
           kernel, nProbe))
     }
+
+  /** EXTREME-K tense of [[centroidRanks]]: the same row-local
+    * top-`nProbe` centroid-id ARRAY, but routed through a
+    * [[TwoLevelQuantizer]] behind a broadcast — per-arrival cost
+    * O(wProbe·√K·dim) instead of the flat kernel's O(K·dim), the dial
+    * a streaming door needs once √N sizing pushes K past ~10⁵. Full
+    * `wProbe` is rank-for-rank identical to [[centroidRanks]] on
+    * routable vectors (XlQuantizerSpec); narrow `wProbe` trades
+    * recall for the √K scan, and a vector no super can score yields
+    * an EMPTY array (the [[ivfAssignTwoLevel]] stance). Same plan
+    * shape as the flat kernel: ONE native codegen
+    * [[graft.functions.CentroidRanks]] call, still composing with
+    * the door's single stateful op. */
+  def centroidRanksTwoLevel(vec: Column,
+                                           tlq: TwoLevelQuantizer,
+                                           nProbe: Int,
+                                           wProbe: Int): Column = {
+    val kernel = new graft.functions.TwoLevelRankKernel(
+      broadcastTwoLevel(
+        org.apache.spark.sql.SparkSession.active, tlq), wProbe)
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.CentroidRanks(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(vec),
+        kernel, nProbe))
+  }
 
   /** Query stage of IVF top-k against a prebuilt [[IvfIndex]]: each
     * query probes its `nProbe` nearest centroid lists and

@@ -239,21 +239,36 @@ object StreamingOps {
     * behind a broadcast handle instead of inside the plan — still
     * row-local, still composing with the door's single stateful op
     * (parity and the door-level XL test: XlQuantizerSpec). The
-    * remaining documented next step is the EXTREME-K cost axis, not a
-    * transport limit: the kernel scans all K centroids per arrival,
-    * fine through ~10⁵ (√N of a 10-billion-vector corpus); past that
-    * the door's gate takes the batch side's two-level hierarchy
-    * ([[graft.operators.Similarity.twoLevelQuantizer]], √K supers
-    * routing wProbe·√K children) to cut the per-arrival scan to
-    * O(wProbe·√K·dim).
+    * EXTREME-K cost axis has its own dial: the flat kernel scans all
+    * K centroids per arrival, fine through ~10⁵ (√N of a 10-billion-
+    * vector corpus); past that pass `hier` (a
+    * [[graft.operators.Similarity.twoLevelQuantizer]] built OVER
+    * `index.cents` — a bounded K-row driver job) and the ranks take
+    * the [[graft.functions.TwoLevelRankKernel]]: √K supers routing
+    * `wProbe`·√K leaves, per-arrival cost O(wProbe·√K·dim), same
+    * single codegen call, same plan shape. Full `wProbe` is
+    * rank-for-rank the flat kernel (door parity spec'd); narrow
+    * `wProbe` trades boundary recall for the √K scan — an arrival
+    * whose true nearest list sits under an unprobed super is NOT
+    * dropped here and is caught at the next index refresh, the same
+    * stance as in-batch semantic pairs.
     */
   def semanticProbe(stream: DataFrame, vecCol: String,
                     index: graft.operators.Similarity.IvfIndex,
                     cosThreshold: Double = 0.95,
-                    nProbe: Int = 1): DataFrame = {
+                    nProbe: Int = 1,
+                    hier: Option[
+                      graft.operators.Similarity.TwoLevelQuantizer]
+                      = None,
+                    wProbe: Int = 2): DataFrame = {
     import graft.operators.Similarity
     require(nProbe >= 1 && nProbe <= index.cents.size,
       s"nProbe $nProbe out of range [1, ${index.cents.size}]")
+    hier.foreach(tlq => require(
+      tlq.nCentroids == index.cents.size,
+      s"hierarchy covers ${tlq.nCentroids} leaves but the index has " +
+        s"${index.cents.size} centroids — build the TwoLevelQuantizer " +
+        "over index.cents"))
     require(!stream.columns.contains("graft_cent") &&
         !stream.columns.contains("graft_cents"),
       "input stream already has a graft_cent/graft_cents column")
@@ -265,9 +280,11 @@ object StreamingOps {
     // of nProbe O(K)-interpreted literal folds; each probe stage then
     // reads its rank with try_element_at (NULL past a short array =
     // unplaceable vector = nothing to probe, row passes)
+    val ranks = hier.fold(
+      Similarity.centroidRanks(v, index.cents, nProbe))(tlq =>
+      Similarity.centroidRanksTwoLevel(v, tlq, nProbe, wProbe))
     val withRanks = stream.withColumn("graft_cents",
-      when(col(vecCol).isNotNull,
-        Similarity.centroidRanks(v, index.cents, nProbe)))
+      when(col(vecCol).isNotNull, ranks))
     val probed = (1 to nProbe).foldLeft(withRanks) { (df, p) =>
       val corpusList = index.assigned
         .select(col("cent_id").as("graft_probe_cent"),
@@ -425,7 +442,9 @@ object StreamingOps {
    * near-identical arrivals (paraphrases the text gates cannot see)
    * are dropped against the corpus, still with zero additional
    * stateful ops (the probe is a stateless anti-join). Docs with a
-   * NULL embedding pass the semantic gate untouched. */
+   * NULL embedding pass the semantic gate untouched. At EXTREME K
+   * pass `semHier`/`semWProbe` to route the gate's rank kernel
+   * through the two-level hierarchy ([[semanticProbe]]'s `hier`). */
   def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
                  scoreQ8: Column, minScoreQ8: Long,
                  bloom: graft.operators.Decontaminate.BloomModel,
@@ -438,7 +457,11 @@ object StreamingOps {
                    = None,
                  semVecCol: String = "embedding",
                  semCosThreshold: Double = 0.95,
-                 semNProbe: Int = 1): DataFrame = {
+                 semNProbe: Int = 1,
+                 semHier: Option[
+                   graft.operators.Similarity.TwoLevelQuantizer]
+                   = None,
+                 semWProbe: Int = 2): DataFrame = {
     val gated = admitAtDoor(
       dsirAdmitAtDoor(stream, textCol, dsir),
       textCol, scoreQ8, minScoreQ8, bloom, shingleN, maxContamPermille)
@@ -446,7 +469,8 @@ object StreamingOps {
       digestProbe(gated, textCol, corpusDigests).drop("graft_digest"),
       doorFingerprint(col(textCol)), corpusBands, maxHamming)
     val sem = semIndex.fold(probed)(ix =>
-      semanticProbe(probed, semVecCol, ix, semCosThreshold, semNProbe))
+      semanticProbe(probed, semVecCol, ix, semCosThreshold, semNProbe,
+        semHier, semWProbe))
     dedupWithinWatermark(sem, tsCol, lateness, "graft_sim")
       .drop("graft_sim")
   }

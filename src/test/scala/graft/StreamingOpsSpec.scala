@@ -1010,6 +1010,73 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticProbe through the two-level hierarchy: full wProbe is " +
+    "verdict-identical to the flat kernel on an XL index, batch and " +
+    "streaming; narrow wProbe still catches the in-cluster twin; a " +
+    "mismatched hierarchy is rejected") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // the XL fixture above: 71 centroids > LiteralQuantizerMax, two
+    // tight clusters — flat gate = CentroidRankKernel, hierarchical
+    // gate = TwoLevelRankKernel over the SAME index
+    val corpus = (0 until 5000).map { i =>
+      val c = if (i % 2 == 0) Array(1.0f, 0.02f, 0.01f, 0.0f)
+              else Array(0.0f, 0.01f, 0.02f, 1.0f)
+      (i.toLong,
+        c.zipWithIndex.map { case (x, j) => x + 0.001f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      Similarity.suggestedNCentroids(5000L), persistIndex = false)
+    assert(index.cents.size > Similarity.LiteralQuantizerMax)
+    val tlq = Similarity.twoLevelQuantizer(index.cents)
+    val twin = Array(1.0f, 0.021f, 0.012f, 0.003f)
+    val novel = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows: Seq[(Timestamp, Long, Array[Float])] = Seq(
+      (ts("2024-01-01 10:00:00"), 10L, twin),   // near corpus 0 → DROP
+      (ts("2024-01-01 10:00:01"), 11L, novel),  // novel → KEEP
+      (ts("2024-01-01 10:00:02"), 12L, null))   // NULL → KEEP
+    def probe(df: org.apache.spark.sql.DataFrame,
+              h: Option[Similarity.TwoLevelQuantizer], w: Int) =
+      StreamingOps.semanticProbe(df, "embedding", index,
+        cosThreshold = 0.999, nProbe = 1, hier = h, wProbe = w)
+        .select("id").as[Long].collect().sorted.toSeq
+    val flat = probe(rows.toDF("ts", "id", "embedding"), None, 2)
+    val full = probe(rows.toDF("ts", "id", "embedding"),
+      Some(tlq), tlq.supers.size)
+    assert(full == flat && flat == Seq(11L, 12L),
+      s"full-wProbe hierarchy admits $full, flat admits $flat")
+    // narrow wProbe: the twin's nearest list sits under its own
+    // top-scored super in this well-separated fixture, so the gate
+    // still drops it with the √K scan
+    val narrow = probe(rows.toDF("ts", "id", "embedding"), Some(tlq), 2)
+    assert(narrow == flat,
+      s"narrow-wProbe hierarchy admits $narrow, flat admits $flat")
+    // streaming tense: the TwoLevelRankKernel serializes, codegens,
+    // and verdicts identically inside a real streaming query
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = StreamingOps.semanticProbe(
+        input.toDF().toDF("ts", "id", "embedding"), "embedding", index,
+        cosThreshold = 0.999, nProbe = 1, hier = Some(tlq), wProbe = 2)
+      .writeStream.format("memory").queryName("sem_tlq_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("sem_tlq_sink")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(streamIds == flat,
+        s"streaming two-level gate admitted $streamIds, flat $flat")
+    } finally q.stop()
+    // a hierarchy built over the WRONG centroid set cannot silently
+    // mis-route: the probe rejects it at plan-build time
+    val wrongTlq = Similarity.twoLevelQuantizer(index.cents.take(8))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.semanticProbe(rows.toDF("ts", "id", "embedding"),
+        "embedding", index, nProbe = 1, hier = Some(wrongTlq))
+    }
+    assert(e.getMessage.contains("build the TwoLevelQuantizer"))
+  }
+
   test("DSIR gate admits target-like docs at the door, batch parity") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext

@@ -301,6 +301,79 @@ class XlQuantizerSpec extends SparkSpec {
       try_element_at(col("rs"), lit(1)).isNotNull).count() === 0)
   }
 
+  test("two-level rank kernel: full wProbe is rank-for-rank the flat " +
+    "kernel; rank 1 is the two-level assignment; narrow wProbe clears " +
+    "the agreement floor; an unroutable vector yields an empty array") {
+    // K above LiteralQuantizerMax so the FLAT comparison side is the
+    // CentroidRankKernel codegen transport too — kernel vs kernel,
+    // the pairing the streaming door actually dispatches between.
+    // No zero-norm centroid (third coord pinned 1.0), so no super can
+    // be zero-norm either: rows 92/93 are unroutable by construction.
+    val k = Similarity.LiteralQuantizerMax + 16
+    val bigCents: Seq[(Long, Seq[Double])] = (0 until k).map(i =>
+      (i.toLong, Seq((i % 19) * 1.0d, ((i * 13) % 23) * 1.0d, 1.0d,
+        (i % 7) * 1.0d)))
+    val tlq = Similarity.twoLevelQuantizer(bigCents)
+    assert(tlq.nCentroids === k && tlq.supers.size < k)
+    val np = 5
+    def ranksOf(c: org.apache.spark.sql.Column): Map[Long, Seq[Long]] =
+      cands.withColumn("rs", c).select(col("c_id"), col("rs"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val flat = ranksOf(
+      Similarity.centroidRanks(col("c_vec"), bigCents, np))
+    val full = ranksOf(Similarity.centroidRanksTwoLevel(
+      col("c_vec"), tlq, np, wProbe = tlq.supers.size))
+    // every leaf visible + explicit (score desc, id asc) tie-break ==
+    // the flat first-max over the id-sorted scan — for EVERY row,
+    // including zero (90) and NaN (91); 92/93 are empty in BOTH forms
+    // here (no zero-norm leaf to catch them)
+    assert(full === flat)
+    assert(flat(92L).isEmpty && flat(93L).isEmpty)
+    assert(flat(90L).nonEmpty && flat(91L).nonEmpty)
+    // rank 1 at the same narrow wProbe IS the two-level assignment
+    // (same super selection, same global max over probed leaves) —
+    // the kernel and the mapPartitions transport cannot diverge
+    val asg = asgMap(Similarity.ivfAssignTwoLevel(cands, tlq, wProbe = 2))
+    val narrow = ranksOf(Similarity.centroidRanksTwoLevel(
+      col("c_vec"), tlq, np, wProbe = 2))
+    cands.select("c_id").as[Long].collect().foreach { id =>
+      val want = asg(id)
+      if (want == -1L) assert(narrow(id).isEmpty, s"row $id")
+      else assert(narrow(id).head === want, s"row $id")
+    }
+    // narrow-wProbe recall: rank-1 agreement with the flat kernel on
+    // well-formed rows clears the same floor the assignment audit uses
+    val wellFormed = flat.keySet.filter(_ < 90L)
+    val agree = wellFormed.count(id => narrow(id).head == flat(id).head)
+    assert(agree.toDouble / wellFormed.size >= 0.9,
+      s"two-level rank-1 agreement $agree/${wellFormed.size} below floor")
+    // the documented divergence, pinned on the SMALL fixture (whose
+    // zero-norm centroid id 7 catches otherwise-unplaceable vectors):
+    // the flat scan still reaches the zero-norm leaf, the hierarchy
+    // cannot route a vector no super can score
+    val tlqSmall = Similarity.twoLevelQuantizer(cents)
+    val small = cands.filter(col("c_id") >= 92L)
+      .withColumn("rs", Similarity.centroidRanksTwoLevel(
+        col("c_vec"), tlqSmall, 1, wProbe = tlqSmall.supers.size))
+      .select(col("c_id"), col("rs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(small(92L).isEmpty && small(93L).isEmpty)
+    // flat KERNEL comparison (the literal fold's null-score sort is
+    // undefined for these rows — the kernel is the defined form)
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val flatKernel = new graft.functions.CentroidRankKernel(
+      spark.sparkContext.broadcast((cents.map(_._1).toArray,
+        cents.map(_._2.toArray).toArray,
+        cents.map(c => math.sqrt(
+          c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray)))
+    val smallFlat = cands.filter(col("c_id") >= 92L)
+      .withColumn("rs", GraftBridge.column(graft.functions.CentroidRanks(
+        GraftBridge.expression(col("c_vec")), flatKernel, 1)))
+      .select(col("c_id"), col("rs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(smallFlat(92L) === Seq(7L) && smallFlat(93L) === Seq(7L))
+  }
+
   test("IVF+PQ coarse probe: XL transport returns exactly the " +
     "window form's results, raw AND residual") {
     val corpus = cands.filter(col("c_id") < 90L)

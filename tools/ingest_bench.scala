@@ -123,10 +123,19 @@ def s2(s: DataFrame) = StreamingOps.admitAtDoor(s1(s), "value",
 def s3(s: DataFrame) = StreamingOps.dedupAgainstCorpus(s2(s), "value",
   "put_ts", spark.table("ib_dig"), lateness)
 def doorWith(s: DataFrame,
-             sem: Option[graft.operators.Similarity.IvfIndex]) =
+             sem: Option[graft.operators.Similarity.IvfIndex],
+             hier: Option[graft.operators.Similarity.TwoLevelQuantizer]
+               = None) =
   StreamingOps.ingestDoor(s, "value", "put_ts", scoreQ8Of("value"), 0L,
     bloom, dsir, spark.table("ib_dig"), spark.table("ib_band"),
-    lateness = lateness, semIndex = sem)
+    lateness = lateness, semIndex = sem, semHier = hier,
+    semWProbe = 2)
+// the hierarchy over the SAME index: stage 6 measures the per-arrival
+// rank-kernel delta (flat O(K·dim) scan vs two-level O(wProbe·√K·dim)
+// routing) at the sf's √N-sized K — the EXTREME-K dial, here measured
+// at K in the hundreds where the flat scan is still affordable
+val tlq = graft.operators.Similarity.twoLevelQuantizer(ivf.cents)
+println(s"TLQ: ${tlq.supers.size} supers over ${tlq.nCentroids} leaves")
 val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
   ("0 source only", (s: DataFrame) => s),
   ("1 +dsir gate", s1 _),
@@ -135,7 +144,9 @@ val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
   ("4 door minus semantic (adds banded near-dup)",
     (s: DataFrame) => doorWith(s, None)),
   ("5 full door (adds semantic probe)",
-    (s: DataFrame) => doorWith(s, Some(ivf))))
+    (s: DataFrame) => doorWith(s, Some(ivf))),
+  ("6 full door, two-level semantic gate",
+    (s: DataFrame) => doorWith(s, Some(ivf), Some(tlq))))
 
 case class StageResult(name: String, secs: Double, admitted: Long,
                        batches: Int)
