@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval — query → top-k documents over an inverted
+  * index, the classic lexical-retrieval op a training-data pipeline
+  * uses to pull topic-relevant documents for a seed query set
+  * (targeted corpus selection, retrieval-baseline evals, hard-negative
+  * text mining alongside the embedding-space miners in
+  * [[Similarity]]).
+  *
+  * Shape (all relational, no driver state, NEVER query×corpus
+  * all-pairs):
+  *   1. tf per (doc, term) and df per term — the [[Keywords]] TF-IDF
+  *      tables, one corpus shuffle, map-side combined;
+  *   2. doc length = Σ tf per doc, corpus stats (N, avg length) as a
+  *      1-row broadcast — never a `.collect`-and-literal;
+  *   3. the PROBE is an inverted-index equi-join on `term`: the
+  *      (query, term) side joins the tf postings, so only documents
+  *      sharing a query term are ever scored. The query side is
+  *      search-sized → Spark broadcasts it; the posting side stays
+  *      term-partitioned;
+  *   4. per-(query, term, doc) BM25 contribution in INTEGER
+  *      MICRO-UNITS (floor(x·10⁶ + 0.5) as BIGINT — the
+  *      [[LanguageModel]] stance), so the per-doc Σ over terms is
+  *      exact and addition-order-free: bit-stable vs the DuckDB
+  *      oracle at any partitioning;
+  *   5. top-k per query by (score desc, doc asc) — bounded window,
+  *      partitioned by query, no global sort.
+  *
+  * Skew guard: a stopword-grade term's posting list is corpus-sized —
+  * `maxDfPermille` drops terms whose df exceeds the permille of N
+  * from scoring on BOTH engines (their IDF is near-floor anyway; the
+  * permille census form the near-dup caps use). 1000 = keep all.
+  *
+  * Semantics: Lucene-form BM25 — idf = ln(1 + (N − df + ½)/(df + ½))
+  * (never negative), tf-norm = tf·(k1+1)/(tf + k1·(1 − b + b·len/avg)).
+  * Query term multiplicity is ignored (terms are distinct per query,
+  * the standard short-query stance). Zero-token documents cannot
+  * exist under the space tokenizer (an empty text yields the one
+  * empty-string token), so len ≥ 1 and the norm never divides by a
+  * zero average.
+  */
+object Retrieval {
+
+  /** Top-k corpus docs per query by BM25. `toks`/`qToks` are token
+    * array expressions over the corpus / query frames. Output:
+    * (query, rank, doc, score_q6) — score in integer micro-units,
+    * rank 1-based by (score desc, doc asc). */
+  def bm25TopK(corpus: DataFrame, idCol: String, toks: Column,
+               queries: DataFrame, qidCol: String, qToks: Column,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDfPermille: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+    val terms = corpus.select(col(idCol).as("doc"), explode(toks).as("term"))
+    // tf feeds df, doc length AND the probe — one corpus pass
+    // (lifecycle: session clearCache, the Keywords/tfidfTopK stance)
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doclen = tf.groupBy("doc").agg(sum("tf").as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N from the corpus frame itself (not the tf table) so the
+    // contract survives operators that could one day emit no tokens
+    val stats = corpus.select(count(lit(1)).as("n_docs"))
+      .crossJoin(doclen.select(
+        sum("len").cast("double").as("tot_len")))
+    val qterms = queries.select(col(qidCol).as("query"),
+      explode(array_distinct(qToks)).as("term"))
+    // df cap against N as a broadcast 1-row join over the
+    // vocabulary-sized df table (never the corpus)
+    val kept = dfreq
+      .crossJoin(broadcast(stats.select(col("n_docs").as("cap_n"))))
+      .filter(col("df") * 1000 <= lit(maxDfPermille) * col("cap_n"))
+      .select("term", "df")
+    val probe = qterms
+      .join(tf, "term")
+      .join(kept, "term")
+      .join(doclen, "doc")
+      .crossJoin(broadcast(stats))
+    val nD = col("n_docs").cast("double")
+    val avgLen = col("tot_len") / nD
+    val idf = log(lit(1.0d) + (nD - col("df") + lit(0.5d))
+      / (col("df") + lit(0.5d)))
+    val tfn = col("tf") * lit(k1 + 1.0d) /
+      (col("tf") + lit(k1) * (lit(1.0d - b)
+        + lit(b) * col("len") / avgLen))
+    val scored = probe
+      .withColumn("contrib_q6",
+        floor(idf * tfn * lit(1e6) + lit(0.5d)).cast("long"))
+      .groupBy("query", "doc")
+      .agg(sum("contrib_q6").as("score_q6"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("score_q6").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query"), col("rank"), col("doc"), col("score_q6"))
+  }
+}

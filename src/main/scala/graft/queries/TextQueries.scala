@@ -972,6 +972,26 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "q_text_bm25" -> ((s, d) => {
+      // BM25 ranked retrieval: every 50th doc's 3-token opening is a
+      // seed query; top-10 corpus docs per query over the inverted
+      // index. Scores in integer micro-units (exact, order-free sum).
+      // The df skew cap stays at keep-all here: the synthetic corpus
+      // has a ~30-word vocabulary where every term is stopword-grade
+      // (df ≈ 780‰), so any useful permille cap empties the result —
+      // the cap's drop semantics are pinned by RetrievalSpec instead.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.Retrieval.bm25TopK(
+          docs, "doc_id", TA.tokens(col("text")),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 10, maxDfPermille = 1000)
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("score_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_global_shuffle" -> ((s, d) => {
       // Reproducible global shuffle: every doc gets a (shard, pos)
       // address that is a pure function of (doc_id, seed).
@@ -1970,6 +1990,47 @@ object TextQueries {
         |    ORDER BY score DESC, term ASC) AS rank
         |  FROM s) r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id AS doc, term, count(*) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |len AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS len
+        |        FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT CAST(sum(len) AS DOUBLE) FROM len) AS tot_len),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT term, df FROM df, stats
+        |         WHERE df * 1000 <= 1000 * n_docs),
+        |q AS (
+        |  SELECT DISTINCT doc_id AS query,
+        |    unnest((string_split(lower(text), ' '))[1:3]) AS term
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |probe AS (
+        |  SELECT q.query, tf.doc, tf.tf, kept.df, len.len,
+        |         stats.n_docs, stats.tot_len
+        |  FROM q JOIN tf USING (term) JOIN kept USING (term)
+        |    JOIN len ON tf.doc = len.doc, stats),
+        |contrib AS (
+        |  SELECT query, doc,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+        |          + 0.75 * len / (tot_len / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
+        |  FROM probe),
+        |s AS (SELECT query, doc, CAST(sum(contrib_q6) AS BIGINT)
+        |        AS score_q6 FROM contrib GROUP BY 1, 2)
+        |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc AS doc_id, score_q6
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |    ORDER BY score_q6 DESC, doc ASC) AS rank
+        |  FROM s) r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_global_shuffle" -> {
       // the 60-bit md5 prefix as a nibble polynomial (DuckDB has no

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Retrieval, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval: hand-computed micro-unit scores on a fixed
+  * corpus, the df skew cap, distinct-query-term semantics, and the
+  * no-all-pairs plan shape. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N=3, lengths 3/2/4, tot=9, avg=3
+  private lazy val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
+
+  private def run(qText: String, k: Int = 10,
+                  maxDfPermille: Int = 1000) =
+    Retrieval.bm25TopK(
+        corpus, "doc_id", TA.tokens(col("text")),
+        Seq((100L, qText)).toDF("query_id", "text"),
+        "query_id", TA.tokens(col("text")),
+        k = k, maxDfPermille = maxDfPermille)
+      .select("query", "rank", "doc", "score_q6")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+
+  // the operator's exact arithmetic, in the same JVM ops
+  private def microOf(tf: Long, df: Long, len: Long,
+                      n: Long = 3L, avg: Double = 3.0d): Long = {
+    val idf = math.log(1.0d + (n.toDouble - df + 0.5d) / (df + 0.5d))
+    val tfn = tf * (1.2d + 1.0d) /
+      (tf + 1.2d * ((1.0d - 0.75d) + 0.75d * len / avg))
+    math.floor(idf * tfn * 1e6 + 0.5d).toLong
+  }
+
+  test("hand-computed micro-unit scores, rank by (score desc, doc asc)") {
+    val got = run("apple cherry")
+    // apple: df 1, only doc 1 (tf 2, len 3); cherry: df 2, docs 2
+    // (tf 1, len 2) and 3 (tf 3, len 4); no doc matches both terms
+    val want = Map(
+      1L -> microOf(tf = 2, df = 1, len = 3),
+      2L -> microOf(tf = 1, df = 2, len = 2),
+      3L -> microOf(tf = 3, df = 2, len = 4))
+    assert(got.map(r => (r._3, r._4)).toMap === want)
+    // rarest term dominates: doc 1 first, then cherry by tf-norm
+    val byRank = got.sortBy(_._2).map(_._3)
+    val wantOrder = want.toSeq.sortBy { case (doc, s) => (-s, doc) }
+      .map(_._1)
+    assert(byRank === wantOrder)
+    assert(got.map(_._2) === Seq(1L, 2L, 3L))
+  }
+
+  test("a doc sharing both query terms sums its contributions exactly") {
+    val got = run("banana dog")
+    // banana: df 2 → docs 1 (tf 1, len 3), 2 (tf 1, len 2);
+    // dog: df 1 → doc 3 (tf 1, len 4)
+    val want = Map(
+      1L -> microOf(1, 2, 3),
+      2L -> microOf(1, 2, 2),
+      3L -> microOf(1, 1, 4))
+    assert(got.map(r => (r._3, r._4)).toMap === want)
+    // and a query term repeated does NOT double-count (distinct terms)
+    assert(run("dog dog dog") === run("dog"))
+  }
+
+  test("df cap drops stopword-grade postings from scoring") {
+    // banana/cherry have df 2 of N=3 (667‰) — a 500‰ cap removes
+    // them; apple (333‰) survives. Doc 2 (banana cherry only)
+    // disappears from the result entirely.
+    val got = run("apple banana cherry", maxDfPermille = 500)
+    assert(got.map(_._3).toSet === Set(1L))
+    assert(got.head._4 === microOf(2, 1, 3))
+  }
+
+  test("k truncates per query; plan has no non-broadcast cartesian") {
+    val got = run("apple cherry", k = 1)
+    assert(got.size === 1 && got.head._2 === 1L)
+    val plan = Retrieval.bm25TopK(
+        corpus, "doc_id", TA.tokens(col("text")),
+        Seq((100L, "apple")).toDF("query_id", "text"),
+        "query_id", TA.tokens(col("text")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "BM25 probe must stay an inverted-index equi-join")
+  }
+}
