@@ -1,0 +1,64 @@
+#!/bin/bash
+# BENCH-adjacent isolated-medians artifact: per-round, rerun the
+# sweep's top-N heaviest queries one-JVM-per-query (the
+# tools/iso_bench.sh protocol — the only protocol whose per-query
+# numbers mean anything on this box; a 132-query sweep in one JVM
+# inflates late queries via accumulated memory pressure, the
+# docs/SCALE.md "Measured 10x scaling" note) and check the medians in
+# next to the sweep, so cross-round per-query comparison stops needing
+# a reproduction exercise.
+# Usage:
+#   tools/iso_medians.sh <prior_bench_json> <sf_dir> <reps> <topN> <out_json>
+# <prior_bench_json> is the PRIOR round's driver sweep artifact
+# (BENCH_r{N-1}.json) — the current round's sweep lands only after the
+# build, so the selection of "heaviest" comes from the last sweep and
+# the MEDIANS are measured at HEAD.
+set -e
+cd /root/repo
+BENCH="$1"; SF="$2"; REPS="$3"; TOPN="$4"; OUT="$5"
+
+QUERIES=$(python3 - "$BENCH" "$TOPN" << 'EOF'
+import json, re, sys
+d = json.load(open(sys.argv[1]))
+# the driver artifact wraps the bench's one-line JSON inside a "tail"
+# (possibly truncated mid-line): recover per-query seconds by regex
+src = d["tail"] if "tail" in d else json.dumps(d)
+pairs = re.findall(r'"(q[a-z0-9_]*)":([0-9][0-9.]*)', src)
+qs = {}
+for k, v in pairs:
+    qs[k] = float(v)
+top = sorted(qs.items(), key=lambda kv: -kv[1])[: int(sys.argv[2])]
+print(" ".join(k for k, _ in top))
+EOF
+)
+echo "top-$TOPN of $BENCH: $QUERIES" >&2
+
+RESULTS=$(tools/iso_bench.sh "$SF" "$REPS" $QUERIES)
+echo "$RESULTS" >&2
+
+python3 - "$BENCH" "$SF" "$REPS" "$OUT" << EOF
+import json, sys
+lines = """$RESULTS""".strip().splitlines()
+queries = {}
+for ln in lines:
+    name, sec = ln.split()
+    queries[name] = float(sec)
+out = {
+    "metric": "isolated_median_seconds",
+    "protocol": "one JVM per query, tools/iso_bench.sh, median of reps",
+    "noise_note": ("this box carries external load spikes (observed "
+                   "per-rep spread up to 3x on an idle-looking "
+                   "machine, e.g. q_graph_pagerank reps "
+                   "[17.6,25.1,12.8,17.6,7.5] vs a 3.9s quiet-window "
+                   "median in r10) - compare medians across rounds "
+                   "only against the spread, never a single number"),
+    "source_bench": sys.argv[1],
+    "sf_dir": sys.argv[2],
+    "reps": int(sys.argv[3]),
+    "queries": queries,
+}
+with open(sys.argv[4], "w") as f:
+    json.dump(out, f, indent=1, sort_keys=True)
+    f.write("\n")
+print("wrote", sys.argv[4])
+EOF
