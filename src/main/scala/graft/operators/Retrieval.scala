@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   * all-pairs):
   *   1. tf per (doc, term) and df per term — the [[Keywords]] TF-IDF
   *      tables, one corpus shuffle, map-side combined;
-  *   2. doc length = Σ tf per doc, corpus stats (N, avg length) as a
-  *      1-row broadcast — never a `.collect`-and-literal;
+  *   2. doc length = Σ tf per doc, corpus stats (N, total length) as
+  *      a 1-row broadcast — never a `.collect`-and-literal;
   *   3. the PROBE is an inverted-index equi-join on `term`: the
   *      (query, term) side joins the tf postings, so only documents
   *      sharing a query term are ever scored. The query side is
   *      search-sized → Spark broadcasts it; the posting side stays
-  *      term-partitioned;
+  *      term-partitioned and never exchanges for the probe;
   *   4. per-(query, term, doc) BM25 contribution in INTEGER
   *      MICRO-UNITS (floor(x·10⁶ + 0.5) as BIGINT — the
   *      [[LanguageModel]] stance), so the per-doc Σ over terms is
@@ -42,23 +42,35 @@ import org.apache.spark.sql.functions._
   * exist under the space tokenizer (an empty text yields the one
   * empty-string token), so len ≥ 1 and the norm never divides by a
   * zero average.
+  *
+  * Incremental tense: [[postingsIndex]] stages the four tables once;
+  * [[appendToPostingsIndex]] folds an admitted micro-batch in with
+  * NARROW unions on the doc-keyed tables and vocabulary-sized /
+  * 1-row merges on the stats — every piece of BM25 state is additive
+  * (tf rows are per-doc independent, df and N and total length are
+  * sums), so append == rebuild EXACTLY (spec-pinned), unlike the
+  * quantized ANN indexes whose staleness needs audit-gated rebuild
+  * ([[IndexMaintenance]]). A streaming ingest deployment appends the
+  * door's admits per batch (the
+  * [[Dedup.appendToDigestIndex]] stance) and retrieval stays fresh
+  * with zero corpus re-reads.
   */
 object Retrieval {
 
-  /** Top-k corpus docs per query by BM25. `toks`/`qToks` are token
-    * array expressions over the corpus / query frames. Output:
-    * (query, rank, doc, score_q6) — score in integer micro-units,
-    * rank 1-based by (score desc, doc asc). */
-  def bm25TopK(corpus: DataFrame, idCol: String, toks: Column,
-               queries: DataFrame, qidCol: String, qToks: Column,
-               k: Int, k1: Double = 1.2, b: Double = 0.75,
-               maxDfPermille: Int = 1000): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
-      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+  /** Staged BM25 state: tf postings (doc, term, tf), per-doc length
+    * (doc, len), vocabulary df (term, df), and 1-row corpus stats
+    * (n_docs, tot_len — both BIGINT so appends stay exact). In
+    * production the postings persist as a parquet table; every probe
+    * touches postings only through the term equi-join. */
+  final case class PostingsIndex(postings: DataFrame, doclen: DataFrame,
+                                 dfreq: DataFrame, stats: DataFrame)
+
+  /** Build the staged index in one corpus pass (the tf table feeds
+    * all three derived tables). */
+  def postingsIndex(corpus: DataFrame, idCol: String,
+                    toks: Column): PostingsIndex = {
     val terms = corpus.select(col(idCol).as("doc"), explode(toks).as("term"))
-    // tf feeds df, doc length AND the probe — one corpus pass
-    // (lifecycle: session clearCache, the Keywords/tfidfTopK stance)
+    // lifecycle: session clearCache, the Keywords/tfidfTopK stance
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doclen = tf.groupBy("doc").agg(sum("tf").as("len"))
@@ -67,22 +79,62 @@ object Retrieval {
     // contract survives operators that could one day emit no tokens
     val stats = corpus.select(count(lit(1)).as("n_docs"))
       .crossJoin(doclen.select(
-        sum("len").cast("double").as("tot_len")))
+        coalesce(sum("len"), lit(0L)).as("tot_len")))
+    PostingsIndex(tf, doclen, dfreq, stats)
+  }
+
+  /** Fold an admitted batch into the index. Caller contract (shared
+    * with every append in this repo): `batch` doc ids are NOT already
+    * present — the ingest door guarantees it upstream. Plan shape:
+    * postings/doclen grow by NARROW union (no shuffle on the
+    * corpus-sized side), df merges vocabulary-sized, stats merge
+    * 1-row×1-row; append == rebuild row-identical (RetrievalSpec). */
+  def appendToPostingsIndex(ix: PostingsIndex, batch: DataFrame,
+                            idCol: String, toks: Column): PostingsIndex = {
+    val terms = batch.select(col(idCol).as("doc"), explode(toks).as("term"))
+    val newTf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newLen = newTf.groupBy("doc").agg(sum("tf").as("len"))
+    val newDf = newTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val newStats = batch.select(count(lit(1)).as("n_docs"))
+      .crossJoin(newLen.select(
+        coalesce(sum("len"), lit(0L)).as("tot_len")))
+    PostingsIndex(
+      ix.postings.unionByName(newTf),
+      ix.doclen.unionByName(newLen),
+      ix.dfreq.unionByName(newDf)
+        .groupBy("term").agg(sum("df").as("df")),
+      ix.stats.crossJoin(broadcast(newStats
+          .select(col("n_docs").as("add_n"), col("tot_len").as("add_len"))))
+        .select((col("n_docs") + col("add_n")).as("n_docs"),
+          (col("tot_len") + col("add_len")).as("tot_len")))
+  }
+
+  /** Probe a staged index: top-k docs per query by BM25, identical
+    * semantics to [[bm25TopK]] (which IS this probe over a
+    * just-built index — one definition). */
+  def bm25TopKWith(ix: PostingsIndex,
+                   queries: DataFrame, qidCol: String, qToks: Column,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   maxDfPermille: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
     val qterms = queries.select(col(qidCol).as("query"),
       explode(array_distinct(qToks)).as("term"))
     // df cap against N as a broadcast 1-row join over the
     // vocabulary-sized df table (never the corpus)
-    val kept = dfreq
-      .crossJoin(broadcast(stats.select(col("n_docs").as("cap_n"))))
+    val kept = ix.dfreq
+      .crossJoin(broadcast(ix.stats.select(col("n_docs").as("cap_n"))))
       .filter(col("df") * 1000 <= lit(maxDfPermille) * col("cap_n"))
       .select("term", "df")
     val probe = qterms
-      .join(tf, "term")
+      .join(ix.postings, "term")
       .join(kept, "term")
-      .join(doclen, "doc")
-      .crossJoin(broadcast(stats))
+      .join(ix.doclen, "doc")
+      .crossJoin(broadcast(ix.stats))
     val nD = col("n_docs").cast("double")
-    val avgLen = col("tot_len") / nD
+    val avgLen = col("tot_len").cast("double") / nD
     val idf = log(lit(1.0d) + (nD - col("df") + lit(0.5d))
       / (col("df") + lit(0.5d)))
     val tfn = col("tf") * lit(k1 + 1.0d) /
@@ -99,4 +151,15 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query"), col("rank"), col("doc"), col("score_q6"))
   }
+
+  /** Top-k corpus docs per query by BM25. `toks`/`qToks` are token
+    * array expressions over the corpus / query frames. Output:
+    * (query, rank, doc, score_q6) — score in integer micro-units,
+    * rank 1-based by (score desc, doc asc). */
+  def bm25TopK(corpus: DataFrame, idCol: String, toks: Column,
+               queries: DataFrame, qidCol: String, qToks: Column,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDfPermille: Int = 1000): DataFrame =
+    bm25TopKWith(postingsIndex(corpus, idCol, toks),
+      queries, qidCol, qToks, k, k1, b, maxDfPermille)
 }

@@ -73,6 +73,49 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head._4 === microOf(2, 1, 3))
   }
 
+  test("postings append == rebuild, table for table; probing the " +
+    "appended index == one-shot BM25 over the unioned corpus") {
+    import graft.operators.Retrieval.{appendToPostingsIndex, postingsIndex}
+    val batch = Seq(
+      (4L, "dog cherry dog"),
+      (5L, "elk")).toDF("doc_id", "text")
+    val full = postingsIndex(corpus.unionByName(batch), "doc_id",
+      TA.tokens(col("text")))
+    val appended = appendToPostingsIndex(
+      postingsIndex(corpus, "doc_id", TA.tokens(col("text"))),
+      batch, "doc_id", TA.tokens(col("text")))
+    def tfSet(ix: graft.operators.Retrieval.PostingsIndex) =
+      ix.postings.as[(Long, String, Long)].collect().toSet
+    def lenSet(ix: graft.operators.Retrieval.PostingsIndex) =
+      ix.doclen.as[(Long, Long)].collect().toSet
+    def dfSet(ix: graft.operators.Retrieval.PostingsIndex) =
+      ix.dfreq.as[(String, Long)].collect().toSet
+    def statsRow(ix: graft.operators.Retrieval.PostingsIndex) =
+      ix.stats.as[(Long, Long)].collect().toSeq
+    assert(tfSet(appended) === tfSet(full))
+    assert(lenSet(appended) === lenSet(full))
+    assert(dfSet(appended) === dfSet(full))
+    assert(statsRow(appended) === statsRow(full))
+    assert(statsRow(full) === Seq((5L, 13L))) // 3+2+4+3+1 tokens
+    // probe through the APPENDED index — every BM25 input (df, N,
+    // avg length) reflects the new docs, so the verdicts are exactly
+    // the one-shot op's over the unioned corpus
+    val qs = Seq((100L, "dog cherry")).toDF("query_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query", "rank", "doc", "score_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val viaAppend = key(graft.operators.Retrieval.bm25TopKWith(
+      appended, qs, "query_id", TA.tokens(col("text")), k = 10))
+    val oneShot = key(graft.operators.Retrieval.bm25TopK(
+      corpus.unionByName(batch), "doc_id", TA.tokens(col("text")),
+      qs, "query_id", TA.tokens(col("text")), k = 10))
+    assert(viaAppend === oneShot)
+    // the new doc 4 ("dog cherry dog") must now be retrievable and
+    // outrank every old doc on this query (it matches both terms)
+    assert(viaAppend.nonEmpty)
+    assert(viaAppend.minBy(_._2)._3 === 4L)
+  }
+
   test("k truncates per query; plan has no non-broadcast cartesian") {
     val got = run("apple cherry", k = 1)
     assert(got.size === 1 && got.head._2 === 1L)
