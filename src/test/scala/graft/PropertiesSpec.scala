@@ -186,6 +186,79 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: two-level rank kernel — full-wProbe parity with the " +
+    "flat kernel over adversarial quantizers (zero-norm, NaN/huge " +
+    "arrivals, exact ties), and narrow-wProbe rank 1 equals the " +
+    "two-level assignment transport") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val dim = 3
+    // centroid pool: finite values only (a NaN/Inf-normed centroid
+    // can legitimately fail super-assignment in twoLevelQuantizer —
+    // its own documented require), but KEEPS the adversarial shapes
+    // that stress the comparators: all-zero vectors (zero-norm
+    // leaves AND zero-norm supers) and tie-heavy small ints
+    val centElem = Gen.oneOf(-1.0d, 0.0d, 0.5d, 1.0d, 2.0d)
+    val centsGen = for {
+      k <- Gen.choose(3, 6)
+      vs <- Gen.listOfN(k, Gen.listOfN(dim, centElem))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Double]) }
+    // arrival pool: the full adversarial set — NaN, overflow-to-Inf
+    // products, null elements
+    val vecElem = Gen.oneOf(-1.0d, 0.0d, 0.5d, 1.0d, 2.0d,
+      Double.NaN, 1e300)
+    val batchGen = for {
+      n <- Gen.choose(8, 16)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.frequency(9 -> vecElem.map(Option(_)), 1 -> Gen.const(None))))
+    } yield vs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+    val cases = samples(Gen.zip(centsGen, batchGen), 6)
+    assert(cases.nonEmpty)
+    cases.foreach { case (cents, batch) =>
+      val tlq = Similarity.twoLevelQuantizer(cents)
+      val np = cents.size
+      val df = batch.toDF("c_id", "c_vec")
+      def ranks(c: org.apache.spark.sql.Column) =
+        df.withColumn("rs", c).select(col("c_id"), col("rs"))
+          .as[(Long, Seq[Long])].collect().toMap
+      val flat = ranks(GraftBridge.column(graft.functions.CentroidRanks(
+        GraftBridge.expression(col("c_vec")),
+        new graft.functions.CentroidRankKernel(
+          spark.sparkContext.broadcast((cents.map(_._1).toArray,
+            cents.map(_._2.toArray).toArray,
+            cents.map(c => math.sqrt(
+              c._2.foldLeft(0.0d)((a, x) => a + x * x))).toArray))),
+        np)))
+      val full = ranks(Similarity.centroidRanksTwoLevel(
+        col("c_vec"), tlq, np, wProbe = tlq.supers.size))
+      batch.foreach { case (id, v) =>
+        if (v.forall(_.isDefined))
+          // a fully-defined dim-matched vector scores non-null
+          // against every centroid (NaN/Inf are SQL-ordered values,
+          // not nulls) → routable → full-probe parity is EXACT
+          assert(full(id) === flat(id), s"row $id cents=$cents")
+        else
+          // null-element vectors: routed (some super scored, e.g. a
+          // zero-norm super) → parity; unroutable → EMPTY, the
+          // documented two-level stance
+          assert(full(id) === flat(id) || full(id).isEmpty,
+            s"row $id cents=$cents")
+      }
+      // narrow wProbe: kernel rank 1 IS the ivfAssignTwoLevel
+      // transport's assignment (same super selection, same global
+      // max over probed leaves), sentinel ⟺ empty ranks
+      val w = math.min(2, tlq.supers.size)
+      val narrow = ranks(Similarity.centroidRanksTwoLevel(
+        col("c_vec"), tlq, 1, wProbe = w))
+      val asg = Similarity.ivfAssignTwoLevel(df, tlq, wProbe = w)
+        .select("c_id", "cent_id").as[(Long, Long)].collect().toMap
+      batch.foreach { case (id, _) =>
+        if (asg(id) == -1L) assert(narrow(id).isEmpty, s"row $id")
+        else assert(narrow(id) === Seq(asg(id)), s"row $id cents=$cents")
+      }
+    }
+  }
+
   test("property: XL transport parity — the d2 (k-means) broadcast " +
     "assignment equals the d2 literal fold over adversarial " +
     "quantizers, incl. a dim-mismatched centroid and null elements") {

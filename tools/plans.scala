@@ -30,7 +30,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_mine_hard_negatives", "q_fuzzy_join_ed",
               "q_graph_pagerank", "q_dedup_canonical",
               "q_split_leakproof", "q_corpus_drift",
-              "q_sample_weighted", "q_curation_pipeline")) {
+              "q_sample_weighted", "q_curation_pipeline",
+              "q_text_bm25")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
