@@ -70,9 +70,16 @@ object Bpe {
     require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
     // materialize the vocab-sized reduction once; both regimes (and
     // the distributed path's per-round lineage truncation) reuse it
+    // freq > 0 (not just non-null): a zero/negative-frequency word
+    // can never legitimately win a merge, but the two regimes would
+    // DIVERGE on it — the driver loop's positive-count tree simply
+    // never holds it, while the distributed argmax would still emit
+    // a count<=0 pair — so the dispatch-transparency contract
+    // (driver == distributed merge-for-merge) demands it is dropped
+    // before the regime split
     val wf = words.select(col(wordCol).cast("string").as("word"),
         col(freqCol).cast("long").as("freq"))
-      .filter(col("freq").isNotNull)
+      .filter(col("freq") > 0)
       .localCheckpoint(true)
     if (wf.count() <= maxDriverWords) {
       val spark = wf.sparkSession

@@ -54,31 +54,56 @@ object Budget {
         .drop("__rn")
     }
     val target = cap.toLong * preThinFactor.toLong
-    val hot = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // ONE corpus aggregate, materialized tiny (a row per HOT group)
+    // and persisted so the thin/survivor/rescue consumers reuse it
+    // instead of re-running the corpus groupBy per consumer
+    // (lifecycle: session clearCache, the tf-table stance). The
+    // threshold is computed in DOUBLE: target/n < 1 by the hot
+    // filter, so 2^32·(target/n) never overflows — the integer form
+    // (2^32 · target) wraps (or throws under ANSI) once
+    // cap·preThinFactor > 2^31; a ±1-ulp rounding difference only
+    // moves the heuristic bar, which the rescue path covers
+    val thr = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > target)
-    if (hot.isEmpty) return exactCap(df)
+      .select(col(groupCol).as("__g"),
+        (floor(lit(4294967296.0d) *
+            (lit(target).cast("double") / col("__n"))).cast("long")
+          + lit(1L)).as("__thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (thr.isEmpty) { thr.unpersist(); return exactCap(df) }
     // leading 32 bits of the order hash as a uniform integer: the
     // md5 hex string is fixed-length lowercase, so its lexicographic
     // (= keep) order is the numeric order of the 128-bit value, and
-    // a threshold on the first 8 hex chars keeps a strict prefix
+    // a threshold on the first 8 hex chars keeps a strict prefix.
+    // A NULL-id row has a NULL hash, and the exact window's
+    // (hash asc, id asc) keep order puts NULLS FIRST — such rows are
+    // the HEAD of every keep prefix, so the pre-thin keeps them
+    // unconditionally or the two forms would diverge on hot groups
     val bucket32 = conv(substring(orderHash, 1, 8), 16, 10).cast("long")
-    val thr = hot.select(col(groupCol).as("__g"),
-      ((lit(1L << 32) * lit(target)) / col("__n") + lit(1L)).as("__thr"))
     val thinned = df
       .join(broadcast(thr), col(groupCol) <=> col("__g"), "left")
-      .filter(col("__thr").isNull || bucket32 < col("__thr"))
+      .filter(col("__thr").isNull || bucket32.isNull ||
+        bucket32 < col("__thr"))
     // rescue guard: every hot group must keep >= cap survivors for
     // the prefix argument to finish exactly (hot means |group| >
     // target >= 2·cap, so min(cap, |group|) = cap); a group that
     // missed the bar — including one with ZERO survivors, hence the
     // left join from `thr` — re-runs through the one-phase window
-    // over its full rows
+    // over its full rows. `rescue` is tiny (⊆ hot groups): persist
+    // it and branch on emptiness, so the common no-rescue run is
+    // 3 corpus scans total (threshold agg, survivor agg, main
+    // window) and never pays the rescued-side scan
     val surv = thinned.filter(col("__thr").isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("__s"))
     val rescue = thr.select(col("__g").as("__g2"))
       .join(surv, col("__g2") <=> col(groupCol), "left")
       .filter(coalesce(col("__s"), lit(0L)) < cap)
       .select(col("__g2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (rescue.isEmpty) {
+      rescue.unpersist()
+      return exactCap(thinned).drop("__g", "__thr")
+    }
     val main = exactCap(
         thinned.join(broadcast(rescue), col(groupCol) <=> col("__g2"),
           "left_anti"))

@@ -128,9 +128,14 @@ object Retrieval {
       .crossJoin(broadcast(ix.stats.select(col("n_docs").as("cap_n"))))
       .filter(col("df") * 1000 <= lit(maxDfPermille) * col("cap_n"))
       .select("term", "df")
+    // cap BEFORE the postings join: qterms⋈kept is query-sized ×
+    // vocabulary-sized, so a capped stopword-grade term is discarded
+    // before its corpus-sized posting list is ever materialized
+    // (joining postings first would stream the very list the cap
+    // exists to park, then throw it away)
     val probe = qterms
-      .join(ix.postings, "term")
       .join(kept, "term")
+      .join(ix.postings, "term")
       .join(ix.doclen, "doc")
       .crossJoin(broadcast(ix.stats))
     val nD = col("n_docs").cast("double")

@@ -119,6 +119,25 @@ class BpeSpec extends SparkSpec {
     driver.zip(dist).foreach { case (d, t) => assert(d == t) }
   }
 
+  test("zero/negative-frequency words produce no merges in EITHER " +
+    "regime (dispatch transparency on degenerate freqCol values)") {
+    // a zero-freq pair would be invisible to the driver loop's
+    // positive-count tree but still win the distributed argmax —
+    // train() filters freq > 0 before the regime split so both see
+    // the same corpus
+    val words = Seq(("ab", 0L), ("xy", -3L), ("cd", 2L))
+      .toDF("word", "freq")
+    val viaDriver = Bpe.train(words, numMerges = 3)
+    val viaDist = Bpe.train(words, numMerges = 3, maxDriverWords = 0L)
+    assert(viaDriver == viaDist)
+    assert(viaDriver.map(m => (m.left, m.right)) == Seq(("c", "d")),
+      s"only the freq-2 word may merge, got $viaDriver")
+    // all-degenerate input: no merges, no crash, both regimes
+    val none = Seq(("ab", 0L)).toDF("word", "freq")
+    assert(Bpe.train(none, 1).isEmpty)
+    assert(Bpe.train(none, 1, maxDriverWords = 0L).isEmpty)
+  }
+
   test("over-bound dispatch falls back to the distributed rounds") {
     // maxDriverWords = 0 forces the fallback; the result must not
     // change (the dispatch is a transport choice, not a semantics one)

@@ -707,6 +707,24 @@ class DedupSpec extends SparkSpec {
     assert(two.filter($"grp" === "hot").count() == 5L)
   }
 
+  test("per-group cap: a NULL-id row in a hot group survives the " +
+    "pre-thin (it heads the exact keep order)") {
+    // NULL id -> NULL salted hash -> NULL 32-bit bucket; the exact
+    // window's (hash asc, id asc) order puts it FIRST, so the
+    // pre-thin must keep it unconditionally or the two forms diverge
+    val df = ((0L until 5000L).map(i => (Option(i), "hot")) :+
+      ((None: Option[Long]), "hot")).toDF("id", "grp")
+    val two = graft.operators.Budget.capPerGroup(df, "id", "grp", 10)
+      .select("id", "grp").as[(Option[Long], String)].collect().toSet
+    val one = graft.operators.Budget.capPerGroup(df, "id", "grp", 10,
+        preThinFactor = Int.MaxValue)
+      .select("id", "grp").as[(Option[Long], String)].collect().toSet
+    assert(two === one)
+    assert(two.contains((None, "hot")),
+      "the NULL-id row is rank 1 of the keep order and must be kept")
+    assert(two.size === 10)
+  }
+
   test("weight budget: exact prefix cut in priority order, any bucketing") {
     // weights 1..20, priority = id asc (bucket = id / 5 is monotone)
     val df = (1L to 20L).map(i => (i, i)).toDF("id", "w")

@@ -1075,6 +1075,18 @@ class StreamingOpsSpec extends SparkSpec {
         "embedding", index, nProbe = 1, hier = Some(wrongTlq))
     }
     assert(e.getMessage.contains("build the TwoLevelQuantizer"))
+    // the REALISTIC stale case: a rebuild keeps K and reuses ids
+    // 0..K-1, so a hierarchy cached across it has the right COUNT and
+    // the right ID SET but the old vectors — the guard compares
+    // vectors and still rejects it
+    val staleTlq = Similarity.twoLevelQuantizer(
+      index.cents.map { case (id, v) => (id, v.map(_ + 0.25d)) })
+    assert(staleTlq.nCentroids == index.cents.size)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingOps.semanticProbe(rows.toDF("ts", "id", "embedding"),
+        "embedding", index, nProbe = 1, hier = Some(staleTlq))
+    }
+    assert(e2.getMessage.contains("stale hierarchy"))
   }
 
   test("DSIR gate admits target-like docs at the door, batch parity") {
