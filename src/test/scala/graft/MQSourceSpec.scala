@@ -925,6 +925,7 @@ class MQSourceSpec extends SparkSpec {
     // (version after maintain, rebuilt, recall) per applied batch
     val events = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Boolean, Double)]
+    val gcEvents = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     def runOnce(): Unit = {
       val q = spark.readStream.format("ibmmq")
         .option("path", dir.toString).load()
@@ -955,6 +956,14 @@ class MQSourceSpec extends SparkSpec {
                 rerank = 16, m = 4, ksub = 32)
               pq = m.index
               events += ((store.currentVersion(), m.rebuilt, m.recall))
+              // retention GC on the same cadence, the aggressive
+              // keep-only-CURRENT setting (production holds >= 1 for
+              // in-flight readers — the concurrent-reader soak in
+              // IndexMaintenanceSpec covers that; here the point is
+              // GC inside the live loop): healthy batches find
+              // nothing below CURRENT, the swap batch prunes exactly
+              // the superseded version while the stream is running
+              gcEvents += store.retainVersions(0)
               gate.commit(batchId)
             }
             ()
@@ -987,6 +996,15 @@ class MQSourceSpec extends SparkSpec {
       s"post-rebuild healthy batch swapped again: $e3")
     assert(store.currentVersion() == 1L,
       "exactly one rebuild across the run")
+    // GC-in-the-loop: nothing to prune on the healthy batches, the
+    // swap batch pruned exactly the superseded version 0, and the
+    // surviving store is still loadable
+    assert(gcEvents.toSeq == Seq(Nil, Seq(0L), Nil), s"gc: $gcEvents")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.versionDir(0L))),
+      "version 0 must be deleted after the swap-batch GC")
+    val reloaded = IM.loadPqIndex(spark, store.versionDir(1L))
+    assert(reloaded.codebook.length == 4)
     // admits unaffected by the mid-run swap: every message landed
     // exactly once (batch replay absorbed by the idempotent write)
     val landed = spark.read.parquet(out.toString)
