@@ -138,3 +138,33 @@ println(s"PARITY: onlyStream=${onlyStream.size} onlyBatch=${onlyBatch.size} " +
   (if (onlyStream.isEmpty && onlyBatch.isEmpty) "OK" else "MISMATCH"))
 if (onlyStream.nonEmpty) println("  e.g. only-stream: " + onlyStream.head.take(80))
 if (onlyBatch.nonEmpty) println("  e.g. only-batch: " + onlyBatch.head.take(80))
+
+// ---- two-level gate twin (round 11): the SAME streamed door with
+// the semantic gate routed through the hierarchy at FULL wProbe —
+// bit-parity with the flat kernel, so admits must equal the flat
+// stream's exactly, at 100x index scale with real micro-batches
+val tlq = Similarity.twoLevelQuantizer(ivf.cents)
+def doorTlq(df: DataFrame): DataFrame =
+  StreamingOps.ingestDoor(df, "value", "put_ts", scoreQ8Of("value"),
+    minScoreQ8 = 2000000L, bloom, dsir, corpusDigests, corpusBands,
+    lateness = "10 minutes", semIndex = Some(ivf),
+    semHier = Some(tlq), semWProbe = tlq.supers.size)
+val ckpt2 = java.nio.file.Files.createTempDirectory("door-parity-ckpt2")
+val out2 = java.nio.file.Files.createTempDirectory("door-parity-out2")
+val t1 = System.nanoTime
+val q2 = (doorTlq(
+    (spark.readStream.format("ibmmq").option("path", qdir.toString)
+      .option("maxMessagesPerTrigger", "2000").load()
+      .withColumn("embedding", embedOf(col("value")))))
+  .select("key", "value")
+  .writeStream.format("parquet").option("path", out2.toString)
+  .option("checkpointLocation", ckpt2.toString)
+  .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+q2.awaitTermination(600000)
+val tlqSecs = (System.nanoTime - t1) / 1e9
+val tlqAdmitted = (spark.read.parquet(out2.toString)
+  .select(lower(trim(col("value"))))
+  .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet)
+println(s"TLQ-STREAM: admitted=${tlqAdmitted.size} in " +
+  f"$tlqSecs%.1f s (supers=${tlq.supers.size}, full wProbe) " +
+  (if (tlqAdmitted == streamAdmitted) "PARITY-OK" else "MISMATCH"))
