@@ -586,9 +586,17 @@ object Similarity {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out.toSeq)
       }
     }(enc)
+    rerankProbes(index, probed, k)
+  }
+
+  /** The exact-rerank tail shared by every probe-list transport
+    * (identical to ivfTopKWith's): explode each query's probe list,
+    * broadcast the query side into the cent_id equi-join against the
+    * assigned lists, exact cosine top-k per query. */
+  private def rerankProbes(index: IvfIndex, probed: DataFrame,
+                           k: Int): DataFrame = {
     val probes = probed.select(col("q_id"), col("q_vec"),
       explode(col("probe_cents")).as("cent_id"))
-    // identical rerank tail to ivfTopKWith
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     broadcast(probes).join(index.assigned, "cent_id")
@@ -597,6 +605,52 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+  }
+
+  /** EXTREME-K tense of [[ivfTopKXL]]: probe selection routed through
+    * a [[TwoLevelQuantizer]] (ONE codegen
+    * [[graft.functions.CentroidRanks]] call per query,
+    * O(wProbe·√K·dim) instead of the flat O(K·dim) scan), then the
+    * identical exact-rerank tail — the batch query stage's twin of
+    * the streaming gate's hierarchical transport. Full `wProbe` is
+    * result-identical to [[ivfTopKXL]] (XlQuantizerSpec); narrow
+    * `wProbe` trades boundary recall exactly as [[ivfAssignTwoLevel]]
+    * documents. A query no super can score probes nothing and is
+    * absent from the result (the XL form's empty-probe stance). */
+  def ivfTopKHier(index: IvfIndex, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  tlq: TwoLevelQuantizer,
+                  nProbe: Int = 2, wProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.cents.size,
+      s"nProbe=$nProbe out of range [1, ${index.cents.size}]")
+    requireHierOver(tlq, index.cents)
+    val qs = nonNullVecs(queries, vecCol)
+      .select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+    val probed = qs.withColumn("probe_cents",
+      centroidRanksTwoLevel(col("q_vec"), tlq, nProbe, wProbe))
+    rerankProbes(index, probed, k)
+  }
+
+  /** Reject a hierarchy that does not cover EXACTLY this centroid
+    * set — count, ids, AND vectors: a rebuild keeps K and reuses ids
+    * 0..K-1, so anything weaker would let a hierarchy cached across
+    * the rebuild silently rank against the old centroids. Driver-side
+    * K·dim equality, once per plan build. ONE definition shared by
+    * [[graft.streaming.StreamingOps.semanticProbe]] and
+    * [[ivfTopKHier]]. */
+  private[graft] def requireHierOver(tlq: TwoLevelQuantizer,
+      cents: Seq[(Long, Seq[Double])]): Unit = {
+    require(tlq.nCentroids == cents.size,
+      s"hierarchy covers ${tlq.nCentroids} leaves but the index has " +
+        s"${cents.size} centroids — build the TwoLevelQuantizer " +
+        "over index.cents")
+    val leaves = tlq.children.valuesIterator.flatten.toMap
+    cents.foreach { case (id, vec) =>
+      require(leaves.get(id).contains(vec),
+        s"hierarchy leaf $id does not match the index centroid " +
+          "(stale hierarchy after a rebuild?) — build the " +
+          "TwoLevelQuantizer over index.cents")
+    }
   }
 
   /** SQL double equality for the two-level tie-break: NaN == NaN

@@ -264,25 +264,11 @@ object StreamingOps {
     import graft.operators.Similarity
     require(nProbe >= 1 && nProbe <= index.cents.size,
       s"nProbe $nProbe out of range [1, ${index.cents.size}]")
-    hier.foreach { tlq =>
-      require(tlq.nCentroids == index.cents.size,
-        s"hierarchy covers ${tlq.nCentroids} leaves but the index has " +
-          s"${index.cents.size} centroids — build the TwoLevelQuantizer " +
-          "over index.cents")
-      // count alone cannot catch the REALISTIC stale case: a rebuild
-      // keeps K (suggestedNCentroids of a same-sized corpus) and
-      // reuses ids 0..K-1, so a hierarchy cached across the rebuild
-      // would pass a count (or id-set) check and silently rank
-      // arrivals against the OLD centroids — compare the leaf
-      // VECTORS (driver-side K·dim equality, once per plan build)
-      val leaves = tlq.children.valuesIterator.flatten.toMap
-      index.cents.foreach { case (id, vec) =>
-        require(leaves.get(id).contains(vec),
-          s"hierarchy leaf $id does not match the index centroid " +
-            "(stale hierarchy after a rebuild?) — build the " +
-            "TwoLevelQuantizer over index.cents")
-      }
-    }
+    // count alone cannot catch the REALISTIC stale case (a rebuild
+    // keeps K and reuses ids 0..K-1) — the shared guard compares the
+    // leaf VECTORS (Similarity.requireHierOver, one definition with
+    // the batch probe's)
+    hier.foreach(tlq => Similarity.requireHierOver(tlq, index.cents))
     require(!stream.columns.contains("graft_cent") &&
         !stream.columns.contains("graft_cents"),
       "input stream already has a graft_cent/graft_cents column")

@@ -449,7 +449,8 @@ class XlQuantizerSpec extends SparkSpec {
   }
 
   test("ivfTopKXL returns exactly ivfTopKWith's results " +
-    "(including a zero-norm query)") {
+    "(including a zero-norm query); ivfTopKHier at full wProbe " +
+    "matches them, and a stale hierarchy is rejected") {
     val corpus = cands.filter(col("c_id") < 90L)
       .select(col("c_id").as("vec_id"),
         col("c_vec").cast("array<float>").as("embedding"))
@@ -470,5 +471,23 @@ class XlQuantizerSpec extends SparkSpec {
     // the public entry dispatches by index size: small stays literal
     assert(key(Similarity.ivfTopKWith(idx, queries,
       "vec_id", "embedding", k = 3, nProbe = 2)) === lit)
+    // the batch query stage's hierarchical twin: full wProbe routes
+    // every leaf — result-identical to the XL probe (incl. the
+    // zero-norm query, whose all-0.0 scores rank id-ascending in
+    // both transports)
+    val tlq = Similarity.twoLevelQuantizer(idx.cents)
+    val hier = key(Similarity.ivfTopKHier(idx, queries,
+      "vec_id", "embedding", k = 3, tlq,
+      nProbe = 2, wProbe = tlq.supers.size))
+    assert(hier === lit)
+    // same-count/same-ids/stale-VECTORS hierarchy: rejected by the
+    // shared vector-compare guard, not silently mis-routed
+    val stale = Similarity.twoLevelQuantizer(
+      idx.cents.map { case (id, v) => (id, v.map(_ + 0.25d)) })
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKHier(idx, queries, "vec_id", "embedding",
+        k = 3, stale, nProbe = 2, wProbe = 1)
+    }
+    assert(e.getMessage.contains("stale hierarchy"))
   }
 }
