@@ -33,6 +33,15 @@ object Budget {
     * When no group is over the pre-thin bar, the plan IS the
     * one-phase window plus one tiny aggregate.
     *
+    * Precondition for the bit-identical claim (and for the
+    * determinism contract itself): the keep order (salted hash, id)
+    * must be TOTAL within each group — `idCol` unique, at most one
+    * NULL id per group. Rows TIED on both keys (duplicate ids, or
+    * 2+ NULL-id rows straddling the cap) get row_number positions in
+    * partition-arrival order, so which of them is kept is arbitrary
+    * in the ONE-phase form too — the same total-order requirement
+    * [[takeWeightBudget]] documents for its running sum.
+    *
     * @param preThinFactor expected survivors per hot group =
     *        `cap · preThinFactor`; higher = smaller rescue
     *        probability, more rows through the exact window.

@@ -645,8 +645,14 @@ object Similarity {
         s"${cents.size} centroids — build the TwoLevelQuantizer " +
         "over index.cents")
     val leaves = tlq.children.valuesIterator.flatten.toMap
+    // element-wise SQL equality, NOT Seq ==: a corpus vector with a
+    // NaN component makes its k-means centroid NaN, and JVM NaN !=
+    // NaN would reject the FRESH hierarchy built over that very
+    // index (eqSqlDouble exists for exactly this divergence)
+    def sameVec(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.size == b.size && a.indices.forall(i => eqSqlDouble(a(i), b(i)))
     cents.foreach { case (id, vec) =>
-      require(leaves.get(id).contains(vec),
+      require(leaves.get(id).exists(sameVec(_, vec)),
         s"hierarchy leaf $id does not match the index centroid " +
           "(stale hierarchy after a rebuild?) — build the " +
           "TwoLevelQuantizer over index.cents")

@@ -132,10 +132,15 @@ class BpeSpec extends SparkSpec {
     assert(viaDriver == viaDist)
     assert(viaDriver.map(m => (m.left, m.right)) == Seq(("c", "d")),
       s"only the freq-2 word may merge, got $viaDriver")
-    // all-degenerate input: no merges, no crash, both regimes
+    // all-degenerate input: the corpus is EMPTY after the filter, so
+    // BOTH dispatch configs take the driver loop (0 <= any bound) —
+    // pin the distributed fallback's empty behavior DIRECTLY too, so
+    // the empty-corpus path isn't covered only vacuously
     val none = Seq(("ab", 0L)).toDF("word", "freq")
     assert(Bpe.train(none, 1).isEmpty)
     assert(Bpe.train(none, 1, maxDriverWords = 0L).isEmpty)
+    assert(Bpe.trainDistributed(
+      Seq.empty[(String, Long)].toDF("word", "freq"), 1).isEmpty)
   }
 
   test("over-bound dispatch falls back to the distributed rounds") {

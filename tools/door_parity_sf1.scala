@@ -110,7 +110,7 @@ val q = (door(
   .writeStream.format("parquet").option("path", out.toString)
   .option("checkpointLocation", ckpt.toString)
   .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
-q.awaitTermination(600000)
+require(q.awaitTermination(600000), "flat stream did not finish in 10 min")
 val streamSecs = (System.nanoTime - t0) / 1e9
 
 // ---- batch twin: SAME composed call on the static frame ----
@@ -160,7 +160,7 @@ val q2 = (doorTlq(
   .writeStream.format("parquet").option("path", out2.toString)
   .option("checkpointLocation", ckpt2.toString)
   .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
-q2.awaitTermination(600000)
+require(q2.awaitTermination(600000), "tlq stream did not finish in 10 min")
 val tlqSecs = (System.nanoTime - t1) / 1e9
 val tlqAdmitted = (spark.read.parquet(out2.toString)
   .select(lower(trim(col("value"))))
