@@ -489,5 +489,22 @@ class XlQuantizerSpec extends SparkSpec {
         k = 3, stale, nProbe = 2, wProbe = 1)
     }
     assert(e.getMessage.contains("stale hierarchy"))
+    // a NaN-component centroid set must be ACCEPTED by the guard when
+    // the hierarchy's leaves ARE those centroids: the compare is SQL
+    // equality (NaN == NaN), not JVM Seq ==. twoLevelQuantizer itself
+    // refuses NaN centroids (its own super-assignment require — NaN
+    // d2 never beats the MaxValue seed), so the hierarchy is
+    // hand-built here; the guard keeps ONE equality definition either
+    // way instead of silently adopting the JVM's
+    val nanCents = Seq((0L, Seq(1.0d, 0.0d, 0.0d, 0.0d)),
+      (1L, Seq(Double.NaN, 1.0d, 0.0d, 0.0d)),
+      (2L, Seq(0.0d, 0.0d, 1.0d, 0.0d)))
+    intercept[IllegalArgumentException] {
+      Similarity.twoLevelQuantizer(nanCents) // the builder refuses NaN
+    }
+    val tlqNan = Similarity.TwoLevelQuantizer(
+      supers = Seq((0L, Seq(0.5d, 0.5d, 0.5d, 0.0d))),
+      children = Map(0L -> nanCents))
+    Similarity.requireHierOver(tlqNan, nanCents) // must not throw
   }
 }
