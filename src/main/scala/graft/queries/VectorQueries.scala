@@ -266,6 +266,15 @@ object VectorQueries {
         .select(col("c_id"), col("cent_id").as("cent_tl"))
       val tlDiff = exact.join(two, "c_id")
         .filter(!(col("cent_bc") <=> col("cent_tl"))).count()
+      // round 11: the hierarchical PROBE twin (the TwoLevelRankKernel
+      // through ivfTopKHier) at full wProbe must return exactly the
+      // XL probe's results — the query-stage parity of the same
+      // full-probe-is-exact contract the assignment compare pins
+      val hier3 = Similarity.ivfTopKHier(idx, q, "vec_id", "embedding",
+        3, tlq, nProbe = 4, wProbe = tlq.supers.size)
+        .select("q_id", "rank", "c_id")
+      val hierDiff =
+        hier3.exceptAll(xl3).count() + xl3.exceptAll(hier3).count()
       // PQ transport parity at the DEFAULT m=8 × ksub=16 shape (128
       // codewords — past CodebookLiteralMax, so production takes the
       // broadcast loop; this pins it against the expression form).
@@ -296,9 +305,10 @@ object VectorQueries {
       idx.assigned.unpersist()
       import s.implicits._
       Seq((if (n > 0 && nSample > 0) 1L else 0L,
-          assignDiff, probeDiff, tlDiff, pqDiff))
+          assignDiff, probeDiff, tlDiff, hierDiff, pqDiff))
         .toDF("checked_nonzero", "n_assign_diff", "n_probe_diff",
-          "n_twolevel_fullprobe_diff", "n_pq_encode_diff")
+          "n_twolevel_fullprobe_diff", "n_hier_probe_diff",
+          "n_pq_encode_diff")
     }),
 
     "q_embed_cluster" -> ((s, d) => {
@@ -407,6 +417,7 @@ object VectorQueries {
         "CAST(0 AS BIGINT) AS n_assign_diff, " +
         "CAST(0 AS BIGINT) AS n_probe_diff, " +
         "CAST(0 AS BIGINT) AS n_twolevel_fullprobe_diff, " +
+        "CAST(0 AS BIGINT) AS n_hier_probe_diff, " +
         "CAST(0 AS BIGINT) AS n_pq_encode_diff"),
 
     "q_sim_cosine_topk" ->
