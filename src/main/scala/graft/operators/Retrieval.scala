@@ -88,7 +88,17 @@ object Retrieval {
     * present — the ingest door guarantees it upstream. Plan shape:
     * postings/doclen grow by NARROW union (no shuffle on the
     * corpus-sized side), df merges vocabulary-sized, stats merge
-    * 1-row×1-row; append == rebuild row-identical (RetrievalSpec). */
+    * 1-row×1-row; append == rebuild row-identical (RetrievalSpec).
+    *
+    * Long-run lineage: each append adds one union layer, so after
+    * thousands of micro-batches the postings PLAN is a deep union
+    * tree — the same axis the dedup indexes resolve by living as
+    * bucketed TABLES ([[Dedup.createDigestIndexTable]] stance: each
+    * batch INSERTs, readers see a flat table). A long-lived
+    * deployment lands postings/doclen the same way (every BM25 state
+    * is additive, so table inserts preserve the append == rebuild
+    * contract verbatim) or localCheckpoints the frames on a batch
+    * cadence; the in-memory form here is the within-job tense. */
   def appendToPostingsIndex(ix: PostingsIndex, batch: DataFrame,
                             idCol: String, toks: Column): PostingsIndex = {
     val terms = batch.select(col(idCol).as("doc"), explode(toks).as("term"))
