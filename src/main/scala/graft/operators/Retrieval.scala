@@ -130,15 +130,26 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDfPermille >= 1 && maxDfPermille <= 1000,
       s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
-    val qterms = queries.select(col(qidCol).as("query"),
-      explode(array_distinct(qToks)).as("term"))
+    // queries sharing a term SET produce identical rankings — the
+    // score and the (score desc, doc asc) order are functions of the
+    // distinct term set alone — so the probe scores each DISTINCT
+    // signature once and fans the ranked lists back out at the end.
+    // Result-identical, and the match matrix shrinks by the query-
+    // duplication factor (measured 10× at the derived-sf1 fixture:
+    // 1,000 seed queries collapse to 99 distinct openings). The
+    // signature key is the sorted distinct token ARRAY itself (no
+    // string join — injective for any token alphabet).
+    val qsig = queries.select(col(qidCol).as("query"),
+      array_sort(array_distinct(qToks)).as("__sig"))
+    val sigs = qsig.select("__sig").distinct()
+    val qterms = sigs.select(col("__sig"), explode(col("__sig")).as("term"))
     // df cap against N as a broadcast 1-row join over the
     // vocabulary-sized df table (never the corpus)
     val kept = ix.dfreq
       .crossJoin(broadcast(ix.stats.select(col("n_docs").as("cap_n"))))
       .filter(col("df") * 1000 <= lit(maxDfPermille) * col("cap_n"))
       .select("term", "df")
-    // cap BEFORE the postings join: qterms⋈kept is query-sized ×
+    // cap BEFORE the postings join: qterms⋈kept is signature-sized ×
     // vocabulary-sized, so a capped stopword-grade term is discarded
     // before its corpus-sized posting list is ever materialized
     // (joining postings first would stream the very list the cap
@@ -158,12 +169,17 @@ object Retrieval {
     val scored = probe
       .withColumn("contrib_q6",
         floor(idf * tfn * lit(1e6) + lit(0.5d)).cast("long"))
-      .groupBy("query", "doc")
+      .groupBy("__sig", "doc")
       .agg(sum("contrib_q6").as("score_q6"))
-    val w = Window.partitionBy("query")
+    val w = Window.partitionBy("__sig")
       .orderBy(col("score_q6").desc, col("doc").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+    // fan out: ranked is ≤ signatures·k rows (search-sized), so the
+    // per-query join broadcasts it; a query whose signature matched
+    // nothing (or was NULL) is absent, exactly as before
+    qsig.join(broadcast(ranked), "__sig")
       .select(col("query"), col("rank"), col("doc"), col("score_q6"))
   }
 

@@ -116,6 +116,27 @@ class RetrievalSpec extends SparkSpec {
     assert(viaAppend.minBy(_._2)._3 === 4L)
   }
 
+  test("signature dedup: queries sharing a term set each get the full " +
+    "ranked list; token order and multiplicity do not split signatures") {
+    // 3 queries, ONE distinct signature {apple, cherry} — the probe
+    // scores it once, the fan-out returns identical lists to each
+    val qs = Seq((100L, "apple cherry"), (101L, "cherry apple"),
+      (102L, "cherry apple cherry")).toDF("query_id", "text")
+    val got = graft.operators.Retrieval.bm25TopK(
+        corpus, "doc_id", TA.tokens(col("text")),
+        qs, "query_id", TA.tokens(col("text")), k = 10)
+      .select("query", "rank", "doc", "score_q6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQuery = got.groupBy(_._1)
+      .map { case (q, rs) => (q, rs.map(r => (r._2, r._3, r._4)).sorted) }
+    assert(byQuery.keySet === Set(100L, 101L, 102L))
+    assert(byQuery(100L) === byQuery(101L))
+    assert(byQuery(100L) === byQuery(102L))
+    // and the shared list is the single-query result
+    val single = run("apple cherry").map(r => (r._2, r._3, r._4)).sorted
+    assert(byQuery(100L) === single)
+  }
+
   test("k truncates per query; plan has no non-broadcast cartesian") {
     val got = run("apple cherry", k = 1)
     assert(got.size === 1 && got.head._2 === 1L)
