@@ -60,10 +60,41 @@ object Retrieval {
   /** Staged BM25 state: tf postings (doc, term, tf), per-doc length
     * (doc, len), vocabulary df (term, df), and 1-row corpus stats
     * (n_docs, tot_len — both BIGINT so appends stay exact). In
-    * production the postings persist as a parquet table; every probe
-    * touches postings only through the term equi-join. */
+    * production the postings persist as the bucketed tables
+    * [[createPostingsIndexTable]] writes; every probe touches
+    * postings only through the term equi-join.
+    *
+    * `pinned` tracks the frames this index holds persisted (the base
+    * tf table plus one per append) so the caller owns the lifecycle:
+    * [[unpersist]] when the index is retired, or [[checkpointed]] on
+    * a batch cadence to cut both the pinned cache entries and the
+    * union lineage an in-memory append run accumulates. The TABLE
+    * tense needs neither — tables pin nothing. */
   final case class PostingsIndex(postings: DataFrame, doclen: DataFrame,
-                                 dfreq: DataFrame, stats: DataFrame)
+                                 dfreq: DataFrame, stats: DataFrame,
+                                 pinned: Seq[DataFrame] = Nil) {
+
+    /** Release every cache entry this index pinned (the base build's
+      * tf frame + one per [[appendToPostingsIndex]]). Call when the
+      * index is replaced or the job is done; results already
+      * materialized from it are unaffected. */
+    def unpersist(): Unit = pinned.foreach(_.unpersist())
+
+    /** Collapse the append lineage: eagerly localCheckpoint all four
+      * frames (each becomes a flat scan of checkpoint blocks — no
+      * union tree, no plan growth), then release the superseded
+      * pinned frames. Run every N appends in a long in-memory loop;
+      * a long-LIVED deployment lands appends in the bucketed TABLES
+      * instead ([[appendToPostingsIndexTable]]), which need no
+      * checkpoint cadence at all. */
+    def checkpointed(): PostingsIndex = {
+      val out = PostingsIndex(
+        postings.localCheckpoint(true), doclen.localCheckpoint(true),
+        dfreq.localCheckpoint(true), stats.localCheckpoint(true))
+      unpersist()
+      out
+    }
+  }
 
   /** Build the staged index in one corpus pass (the tf table feeds
     * all three derived tables). */
@@ -80,7 +111,7 @@ object Retrieval {
     val stats = corpus.select(count(lit(1)).as("n_docs"))
       .crossJoin(doclen.select(
         coalesce(sum("len"), lit(0L)).as("tot_len")))
-    PostingsIndex(tf, doclen, dfreq, stats)
+    PostingsIndex(tf, doclen, dfreq, stats, pinned = Seq(tf))
   }
 
   /** Fold an admitted batch into the index. Caller contract (shared
@@ -90,15 +121,16 @@ object Retrieval {
     * corpus-sized side), df merges vocabulary-sized, stats merge
     * 1-row×1-row; append == rebuild row-identical (RetrievalSpec).
     *
-    * Long-run lineage: each append adds one union layer, so after
-    * thousands of micro-batches the postings PLAN is a deep union
-    * tree — the same axis the dedup indexes resolve by living as
-    * bucketed TABLES ([[Dedup.createDigestIndexTable]] stance: each
-    * batch INSERTs, readers see a flat table). A long-lived
-    * deployment lands postings/doclen the same way (every BM25 state
-    * is additive, so table inserts preserve the append == rebuild
-    * contract verbatim) or localCheckpoints the frames on a batch
-    * cadence; the in-memory form here is the within-job tense. */
+    * Long-run lineage: each append adds one union layer (and pins one
+    * batch-sized tf frame — tracked in `pinned`), so after thousands
+    * of micro-batches the postings PLAN is a deep union tree — the
+    * same axis the dedup indexes resolve by living as bucketed
+    * TABLES. A long-lived deployment lands appends in
+    * [[appendToPostingsIndexTable]] (every BM25 state is additive, so
+    * table inserts preserve the append == rebuild contract verbatim
+    * — spec-pinned through the table path too), or calls
+    * [[PostingsIndex.checkpointed]] every N batches to flatten the
+    * in-memory form; this DataFrame form is the within-job tense. */
   def appendToPostingsIndex(ix: PostingsIndex, batch: DataFrame,
                             idCol: String, toks: Column): PostingsIndex = {
     val terms = batch.select(col(idCol).as("doc"), explode(toks).as("term"))
@@ -117,7 +149,8 @@ object Retrieval {
       ix.stats.crossJoin(broadcast(newStats
           .select(col("n_docs").as("add_n"), col("tot_len").as("add_len"))))
         .select((col("n_docs") + col("add_n")).as("n_docs"),
-          (col("tot_len") + col("add_len")).as("tot_len")))
+          (col("tot_len") + col("add_len")).as("tot_len")),
+      pinned = ix.pinned :+ newTf)
   }
 
   /** Probe a staged index: top-k docs per query by BM25, identical
@@ -176,10 +209,13 @@ object Retrieval {
     val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    // fan out: ranked is ≤ signatures·k rows (search-sized), so the
-    // per-query join broadcasts it; a query whose signature matched
-    // nothing (or was NULL) is absent, exactly as before
-    qsig.join(broadcast(ranked), "__sig")
+    // fan out: ranked is ≤ signatures·k rows — for the search-sized
+    // query sets this probe serves, AQE broadcasts it at runtime; no
+    // hard broadcast() hint, so a corpus-scale query frame (mining
+    // every document's opening as a query) degrades to a shuffle join
+    // on __sig instead of failing at the driver's broadcast limit. A
+    // query whose signature matched nothing (or was NULL) is absent.
+    qsig.join(ranked, "__sig")
       .select(col("query"), col("rank"), col("doc"), col("score_q6"))
   }
 
@@ -193,4 +229,157 @@ object Retrieval {
                maxDfPermille: Int = 1000): DataFrame =
     bm25TopKWith(postingsIndex(corpus, idCol, toks),
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
+
+  // ------------------------------------------------------------------
+  // The TABLE tense of the postings index — the production form for a
+  // long-lived ingest loop (the Dedup.createDigestIndexTable stance).
+  // The DataFrame appends are unions: correct, but each append adds a
+  // union layer and a pinned cache entry, so after thousands of
+  // micro-batches the probe's corpus subtree is a deep union tree that
+  // re-shuffles per probe and grows plan-compile time. These operators
+  // keep every piece of BM25 state in managed tables laid out for the
+  // probe instead:
+  //   <prefix>_postings  (doc, term, tf)   bucketed+sorted by term —
+  //                      the probe's postings equi-key; the corpus
+  //                      side of the term join never exchanges
+  //   <prefix>_doclen    (doc, len)        bucketed+sorted by doc —
+  //                      the length join's equi-key
+  //   <prefix>_dfreq     (term, df)        bucketed by term, APPEND-
+  //                      ONLY PARTIALS: each batch inserts its own
+  //                      per-term counts; the probe reads the per-term
+  //                      SUM (df is additive), aggregated exchange-
+  //                      free over the bucketed scan. Maintenance
+  //                      merges partials back to vocabulary size.
+  //   <prefix>_stats     (n_docs, tot_len) unbucketed 1-row-per-batch
+  //                      partials; the probe sums them (16 bytes per
+  //                      appended batch — a year of minute-batches is
+  //                      ~8 MB, never worth a merge protocol)
+  // Append == rebuild holds verbatim (every BM25 state is additive;
+  // RetrievalSpec pins content identity through the table path), and
+  // ScaleSpec asserts the probe's corpus-side scans stay exchange-free
+  // after multiple appended batches. Single-writer: the ingest loop's
+  // foreachBatch is the only appender, gated by BatchIdGate for
+  // replay — a replayed batch would double-count df/stats partials,
+  // unlike the anti-join-immune dedup tables, so the gate is REQUIRED
+  // here, not just economical.
+  // ------------------------------------------------------------------
+
+  private def postingsTable(prefix: String) = prefix + "_postings"
+  private def doclenTable(prefix: String) = prefix + "_doclen"
+  private def dfreqTable(prefix: String) = prefix + "_dfreq"
+  private def statsTable(prefix: String) = prefix + "_stats"
+
+  private def mergeDfPartials(df: DataFrame): DataFrame =
+    df.groupBy("term").agg(sum("df").as("df"))
+
+  /** Materialize a fresh [[postingsIndex]] as the four tables above.
+    * One corpus pass builds the shared tf frame (persisted for the
+    * derived tables, released before return); `buckets` sizes the
+    * doc- and term-keyed layouts like a shuffle partition count at
+    * full corpus scale. */
+  def createPostingsIndexTable(corpus: DataFrame, idCol: String,
+                               toks: Column, prefix: String,
+                               buckets: Int): Unit = {
+    val ix = postingsIndex(corpus, idCol, toks)
+    try {
+      graft.sources.BucketedTables.writeBucketed(
+        ix.postings, postingsTable(prefix), buckets, Seq("term"))
+      graft.sources.BucketedTables.writeBucketed(
+        ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
+      graft.sources.BucketedTables.writeBucketed(
+        ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+      ix.stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(statsTable(prefix))
+    } finally ix.unpersist()
+  }
+
+  /** The table tense of [[appendToPostingsIndex]]: fold an admitted
+    * batch in by hashing its rows into the tables' existing bucket
+    * layouts — batch-sized shuffles only; the corpus rows already in
+    * the tables are neither read nor rewritten. Caller contract is
+    * the DataFrame append's (batch doc ids not already present, one
+    * writer, replay gated upstream). Content equals a from-scratch
+    * [[createPostingsIndexTable]] over the unioned corpus, probe for
+    * probe (spec-pinned). */
+  def appendToPostingsIndexTable(batch: DataFrame, idCol: String,
+                                 toks: Column, prefix: String,
+                                 buckets: Int): Unit = {
+    val ix = postingsIndex(batch, idCol, toks)
+    try {
+      graft.sources.BucketedTables.appendBucketed(
+        ix.postings, postingsTable(prefix), buckets, Seq("term"))
+      graft.sources.BucketedTables.appendBucketed(
+        ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
+      graft.sources.BucketedTables.appendBucketed(
+        ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+      ix.stats.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(statsTable(prefix))
+    } finally ix.unpersist()
+  }
+
+  /** A [[PostingsIndex]] view over the staged tables — probe it with
+    * [[bm25TopKWith]] unchanged (one probe definition for all three
+    * tenses). The dfreq partials aggregate here, exchange-free over
+    * the term-bucketed scan; the stats partials fold to the 1-row
+    * frame the probe broadcasts. Readers in a session other than the
+    * appender's must `spark.catalog.refreshTable` first — the
+    * [[graft.sources.BucketedTables.appendBucketed]] visibility
+    * contract. */
+  def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): PostingsIndex =
+    PostingsIndex(
+      spark.table(postingsTable(prefix)),
+      spark.table(doclenTable(prefix)),
+      mergeDfPartials(spark.table(dfreqTable(prefix))),
+      spark.table(statsTable(prefix)).agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("tot_len"), lit(0L)).as("tot_len")))
+
+  /** Restore single-file buckets on postings/doclen (content
+    * unchanged) and MERGE the dfreq partials back to vocabulary size
+    * (probe-equivalent: the probe reads the sum either way). Run from
+    * the maintenance owner, not the ingest loop — the
+    * [[Dedup.compactDigestIndexTable]] stance. Stats partials are
+    * left as-is (see the layout note: never worth a merge). */
+  def compactPostingsIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                prefix: String, buckets: Int): Unit = {
+    graft.sources.BucketedTables.compactBucketed(
+      spark, postingsTable(prefix), buckets, Seq("term"))
+    graft.sources.BucketedTables.compactBucketed(
+      spark, doclenTable(prefix), buckets, Seq("doc"))
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, dfreqTable(prefix), buckets, Seq("term"))(mergeDfPartials)
+  }
+
+  /** Audit-gated tense of [[compactPostingsIndexTable]]
+    * ([[Dedup.maintainDigestIndexTable]]'s stance): measures
+    * files-per-bucket amplification per table and rewrites only the
+    * tables above `maxFilesPerBucket`, so the maintenance owner makes
+    * ONE idempotent call per cadence and healthy calls cost three
+    * file listings. A crashed previous rewrite (live table missing,
+    * staging present) is recovered unconditionally. Returns true iff
+    * any table was rewritten (or recovered). */
+  def maintainPostingsIndexTable(
+      spark: org.apache.spark.sql.SparkSession, prefix: String,
+      buckets: Int, maxFilesPerBucket: Double = 2.0): Boolean = {
+    import graft.sources.BucketedTables
+    val p = BucketedTables.maintainBucketed(spark,
+      postingsTable(prefix), buckets, Seq("term"), Nil,
+      maxFilesPerBucket)
+    val d = BucketedTables.maintainBucketed(spark,
+      doclenTable(prefix), buckets, Seq("doc"), Nil, maxFilesPerBucket)
+    // dfreq maintains through the MERGE rewrite, with the same
+    // audit + crash-recovery contract maintainBucketed carries
+    val dfTable = dfreqTable(prefix)
+    val crashed = !spark.catalog.tableExists(dfTable) &&
+      spark.catalog.tableExists(dfTable + "_compacting")
+    val f =
+      if (crashed || BucketedTables.fileAmplification(spark, dfTable,
+          buckets) > maxFilesPerBucket) {
+        graft.sources.BucketedTables.rewriteBucketed(
+          spark, dfTable, buckets, Seq("term"))(mergeDfPartials)
+        true
+      } else false
+    p | d | f
+  }
 }

@@ -102,7 +102,26 @@ object BucketedTables {
     * and compact into a fresh name instead. */
   def compactBucketed(spark: SparkSession, table: String, buckets: Int,
                       keyCols: Seq[String],
-                      partitionCols: Seq[String] = Nil): Unit = {
+                      partitionCols: Seq[String] = Nil): Unit =
+    rewriteBucketed(spark, table, buckets, keyCols, partitionCols)(
+      identity)
+
+  /** [[compactBucketed]] with a content transform: rewrite the table
+    * through `transform` under the same staging / drop / rename crash
+    * protocol. This is the MERGE tense of maintenance for append-only
+    * PARTIAL tables whose probe-time meaning is an aggregate of the
+    * rows (the BM25 dfreq partials: per-batch (term, df) rows read as
+    * the per-term SUM — merging them is probe-equivalent and returns
+    * the table to vocabulary size no matter how many batches were
+    * appended). `transform` MUST be idempotent
+    * (`transform(transform(t)) == transform(t)`): crash recovery is
+    * "re-run this method", and a recovered staging copy holds
+    * already-transformed content that then passes through the
+    * transform a second time. */
+  def rewriteBucketed(spark: SparkSession, table: String, buckets: Int,
+                      keyCols: Seq[String],
+                      partitionCols: Seq[String] = Nil)(
+                      transform: DataFrame => DataFrame): Unit = {
     val staging = table + "_compacting"
     val liveExists = spark.catalog.tableExists(table)
     val stagingExists = spark.catalog.tableExists(staging)
@@ -153,8 +172,8 @@ object BucketedTables {
     val prevAutoScan = spark.conf.get(autoScanKey)
     spark.conf.set(autoScanKey, "false")
     try
-      writeBucketed(spark.table(table), staging, buckets, keyCols,
-        partitionCols = partitionCols)
+      writeBucketed(transform(spark.table(table)), staging, buckets,
+        keyCols, partitionCols = partitionCols)
     finally spark.conf.set(autoScanKey, prevAutoScan)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")

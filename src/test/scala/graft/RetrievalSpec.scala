@@ -137,6 +137,92 @@ class RetrievalSpec extends SparkSpec {
     assert(byQuery(100L) === single)
   }
 
+  test("postings TABLE tense: create + 2 appends == DataFrame index == " +
+    "from-scratch rebuild, probe for probe; compaction + maintenance " +
+    "preserve content") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val b1 = Seq((4L, "dog cherry dog"), (5L, "elk")).toDF("doc_id", "text")
+    val b2 = Seq((6L, "apple elk fox"), (7L, "banana")).toDF("doc_id", "text")
+    val prefix = "graft_bm25_ix"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_stats")
+      .map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(b2, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      val unioned = corpus.unionByName(b1).unionByName(b2)
+      val fresh = Retrieval.postingsIndex(unioned, "doc_id",
+        toks(col("text")))
+      val staged = Retrieval.loadPostingsIndex(spark, prefix)
+      def tfSet(ix: Retrieval.PostingsIndex) =
+        ix.postings.select("doc", "term", "tf")
+          .as[(Long, String, Long)].collect().toSet
+      def lenSet(ix: Retrieval.PostingsIndex) =
+        ix.doclen.select("doc", "len").as[(Long, Long)].collect().toSet
+      def dfSet(ix: Retrieval.PostingsIndex) =
+        ix.dfreq.select("term", "df").as[(String, Long)].collect().toSet
+      def statsRow(ix: Retrieval.PostingsIndex) =
+        ix.stats.as[(Long, Long)].collect().toSeq
+      assert(tfSet(staged) === tfSet(fresh))
+      assert(lenSet(staged) === lenSet(fresh))
+      assert(dfSet(staged) === dfSet(fresh))
+      assert(statsRow(staged) === statsRow(fresh))
+      // probe THROUGH the staged tables — one probe definition for
+      // all tenses, so verdicts must be row-identical
+      val qs = Seq((100L, "apple dog"), (101L, "elk cherry"))
+        .toDF("query_id", "text")
+      def probe(ix: Retrieval.PostingsIndex) =
+        Retrieval.bm25TopKWith(ix, qs, "query_id", toks(col("text")),
+            k = 10)
+          .select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val want = probe(fresh)
+      assert(probe(staged) === want)
+      assert(want.nonEmpty)
+      // compaction merges the dfreq partials (3 batches of them) back
+      // to vocabulary size and changes no probe verdict
+      val partialRows = spark.table(prefix + "_dfreq").count()
+      val vocab = dfSet(fresh).size.toLong
+      assert(partialRows > vocab,
+        s"fixture must have unmerged partials ($partialRows vs $vocab)")
+      Retrieval.compactPostingsIndexTable(spark, prefix, buckets = 2)
+      assert(spark.table(prefix + "_dfreq").count() === vocab)
+      assert(probe(Retrieval.loadPostingsIndex(spark, prefix)) === want)
+      // audit-gated maintenance: a just-compacted index is healthy
+      // (no-op), and the call is idempotent
+      assert(!Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
+      assert(probe(Retrieval.loadPostingsIndex(spark, prefix)) === want)
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("PostingsIndex lifecycle: appends pin one frame each; " +
+    "checkpointed() releases them and preserves every table") {
+    import graft.operators.Retrieval
+    val base = Retrieval.postingsIndex(corpus, "doc_id",
+      TA.tokens(col("text")))
+    val b1 = Seq((4L, "dog cherry dog")).toDF("doc_id", "text")
+    val appended = Retrieval.appendToPostingsIndex(base, b1, "doc_id",
+      TA.tokens(col("text")))
+    assert(appended.pinned.size === 2, "base tf + one per append")
+    val before = appended.postings.as[(Long, String, Long)]
+      .collect().toSet
+    val flat = appended.checkpointed()
+    assert(flat.pinned.isEmpty)
+    // the superseded frames were released
+    assert(appended.pinned.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+    assert(flat.postings.as[(Long, String, Long)].collect().toSet
+      === before)
+    // and the checkpointed plan is flat — no union tree
+    assert(!flat.postings.queryExecution.executedPlan.toString
+      .contains("Union"))
+  }
+
   test("k truncates per query; plan has no non-broadcast cartesian") {
     val got = run("apple cherry", k = 1)
     assert(got.size === 1 && got.head._2 === 1L)

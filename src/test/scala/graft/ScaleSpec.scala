@@ -833,6 +833,76 @@ class ScaleSpec extends SparkSpec {
       "the semantic door's stream side must never explode")
   }
 
+  test("BM25 postings tables: the probe's corpus-side scans stay " +
+    "exchange-free after 2 appended batches") {
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"word${i % 13} word${i % 7} word${i % 5} filler$i"))
+      .toDF("doc_id", "text")
+    val prefix = "graft_bm25_scale"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_stats")
+      .map(prefix + _)
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // the ScaleSpec bucketed-table stance: force the at-scale shape
+    // (no trivial broadcasts) and keep raw exchange nodes visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Retrieval.createPostingsIndexTable(docsDf(0 until 60), "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 4)
+      Retrieval.appendToPostingsIndexTable(docsDf(100 until 120),
+        "doc_id", TA.tokens(col("text")), prefix, buckets = 4)
+      Retrieval.appendToPostingsIndexTable(docsDf(200 until 220),
+        "doc_id", TA.tokens(col("text")), prefix, buckets = 4)
+      val qs = docsDf(0 until 60).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val probe = Retrieval.bm25TopKWith(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        qs, "query_id", slice(TA.tokens(col("text")), 1, 3), k = 5)
+      assert(probe.count() > 0, "probe must retrieve")
+      // the corpus-sized tables (postings: the term join; doclen: the
+      // length join; dfreq: the vocabulary aggregate) paid their
+      // layout shuffle at write time — no probe may re-shuffle them
+      // BEFORE the operator that consumes them: the unary path from
+      // each table scan up to its first join must cross no
+      // ShuffleExchange. (Intermediates ABOVE a join may shuffle —
+      // that is the probe side's cost, not the corpus's.)
+      val corpusTables = Set(prefix + "_postings", prefix + "_doclen",
+        prefix + "_dfreq")
+      val plan = probe.queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        // descend through unary operators only: a scan reached this
+        // way is shuffled directly (no join absorbed the layout)
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!corpusTables.contains(_)),
+          s"corpus table ${hit.getOrElse("")} re-shuffled by the " +
+            s"probe:\n$plan")
+      }
+      // and the layout is actually load-bearing: the bucketed scans
+      // exist in the plan (not pruned into a fresh shuffle path)
+      val scannedTables = plan.collect { case f: FileSourceScanExec => f }
+        .flatMap(_.tableIdentifier).map(_.table).toSet
+      assert(corpusTables.subsetOf(scannedTables),
+        s"probe must read the staged tables:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed index tables: door probes stay exchange-free on the " +
     "corpus side after 2 appended batches; append == rebuild; " +
     "compaction preserves both") {
