@@ -77,15 +77,21 @@ object Bpe {
     // a count<=0 pair — so the dispatch-transparency contract
     // (driver == distributed merge-for-merge) demands it is dropped
     // before the regime split
+    // persist, not localCheckpoint: the count + collect (or the
+    // distributed rounds' first pass) reuse the one materialization,
+    // without an eager extra job before the regime dispatch; released
+    // once training returns (the result is a plain driver Seq)
     val wf = words.select(col(wordCol).cast("string").as("word"),
         col(freqCol).cast("long").as("freq"))
       .filter(col("freq") > 0)
-      .localCheckpoint(true)
-    if (wf.count() <= maxDriverWords) {
-      val spark = wf.sparkSession
-      import spark.implicits._
-      trainDriver(wf.as[(String, Long)].collect(), numMerges)
-    } else trainDistributed(wf, numMerges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wf.count() <= maxDriverWords) {
+        val spark = wf.sparkSession
+        import spark.implicits._
+        trainDriver(wf.as[(String, Long)].collect(), numMerges)
+      } else trainDistributed(wf, numMerges)
+    } finally wf.unpersist()
   }
 
   /** The distributed merge rounds — the over-bound fallback. Each

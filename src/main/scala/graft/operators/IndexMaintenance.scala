@@ -334,9 +334,30 @@ object IndexMaintenance {
 
   /** Outcome of one [[maintainPqIndex]]/[[maintainIvfIndex]] step:
     * the live index (rebuilt or untouched), the audited recall that
-    * drove the decision, and whether a rebuild+swap happened. */
+    * drove the decision, whether a rebuild+swap happened, and the
+    * versions retention GC deleted (empty unless `retain` was set AND
+    * the step rebuilt). */
   final case class Maintenance[I](index: I, recall: Double,
-                                  rebuilt: Boolean)
+                                  rebuilt: Boolean,
+                                  gcVersions: Seq[Long] = Nil)
+
+  /** The audit→rebuild→swap→GC tail shared by every maintain*: GC
+    * runs ONLY on the rebuild path (a healthy audit must never delete
+    * anything — under-threshold calls stay read-only no-ops), with
+    * [[VersionedIndexStore.retainVersions]]' concurrent-reader
+    * contract: `retain = Some(n)` keeps CURRENT plus the n versions
+    * directly below it, so size n to the deployment's longest
+    * in-flight read (n ≥ 1 tolerates a reader that resolved the
+    * pointer just before this swap; Some(0) is the keep-only-CURRENT
+    * setting for single-reader loops). None (the default) defers GC
+    * to an explicit owner call, the pre-existing contract. */
+  private def withRetention[I](store: VersionedIndexStore,
+                               retain: Option[Int], recall: Double,
+                               rebuilt: => I): Maintenance[I] = {
+    val ix = rebuilt
+    Maintenance(ix, recall, rebuilt = true,
+      gcVersions = retain.fold(Seq.empty[Long])(store.retainVersions))
+  }
 
   /** Deterministic hash-uniform audit sample of corpus vectors (the
     * kmeans-seeding stance: smallest xxhash64 of the id — no Random,
@@ -375,15 +396,17 @@ object IndexMaintenance {
                       k: Int = 3, rerank: Int = 16,
                       sampleQueries: Int = 64,
                       m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
-                      trainSize: Int = 4096): Maintenance[PqIndex] = {
+                      trainSize: Int = 4096,
+                      retain: Option[Int] = None): Maintenance[PqIndex] = {
     val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
     val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
       vecCol, k)
     val r = recallOf(exact, Similarity.pqTopKWith(current, sample,
       corpus, idCol, vecCol, k, rerank))
     if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
-    else Maintenance(rebuildPqIndex(store, corpus, idCol, vecCol, m,
-      ksub, maxIter, trainSize), r, rebuilt = true)
+    else withRetention(store, retain, r,
+      rebuildPqIndex(store, corpus, idCol, vecCol, m, ksub, maxIter,
+        trainSize))
   }
 
   def maintainIvfIndex(store: VersionedIndexStore, corpus: DataFrame,
@@ -392,7 +415,8 @@ object IndexMaintenance {
                        k: Int = 3, nProbe: Int = 2,
                        sampleQueries: Int = 64,
                        nCentroids: Int = Similarity.AutoCentroids,
-                       trainCoarse: Boolean = false)
+                       trainCoarse: Boolean = false,
+                       retain: Option[Int] = None)
   : Maintenance[IvfIndex] = {
     val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
     val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
@@ -400,15 +424,17 @@ object IndexMaintenance {
     val r = recallOf(exact, Similarity.ivfTopKWith(current, sample,
       idCol, vecCol, k, nProbe))
     if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
-    else Maintenance(rebuildIvfIndex(store, corpus, idCol, vecCol,
-      nCentroids, trainCoarse), r, rebuilt = true)
+    else withRetention(store, retain, r,
+      rebuildIvfIndex(store, corpus, idCol, vecCol, nCentroids,
+        trainCoarse))
   }
 
   def maintainLshIndex(store: VersionedIndexStore, corpus: DataFrame,
                        idCol: String, vecCol: String,
                        current: LshIndex, recallFloor: Double,
                        k: Int = 3, sampleQueries: Int = 64,
-                       nPlanes: Int = 6, bucketCap: Int = 2000)
+                       nPlanes: Int = 6, bucketCap: Int = 2000,
+                       retain: Option[Int] = None)
   : Maintenance[LshIndex] = {
     val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
     val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
@@ -416,8 +442,9 @@ object IndexMaintenance {
     val r = recallOf(exact, Similarity.lshTopKWith(current, sample,
       idCol, vecCol, k))
     if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
-    else Maintenance(rebuildLshIndex(store, corpus, idCol, vecCol,
-      nPlanes, bucketCap), r, rebuilt = true)
+    else withRetention(store, retain, r,
+      rebuildLshIndex(store, corpus, idCol, vecCol, nPlanes,
+        bucketCap))
   }
 
   def maintainIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,
@@ -430,7 +457,8 @@ object IndexMaintenance {
                          ksub: Int = 16, maxIter: Int = 5,
                          trainSize: Int = 4096,
                          residual: Boolean = false,
-                         trainCoarse: Boolean = false)
+                         trainCoarse: Boolean = false,
+                         retain: Option[Int] = None)
   : Maintenance[IvfPqIndex] = {
     val sample = auditSample(corpus, idCol, vecCol, sampleQueries)
     val exact = Similarity.bruteForceTopK(sample, corpus, idCol,
@@ -438,9 +466,9 @@ object IndexMaintenance {
     val r = recallOf(exact, Similarity.ivfPqTopKWith(current, sample,
       corpus, idCol, vecCol, k, nProbe, rerank))
     if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
-    else Maintenance(rebuildIvfPqIndex(store, corpus, idCol, vecCol,
-      nCentroids, m, ksub, maxIter, trainSize, residual, trainCoarse),
-      r, rebuilt = true)
+    else withRetention(store, retain, r,
+      rebuildIvfPqIndex(store, corpus, idCol, vecCol, nCentroids, m,
+        ksub, maxIter, trainSize, residual, trainCoarse))
   }
 
   def rebuildIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,

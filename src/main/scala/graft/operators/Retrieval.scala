@@ -153,70 +153,98 @@ object Retrieval {
       pinned = ix.pinned :+ newTf)
   }
 
-  /** Probe a staged index: top-k docs per query by BM25, identical
-    * semantics to [[bm25TopK]] (which IS this probe over a
-    * just-built index — one definition). */
-  def bm25TopKWith(ix: PostingsIndex,
-                   queries: DataFrame, qidCol: String, qToks: Column,
-                   k: Int, k1: Double = 1.2, b: Double = 0.75,
-                   maxDfPermille: Int = 1000): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
-      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
-    // queries sharing a term SET produce identical rankings — the
-    // score and the (score desc, doc asc) order are functions of the
-    // distinct term set alone — so the probe scores each DISTINCT
-    // signature once and fans the ranked lists back out at the end.
-    // Result-identical, and the match matrix shrinks by the query-
-    // duplication factor (measured 10× at the derived-sf1 fixture:
-    // 1,000 seed queries collapse to 99 distinct openings). The
-    // signature key is the sorted distinct token ARRAY itself (no
-    // string join — injective for any token alphabet).
-    val qsig = queries.select(col(qidCol).as("query"),
+  // ---- the ONE scoring arithmetic, shared by the exhaustive and
+  // pruned probes (both build literally these expression trees over
+  // the post-join columns df/tf/len/n_docs/tot_len, so "pruned is
+  // result-identical" reduces to "pruned scores the same rows") ----
+  private def nD = col("n_docs").cast("double")
+  private def avgLen = col("tot_len").cast("double") / nD
+  private def idfExpr: Column =
+    log(lit(1.0d) + (nD - col("df") + lit(0.5d))
+      / (col("df") + lit(0.5d)))
+  private def tfnExpr(k1: Double, b: Double): Column =
+    col("tf") * lit(k1 + 1.0d) /
+      (col("tf") + lit(k1) * (lit(1.0d - b)
+        + lit(b) * col("len") / avgLen))
+  private def contribQ6(k1: Double, b: Double): Column =
+    floor(idfExpr * tfnExpr(k1, b) * lit(1e6) + lit(0.5d)).cast("long")
+
+  /** (query, __sig) pairs: queries sharing a term SET produce
+    * identical rankings — the score and the (score desc, doc asc)
+    * order are functions of the distinct term set alone — so the
+    * probes score each DISTINCT signature once and fan the ranked
+    * lists back out at the end. Result-identical, and the match
+    * matrix shrinks by the query-duplication factor (measured 10× at
+    * the derived-sf1 fixture: 1,000 seed queries collapse to 99
+    * distinct openings). The signature key is the sorted distinct
+    * token ARRAY itself (no string join — injective for any token
+    * alphabet). */
+  private def qsigOf(queries: DataFrame, qidCol: String,
+                     qToks: Column): DataFrame =
+    queries.select(col(qidCol).as("query"),
       array_sort(array_distinct(qToks)).as("__sig"))
-    val sigs = qsig.select("__sig").distinct()
-    val qterms = sigs.select(col("__sig"), explode(col("__sig")).as("term"))
-    // df cap against N as a broadcast 1-row join over the
-    // vocabulary-sized df table (never the corpus)
-    val kept = ix.dfreq
+
+  /** df cap against N as a broadcast 1-row join over the
+    * vocabulary-sized df table (never the corpus). Applied BEFORE any
+    * postings join: a capped stopword-grade term is discarded while
+    * still a vocabulary row, before its corpus-sized posting list is
+    * ever materialized. */
+  private def keptTerms(ix: PostingsIndex,
+                        maxDfPermille: Int): DataFrame =
+    ix.dfreq
       .crossJoin(broadcast(ix.stats.select(col("n_docs").as("cap_n"))))
       .filter(col("df") * 1000 <= lit(maxDfPermille) * col("cap_n"))
       .select("term", "df")
-    // cap BEFORE the postings join: qterms⋈kept is signature-sized ×
-    // vocabulary-sized, so a capped stopword-grade term is discarded
-    // before its corpus-sized posting list is ever materialized
-    // (joining postings first would stream the very list the cap
-    // exists to park, then throw it away)
-    val probe = qterms
-      .join(kept, "term")
-      .join(ix.postings, "term")
-      .join(ix.doclen, "doc")
-      .crossJoin(broadcast(ix.stats))
-    val nD = col("n_docs").cast("double")
-    val avgLen = col("tot_len").cast("double") / nD
-    val idf = log(lit(1.0d) + (nD - col("df") + lit(0.5d))
-      / (col("df") + lit(0.5d)))
-    val tfn = col("tf") * lit(k1 + 1.0d) /
-      (col("tf") + lit(k1) * (lit(1.0d - b)
-        + lit(b) * col("len") / avgLen))
-    val scored = probe
-      .withColumn("contrib_q6",
-        floor(idf * tfn * lit(1e6) + lit(0.5d)).cast("long"))
-      .groupBy("__sig", "doc")
-      .agg(sum("contrib_q6").as("score_q6"))
+
+  /** Rank a (__sig, doc, score_q6) frame per signature, truncate to
+    * k, and fan the lists back out to every query carrying the
+    * signature. `ranked` is ≤ signatures·k rows — for search-sized
+    * query sets AQE broadcasts it at runtime; no hard broadcast()
+    * hint, so a corpus-scale query frame (mining every document's
+    * opening as a query) degrades to a shuffle join on __sig instead
+    * of failing at the driver's broadcast limit. A query whose
+    * signature matched nothing (or was NULL) is absent. */
+  private def rankAndFanOut(scored: DataFrame, qsig: DataFrame,
+                            k: Int): DataFrame = {
     val w = Window.partitionBy("__sig")
       .orderBy(col("score_q6").desc, col("doc").asc)
     val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    // fan out: ranked is ≤ signatures·k rows — for the search-sized
-    // query sets this probe serves, AQE broadcasts it at runtime; no
-    // hard broadcast() hint, so a corpus-scale query frame (mining
-    // every document's opening as a query) degrades to a shuffle join
-    // on __sig instead of failing at the driver's broadcast limit. A
-    // query whose signature matched nothing (or was NULL) is absent.
     qsig.join(ranked, "__sig")
       .select(col("query"), col("rank"), col("doc"), col("score_q6"))
+  }
+
+  private def requireProbeArgs(k: Int, maxDfPermille: Int): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+  }
+
+  /** Probe a staged index: top-k docs per query by BM25, identical
+    * semantics to [[bm25TopK]] (which IS this probe over a
+    * just-built index — one definition). Exhaustive: every posting of
+    * every kept query term is scored — the honest oracle tense;
+    * [[bm25TopKPrunedWith]] is the result-identical top-k-pruned
+    * dial. */
+  def bm25TopKWith(ix: PostingsIndex,
+                   queries: DataFrame, qidCol: String, qToks: Column,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   maxDfPermille: Int = 1000): DataFrame = {
+    requireProbeArgs(k, maxDfPermille)
+    val qsig = qsigOf(queries, qidCol, qToks)
+    val sigs = qsig.select("__sig").distinct()
+    val qterms = sigs.select(col("__sig"), explode(col("__sig")).as("term"))
+    val probe = qterms
+      .join(keptTerms(ix, maxDfPermille), "term")
+      .join(ix.postings, "term")
+      .join(ix.doclen, "doc")
+      .crossJoin(broadcast(ix.stats))
+    val scored = probe
+      .withColumn("contrib_q6", contribQ6(k1, b))
+      .groupBy("__sig", "doc")
+      .agg(sum("contrib_q6").as("score_q6"))
+    rankAndFanOut(scored, qsig, k)
   }
 
   /** Top-k corpus docs per query by BM25. `toks`/`qToks` are token
@@ -229,6 +257,157 @@ object Retrieval {
                maxDfPermille: Int = 1000): DataFrame =
     bm25TopKWith(postingsIndex(corpus, idCol, toks),
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
+
+  /** Per-term pruning bounds for [[bm25TopKPrunedWith]]: the max tf
+    * any document has for each term — one postings pass, vocabulary-
+    * sized output, ADDITIVE under append (max of maxes), so a staged
+    * deployment maintains it exactly like dfreq. From tf_max the
+    * probe derives an upper bound on any document's contribution for
+    * the term: tfn(tf, len) is increasing in tf and decreasing in
+    * len, so tfn ≤ (k1+1)·tf_max / (tf_max + k1·(1−b)) (the len→0
+    * limit at the term's max tf), and ub = idf · that ceiling. */
+  def pruneBounds(ix: PostingsIndex): DataFrame =
+    ix.postings.groupBy("term").agg(max("tf").as("tf_max"))
+
+  /** MaxScore-pruned BM25 probe — RESULT-IDENTICAL to
+    * [[bm25TopKWith]] (same scoring expressions, same tie-break, same
+    * output; spec-pinned on a degenerate-dense AND a Zipfian fixture),
+    * reading a fraction of the postings when term frequencies are
+    * skewed. This is top-k pruning as EXACT algebra, not a recall
+    * dial — the proof sketch rides in the comments below.
+    *
+    * The MaxScore idea (Turtle & Flood 1995), relationally:
+    *
+    *  1. Per query term, an upper bound `ub` on any single document's
+    *     contribution ([[pruneBounds]] — vocabulary-sized math, no
+    *     postings touched).
+    *  2. A THRESHOLD θ: any k fully-scored documents lower-bound the
+    *     k-th best full score. Here θ = the k-th best single-term
+    *     contribution among the SEED term's postings (the term with
+    *     the highest ub — typically the rarest, shortest list): a
+    *     document's full score ≥ any one contribution, so k docs at
+    *     single-term contribution ≥ c guarantee k full scores ≥ c.
+    *     One short posting list scanned; no corpus pass. (Fully
+    *     scoring the seed docs would tighten θ at the cost of a
+    *     corpus-wide (term, doc) lookup join — the documented
+    *     next notch if a deployment wants it.)
+    *  3. Sort the query's terms by ub ascending; the maximal prefix
+    *     whose CUMULATIVE ub sum is < θ is NON-ESSENTIAL — a document
+    *     matching only prefix terms scores ≤ that cumulative sum
+    *     (its matched set is a subset of the prefix, all ubs ≥ 0),
+    *     hence STRICTLY below θ, hence below k already-guaranteed
+    *     docs: it cannot enter the top-k even on the doc-asc
+    *     tie-break. Everything else is ESSENTIAL. In the common
+    *     shape the non-essential prefix is exactly the stopword-grade
+    *     terms — the LONGEST posting lists are the ones skipped.
+    *  4. Candidates = documents matching ≥ 1 essential term (the
+    *     essential lists are scored as they stream — no second pass);
+    *     non-essential lists are then joined DOWN to candidate docs
+    *     before aggregation (the relational "seek": with Spark's
+    *     runtime bloom-filter join pushdown the candidate-doc filter
+    *     reaches the non-essential postings scan). Full scores over
+    *     candidates, same top-k window, same fan-out.
+    *
+    *  Exactness of the exclusion: every excluded doc has score < θ ≤
+    *  k-th best full score, so the true top-k (including θ-ties,
+    *  which always match an essential term — their cum ≥ score = θ)
+    *  are all candidates and are scored over ALL their matched terms.
+    *  All bounds/θ/cumulative sums are BIGINT micro-units — the
+    *  comparisons are exact, never float-ordered.
+    *
+    *  When it prunes: Zipfian vocabularies (real corpora) put one
+    *  rare term's θ above the common terms' summed ubs. When it
+    *  cannot (every term equally common — the degenerate synthetic
+    *  corpus), every term stays essential and the probe degrades to
+    *  [[bm25TopKWith]] plus vocabulary-sized bookkeeping. `bounds`
+    *  takes a staged [[pruneBounds]] table; None computes it inline
+    *  (one postings pass — fine for one-shot, stage it for serving).
+    */
+  def bm25TopKPrunedWith(ix: PostingsIndex,
+                         queries: DataFrame, qidCol: String,
+                         qToks: Column, k: Int, k1: Double = 1.2,
+                         b: Double = 0.75, maxDfPermille: Int = 1000,
+                         bounds: Option[DataFrame] = None): DataFrame = {
+    requireProbeArgs(k, maxDfPermille)
+    val qsig = qsigOf(queries, qidCol, qToks)
+    val split = essentialSplit(ix, qsig, k, k1, b, maxDfPermille,
+      bounds)
+    def matched(terms: DataFrame) = terms
+      .select("__sig", "term", "df")
+      .join(ix.postings, "term")
+      .join(ix.doclen, "doc")
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("__contrib_q6", contribQ6(k1, b))
+      .select("__sig", "doc", "__contrib_q6")
+    val essMatched = matched(split.filter(col("__ess")))
+    // candidates = docs matching >= 1 essential term; the essential
+    // contributions are already in hand (scored in the same pass)
+    val cands = essMatched.select("__sig", "doc").distinct()
+    // the relational seek: non-essential lists contribute only for
+    // candidate docs — the join keys (sig, doc) let Spark's runtime
+    // bloom-filter pushdown thin the long lists at the scan
+    val nonEssMatched = matched(split.filter(!col("__ess")))
+      .join(cands, Seq("__sig", "doc"))
+    val scored = essMatched.unionByName(nonEssMatched)
+      .groupBy("__sig", "doc")
+      .agg(sum("__contrib_q6").as("score_q6"))
+    rankAndFanOut(scored, qsig, k)
+  }
+
+  /** The pruning decision table: one row per (signature, kept term)
+    * with `__ess` — whether the term is essential for its signature
+    * (step 3 above). Package-visible so the spec can pin that a
+    * Zipfian fixture actually demotes its stopword-grade terms. */
+  private[graft] def essentialSplit(ix: PostingsIndex, qsig: DataFrame,
+                                    k: Int, k1: Double, b: Double,
+                                    maxDfPermille: Int,
+                                    bounds: Option[DataFrame])
+  : DataFrame = {
+    val sigs = qsig.select("__sig").distinct()
+    val qterms = sigs.select(col("__sig"),
+      explode(col("__sig")).as("term"))
+    val tfmax = bounds.getOrElse(pruneBounds(ix))
+    // ub in the same micro-units as contributions; floor(+0.5) is
+    // monotone, so ub_q6 >= contrib_q6 row for row
+    val tfnCeil = lit(k1 + 1.0d) * col("tf_max") /
+      (col("tf_max") + lit(k1 * (1.0d - b)))
+    val terms1 = qterms
+      .join(keptTerms(ix, maxDfPermille), "term")
+      .join(tfmax, "term")
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("__ub_q6",
+        floor(idfExpr * tfnCeil * lit(1e6) + lit(0.5d)).cast("long"))
+      .select("__sig", "term", "df", "__ub_q6")
+    val wAsc = Window.partitionBy("__sig")
+      .orderBy(col("__ub_q6").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeed = Window.partitionBy("__sig")
+      .orderBy(col("__ub_q6").desc, col("term").asc)
+    val terms2 = terms1
+      .withColumn("__cum_q6", sum("__ub_q6").over(wAsc))
+      .withColumn("__seed", row_number().over(wSeed) === 1)
+    // θ per signature: k-th best single-term contribution on the
+    // seed term's own posting list (absent when the list is shorter
+    // than k → no θ → nothing prunes, the exhaustive degenerate)
+    val seedMatched = terms2.filter(col("__seed"))
+      .select("__sig", "term", "df")
+      .join(ix.postings, "term")
+      .join(ix.doclen, "doc")
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("__contrib_q6", contribQ6(k1, b))
+    val wTheta = Window.partitionBy("__sig")
+      .orderBy(col("__contrib_q6").desc, col("doc").asc)
+    val thetas = seedMatched
+      .withColumn("__r", row_number().over(wTheta))
+      .filter(col("__r") === k)
+      .select(col("__sig"), col("__contrib_q6").as("__theta_q6"))
+    // essential iff the ub-ascending cumulative sum through this term
+    // reaches θ; the seed term's cum is the full sum >= any achieved
+    // score >= θ, so at least one term is always essential
+    terms2.join(thetas, Seq("__sig"), "left")
+      .withColumn("__ess", col("__cum_q6") >=
+        coalesce(col("__theta_q6"), lit(Long.MinValue)))
+  }
 
   // ------------------------------------------------------------------
   // The TABLE tense of the postings index — the production form for a

@@ -992,6 +992,29 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_text_bm25_pruned" -> ((s, d) => {
+      // The MaxScore-pruned dial over the SAME retrieval task —
+      // result-identical to q_text_bm25 by construction (exact top-k
+      // pruning, Retrieval.bm25TopKPrunedWith), so it shares that
+      // query's DuckDB oracle verbatim: the driver hash-compares the
+      // pruned path against the independent exhaustive SQL. On this
+      // degenerate-vocabulary corpus every term is equally common, so
+      // nothing demotes and the value here is the oracle-checked
+      // degradation path; the Zipfian fixture where it actually
+      // prunes is RetrievalSpec's.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.Retrieval.bm25TopKPrunedWith(
+          graft.operators.Retrieval.postingsIndex(
+            docs, "doc_id", TA.tokens(col("text"))),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 10, maxDfPermille = 1000)
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("score_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_global_shuffle" -> ((s, d) => {
       // Reproducible global shuffle: every doc gets a (shard, pos)
       // address that is a pure function of (doc_id, seed).
@@ -1169,6 +1192,50 @@ object TextQueries {
       |    (2 * num2 * 10000 + CASE WHEN num2 < 0 THEN -det ELSE det END)
       |      // (2 * det) AS w2
       |  FROM cr)""".stripMargin
+
+  /** The exhaustive BM25 oracle — shared verbatim by q_text_bm25 and
+    * q_text_bm25_pruned: the pruned probe is exact top-k pruning, so
+    * both implementations must hash-match this one independent SQL. */
+  private val bm25OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id AS doc, term, count(*) AS tf
+      |       FROM t GROUP BY 1, 2),
+      |len AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS len
+      |        FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |         (SELECT CAST(sum(len) AS DOUBLE) FROM len) AS tot_len),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |kept AS (SELECT term, df FROM df, stats
+      |         WHERE df * 1000 <= 1000 * n_docs),
+      |q AS (
+      |  SELECT DISTINCT doc_id AS query,
+      |    unnest((string_split(lower(text), ' '))[1:3]) AS term
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |probe AS (
+      |  SELECT q.query, tf.doc, tf.tf, kept.df, len.len,
+      |         stats.n_docs, stats.tot_len
+      |  FROM q JOIN tf USING (term) JOIN kept USING (term)
+      |    JOIN len ON tf.doc = len.doc, stats),
+      |contrib AS (
+      |  SELECT query, doc,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+      |          + 0.75 * len / (tot_len / CAST(n_docs AS DOUBLE)))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
+      |  FROM probe),
+      |s AS (SELECT query, doc, CAST(sum(contrib_q6) AS BIGINT)
+      |        AS score_q6 FROM contrib GROUP BY 1, 2)
+      |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
+      |  doc AS doc_id, score_q6
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query
+      |    ORDER BY score_q6 DESC, doc ASC) AS rank
+      |  FROM s) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_quality_fit" ->
@@ -1991,46 +2058,11 @@ object TextQueries {
         |  FROM s) r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
-    "q_text_bm25" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id AS doc, term, count(*) AS tf
-        |       FROM t GROUP BY 1, 2),
-        |len AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS len
-        |        FROM tf GROUP BY 1),
-        |stats AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |         (SELECT CAST(sum(len) AS DOUBLE) FROM len) AS tot_len),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |kept AS (SELECT term, df FROM df, stats
-        |         WHERE df * 1000 <= 1000 * n_docs),
-        |q AS (
-        |  SELECT DISTINCT doc_id AS query,
-        |    unnest((string_split(lower(text), ' '))[1:3]) AS term
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |probe AS (
-        |  SELECT q.query, tf.doc, tf.tf, kept.df, len.len,
-        |         stats.n_docs, stats.tot_len
-        |  FROM q JOIN tf USING (term) JOIN kept USING (term)
-        |    JOIN len ON tf.doc = len.doc, stats),
-        |contrib AS (
-        |  SELECT query, doc,
-        |    CAST(floor(
-        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
-        |          + 0.75 * len / (tot_len / CAST(n_docs AS DOUBLE)))))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
-        |  FROM probe),
-        |s AS (SELECT query, doc, CAST(sum(contrib_q6) AS BIGINT)
-        |        AS score_q6 FROM contrib GROUP BY 1, 2)
-        |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
-        |  doc AS doc_id, score_q6
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query
-        |    ORDER BY score_q6 DESC, doc ASC) AS rank
-        |  FROM s) r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_text_bm25" -> bm25OracleSql,
+
+    // result-identical by construction (exact top-k pruning), so the
+    // pruned path hash-checks against the SAME independent SQL
+    "q_text_bm25_pruned" -> bm25OracleSql,
 
     "q_global_shuffle" -> {
       // the 60-bit md5 prefix as a nibble polynomial (DuckDB has no

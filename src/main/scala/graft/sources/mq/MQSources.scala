@@ -75,11 +75,7 @@ object MQSources {
   : Dataset[QueueRecord] = {
     val spark = records.sparkSession
     import spark.implicits._
-    val typed = records
-      .withWatermark("put_ts", lateness)
-      .select(col("queue"), col("put_ts"), col("seq").cast("int"),
-        col("key"), col("value"))
-      .as[QueueRecord]
+    val typed = typedRecords(records, lateness)
     typed
       .groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -102,4 +98,148 @@ object MQSources {
           emit.sortBy(r => (r.put_ts.getTime, r.seq, r.queue)).iterator
         })
   }
+
+  private def typedRecords(records: DataFrame,
+                           lateness: String): Dataset[QueueRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .withWatermark("put_ts", lateness)
+      .select(col("queue"), col("put_ts"), col("seq").cast("int"),
+        col("key"), col("value"))
+      .as[QueueRecord]
+  }
+
+  /** [[orderedMerge]] on Spark 4's `transformWithState` — the
+    * SCALE-SAFE state transport (requires the RocksDB state store
+    * provider; the flatMapGroupsWithState form above stays as the
+    * HDFS-state-store twin, the statefulKeyCounter/Tws stance, and
+    * the two are emission-parity pinned on the interleaved fixture).
+    *
+    * Why this form exists: the fMGWS transport deserializes, appends
+    * to, and re-serializes the ENTIRE buffer Seq every trigger — at
+    * the reference's own 1000 msg/s with minutes of lateness that is
+    * an O(buffer) rewrite of a multi-hundred-thousand-row value per
+    * micro-batch, on one task, forever. Here the buffer is a
+    * `MapState` keyed by the record's own total-order key
+    * `(put_ts_ms, seq, queue)` (unique by construction — `seq` is the
+    * per-queue same-millisecond counter):
+    *
+    *  - ARRIVALS are point inserts (`updateValue` per record) — the
+    *    held records are never touched;
+    *  - RELEASE scans the KEYS (no value deserialization for
+    *    survivors), reads + `removeKey`s exactly the released
+    *    entries, and leaves survivors' bytes where they are — no
+    *    rewrite, which is why MapState over `ListState`: a list can
+    *    append incrementally but evicting its released PREFIX is
+    *    clear() + re-append of every survivor, the same O(buffer)
+    *    rewrite in new clothes.
+    *
+    * Per-trigger cost: O(arrivals) writes + O(held keys) key-scan +
+    * O(released) reads/deletes — vs fMGWS's O(held) full
+    * read-and-rewrite. An event-time timer (tracked in `timerAt`, the
+    * `setTimeoutTimestamp` twin) wakes the key when the watermark
+    * reaches the oldest held record even if every queue idles.
+    * Semantics are [[orderedMerge]]'s verbatim: late records drop at
+    * the operator's watermark filter (observable —
+    * [[droppedLateTotal]]), releases are the watermark-passed prefix
+    * in global (put_ts, seq, queue) order, within and across batches.
+    */
+  def orderedMergeTws(records: DataFrame, lateness: String)
+  : Dataset[QueueRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    typedRecords(records, lateness)
+      .groupByKey(_ => 0)
+      .transformWithState(new OrderedMergeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  private[graft] final class OrderedMergeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Int, QueueRecord, QueueRecord] {
+    import org.apache.spark.sql.{streaming => ss}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var buf
+    : ss.MapState[(Long, Int, String), QueueRecord] = _
+    @transient private var timerAt: ss.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: ss.TimeMode): Unit = {
+      buf = getHandle.getMapState("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+          Encoders.STRING),
+        Encoders.product[QueueRecord], ss.TTLConfig.NONE)
+      timerAt = getHandle.getValueState("timerAt", Encoders.scalaLong,
+        ss.TTLConfig.NONE)
+    }
+
+    /** Release the watermark-passed prefix and re-arm the wake-up
+      * timer at the oldest still-held record. Survivor entries are
+      * neither read nor rewritten. */
+    private def release(wm: Long): Iterator[QueueRecord] = {
+      val relKeys =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      var minHeld = Long.MaxValue
+      val it = buf.keys()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 <= wm) relKeys += k
+        else if (k._1 < minHeld) minHeld = k._1
+      }
+      // mutate only after the key scan completes
+      val out = relKeys.map { k => val v = buf.getValue(k)
+        buf.removeKey(k); v }
+      val had = timerAt.exists()
+      if (minHeld == Long.MaxValue) {
+        if (had) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+      } else {
+        val want = math.max(minHeld, wm + 1)
+        if (!had || timerAt.get() != want) {
+          if (had) getHandle.deleteTimer(timerAt.get())
+          getHandle.registerTimer(want)
+          timerAt.update(want)
+        }
+      }
+      out.sortInPlaceBy(r => (r.put_ts.getTime, r.seq, r.queue))
+        .iterator
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[QueueRecord],
+        timerValues: ss.TimerValues): Iterator[QueueRecord] = {
+      rows.foreach(r =>
+        buf.updateValue((r.put_ts.getTime, r.seq, r.queue), r))
+      release(timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Int,
+        timerValues: ss.TimerValues,
+        expiredTimerInfo: ss.ExpiredTimerInfo): Iterator[QueueRecord] = {
+      // the fired timer is consumed by the runtime; release() re-arms
+      timerAt.clear()
+      release(timerValues.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Dropped-late observability for [[orderedMerge]] /
+    * [[orderedMergeTws]]: the watermark IS the order guarantee's
+    * horizon, and records later than it are dropped by the stateful
+    * operator's watermark filter — silently, unless monitored. The
+    * count surfaces where production monitoring already looks: the
+    * query progress's per-operator `numRowsDroppedByWatermark`. A
+    * climbing value means `lateness` is under-sized for the queues'
+    * real cross-queue clock skew + delivery lag. */
+  def droppedLate(
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress)
+  : Long =
+    progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+
+  /** Sum of [[droppedLate]] over the query's retained progress
+    * history (per-batch counts; the retention window is
+    * `spark.sql.streaming.numRecentProgressUpdates`). */
+  def droppedLateTotal(
+      query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.map(droppedLate).sum
 }

@@ -301,6 +301,48 @@ object StreamingOps {
     probed.drop("graft_cents")
   }
 
+  /** BM25 retrieval at the streaming boundary — score arriving
+    * queries against the staged postings TABLES
+    * ([[graft.operators.Retrieval.createPostingsIndexTable]]) and
+    * return each query's top-k documents.
+    *
+    * Tense: call from inside `foreachBatch` on the arriving query
+    * micro-batch (the [[batchDrift]] stance). This is EXACT, not a
+    * compromise: a BM25 score is a function of one query and the
+    * corpus index alone — the aggregation runs over the query's own
+    * matched postings, never across queries or batches — so scoring a
+    * micro-batch is bit-identical to scoring the same queries in any
+    * other grouping (one probe definition,
+    * [[graft.operators.Retrieval.bm25TopKWith]], for all tenses;
+    * spec-pinned). Keeping the aggregation inside foreachBatch also
+    * keeps the streaming plan itself stateless: the door's single
+    * stateful-op budget stays with the dedup gate.
+    *
+    * Plan shape ([[graft.operators.Retrieval]]'s): the query side is
+    * search-sized and broadcasts; the corpus side reads the
+    * term-bucketed postings table exchange-free, the [[semanticProbe]]
+    * corpus-side stance — no stream-side explode beyond the arriving
+    * queries' own terms. Freshness: the ingest loop appending admits
+    * via [[graft.operators.Retrieval.appendToPostingsIndexTable]]
+    * makes a doc admitted in batch N retrievable here in batch N+1
+    * with zero corpus re-reads (this method re-resolves the tables
+    * per call; same-session appends are visible immediately, another
+    * session's appender needs the refreshTable contract). */
+  def retrievalProbe(queries: DataFrame, qidCol: String, qToks: Column,
+                     tablePrefix: String, k: Int, k1: Double = 1.2,
+                     b: Double = 0.75,
+                     maxDfPermille: Int = 1000): DataFrame = {
+    require(!queries.isStreaming,
+      "retrievalProbe is the foreachBatch tense: pass the micro-batch " +
+        "frame (scoring aggregates over matched postings, which a " +
+        "stateless streaming plan cannot express; per-batch scoring " +
+        "is exact — see scaladoc)")
+    graft.operators.Retrieval.bm25TopKWith(
+      graft.operators.Retrieval.loadPostingsIndex(
+        queries.sparkSession, tablePrefix),
+      queries, qidCol, qToks, k, k1, b, maxDfPermille)
+  }
+
   /** Idempotent micro-batch landing write — the partition-overwrite
     * half of the [[BatchIdGate]] replay contract: batch N always
     * writes (and on redelivery REWRITES) the `batch_id=N` partition

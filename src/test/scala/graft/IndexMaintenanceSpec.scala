@@ -329,6 +329,47 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ipqForced.rebuilt && ipqStore.currentVersion() == 1L)
   }
 
+  test("maintain with retention: audit→rebuild→swap→GC is ONE call — " +
+    "healthy audits never delete; GC keeps CURRENT + n readable") {
+    def dirExists(store: IM.VersionedIndexStore, v: Long) =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.versionDir(v)))
+    val store = tmpStore()
+    val v0 = IM.rebuildPqIndex(store, corpusA, "vec_id", "embedding",
+      m = 4, ksub = 32)
+    // healthy path with retention configured: audit-only — GC must
+    // NOT run (a passing audit is read-only, retention or not)
+    val healthy = IM.maintainPqIndex(store, corpusA, "vec_id",
+      "embedding", v0, recallFloor = 0.9, k = 3, rerank = 16,
+      m = 4, ksub = 32, retain = Some(0))
+    assert(!healthy.rebuilt && healthy.gcVersions.isEmpty)
+    assert(dirExists(store, 0L) && store.currentVersion() == 0L)
+    // forced rebuild, retain = 1: v1 publishes; v0 is CURRENT−1 and
+    // survives for the straddling reader
+    val r1 = IM.maintainPqIndex(store, corpusA, "vec_id", "embedding",
+      healthy.index, recallFloor = 1.01, k = 3, rerank = 16,
+      m = 4, ksub = 32, retain = Some(1))
+    assert(r1.rebuilt && store.currentVersion() == 1L)
+    assert(r1.gcVersions.isEmpty && dirExists(store, 0L))
+    // second forced rebuild, retain = 1: v2 publishes; GC prunes
+    // exactly v0, keeps v1 (the window) + v2 (CURRENT), both loadable
+    val r2 = IM.maintainPqIndex(store, corpusA, "vec_id", "embedding",
+      r1.index, recallFloor = 1.01, k = 3, rerank = 16,
+      m = 4, ksub = 32, retain = Some(1))
+    assert(r2.gcVersions == Seq(0L), s"gc: ${r2.gcVersions}")
+    assert(!dirExists(store, 0L) && dirExists(store, 1L) &&
+      dirExists(store, 2L))
+    assert(IM.loadPqIndex(spark, store.versionDir(1L))
+      .codebook.length == 4)
+    // aggressive keep-only-CURRENT: v3 publishes, v1 and v2 pruned
+    val r3 = IM.maintainPqIndex(store, corpusA, "vec_id", "embedding",
+      r2.index, recallFloor = 1.01, k = 3, rerank = 16,
+      m = 4, ksub = 32, retain = Some(0))
+    assert(r3.gcVersions == Seq(1L, 2L), s"gc: ${r3.gcVersions}")
+    assert(store.currentVersion() == 3L && dirExists(store, 3L))
+    assert(IM.currentPqIndex(store, spark).get.codebook.length == 4)
+  }
+
   test("concurrent-reader soak: readers interleaved with rebuild+publish " +
     "stay version-consistent; superseded dirs remain readable") {
     // The store's reader contract is RESOLVE ONCE: a reader takes

@@ -700,8 +700,8 @@ class MQSourceSpec extends SparkSpec {
     // no lost docs, every index set-identical to a from-scratch
     // rebuild over corpus + admits, and a cross-batch semantic dup
     // was dropped ONLY because the loop refreshed the ANN index.
-    import graft.operators.{Dedup, Decontaminate, Dsir, Similarity,
-      TextAnalysis => TA}
+    import graft.operators.{Dedup, Decontaminate, Dsir, Retrieval,
+      Similarity, TextAnalysis => TA}
     import graft.streaming.{BatchIdGate, StreamingOps}
     // deterministic "embedding extraction": 8 hash-derived dims from
     // the doc's FIRST TWO tokens — so two docs sharing a 2-token
@@ -734,6 +734,15 @@ class MQSourceSpec extends SparkSpec {
     Dedup.createBandedIndexTable(
       corpus.select(col("doc_id"), simOf.as("fp")), "doc_id", "fp",
       "graft_cap_band", 2)
+    // the SIXTH index family in the loop: BM25 postings tables, so
+    // retrieval stays fresh with zero corpus re-reads under the same
+    // crash/replay gate (unlike the anti-join-immune dedup tables,
+    // a replayed postings append would double-count df/stats — the
+    // gate is REQUIRED here, which is exactly what this test proves)
+    Retrieval.createPostingsIndexTable(corpus, "doc_id",
+      TA.tokens(col("text")), "graft_cap_post", 2)
+    val postTables = Seq("_postings", "_doclen", "_dfreq", "_stats")
+      .map("graft_cap_post" + _)
     var ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
       nCentroids = 1, persistIndex = false)
     var lsh = Similarity.lshIndex(corpusVecs, "vec_id", "embedding",
@@ -756,6 +765,7 @@ class MQSourceSpec extends SparkSpec {
     def refreshTables(): Unit = {
       spark.catalog.refreshTable("graft_cap_dig")
       spark.catalog.refreshTable("graft_cap_band")
+      postTables.foreach(spark.catalog.refreshTable)
     }
     def runOnce(): Option[Throwable] = {
       refreshTables()
@@ -787,6 +797,8 @@ class MQSourceSpec extends SparkSpec {
                 Dedup.appendToBandedIndexTable(
                   adf.select(col("doc_id"), simOf.as("fp")),
                   "doc_id", "fp", "graft_cap_band", 2)
+                Retrieval.appendToPostingsIndexTable(adf, "doc_id",
+                  TA.tokens(col("text")), "graft_cap_post", 2)
                 ivf = Similarity.appendToIvfIndex(ivf, adf,
                   "doc_id", "embedding")
                 lsh = Similarity.appendToLshIndex(lsh, adf,
@@ -878,9 +890,34 @@ class MQSourceSpec extends SparkSpec {
           .as[(Long, Long)].collect().toSet ==
         oneShot.assigned.select("c_id", "cent_id")
           .as[(Long, Long)].collect().toSet)
+      // ---- retrieval freshness under crash + replay: the staged
+      // postings tables probe exactly like a from-scratch index over
+      // corpus + admits — the gated appends ran once despite the
+      // batch-0 redelivery (a replay would have double-counted
+      // df/stats and shifted every score), and both door-admitted
+      // docs are retrievable
+      val rq = Seq((1L, "quince plum"), (2L, "damson elder"))
+        .toDF("query_id", "text")
+      def probeSet(ix: Retrieval.PostingsIndex) =
+        Retrieval.bm25TopKWith(ix, rq, "query_id",
+            TA.tokens(col("text")), k = 10)
+          .select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val viaTables = probeSet(
+        Retrieval.loadPostingsIndex(spark, "graft_cap_post"))
+      val rebuilt = Retrieval.postingsIndex(allDocs, "doc_id",
+        TA.tokens(col("text")))
+      assert(viaTables == probeSet(rebuilt),
+        "table-staged retrieval must equal a rebuild over corpus+admits")
+      assert(viaTables.exists(_._3 == 7000L) &&
+        viaTables.exists(_._3 == 8002L),
+        "door-admitted docs must be retrievable from the staged tables")
+      rebuilt.unpersist()
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cap_dig")
       spark.sql("DROP TABLE IF EXISTS graft_cap_band")
+      Seq("_postings", "_doclen", "_dfreq", "_stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cap_post$s"))
     }
   }
 

@@ -137,6 +137,93 @@ class RetrievalSpec extends SparkSpec {
     assert(byQuery(100L) === single)
   }
 
+  private def asKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("query", "rank", "doc", "score_q6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("pruned BM25 == exhaustive on the dense fixture (nothing to " +
+    "prune) and across score ties at the k boundary") {
+    import graft.operators.Retrieval
+    val qs = Seq((100L, "apple cherry"), (101L, "banana dog"),
+      (102L, "cherry"), (103L, "apple banana cherry dog"))
+      .toDF("query_id", "text")
+    for (k <- Seq(1, 2, 10)) {
+      val ix = Retrieval.postingsIndex(corpus, "doc_id",
+        TA.tokens(col("text")))
+      val ex = asKey(Retrieval.bm25TopKWith(ix, qs, "query_id",
+        TA.tokens(col("text")), k = k))
+      val pr = asKey(Retrieval.bm25TopKPrunedWith(ix, qs, "query_id",
+        TA.tokens(col("text")), k = k))
+      assert(pr === ex, s"pruned/exhaustive diverged at k=$k")
+      ix.unpersist()
+    }
+    // ties: four docs, three with IDENTICAL scores for the query —
+    // the k=2 cut falls inside the tie group, resolved doc-asc; the
+    // pruned θ equals the tied score exactly (integer micro-units),
+    // and θ-tied docs must remain candidates
+    val ties = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"))
+      .toDF("doc_id", "text")
+    val tq = Seq((9L, "x")).toDF("query_id", "text")
+    val ix = graft.operators.Retrieval.postingsIndex(ties, "doc_id",
+      TA.tokens(col("text")))
+    for (k <- Seq(1, 2, 3, 4)) {
+      val ex = asKey(graft.operators.Retrieval.bm25TopKWith(ix, tq,
+        "query_id", TA.tokens(col("text")), k = k))
+      val pr = asKey(graft.operators.Retrieval.bm25TopKPrunedWith(ix,
+        tq, "query_id", TA.tokens(col("text")), k = k))
+      assert(pr === ex, s"tie handling diverged at k=$k")
+    }
+    ix.unpersist()
+  }
+
+  test("pruned BM25 == exhaustive on a Zipfian corpus; stopword-grade " +
+    "terms demote to non-essential and the candidate set shrinks") {
+    import graft.operators.Retrieval
+    // Zipf-ish: 'the' in every doc, 'common' in 1/3, 'mid' in 1/12,
+    // 'rare' in 1/40, plus a unique token and varied padding lengths
+    val zipf = (0 until 120).map { i =>
+      val parts = Seq("the") ++
+        (if (i % 3 == 0) Seq("common") else Nil) ++
+        (if (i % 12 == 0) Seq("mid") else Nil) ++
+        (if (i % 40 == 0) Seq("rare") else Nil) ++
+        Seq(s"u$i") ++ Seq.fill(i % 5)("pad")
+      (i.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq((1L, "rare the"), (2L, "the common rare"),
+      (3L, "mid the"), (4L, "the"), (5L, "absent"), (6L, "the rare"))
+      .toDF("query_id", "text")
+    val ix = Retrieval.postingsIndex(zipf, "doc_id",
+      TA.tokens(col("text")))
+    // k=3 == rare's df → θ exists for rare-seeded sigs; k=10 > every
+    // seed list → θ absent → prune degrades to exhaustive; k=1 is the
+    // tightest θ
+    for (k <- Seq(1, 3, 10)) {
+      val ex = asKey(Retrieval.bm25TopKWith(ix, qs, "query_id",
+        TA.tokens(col("text")), k = k))
+      val pr = asKey(Retrieval.bm25TopKPrunedWith(ix, qs, "query_id",
+        TA.tokens(col("text")), k = k))
+      assert(pr === ex, s"pruned/exhaustive diverged at k=$k")
+    }
+    // the decision table at k=3: for the {rare, the} signature the
+    // stopword demotes (its ub-prefix sum sits below rare's 3rd-best
+    // contribution), rare stays essential
+    val qsig = qs.select(col("query_id").as("query"),
+      array_sort(array_distinct(TA.tokens(col("text")))).as("__sig"))
+    val split = Retrieval.essentialSplit(ix, qsig, k = 3, k1 = 1.2,
+      b = 0.75, maxDfPermille = 1000, bounds = None)
+      .filter(col("__sig") === array(lit("rare"), lit("the")))
+      .select("term", "__ess").as[(String, Boolean)].collect().toMap
+    assert(split === Map("rare" -> true, "the" -> false),
+      s"expected the stopword demoted: $split")
+    // and the prune is real work saved: docs matching ONLY the
+    // demoted stopword (the bulk of the corpus) never reach scoring
+    val skipped = zipf.count() -
+      zipf.filter(col("text").contains("rare")).count()
+    assert(skipped > 100,
+      s"fixture must have a large stopword-only population ($skipped)")
+    ix.unpersist()
+  }
+
   test("postings TABLE tense: create + 2 appends == DataFrame index == " +
     "from-scratch rebuild, probe for probe; compaction + maintenance " +
     "preserve content") {

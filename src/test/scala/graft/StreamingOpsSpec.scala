@@ -1136,15 +1136,91 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("orderedMerge: interleaved arrivals across queues emit in " +
-    "global (put_ts, seq, queue) order within the watermark; " +
-    "later-than-watermark arrivals drop") {
+  test("retrievalProbe in foreachBatch: per-batch scoring == one-shot " +
+    "BM25 over the table state each batch saw; an appended doc is " +
+    "retrievable in the NEXT batch") {
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
+    val newDoc = Seq((4L, "elk elk apple")).toDF("doc_id", "text")
+    val prefix = "graft_probe_bm25"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_stats")
+      .map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      val input = MemoryStream[(Long, String)]
+      // the streaming tense is foreachBatch BY CONTRACT
+      val err = intercept[IllegalArgumentException] {
+        StreamingOps.retrievalProbe(
+          input.toDF().toDF("query_id", "text"), "query_id",
+          TA.tokens(col("text")), prefix, k = 3)
+      }
+      assert(err.getMessage.contains("foreachBatch"))
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      val q = input.toDF().toDF("query_id", "text").writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+            val s = batch.sparkSession
+            // the cross-session visibility contract: the appender
+            // below runs in the TEST session; the stream's cloned
+            // session must refresh before re-planning over the tables
+            tables.foreach(s.catalog.refreshTable)
+            got ++= StreamingOps.retrievalProbe(batch, "query_id",
+                TA.tokens(col("text")), prefix, k = 10)
+              .select("query", "rank", "doc", "score_q6")
+              .as[(Long, Long, Long, Long)](
+                org.apache.spark.sql.Encoders.product[
+                  (Long, Long, Long, Long)])
+              .collect()
+            ()
+        }.start()
+      try {
+        input.addData((100L, "apple cherry"))
+        q.processAllAvailable()
+        // between batches: the ingest loop folds an admitted doc into
+        // the postings tables — zero corpus re-reads
+        Retrieval.appendToPostingsIndexTable(newDoc, "doc_id",
+          TA.tokens(col("text")), prefix, buckets = 2)
+        input.addData((101L, "elk"), (102L, "apple cherry"))
+        q.processAllAvailable()
+      } finally q.stop()
+      def oneShot(c: org.apache.spark.sql.DataFrame, qs: Seq[(Long, String)]) =
+        Retrieval.bm25TopK(c, "doc_id", TA.tokens(col("text")),
+            qs.toDF("query_id", "text"), "query_id",
+            TA.tokens(col("text")), k = 10)
+          .select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val batch1 = got.filter(_._1 == 100L).toSet
+      val batch2 = got.filter(_._1 != 100L).toSet
+      // batch 1 scored against the 3-doc table state
+      assert(batch1 === oneShot(corpus, Seq((100L, "apple cherry"))))
+      // batch 2 sees the appended doc: the elk query retrieves doc 4,
+      // and the repeated apple/cherry query's scores reflect the NEW
+      // N/avg-length/df — exactly the post-append one-shot
+      assert(batch2 === oneShot(corpus.unionByName(newDoc),
+        Seq((101L, "elk"), (102L, "apple cherry"))))
+      assert(batch2.exists(r => r._1 == 101L && r._3 == 4L),
+        "the appended doc must be retrievable in the next batch")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** Drive the orderedMerge fixture (interleaved queues, a
+    * same-millisecond tie, a later-than-watermark record, a
+    * still-held tail record) against either merge form and return
+    * the emitted rows in sink order plus the dropped-late total. */
+  private def runOrderedMergeFixture(
+      merge: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[graft.sources.mq.MQSources.QueueRecord],
+      sink: String): (List[(String, Timestamp, Int, String)], Long) = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Int, String, String)]
-    val merged = graft.sources.mq.MQSources.orderedMerge(
-      input.toDF().toDF("queue", "put_ts", "seq", "key", "value"),
-      lateness = "2 seconds")
-    val q = merged.writeStream.format("memory").queryName("om_sink")
+    val merged = merge(
+      input.toDF().toDF("queue", "put_ts", "seq", "key", "value"))
+    val q = merged.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     def rec(qn: String, t: String, s: Int) =
       (qn, ts(t), s, s"$qn@$t#$s", "payload")
@@ -1170,20 +1246,60 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable() // wm -> 10:00:10; timeout flushes :10
       input.addData(rec("qB", "2024-01-01 10:00:20", 1))
       q.processAllAvailable() // wm -> 10:00:18 -> releases :12
-      val got = spark.table("om_sink")
+      val got = spark.table(sink)
         .select("queue", "put_ts", "seq", "key")
         .as[(String, Timestamp, Int, String)].collect().toList
-      // emitted sequence is globally ordered ACROSS batches
-      val keys = got.map(r => (r._2.getTime, r._3, r._1))
-      assert(keys == keys.sorted, s"out of order: $got")
-      // exactly the in-watermark records, the tie broken qA-then-qB,
-      // and the late seq=9 record absent
-      assert(got.map(_._4) == List(
-        "qA@2024-01-01 10:00:03#1", "qB@2024-01-01 10:00:03#1",
-        "qB@2024-01-01 10:00:04#1", "qA@2024-01-01 10:00:05#1",
-        "qB@2024-01-01 10:00:10#1", "qA@2024-01-01 10:00:12#1"))
-      // the :20 record is still held (watermark has not passed it)
-      assert(!got.exists(_._4.contains("10:00:20")))
+      (got, graft.sources.mq.MQSources.droppedLateTotal(q))
     } finally q.stop()
+  }
+
+  private def assertOrderedMergeContract(
+      got: List[(String, Timestamp, Int, String)], dropped: Long): Unit = {
+    // emitted sequence is globally ordered ACROSS batches
+    val keys = got.map(r => (r._2.getTime, r._3, r._1))
+    assert(keys == keys.sorted, s"out of order: $got")
+    // exactly the in-watermark records, the tie broken qA-then-qB,
+    // and the late seq=9 record absent
+    assert(got.map(_._4) == List(
+      "qA@2024-01-01 10:00:03#1", "qB@2024-01-01 10:00:03#1",
+      "qB@2024-01-01 10:00:04#1", "qA@2024-01-01 10:00:05#1",
+      "qB@2024-01-01 10:00:10#1", "qA@2024-01-01 10:00:12#1"))
+    // the :20 record is still held (watermark has not passed it)
+    assert(!got.exists(_._4.contains("10:00:20")))
+    // the lateness horizon is OBSERVABLE: exactly the one
+    // later-than-watermark record surfaced in the progress metric
+    assert(dropped == 1L,
+      s"expected the late seq=9 record in numRowsDroppedByWatermark, " +
+        s"got $dropped")
+  }
+
+  test("orderedMerge: interleaved arrivals across queues emit in " +
+    "global (put_ts, seq, queue) order within the watermark; " +
+    "later-than-watermark arrivals drop, observably") {
+    val (got, dropped) = runOrderedMergeFixture(
+      graft.sources.mq.MQSources.orderedMerge(_, lateness = "2 seconds"),
+      "om_sink")
+    assertOrderedMergeContract(got, dropped)
+  }
+
+  test("orderedMergeTws: emission-identical to the fMGWS form on the " +
+    "interleaved fixture — incremental MapState transport, same " +
+    "late-drop horizon (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val (got, dropped) = runOrderedMergeFixture(
+        graft.sources.mq.MQSources.orderedMergeTws(_,
+          lateness = "2 seconds"),
+        "om_tws_sink")
+      assertOrderedMergeContract(got, dropped)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

@@ -20,13 +20,27 @@ BENCH="$1"; SF="$2"; REPS="$3"; TOPN="$4"; OUT="$5"
 QUERIES=$(python3 - "$BENCH" "$TOPN" << 'EOF'
 import json, re, sys
 d = json.load(open(sys.argv[1]))
-# the driver artifact wraps the bench's one-line JSON inside a "tail"
-# (possibly truncated mid-line): recover per-query seconds by regex
-src = d["tail"] if "tail" in d else json.dumps(d)
-pairs = re.findall(r'"(q[a-z0-9_]*)":([0-9][0-9.]*)', src)
+# prefer a structured per-query field when the artifact has one (the
+# bench's own JSON line, or a driver artifact whose "parsed" survived)
 qs = {}
-for k, v in pairs:
-    qs[k] = float(v)
+parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
+struct = (d.get("queries") if isinstance(d.get("queries"), dict)
+          else (parsed or {}).get("queries"))
+if isinstance(struct, dict):
+    qs = {k: float(v) for k, v in struct.items()
+          if isinstance(v, (int, float)) and v >= 0}
+else:
+    # fall back to regex over the driver's "tail" string, which may be
+    # truncated MID-LINE: a cut trailing value (`"q_x":12.` from 12.84,
+    # or `:1` from :17.6) still matches the number pattern and would
+    # silently skew the top-N selection — drop the last (possibly
+    # partial) pair unless the tail visibly ends at a JSON boundary
+    src = d["tail"] if "tail" in d else json.dumps(d)
+    pairs = re.findall(r'"(q[a-z0-9_]*)":([0-9][0-9.]*)', src)
+    if pairs and not src.rstrip().endswith("}"):
+        pairs = pairs[:-1]
+    for k, v in pairs:
+        qs[k] = float(v)
 top = sorted(qs.items(), key=lambda kv: -kv[1])[: int(sys.argv[2])]
 print(" ".join(k for k, _ in top))
 EOF
