@@ -330,8 +330,13 @@ object Retrieval {
                          bounds: Option[DataFrame] = None): DataFrame = {
     requireProbeArgs(k, maxDfPermille)
     val qsig = qsigOf(queries, qidCol, qToks)
+    // the decision table is signature-sized but its θ column cost a
+    // (short) posting-list scan — pin it so the two filter branches
+    // below do not score the seed list twice
+    // (lifecycle: session clearCache, the Keywords/tfidfTopK stance)
     val split = essentialSplit(ix, qsig, k, k1, b, maxDfPermille,
-      bounds)
+        bounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def matched(terms: DataFrame) = terms
       .select("__sig", "term", "df")
       .join(ix.postings, "term")
@@ -339,18 +344,31 @@ object Retrieval {
       .crossJoin(broadcast(ix.stats))
       .withColumn("__contrib_q6", contribQ6(k1, b))
       .select("__sig", "doc", "__contrib_q6")
-    val essMatched = matched(split.filter(col("__ess")))
-    // candidates = docs matching >= 1 essential term; the essential
-    // contributions are already in hand (scored in the same pass)
-    val cands = essMatched.select("__sig", "doc").distinct()
-    // the relational seek: non-essential lists contribute only for
-    // candidate docs — the join keys (sig, doc) let Spark's runtime
-    // bloom-filter pushdown thin the long lists at the scan
-    val nonEssMatched = matched(split.filter(!col("__ess")))
-      .join(cands, Seq("__sig", "doc"))
-    val scored = essMatched.unionByName(nonEssMatched)
+    // ONE pass over the essential lists: the per-(sig, doc) partial
+    // score IS the candidate set (a doc is a candidate iff it matched
+    // >= 1 essential term). Pinned because it feeds twice — as the
+    // candidate filter for the non-essential side and as the final
+    // sum's left input; its cardinality is the aggregation OUTPUT
+    // (matched docs), the same frame the exhaustive probe shuffles
+    // into its window, never matrix-sized.
+    val essScores = matched(split.filter(col("__ess")))
       .groupBy("__sig", "doc")
-      .agg(sum("__contrib_q6").as("score_q6"))
+      .agg(sum("__contrib_q6").as("__ess_q6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the relational seek: non-essential lists contribute only for
+    // candidate docs — the (sig, doc) equi-join lets Spark's runtime
+    // bloom-filter pushdown thin the long lists at the scan
+    val nonEssScores = matched(split.filter(!col("__ess")))
+      .join(essScores.select("__sig", "doc"), Seq("__sig", "doc"))
+      .groupBy("__sig", "doc")
+      .agg(sum("__contrib_q6").as("__non_q6"))
+    // left join: a candidate with no non-essential matches keeps its
+    // essential-only sum (its __non_q6 is vacuously 0)
+    val scored = essScores
+      .join(nonEssScores, Seq("__sig", "doc"), "left")
+      .select(col("__sig"), col("doc"),
+        (col("__ess_q6") + coalesce(col("__non_q6"), lit(0L)))
+          .as("score_q6"))
     rankAndFanOut(scored, qsig, k)
   }
 
@@ -429,6 +447,10 @@ object Retrieval {
   //                      SUM (df is additive), aggregated exchange-
   //                      free over the bucketed scan. Maintenance
   //                      merges partials back to vocabulary size.
+  //   <prefix>_tfmax     (term, tf_max)    bucketed by term, append-
+  //                      only partials like dfreq (tf_max is additive
+  //                      under append: max of maxes) — the pruned
+  //                      probe's bounds, merged on the same cadence
   //   <prefix>_stats     (n_docs, tot_len) unbucketed 1-row-per-batch
   //                      partials; the probe sums them (16 bytes per
   //                      appended batch — a year of minute-batches is
@@ -447,9 +469,15 @@ object Retrieval {
   private def doclenTable(prefix: String) = prefix + "_doclen"
   private def dfreqTable(prefix: String) = prefix + "_dfreq"
   private def statsTable(prefix: String) = prefix + "_stats"
+  private def tfmaxTable(prefix: String) = prefix + "_tfmax"
 
   private def mergeDfPartials(df: DataFrame): DataFrame =
     df.groupBy("term").agg(sum("df").as("df"))
+
+  // tf_max is additive under append exactly like df (max of maxes),
+  // so the pruning bounds ride the same partials-then-merge protocol
+  private def mergeTfMaxPartials(df: DataFrame): DataFrame =
+    df.groupBy("term").agg(max("tf_max").as("tf_max"))
 
   /** Materialize a fresh [[postingsIndex]] as the four tables above.
     * One corpus pass builds the shared tf frame (persisted for the
@@ -467,6 +495,8 @@ object Retrieval {
         ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
       graft.sources.BucketedTables.writeBucketed(
         ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+      graft.sources.BucketedTables.writeBucketed(
+        pruneBounds(ix), tfmaxTable(prefix), buckets, Seq("term"))
       ix.stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(statsTable(prefix))
     } finally ix.unpersist()
@@ -491,6 +521,8 @@ object Retrieval {
         ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
       graft.sources.BucketedTables.appendBucketed(
         ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+      graft.sources.BucketedTables.appendBucketed(
+        pruneBounds(ix), tfmaxTable(prefix), buckets, Seq("term"))
       ix.stats.write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(statsTable(prefix))
     } finally ix.unpersist()
@@ -514,6 +546,16 @@ object Retrieval {
         coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
         coalesce(sum("tot_len"), lit(0L)).as("tot_len")))
 
+  /** The staged [[pruneBounds]] view — pass to
+    * [[bm25TopKPrunedWith]]'s `bounds` so a serving probe never
+    * recomputes tf_max from the postings (the partials merge
+    * vocabulary-sized, exchange-free over the term-bucketed scan,
+    * exactly like dfreq). Equals `pruneBounds` of a from-scratch
+    * index over the same corpus (spec-pinned). */
+  def loadPruneBounds(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String): DataFrame =
+    mergeTfMaxPartials(spark.table(tfmaxTable(prefix)))
+
   /** Restore single-file buckets on postings/doclen (content
     * unchanged) and MERGE the dfreq partials back to vocabulary size
     * (probe-equivalent: the probe reads the sum either way). Run from
@@ -528,6 +570,9 @@ object Retrieval {
       spark, doclenTable(prefix), buckets, Seq("doc"))
     graft.sources.BucketedTables.rewriteBucketed(
       spark, dfreqTable(prefix), buckets, Seq("term"))(mergeDfPartials)
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, tfmaxTable(prefix), buckets, Seq("term"))(
+      mergeTfMaxPartials)
   }
 
   /** Audit-gated tense of [[compactPostingsIndexTable]]
@@ -547,18 +592,21 @@ object Retrieval {
       maxFilesPerBucket)
     val d = BucketedTables.maintainBucketed(spark,
       doclenTable(prefix), buckets, Seq("doc"), Nil, maxFilesPerBucket)
-    // dfreq maintains through the MERGE rewrite, with the same
-    // audit + crash-recovery contract maintainBucketed carries
-    val dfTable = dfreqTable(prefix)
-    val crashed = !spark.catalog.tableExists(dfTable) &&
-      spark.catalog.tableExists(dfTable + "_compacting")
-    val f =
-      if (crashed || BucketedTables.fileAmplification(spark, dfTable,
+    // dfreq/tfmax maintain through their MERGE rewrites, with the
+    // same audit + crash-recovery contract maintainBucketed carries
+    def maintainMerged(table: String,
+                       merge: DataFrame => DataFrame): Boolean = {
+      val crashed = !spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "_compacting")
+      if (crashed || BucketedTables.fileAmplification(spark, table,
           buckets) > maxFilesPerBucket) {
-        graft.sources.BucketedTables.rewriteBucketed(
-          spark, dfTable, buckets, Seq("term"))(mergeDfPartials)
+        BucketedTables.rewriteBucketed(
+          spark, table, buckets, Seq("term"))(merge)
         true
       } else false
-    p | d | f
+    }
+    val f = maintainMerged(dfreqTable(prefix), mergeDfPartials)
+    val t = maintainMerged(tfmaxTable(prefix), mergeTfMaxPartials)
+    p | d | f | t
   }
 }

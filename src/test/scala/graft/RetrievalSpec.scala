@@ -232,7 +232,7 @@ class RetrievalSpec extends SparkSpec {
     val b1 = Seq((4L, "dog cherry dog"), (5L, "elk")).toDF("doc_id", "text")
     val b2 = Seq((6L, "apple elk fox"), (7L, "banana")).toDF("doc_id", "text")
     val prefix = "graft_bm25_ix"
-    val all = Seq("_postings", "_doclen", "_dfreq", "_stats")
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
       .map(prefix + _)
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
@@ -270,6 +270,18 @@ class RetrievalSpec extends SparkSpec {
       val want = probe(fresh)
       assert(probe(staged) === want)
       assert(want.nonEmpty)
+      // staged pruning bounds == a from-scratch pruneBounds, and the
+      // PRUNED probe over the staged tables + staged bounds is still
+      // the same result
+      def boundsSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("term", "tf_max").as[(String, Long)].collect().toSet
+      assert(boundsSet(Retrieval.loadPruneBounds(spark, prefix))
+        === boundsSet(Retrieval.pruneBounds(fresh)))
+      assert(Retrieval.bm25TopKPrunedWith(staged, qs, "query_id",
+          toks(col("text")), k = 10,
+          bounds = Some(Retrieval.loadPruneBounds(spark, prefix)))
+        .select("query", "rank", "doc", "score_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet === want)
       // compaction merges the dfreq partials (3 batches of them) back
       // to vocabulary size and changes no probe verdict
       val partialRows = spark.table(prefix + "_dfreq").count()

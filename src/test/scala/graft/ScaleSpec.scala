@@ -841,7 +841,7 @@ class ScaleSpec extends SparkSpec {
       (i.toLong, s"word${i % 13} word${i % 7} word${i % 5} filler$i"))
       .toDF("doc_id", "text")
     val prefix = "graft_bm25_scale"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
       .map(prefix + _)
     val prevBroadcast =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

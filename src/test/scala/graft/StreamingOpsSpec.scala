@@ -1145,7 +1145,7 @@ class StreamingOpsSpec extends SparkSpec {
       (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
     val newDoc = Seq((4L, "elk elk apple")).toDF("doc_id", "text")
     val prefix = "graft_probe_bm25"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
       .map(prefix + _)
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
