@@ -258,6 +258,13 @@ object Retrieval {
     bm25TopKWith(postingsIndex(corpus, idCol, toks),
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
 
+  /** Sentinel ub for a query term absent from a caller-staged bounds
+    * table: far above any real bound (ub_q6 ≤ idf·(k1+1)·1e6 ≲ 7e7
+    * even at a 10¹²-doc corpus) yet small enough that a cumulative
+    * sum over a million-term query cannot overflow a BIGINT — the
+    * term sorts to the essential end and is always fully scored. */
+  private val UbMissingQ6: Long = 1L << 40
+
   /** Per-term pruning bounds for [[bm25TopKPrunedWith]]: the max tf
     * any document has for each term — one postings pass, vocabulary-
     * sized output, ADDITIVE under append (max of maxes), so a staged
@@ -331,12 +338,16 @@ object Retrieval {
     requireProbeArgs(k, maxDfPermille)
     val qsig = qsigOf(queries, qidCol, qToks)
     // the decision table is signature-sized but its θ column cost a
-    // (short) posting-list scan — pin it so the two filter branches
-    // below do not score the seed list twice
-    // (lifecycle: session clearCache, the Keywords/tfidfTopK stance)
+    // (short) posting-list scan — materialize it so the two filter
+    // branches below do not score the seed list twice. EAGER
+    // localCheckpoint, not persist: a serving loop calls this probe
+    // every micro-batch, and persist pins CacheManager entries only
+    // clearCache releases, while checkpoint blocks are reclaimed by
+    // the ContextCleaner once the probe's frames go unreferenced —
+    // per-call state that cleans itself up.
     val split = essentialSplit(ix, qsig, k, k1, b, maxDfPermille,
         bounds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def matched(terms: DataFrame) = terms
       .select("__sig", "term", "df")
       .join(ix.postings, "term")
@@ -346,7 +357,8 @@ object Retrieval {
       .select("__sig", "doc", "__contrib_q6")
     // ONE pass over the essential lists: the per-(sig, doc) partial
     // score IS the candidate set (a doc is a candidate iff it matched
-    // >= 1 essential term). Pinned because it feeds twice — as the
+    // >= 1 essential term). Materialized (same self-cleaning
+    // checkpoint as `split`) because it feeds twice — as the
     // candidate filter for the non-essential side and as the final
     // sum's left input; its cardinality is the aggregation OUTPUT
     // (matched docs), the same frame the exhaustive probe shuffles
@@ -354,7 +366,7 @@ object Retrieval {
     val essScores = matched(split.filter(col("__ess")))
       .groupBy("__sig", "doc")
       .agg(sum("__contrib_q6").as("__ess_q6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // the relational seek: non-essential lists contribute only for
     // candidate docs — the (sig, doc) equi-join lets Spark's runtime
     // bloom-filter pushdown thin the long lists at the scan
@@ -386,15 +398,25 @@ object Retrieval {
       explode(col("__sig")).as("term"))
     val tfmax = bounds.getOrElse(pruneBounds(ix))
     // ub in the same micro-units as contributions; floor(+0.5) is
-    // monotone, so ub_q6 >= contrib_q6 row for row
+    // monotone, so ub_q6 >= contrib_q6 row for row. The bounds join
+    // is LEFT: a kept term MISSING from a caller-staged bounds table
+    // (a bounds build older than the term's first posting) gets the
+    // UbMissing sentinel — effectively infinite, so the term is
+    // forced essential and every doc matching it is fully scored.
+    // Staleness therefore degrades pruning power, never correctness,
+    // for ABSENT terms; an understated tf_max for a PRESENT term
+    // still breaks the exclusion proof, which is why the bounds are
+    // maintained BY the appends (tfmax partials, max-merge) — pass
+    // loadPruneBounds of the same index state, not a frozen copy.
     val tfnCeil = lit(k1 + 1.0d) * col("tf_max") /
       (col("tf_max") + lit(k1 * (1.0d - b)))
     val terms1 = qterms
       .join(keptTerms(ix, maxDfPermille), "term")
-      .join(tfmax, "term")
+      .join(tfmax, Seq("term"), "left")
       .crossJoin(broadcast(ix.stats))
-      .withColumn("__ub_q6",
-        floor(idfExpr * tfnCeil * lit(1e6) + lit(0.5d)).cast("long"))
+      .withColumn("__ub_q6", when(col("tf_max").isNull,
+        lit(UbMissingQ6)).otherwise(
+        floor(idfExpr * tfnCeil * lit(1e6) + lit(0.5d)).cast("long")))
       .select("__sig", "term", "df", "__ub_q6")
     val wAsc = Window.partitionBy("__sig")
       .orderBy(col("__ub_q6").asc, col("term").asc)
@@ -459,10 +481,24 @@ object Retrieval {
   // RetrievalSpec pins content identity through the table path), and
   // ScaleSpec asserts the probe's corpus-side scans stay exchange-free
   // after multiple appended batches. Single-writer: the ingest loop's
-  // foreachBatch is the only appender, gated by BatchIdGate for
-  // replay — a replayed batch would double-count df/stats partials,
-  // unlike the anti-join-immune dedup tables, so the gate is REQUIRED
-  // here, not just economical.
+  // foreachBatch is the only appender.
+  //
+  // REPLAY SAFETY — the part a gate alone cannot give. BatchIdGate is
+  // at-least-once: a crash between the five table appends and the
+  // gate commit replays the batch, and a re-run plain append would
+  // double-count df/stats partials and duplicate postings rows —
+  // shifting every score for those docs forever (the dedup tables are
+  // immune because their probes are anti-joins; additive state is
+  // not). So every table carries a `batch_id` DIRECTORY PARTITION in
+  // front of its bucketing (the banded index's band layout), appends
+  // stamp their batch id, and the gated form FIRST drops its own
+  // batch's partition — a no-op on first delivery, and on replay it
+  // removes the partial or complete previous attempt, making the
+  // append idempotent per batch id. The capstone injects a crash in
+  // exactly this window and pins post-replay retrieval == rebuild.
+  // Probes never see batch_id (loadPostingsIndex projects it away);
+  // bucket-colocated joins survive partitioning (a bucketed scan
+  // spans partition directories — the banded-index precedent).
   // ------------------------------------------------------------------
 
   private def postingsTable(prefix: String) = prefix + "_postings"
@@ -471,13 +507,29 @@ object Retrieval {
   private def statsTable(prefix: String) = prefix + "_stats"
   private def tfmaxTable(prefix: String) = prefix + "_tfmax"
 
+  /** The batch_id every non-gated write lands under (the base corpus
+    * and compacted state). Gated appends use their own positive batch
+    * id so replay can surgically remove a previous attempt. */
+  private val BasePartition = -1L
+
+  // the merge transforms collapse batch attribution into the base
+  // partition — probe-equivalent (batch_id never reaches a probe),
+  // and idempotent as rewriteBucketed requires. Safe w.r.t. replay
+  // because compaction runs from the maintenance owner between jobs,
+  // never while an ingest batch is crashed-but-uncommitted (the
+  // documented single-writer cadence).
   private def mergeDfPartials(df: DataFrame): DataFrame =
     df.groupBy("term").agg(sum("df").as("df"))
+      .withColumn("batch_id", lit(BasePartition))
 
   // tf_max is additive under append exactly like df (max of maxes),
   // so the pruning bounds ride the same partials-then-merge protocol
   private def mergeTfMaxPartials(df: DataFrame): DataFrame =
     df.groupBy("term").agg(max("tf_max").as("tf_max"))
+      .withColumn("batch_id", lit(BasePartition))
+
+  private def collapseBatches(df: DataFrame): DataFrame =
+    df.withColumn("batch_id", lit(BasePartition))
 
   /** Materialize a fresh [[postingsIndex]] as the four tables above.
     * One corpus pass builds the shared tf frame (persisted for the
@@ -488,17 +540,26 @@ object Retrieval {
                                toks: Column, prefix: String,
                                buckets: Int): Unit = {
     val ix = postingsIndex(corpus, idCol, toks)
+    val part = Seq("batch_id")
+    def base(df: DataFrame) =
+      df.withColumn("batch_id", lit(BasePartition))
     try {
       graft.sources.BucketedTables.writeBucketed(
-        ix.postings, postingsTable(prefix), buckets, Seq("term"))
+        base(ix.postings), postingsTable(prefix), buckets, Seq("term"),
+        partitionCols = part)
       graft.sources.BucketedTables.writeBucketed(
-        ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
+        base(ix.doclen), doclenTable(prefix), buckets, Seq("doc"),
+        partitionCols = part)
       graft.sources.BucketedTables.writeBucketed(
-        ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+        base(ix.dfreq), dfreqTable(prefix), buckets, Seq("term"),
+        partitionCols = part)
       graft.sources.BucketedTables.writeBucketed(
-        pruneBounds(ix), tfmaxTable(prefix), buckets, Seq("term"))
-      ix.stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(statsTable(prefix))
+        base(pruneBounds(ix)), tfmaxTable(prefix), buckets, Seq("term"),
+        partitionCols = part)
+      base(ix.stats).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").partitionBy("batch_id")
+        .saveAsTable(statsTable(prefix))
     } finally ix.unpersist()
   }
 
@@ -507,26 +568,56 @@ object Retrieval {
     * layouts — batch-sized shuffles only; the corpus rows already in
     * the tables are neither read nor rewritten. Caller contract is
     * the DataFrame append's (batch doc ids not already present, one
-    * writer, replay gated upstream). Content equals a from-scratch
+    * writer). Content equals a from-scratch
     * [[createPostingsIndexTable]] over the unioned corpus, probe for
-    * probe (spec-pinned). */
+    * probe (spec-pinned).
+    *
+    * `batchId`: pass the foreachBatch batch id to make the append
+    * IDEMPOTENT per batch — the write lands under the batch's own
+    * partition directory, preceded by a drop of that partition, so a
+    * crash anywhere between the five appends and the caller's gate
+    * commit replays into content identical to a single delivery
+    * (capstone-pinned). None appends into the base partition with no
+    * replay protection — only for callers with their own exactly-once
+    * delivery. */
   def appendToPostingsIndexTable(batch: DataFrame, idCol: String,
                                  toks: Column, prefix: String,
-                                 buckets: Int): Unit = {
+                                 buckets: Int,
+                                 batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val pid = batchId.getOrElse(BasePartition)
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($BasePartition is the reserved base partition)")
+      allTables(prefix).foreach(t => spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)"))
+    }
     val ix = postingsIndex(batch, idCol, toks)
+    val part = Seq("batch_id")
+    def stamped(df: DataFrame) = df.withColumn("batch_id", lit(pid))
     try {
       graft.sources.BucketedTables.appendBucketed(
-        ix.postings, postingsTable(prefix), buckets, Seq("term"))
+        stamped(ix.postings), postingsTable(prefix), buckets,
+        Seq("term"), partitionCols = part)
       graft.sources.BucketedTables.appendBucketed(
-        ix.doclen, doclenTable(prefix), buckets, Seq("doc"))
+        stamped(ix.doclen), doclenTable(prefix), buckets, Seq("doc"),
+        partitionCols = part)
       graft.sources.BucketedTables.appendBucketed(
-        ix.dfreq, dfreqTable(prefix), buckets, Seq("term"))
+        stamped(ix.dfreq), dfreqTable(prefix), buckets, Seq("term"),
+        partitionCols = part)
       graft.sources.BucketedTables.appendBucketed(
-        pruneBounds(ix), tfmaxTable(prefix), buckets, Seq("term"))
-      ix.stats.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(statsTable(prefix))
+        stamped(pruneBounds(ix)), tfmaxTable(prefix), buckets,
+        Seq("term"), partitionCols = part)
+      stamped(ix.stats).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").partitionBy("batch_id")
+        .saveAsTable(statsTable(prefix))
     } finally ix.unpersist()
   }
+
+  private def allTables(prefix: String): Seq[String] =
+    Seq(postingsTable(prefix), doclenTable(prefix),
+      dfreqTable(prefix), tfmaxTable(prefix), statsTable(prefix))
 
   /** A [[PostingsIndex]] view over the staged tables — probe it with
     * [[bm25TopKWith]] unchanged (one probe definition for all three
@@ -539,9 +630,10 @@ object Retrieval {
   def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                         prefix: String): PostingsIndex =
     PostingsIndex(
-      spark.table(postingsTable(prefix)),
-      spark.table(doclenTable(prefix)),
-      mergeDfPartials(spark.table(dfreqTable(prefix))),
+      spark.table(postingsTable(prefix)).select("doc", "term", "tf"),
+      spark.table(doclenTable(prefix)).select("doc", "len"),
+      mergeDfPartials(spark.table(dfreqTable(prefix)))
+        .select("term", "df"),
       spark.table(statsTable(prefix)).agg(
         coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
         coalesce(sum("tot_len"), lit(0L)).as("tot_len")))
@@ -555,6 +647,7 @@ object Retrieval {
   def loadPruneBounds(spark: org.apache.spark.sql.SparkSession,
                       prefix: String): DataFrame =
     mergeTfMaxPartials(spark.table(tfmaxTable(prefix)))
+      .select("term", "tf_max")
 
   /** Restore single-file buckets on postings/doclen (content
     * unchanged) and MERGE the dfreq partials back to vocabulary size
@@ -564,14 +657,24 @@ object Retrieval {
     * left as-is (see the layout note: never worth a merge). */
   def compactPostingsIndexTable(spark: org.apache.spark.sql.SparkSession,
                                 prefix: String, buckets: Int): Unit = {
-    graft.sources.BucketedTables.compactBucketed(
-      spark, postingsTable(prefix), buckets, Seq("term"))
-    graft.sources.BucketedTables.compactBucketed(
-      spark, doclenTable(prefix), buckets, Seq("doc"))
+    // every rewrite COLLAPSES batch attribution into the base
+    // partition (probe-equivalent: batch_id never reaches a probe) —
+    // that, not file layout alone, is what bounds the directory count
+    // over thousands of appended batches. Replay-safe because
+    // compaction runs from the maintenance owner between jobs, never
+    // while an ingest batch is crashed-but-uncommitted.
+    val part = Seq("batch_id")
     graft.sources.BucketedTables.rewriteBucketed(
-      spark, dfreqTable(prefix), buckets, Seq("term"))(mergeDfPartials)
+      spark, postingsTable(prefix), buckets, Seq("term"), part)(
+      collapseBatches)
     graft.sources.BucketedTables.rewriteBucketed(
-      spark, tfmaxTable(prefix), buckets, Seq("term"))(
+      spark, doclenTable(prefix), buckets, Seq("doc"), part)(
+      collapseBatches)
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, dfreqTable(prefix), buckets, Seq("term"), part)(
+      mergeDfPartials)
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
       mergeTfMaxPartials)
   }
 
@@ -586,27 +689,32 @@ object Retrieval {
   def maintainPostingsIndexTable(
       spark: org.apache.spark.sql.SparkSession, prefix: String,
       buckets: Int, maxFilesPerBucket: Double = 2.0): Boolean = {
-    import graft.sources.BucketedTables
-    val p = BucketedTables.maintainBucketed(spark,
-      postingsTable(prefix), buckets, Seq("term"), Nil,
-      maxFilesPerBucket)
-    val d = BucketedTables.maintainBucketed(spark,
-      doclenTable(prefix), buckets, Seq("doc"), Nil, maxFilesPerBucket)
-    // dfreq/tfmax maintain through their MERGE rewrites, with the
-    // same audit + crash-recovery contract maintainBucketed carries
-    def maintainMerged(table: String,
-                       merge: DataFrame => DataFrame): Boolean = {
-      val crashed = !spark.catalog.tableExists(table) &&
+    require(maxFilesPerBucket >= 1.0,
+      s"maxFilesPerBucket below 1.0 ($maxFilesPerBucket) would " +
+        "recompact a fresh index forever")
+    // the audit differs from BucketedTables.maintainBucketed's file
+    // amplification BY NECESSITY of this layout: every gated append
+    // adds one batch_id DIRECTORY with single-file buckets, so the
+    // per-directory amplification stays 1.0 forever — the growth axis
+    // is the directory count itself, which IS files-per-bucket across
+    // the whole table. Same threshold, same crash-recovery-first,
+    // same rewrite protocol; only the measurement matches the layout.
+    def crashed(table: String) =
+      !spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(table + "_compacting")
-      if (crashed || BucketedTables.fileAmplification(spark, table,
-          buckets) > maxFilesPerBucket) {
-        BucketedTables.rewriteBucketed(
-          spark, table, buckets, Seq("term"))(merge)
+    def over(table: String) =
+      spark.catalog.tableExists(table) &&
+        spark.sql(s"SHOW PARTITIONS $table").count() > maxFilesPerBucket
+    def maintainOne(table: String, keyCols: Seq[String],
+                    transform: DataFrame => DataFrame): Boolean =
+      if (crashed(table) || over(table)) {
+        graft.sources.BucketedTables.rewriteBucketed(spark, table,
+          buckets, keyCols, Seq("batch_id"))(transform)
         true
       } else false
-    }
-    val f = maintainMerged(dfreqTable(prefix), mergeDfPartials)
-    val t = maintainMerged(tfmaxTable(prefix), mergeTfMaxPartials)
-    p | d | f | t
+    maintainOne(postingsTable(prefix), Seq("term"), collapseBatches) |
+      maintainOne(doclenTable(prefix), Seq("doc"), collapseBatches) |
+      maintainOne(dfreqTable(prefix), Seq("term"), mergeDfPartials) |
+      maintainOne(tfmaxTable(prefix), Seq("term"), mergeTfMaxPartials)
   }
 }

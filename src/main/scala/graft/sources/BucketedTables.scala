@@ -254,18 +254,33 @@ object BucketedTables {
   def maintainBucketed(spark: SparkSession, table: String, buckets: Int,
                        keyCols: Seq[String],
                        partitionCols: Seq[String] = Nil,
-                       maxFilesPerBucket: Double = 2.0): Boolean = {
+                       maxFilesPerBucket: Double = 2.0): Boolean =
+    maintainRewritten(spark, table, buckets, keyCols, partitionCols,
+      maxFilesPerBucket)(identity)
+
+  /** [[maintainBucketed]] with a content transform — the audit-gated
+    * tense of [[rewriteBucketed]], for append-only PARTIAL tables
+    * maintained by merge (the BM25 dfreq/tfmax partials). Same
+    * contract: idempotent transform, crash recovery first,
+    * under-threshold calls cost one file listing. */
+  def maintainRewritten(spark: SparkSession, table: String,
+                        buckets: Int, keyCols: Seq[String],
+                        partitionCols: Seq[String] = Nil,
+                        maxFilesPerBucket: Double = 2.0)(
+                        transform: DataFrame => DataFrame): Boolean = {
     require(maxFilesPerBucket >= 1.0,
       s"maxFilesPerBucket below 1.0 ($maxFilesPerBucket) would recompact a fresh table forever")
     val staging = table + "_compacting"
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(staging)) {
-      compactBucketed(spark, table, buckets, keyCols, partitionCols)
+      rewriteBucketed(spark, table, buckets, keyCols,
+        partitionCols)(transform)
       return true
     }
     val amp = fileAmplification(spark, table, buckets)
     if (amp > maxFilesPerBucket) {
-      compactBucketed(spark, table, buckets, keyCols, partitionCols)
+      rewriteBucketed(spark, table, buckets, keyCols,
+        partitionCols)(transform)
       true
     } else false
   }

@@ -125,8 +125,10 @@ object MQSources {
     * `(put_ts_ms, seq, queue)` (unique by construction — `seq` is the
     * per-queue same-millisecond counter):
     *
-    *  - ARRIVALS are point inserts (`updateValue` per record) — the
-    *    held records are never touched;
+    *  - ARRIVALS are point inserts (`updateValue` per record; a rare
+    *    duplicate-key redelivery appends within its own key's value,
+    *    preserving the fMGWS form's emit-both behavior) — records
+    *    held under other keys are never touched;
     *  - RELEASE scans the KEYS (no value deserialization for
     *    survivors), reads + `removeKey`s exactly the released
     *    entries, and leaves survivors' bytes where they are — no
@@ -162,8 +164,16 @@ object MQSources {
     import org.apache.spark.sql.{streaming => ss}
     import org.apache.spark.sql.Encoders
 
+    // value is a SEQ for one reason: an at-least-once anomaly can
+    // deliver two records with the same (ms, seq, queue) key, and the
+    // fMGWS twin buffers + emits both — a plain-value map would
+    // silently overwrite one and break emission parity exactly in the
+    // anomaly case. Collisions are the rare path (the source's
+    // checkpointed offsets make keys unique per query), so the
+    // append-on-collision value rewrite is per colliding key only —
+    // survivors of OTHER keys are still never touched.
     @transient private var buf
-    : ss.MapState[(Long, Int, String), QueueRecord] = _
+    : ss.MapState[(Long, Int, String), Seq[QueueRecord]] = _
     @transient private var timerAt: ss.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
@@ -171,7 +181,9 @@ object MQSources {
       buf = getHandle.getMapState("buf",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
           Encoders.STRING),
-        Encoders.product[QueueRecord], ss.TTLConfig.NONE)
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+          Seq[QueueRecord]](),
+        ss.TTLConfig.NONE)
       timerAt = getHandle.getValueState("timerAt", Encoders.scalaLong,
         ss.TTLConfig.NONE)
     }
@@ -190,7 +202,7 @@ object MQSources {
         else if (k._1 < minHeld) minHeld = k._1
       }
       // mutate only after the key scan completes
-      val out = relKeys.map { k => val v = buf.getValue(k)
+      val out = relKeys.flatMap { k => val v = buf.getValue(k)
         buf.removeKey(k); v }
       val had = timerAt.exists()
       if (minHeld == Long.MaxValue) {
@@ -209,8 +221,12 @@ object MQSources {
 
     override def handleInputRows(key: Int, rows: Iterator[QueueRecord],
         timerValues: ss.TimerValues): Iterator[QueueRecord] = {
-      rows.foreach(r =>
-        buf.updateValue((r.put_ts.getTime, r.seq, r.queue), r))
+      rows.foreach { r =>
+        val k = (r.put_ts.getTime, r.seq, r.queue)
+        val prev = if (buf.containsKey(k)) buf.getValue(k)
+          else Seq.empty[QueueRecord]
+        buf.updateValue(k, prev :+ r)
+      }
       release(timerValues.getCurrentWatermarkInMs())
     }
 

@@ -343,18 +343,44 @@ object StreamingOps {
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
   }
 
-  /** Idempotent micro-batch landing write — the partition-overwrite
-    * half of the [[BatchIdGate]] replay contract: batch N always
-    * writes (and on redelivery REWRITES) the `batch_id=N` partition
-    * directory, so replaying a batch after a crash can never duplicate
-    * rows in the corpus — the write is the transactional-with-batchId
-    * side effect, the gate is just the fast-path skip for the
-    * non-transactional ones (index appends). Readers take the corpus
-    * root; `batch_id` surfaces as a partition column. */
+  /** Idempotent micro-batch landing write — the write-once half of
+    * the [[BatchIdGate]] replay contract: batch N lands in the
+    * `batch_id=N` partition directory, so replaying a batch after a
+    * crash can never duplicate rows in the corpus. Readers take the
+    * corpus root; `batch_id` surfaces as a partition column.
+    *
+    * A COMPLETED partition (its `_SUCCESS` marker present) is never
+    * rewritten — deliberately, and not just as a fast path. A replay
+    * can reach this write AFTER a crashed attempt already appended
+    * the batch's rows to the ingest door's index tables; the door
+    * then re-probes indexes that contain this batch's own digests/
+    * fingerprints and re-derives a SMALLER (possibly empty) admit
+    * set — its own arrivals look like corpus duplicates of
+    * themselves. Overwriting the completed partition with that
+    * re-derived set would silently DELETE admitted documents; keeping
+    * the completed partition makes the first successful landing the
+    * immutable truth, and the gated index appends must read the
+    * LANDED partition back rather than trust a replayed in-flight
+    * frame (the capstone models exactly this crash window). A partial
+    * directory from a crash mid-write (no `_SUCCESS`) is overwritten
+    * as before. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long,
-                           dir: String): Unit =
-    batch.write.mode("overwrite")
-      .parquet(s"$dir/batch_id=$batchId")
+                           dir: String): Unit = {
+    val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+    val fs = part.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))) {
+      // skipping the write must NOT skip executing the frame: the
+      // stream's stateful operators (the door's watermarked dedup)
+      // commit their state stores only when every partition of the
+      // micro-batch is processed, and Spark validates exactly that
+      // for foreachBatch — a short-circuit return would fail the
+      // batch with STATE_STORE_COMMIT_VALIDATION_FAILED
+      batch.foreach(_ => ())
+      return
+    }
+    batch.write.mode("overwrite").parquet(part.toString)
+  }
 
   /** Per-doc door scores for [[admitAtDoor]], exposed for parity
     * testing: quality (any BIGINT Q8 score expression, typically

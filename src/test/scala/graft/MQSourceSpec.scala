@@ -757,6 +757,7 @@ class MQSourceSpec extends SparkSpec {
     val gate = new BatchIdGate(
       ckpt.resolve("graft-applied").toString)
     @volatile var crashArmed = true
+    @volatile var crash2Armed = false
     // the appends run inside foreachBatch's cloned session; THIS
     // session's catalog caches each table's file listing, so the
     // reader must refresh before re-planning the door or asserting —
@@ -787,18 +788,40 @@ class MQSourceSpec extends SparkSpec {
               throw new RuntimeException("injected crash before commit")
             }
             if (gate.isNew(batchId)) {
-              val adf = admitted
+              val s = admitted.sparkSession
+              // appends derive from the LANDED partition (the
+              // immutable truth once complete), never the in-flight
+              // admitted frame: on a replay after a crash in the
+              // append→commit window the door re-probes index tables
+              // that already hold this batch's own rows and
+              // re-derives an EMPTY admit set — trusting it would
+              // skip the appends the replay exists to redo. The
+              // embedding is a deterministic feature of the landed
+              // value, so it recomputes bit-identically.
+              val adf = s.read.parquet(out.toString)
+                .filter(col("batch_id") === batchId)
                 .select(unix_millis(col("put_ts")).as("doc_id"),
-                  col("value").as("text"), col("embedding"))
+                  col("value").as("text"),
+                  embedOf(col("value")).as("embedding"))
                 .localCheckpoint()
+              // snapshot the in-memory ANN state: the injected crash
+              // below models the JVM dying mid-window, after which a
+              // restart reloads pre-batch quantizer state — without
+              // the restore, the test driver's surviving vars would
+              // double-append in a way a real restart cannot
+              val (snapIvf, snapLsh, snapPq, snapIvfpq) =
+                (ivf, lsh, pq, ivfpq)
               if (!adf.isEmpty) {
                 Dedup.appendToDigestIndexTable(adf, "text",
                   "graft_cap_dig", 2)
                 Dedup.appendToBandedIndexTable(
                   adf.select(col("doc_id"), simOf.as("fp")),
                   "doc_id", "fp", "graft_cap_band", 2)
+                // the gated batchId makes this append idempotent:
+                // replay drops the batch's own partition first
                 Retrieval.appendToPostingsIndexTable(adf, "doc_id",
-                  TA.tokens(col("text")), "graft_cap_post", 2)
+                  TA.tokens(col("text")), "graft_cap_post", 2,
+                  batchId = Some(batchId))
                 ivf = Similarity.appendToIvfIndex(ivf, adf,
                   "doc_id", "embedding")
                 lsh = Similarity.appendToLshIndex(lsh, adf,
@@ -807,6 +830,13 @@ class MQSourceSpec extends SparkSpec {
                   "doc_id", "embedding")
                 ivfpq = Similarity.appendToIvfPqIndex(ivfpq, adf,
                   "doc_id", "embedding")
+              }
+              if (crash2Armed && !adf.isEmpty) {
+                crash2Armed = false
+                ivf = snapIvf; lsh = snapLsh; pq = snapPq
+                ivfpq = snapIvfpq
+                throw new RuntimeException(
+                  "injected crash after appends, before commit")
               }
               gate.commit(batchId)
             }
@@ -844,9 +874,25 @@ class MQSourceSpec extends SparkSpec {
         (8000L, "elder damson cherry apple banana elder damson"),
         (8001L, "damson elder quince plum fig apricot peach"),
         (8002L, "quince plum damson apple elder banana cherry quince"))
+      // ---- run 3 carries the SECOND injected crash: in the window
+      // AFTER the landing write and all five gated index appends,
+      // BEFORE the gate commit — the window where a replayed batch's
+      // arrivals probe indexes that already contain themselves (the
+      // door re-drops 8002 as a "duplicate" of its own crashed
+      // attempt) and a plain postings re-append would double-count
+      crash2Armed = true
+      assert(runOnce().isDefined, "the second injected crash must surface")
+      assert(gate.lastCommitted() == 0L,
+        "batch 1 must be uncommitted after the append-window crash")
+      // ---- run 4, same checkpoint: batch 1 REDELIVERS through that
+      // window — the completed landing partition is kept (not
+      // clobbered by the self-deduped empty admit set), the appends
+      // re-run from the LANDED rows, and the batch-partitioned
+      // postings append drops its own partition first
       assert(runOnce().isEmpty)
-      // ---- exactly-once admits: no dup keys despite the replay, no
-      // lost docs
+      assert(gate.lastCommitted() == 1L)
+      // ---- exactly-once admits: no dup keys despite BOTH replays,
+      // no lost docs
       val landed = spark.read.parquet(out.toString)
         .select("key").as[String].collect().sorted.toSeq
       assert(landed == Seq("7000_1", "8002_1"),

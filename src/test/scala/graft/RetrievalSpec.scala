@@ -299,6 +299,70 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("gated table append is idempotent per batch id: full and " +
+    "PARTIAL replays both land content identical to one delivery") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val b1 = Seq((4L, "dog cherry dog"), (5L, "elk")).toDF("doc_id", "text")
+    val b2 = Seq((6L, "apple elk fox")).toDF("doc_id", "text")
+    val prefix = "graft_bm25_replay"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+      .map(prefix + _)
+    def counts() = all.map(t => t -> spark.table(t).count()).toMap
+    def probeSet() = {
+      val qs = Seq((1L, "dog elk apple")).toDF("query_id", "text")
+      Retrieval.bm25TopKWith(Retrieval.loadPostingsIndex(spark, prefix),
+          qs, "query_id", toks(col("text")), k = 10)
+        .select("query", "rank", "doc", "score_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(7L))
+      val once = counts()
+      val onceProbe = probeSet()
+      // FULL replay of batch 7 — a set compare would hide duplicate
+      // rows, so pin exact per-table row COUNTS and the probe
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(7L))
+      assert(counts() === once, "full replay must not double-count")
+      assert(probeSet() === onceProbe)
+      // PARTIAL first attempt of batch 8: only the postings table got
+      // its rows before the "crash" (the worst-shaped leftover —
+      // inconsistent across the five tables); the replay must erase
+      // it and land batch 8 exactly once everywhere
+      graft.sources.BucketedTables.appendBucketed(
+        Retrieval.postingsIndex(b2, "doc_id", toks(col("text")))
+          .postings.withColumn("batch_id", lit(8L)),
+        prefix + "_postings", 2, Seq("term"),
+        partitionCols = Seq("batch_id"))
+      Retrieval.appendToPostingsIndexTable(b2, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(8L))
+      val fresh = Retrieval.postingsIndex(
+        corpus.unionByName(b1).unionByName(b2), "doc_id",
+        toks(col("text")))
+      val staged = Retrieval.loadPostingsIndex(spark, prefix)
+      assert(staged.postings.count() === fresh.postings.count(),
+        "partial-attempt leftovers must be erased by the replay")
+      assert(staged.postings.select("doc", "term", "tf")
+          .as[(Long, String, Long)].collect().toSet ===
+        fresh.postings.as[(Long, String, Long)].collect().toSet)
+      assert(staged.dfreq.select("term", "df")
+          .as[(String, Long)].collect().toSet ===
+        fresh.dfreq.as[(String, Long)].collect().toSet)
+      assert(staged.stats.as[(Long, Long)].collect() ===
+        fresh.stats.as[(Long, Long)].collect())
+      // negative ids are reserved for the base partition
+      intercept[IllegalArgumentException] {
+        Retrieval.appendToPostingsIndexTable(b2, "doc_id",
+          toks(col("text")), prefix, buckets = 2, batchId = Some(-1L))
+      }
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("PostingsIndex lifecycle: appends pin one frame each; " +
     "checkpointed() releases them and preserves every table") {
     import graft.operators.Retrieval

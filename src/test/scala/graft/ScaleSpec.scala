@@ -895,6 +895,31 @@ class ScaleSpec extends SparkSpec {
         .flatMap(_.tableIdentifier).map(_.table).toSet
       assert(corpusTables.subsetOf(scannedTables),
         s"probe must read the staged tables:\n$plan")
+      // the PRUNED probe over the same staged tables + staged bounds
+      // holds the same corpus-side contract (tfmax joins the
+      // vocabulary side, postings/doclen the corpus side)
+      val pruned = Retrieval.bm25TopKPrunedWith(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        qs, "query_id", slice(TA.tokens(col("text")), 1, 3), k = 5,
+        bounds = Some(Retrieval.loadPruneBounds(spark, prefix)))
+      assert(pruned.count() > 0, "pruned probe must retrieve")
+      val prunedCorpus = corpusTables + (prefix + "_tfmax")
+      val pplan = pruned.queryExecution.executedPlan
+      pplan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!prunedCorpus.contains(_)),
+          s"corpus table ${hit.getOrElse("")} re-shuffled by the " +
+            s"pruned probe:\n$pplan")
+      }
+      spark.catalog.clearCache() // the pruned probe's pinned frames
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
         prevBroadcast)

@@ -32,15 +32,18 @@ if isinstance(struct, dict):
 else:
     # fall back to regex over the driver's "tail" string, which may be
     # truncated MID-LINE: a cut trailing value (`"q_x":12.` from 12.84,
-    # or `:1` from :17.6) still matches the number pattern and would
-    # silently skew the top-N selection — drop the last (possibly
-    # partial) pair unless the tail visibly ends at a JSON boundary
+    # or `:1` from :17.6) still matches the number pattern. A value is
+    # only suspect when its match runs to the very END of the stripped
+    # tail (nothing terminated it) — a tail that merely ends with
+    # shutdown/log noise after a complete JSON line keeps every pair.
     src = d["tail"] if "tail" in d else json.dumps(d)
-    pairs = re.findall(r'"(q[a-z0-9_]*)":([0-9][0-9.]*)', src)
-    if pairs and not src.rstrip().endswith("}"):
-        pairs = pairs[:-1]
-    for k, v in pairs:
-        qs[k] = float(v)
+    stripped = src.rstrip()
+    matches = list(re.finditer(r'"(q[a-z0-9_]*)":([0-9][0-9.]*)',
+                               stripped))
+    if matches and matches[-1].end() == len(stripped):
+        matches = matches[:-1]
+    for m in matches:
+        qs[m.group(1)] = float(m.group(2))
 top = sorted(qs.items(), key=lambda kv: -kv[1])[: int(sys.argv[2])]
 print(" ".join(k for k, _ in top))
 EOF
