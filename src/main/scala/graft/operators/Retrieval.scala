@@ -384,6 +384,106 @@ object Retrieval {
     rankAndFanOut(scored, qsig, k)
   }
 
+  // ------------------------------------------------------------------
+  // Stage-2 retrieval: rerank and fusion. Production retrieval is a
+  // FUNNEL — a cheap high-recall stage (BM25 over the inverted index,
+  // or an ANN probe) bounds the candidate set, then an expensive
+  // high-precision scorer runs ONLY over candidates. These operators
+  // are the funnel's second stage, deliberately agnostic of which
+  // retriever produced the candidates: both consume the (query, rank,
+  // doc) shape every ranked probe in this repo emits (bm25TopKWith,
+  // bm25TopKPrunedWith, Similarity.bruteForceTopK, the ANN probes), so
+  // any retriever pair composes.
+  // ------------------------------------------------------------------
+
+  /** Rerank retrieval candidates by exact cosine between each query's
+    * embedding and the candidate document's embedding — the classic
+    * retrieve-then-rerank funnel (lexical recall stage, dense
+    * precision stage) used for hard-negative mining and targeted
+    * corpus selection.
+    *
+    * Scale shape: the dense arithmetic runs over CANDIDATES ONLY
+    * (|queries|·kRetrieve rows), never the corpus — the whole point of
+    * the funnel. The doc-vector lookup is an equi-join on the doc id:
+    * at 100 TB the embedding table lives id-bucketed
+    * ([[graft.sources.BucketedTables]]) and the candidate side (tiny)
+    * broadcasts under AQE, so the corpus side never exchanges. No
+    * hard broadcast hints (the [[rankAndFanOut]] stance): a
+    * corpus-scale candidate frame degrades to a shuffle join instead
+    * of failing at the driver's broadcast limit.
+    *
+    * Rows with a NULL query or doc vector are dropped (the
+    * [[Similarity]] nonNullVecs contract — they cannot be scored);
+    * a zero-norm vector scores cosine 0, not NaN
+    * ([[Similarity.cosine]]). Output: (query, rank, doc, cos), rank
+    * 1-based by (cos desc, doc asc), ≤ k rows per query. Candidates'
+    * incoming ranks/scores are intentionally ignored — stage 1 decides
+    * membership, stage 2 decides order. */
+  def rerankByCosine(candidates: DataFrame,
+                     queryVecs: DataFrame, qidCol: String,
+                     qVecCol: String,
+                     docVecs: DataFrame, didCol: String,
+                     dVecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qv = queryVecs.filter(col(qVecCol).isNotNull)
+      .select(col(qidCol).as("query"),
+        Similarity.toDouble(col(qVecCol)).as("__qv"))
+    val dv = docVecs.filter(col(dVecCol).isNotNull)
+      .select(col(didCol).as("doc"),
+        Similarity.toDouble(col(dVecCol)).as("__dv"))
+    val scored = candidates.select("query", "doc")
+      .join(dv, "doc")
+      .join(qv, "query")
+      .withColumn("cos", Similarity.cosine(col("__qv"), col("__dv")))
+    val w = Window.partitionBy("query")
+      .orderBy(col("cos").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query", "rank", "doc", "cos")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * or more ranked lists: per (query, doc), score = Σ over lists of
+    * 1/(rrfK + rank) — the standard hybrid-retrieval combiner (fuse a
+    * lexical BM25 list with a dense ANN list) that needs no score
+    * calibration because it consumes only RANKS.
+    *
+    * Exactness: contributions are integer micro-units,
+    * floor(10⁶/(rrfK + rank)) as BIGINT — 10⁶ and small integer
+    * divisors are exact doubles and IEEE division is correctly
+    * rounded, so the floor is engine-independent and the per-doc sum
+    * is addition-order-free (the [[LanguageModel]] stance): bit-stable
+    * vs a SQL oracle at any partitioning.
+    *
+    * Scale shape: fusion never touches a corpus — its input is
+    * already ≤ |queries|·k·|lists| rows, the group-by key is
+    * (query, doc), and the final top-k is the same bounded per-query
+    * window every probe here ends in. Output: (query, rank, doc,
+    * rrf_q6), rank 1-based by (rrf_q6 desc, doc asc). A doc present
+    * in several lists sums its contributions — that consensus boost
+    * IS the fusion. Input frames must carry (query, rank, doc). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    val all = lists
+      .map(_.select(col("query"), col("rank"), col("doc")))
+      .reduce(_ unionByName _)
+    val fused = all
+      .withColumn("__rrf_q6",
+        floor(lit(1000000.0d) /
+          (lit(rrfK.toDouble) + col("rank").cast("double")))
+          .cast("long"))
+      .groupBy("query", "doc")
+      .agg(sum("__rrf_q6").as("rrf_q6"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("rrf_q6").desc, col("doc").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query", "rank", "doc", "rrf_q6")
+  }
+
   /** The pruning decision table: one row per (signature, kept term)
     * with `__ess` — whether the term is essential for its signature
     * (step 3 above). Package-visible so the spec can pin that a

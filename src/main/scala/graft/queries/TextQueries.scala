@@ -1193,10 +1193,10 @@ object TextQueries {
       |      // (2 * det) AS w2
       |  FROM cr)""".stripMargin
 
-  /** The exhaustive BM25 oracle — shared verbatim by q_text_bm25 and
-    * q_text_bm25_pruned: the pruned probe is exact top-k pruning, so
-    * both implementations must hash-match this one independent SQL. */
-  private val bm25OracleSql: String =
+  /** The shared BM25 CTE chain (through the per-(query, doc) exact
+    * micro-unit score table `s`) — the prefix of the bm25 oracle and
+    * of the stage-2 rerank/fusion oracles built on its candidates. */
+  private val bm25CoreCtes: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |  FROM documents),
@@ -1228,13 +1228,114 @@ object TextQueries {
       |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
       |  FROM probe),
       |s AS (SELECT query, doc, CAST(sum(contrib_q6) AS BIGINT)
-      |        AS score_q6 FROM contrib GROUP BY 1, 2)
+      |        AS score_q6 FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  /** The exhaustive BM25 oracle — shared verbatim by q_text_bm25 and
+    * q_text_bm25_pruned: the pruned probe is exact top-k pruning, so
+    * both implementations must hash-match this one independent SQL. */
+  private val bm25OracleSql: String = bm25CoreCtes +
+    """
       |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
       |  doc AS doc_id, score_q6
       |FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query
       |    ORDER BY score_q6 DESC, doc ASC) AS rank
       |  FROM s) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Retrieve-then-rerank oracle: BM25 top-50 candidates (self
+    * excluded), exact cosine between the query doc's embedding and
+    * each candidate's embedding (the q_sim_cosine_topk generate_series
+    * kernel — both engines widen float32→float64 identically), top-10
+    * by (cos desc, doc asc), cosine rounded at 4dp. */
+  private val rerankOracleSql: String = bm25CoreCtes +
+    """,
+      |cand AS (
+      |  SELECT query, doc FROM (
+      |    SELECT query, doc, row_number() OVER (PARTITION BY query
+      |      ORDER BY score_q6 DESC, doc ASC) AS rank
+      |    FROM s) r
+      |  WHERE rank <= 50 AND doc <> query),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |na AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+      |         * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |       FROM embeddings, dims
+      |       WHERE embedding IS NOT NULL GROUP BY vec_id),
+      |dotp AS (
+      |  SELECT c.query, c.doc,
+      |    sum(CAST(qe.embedding[i] AS DOUBLE)
+      |      * CAST(de.embedding[i] AS DOUBLE)) AS dot
+      |  FROM cand c
+      |    JOIN embeddings qe ON qe.vec_id = c.query
+      |    JOIN embeddings de ON de.vec_id = c.doc, dims
+      |  WHERE qe.embedding IS NOT NULL AND de.embedding IS NOT NULL
+      |  GROUP BY 1, 2),
+      |rr AS (
+      |  SELECT d.query, d.doc,
+      |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+      |         ELSE d.dot / (x.nrm * y.nrm) END AS cos
+      |  FROM dotp d JOIN na x ON x.vec_id = d.query
+      |              JOIN na y ON y.vec_id = d.doc)
+      |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
+      |  doc AS doc_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query
+      |    ORDER BY cos DESC, doc ASC) AS rank
+      |  FROM rr) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid RRF oracle: the BM25 top-10 list fused with the dense
+    * brute-cosine top-10 list (self-pairs excluded on the dense side,
+    * the bruteForceTopK contract) by reciprocal-rank fusion in integer
+    * micro-units — floor(10⁶/(60+rank)) summed per (query, doc). */
+  private val hybridRrfOracleSql: String = bm25CoreCtes +
+    """,
+      |bm AS (
+      |  SELECT query, doc, rank FROM (
+      |    SELECT query, doc, row_number() OVER (PARTITION BY query
+      |      ORDER BY score_q6 DESC, doc ASC) AS rank
+      |    FROM s) r
+      |  WHERE rank <= 10),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |na AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+      |         * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |       FROM embeddings, dims
+      |       WHERE embedding IS NOT NULL GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS query, b.vec_id AS doc,
+      |    sum(CAST(a.embedding[i] AS DOUBLE)
+      |      * CAST(b.embedding[i] AS DOUBLE)) AS dot
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id,
+      |    dims
+      |  WHERE a.vec_id % 50 = 0
+      |    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+      |  GROUP BY 1, 2),
+      |dn AS (
+      |  SELECT p.query, p.doc,
+      |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+      |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
+      |  FROM pairs p JOIN na x ON x.vec_id = p.query
+      |               JOIN na y ON y.vec_id = p.doc),
+      |dtop AS (
+      |  SELECT query, doc, rank FROM (
+      |    SELECT query, doc, row_number() OVER (PARTITION BY query
+      |      ORDER BY cos DESC, doc ASC) AS rank
+      |    FROM dn) r
+      |  WHERE rank <= 10),
+      |unioned AS (
+      |  SELECT query, doc, rank FROM bm
+      |  UNION ALL SELECT query, doc, rank FROM dtop),
+      |fused AS (
+      |  SELECT query, doc,
+      |    CAST(sum(CAST(floor(1000000.0 / (60 + rank)) AS BIGINT))
+      |      AS BIGINT) AS rrf_q6
+      |  FROM unioned GROUP BY 1, 2)
+      |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
+      |  doc AS doc_id, rrf_q6
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query
+      |    ORDER BY rrf_q6 DESC, doc ASC) AS rank
+      |  FROM fused) r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
