@@ -390,10 +390,12 @@ object Retrieval {
   // or an ANN probe) bounds the candidate set, then an expensive
   // high-precision scorer runs ONLY over candidates. These operators
   // are the funnel's second stage, deliberately agnostic of which
-  // retriever produced the candidates: both consume the (query, rank,
-  // doc) shape every ranked probe in this repo emits (bm25TopKWith,
-  // bm25TopKPrunedWith, Similarity.bruteForceTopK, the ANN probes), so
-  // any retriever pair composes.
+  // retriever produced the candidates: both consume a (query, rank,
+  // doc) frame. The BM25 probes here emit exactly that shape; the
+  // dense probes ([[Similarity.bruteForceTopK]], the ANN probes) emit
+  // (q_id, rank, c_id) and need the two-column rename
+  // (q_id → query, c_id → doc) before composing — see
+  // q_retrieval_hybrid_rrf for the canonical wiring.
   // ------------------------------------------------------------------
 
   /** Rerank retrieval candidates by exact cosine between each query's
@@ -418,7 +420,16 @@ object Retrieval {
     * ([[Similarity.cosine]]). Output: (query, rank, doc, cos), rank
     * 1-based by (cos desc, doc asc), ≤ k rows per query. Candidates'
     * incoming ranks/scores are intentionally ignored — stage 1 decides
-    * membership, stage 2 decides order. */
+    * membership, stage 2 decides order; duplicate (query, doc) rows
+    * (a candidate surfaced by several stage-1 lists) collapse to one
+    * before scoring, so a doc can never occupy two ranks.
+    *
+    * Wiring contract for a self-excluding funnel (queries drawn from
+    * the corpus itself): exclude self AFTER the stage-1 top-k, not
+    * inside its ranking window — `stage1(k=50).filter(doc =!= query)`
+    * yields ≤ 49 candidates and is what the shared DuckDB oracle
+    * encodes; filtering before the cut would admit the 51st doc and
+    * break hash parity. */
   def rerankByCosine(candidates: DataFrame,
                      queryVecs: DataFrame, qidCol: String,
                      qVecCol: String,
@@ -432,6 +443,7 @@ object Retrieval {
       .select(col(didCol).as("doc"),
         Similarity.toDouble(col(dVecCol)).as("__dv"))
     val scored = candidates.select("query", "doc")
+      .dropDuplicates("query", "doc")
       .join(dv, "doc")
       .join(qv, "query")
       .withColumn("cos", Similarity.cosine(col("__qv"), col("__dv")))

@@ -1015,6 +1015,96 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_text_bm25_staged" -> ((s, d) => {
+      // The PRODUCTION tense of the same retrieval task, oracle-checked
+      // per round: corpus → bucketed postings TABLES
+      // (createPostingsIndexTable), then the pruned probe through
+      // loadPostingsIndex + loadPruneBounds — the serving path a
+      // long-lived ingest deployment runs — hash-matched against the
+      // SAME exhaustive DuckDB SQL as q_text_bm25. Table create is
+      // overwrite-idempotent, so reruns in one session are safe.
+      val docs = t(s, d, "documents")
+      val prefix = "graft_bm25_serving"
+      // harness hygiene, not operator semantics: a PREVIOUS JVM's run
+      // leaves the warehouse directories behind while this session's
+      // in-memory catalog is empty, and Spark refuses to CREATE a
+      // managed table over an orphaned location — drop both the
+      // catalog entries and any stale directories first
+      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+        .map(prefix + _).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      graft.operators.Retrieval.createPostingsIndexTable(
+        docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.Retrieval.bm25TopKPrunedWith(
+          graft.operators.Retrieval.loadPostingsIndex(s, prefix),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 10, maxDfPermille = 1000,
+          bounds = Some(
+            graft.operators.Retrieval.loadPruneBounds(s, prefix)))
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("score_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_retrieval_rerank" -> ((s, d) => {
+      // The retrieve-then-rerank funnel: BM25 top-50 candidates per
+      // seed query (stage 1, lexical recall — the q_text_bm25 task at
+      // a wider k), self excluded AFTER the top-k cut (the documented
+      // wiring contract: ≤ 49 candidates, matching the oracle's
+      // rank <= 50 AND doc <> query), then exact cosine between the
+      // query doc's embedding and each candidate's embedding decides
+      // the final top-10 (stage 2, dense precision). The dense math
+      // runs over candidates only — never corpus×corpus.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val cands = graft.operators.Retrieval.bm25TopK(
+          docs, "doc_id", TA.tokens(col("text")),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 50, maxDfPermille = 1000)
+        .filter(col("doc") =!= col("query"))
+      val emb = t(s, d, "embeddings")
+      graft.operators.Retrieval.rerankByCosine(
+          cands, emb, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_retrieval_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval: the BM25 top-10 lexical list fused with the
+      // dense brute-cosine top-10 list by reciprocal-rank fusion
+      // (integer micro-units, rank-only — no score calibration). The
+      // dense probe emits (q_id, rank, c_id); the two-column rename
+      // below is the documented adapter onto rrfFuse's (query, rank,
+      // doc) contract.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val bm = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", TA.tokens(col("text")),
+        qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+        k = 10, maxDfPermille = 1000)
+      val emb = t(s, d, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id").as("query"),
+          col("rank").cast("long").as("rank"), col("c_id").as("doc"))
+      graft.operators.Retrieval.rrfFuse(Seq(bm, dense), k = 10)
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("rrf_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_global_shuffle" -> ((s, d) => {
       // Reproducible global shuffle: every doc gets a (shard, pos)
       // address that is a pure function of (doc_id, seed).
@@ -2164,6 +2254,14 @@ object TextQueries {
     // result-identical by construction (exact top-k pruning), so the
     // pruned path hash-checks against the SAME independent SQL
     "q_text_bm25_pruned" -> bm25OracleSql,
+
+    // the staged-TABLES serving path is result-identical too (one
+    // probe definition for all tenses), so it shares the same SQL
+    "q_text_bm25_staged" -> bm25OracleSql,
+
+    "q_retrieval_rerank" -> rerankOracleSql,
+
+    "q_retrieval_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q_global_shuffle" -> {
       // the 60-bit md5 prefix as a nibble polynomial (DuckDB has no

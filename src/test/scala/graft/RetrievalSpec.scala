@@ -386,6 +386,145 @@ class RetrievalSpec extends SparkSpec {
       .contains("Union"))
   }
 
+  // ---- stage-2: rerankByCosine ----
+
+  // embeddings fixture: unit axes plus a mixed, a zero-norm, and a
+  // NULL vector. cos(q=100, ...) is hand-computable: doc 1 → 1.0,
+  // doc 2 → 0.6, doc 3 → 0.0, doc 4 (zero-norm) → 0 by contract,
+  // doc 5 (NULL) → dropped.
+  private lazy val vecs = Seq(
+    (100L, Some(Seq(1.0f, 0.0f))),
+    (1L, Some(Seq(1.0f, 0.0f))),
+    (2L, Some(Seq(0.6f, 0.8f))),
+    (3L, Some(Seq(0.0f, 1.0f))),
+    (4L, Some(Seq(0.0f, 0.0f))),
+    (5L, None: Option[Seq[Float]]),
+    (200L, None: Option[Seq[Float]]),
+    (201L, Some(Seq(0.0f, 0.0f)))).toDF("vec_id", "embedding")
+
+  // cos rounded at 4dp (the registered-query stance): the fixture's
+  // 0.6f widens to 0.60000000953... in float64
+  private def rerank(cands: Seq[(Long, Long, Long)], k: Int) =
+    graft.operators.Retrieval.rerankByCosine(
+        cands.toDF("query", "rank", "doc"),
+        vecs, "vec_id", "embedding", vecs, "vec_id", "embedding", k)
+      .select(col("query"), col("rank"), col("doc"),
+        graft.rnd(col("cos"), 4).as("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+
+  test("rerankByCosine: hand-computed cosines decide the order; " +
+    "NULL vectors drop, zero-norm scores 0, ties break doc-asc") {
+    val cands = (1L to 5L).zipWithIndex.map { case (d, i) =>
+      (100L, (i + 1).toLong, d) }
+    val got = rerank(cands, k = 10)
+    // doc 5's NULL vector is unscorable → dropped; docs 3 and 4 tie
+    // at cos 0 → doc asc
+    assert(got === Seq(
+      (100L, 1L, 1L, 1.0d), (100L, 2L, 2L, 0.6d),
+      (100L, 3L, 3L, 0.0d), (100L, 4L, 4L, 0.0d)))
+    // stage-1 rank order is intentionally ignored: feeding the same
+    // candidates with REVERSED incoming ranks changes nothing
+    val rev = (1L to 5L).zipWithIndex.map { case (d, i) =>
+      (100L, (5 - i).toLong, d) }
+    assert(rerank(rev, k = 10) === got)
+  }
+
+  test("rerankByCosine: k truncates, duplicate candidates collapse, " +
+    "NULL/zero-norm QUERY vectors behave by contract") {
+    // duplicate (query, doc) rows (doc 2 twice) must not occupy two
+    // ranks and displace a distinct doc at the k boundary
+    val dup = Seq((100L, 1L, 1L), (100L, 2L, 2L), (100L, 3L, 2L),
+      (100L, 4L, 3L))
+    assert(rerank(dup, k = 3) === Seq(
+      (100L, 1L, 1L, 1.0d), (100L, 2L, 2L, 0.6d),
+      (100L, 3L, 3L, 0.0d)))
+    // k=1 truncates per query
+    assert(rerank(dup, k = 1) === Seq((100L, 1L, 1L, 1.0d)))
+    // a query with a NULL vector is unscorable → absent entirely;
+    // a zero-norm query scores every candidate 0 → doc-asc order
+    val qEdge = Seq((200L, 1L, 1L), (200L, 2L, 2L),
+      (201L, 1L, 2L), (201L, 2L, 1L))
+    assert(rerank(qEdge, k = 10) === Seq(
+      (201L, 1L, 1L, 0.0d), (201L, 2L, 2L, 0.0d)))
+  }
+
+  test("rerankByCosine: dense math runs over candidates only — no " +
+    "cartesian in the plan") {
+    val plan = graft.operators.Retrieval.rerankByCosine(
+        Seq((100L, 1L, 1L), (100L, 2L, 2L)).toDF("query", "rank", "doc"),
+        vecs, "vec_id", "embedding", vecs, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "rerank must stay an equi-join funnel stage")
+  }
+
+  // ---- stage-2: rrfFuse ----
+
+  // the operator's exact contribution arithmetic, in the same JVM ops
+  private def rrfQ6(rank: Long, rrfK: Int = 60): Long =
+    math.floor(1000000.0d / (rrfK + rank.toDouble)).toLong
+
+  private def fuse(lists: Seq[Seq[(Long, Long, Long)]], k: Int,
+                   rrfK: Int = 60) =
+    graft.operators.Retrieval.rrfFuse(
+        lists.map(_.toDF("query", "rank", "doc")), k, rrfK)
+      .select("query", "rank", "doc", "rrf_q6")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("rrfFuse: hand-computed micro-unit sums; consensus docs " +
+    "outrank single-list docs; 3-list fusion sums all three") {
+    // list A: doc 1 @1, doc 2 @2; list B: doc 2 @1, doc 3 @2;
+    // list C: doc 2 @3, doc 1 @1.
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L))
+    val b = Seq((9L, 1L, 2L), (9L, 2L, 3L))
+    val c = Seq((9L, 3L, 2L), (9L, 1L, 1L))
+    val got = fuse(Seq(a, b, c), k = 10)
+    val want = Map(
+      1L -> (rrfQ6(1) + rrfQ6(1)),
+      2L -> (rrfQ6(2) + rrfQ6(1) + rrfQ6(3)),
+      3L -> rrfQ6(2))
+    assert(got.map(r => (r._3, r._4)).toMap === want)
+    // doc 2 (in all three lists) must outrank doc 1 (two firsts)
+    val order = got.sortBy(_._2).map(_._3)
+    assert(order === want.toSeq.sortBy { case (d, s) => (-s, d) }
+      .map(_._1))
+    assert(order.head === 2L)
+    // two-list fusion is the same arithmetic over fewer terms
+    assert(fuse(Seq(a, b), k = 10).map(r => (r._3, r._4)).toMap ===
+      Map(1L -> rrfQ6(1), 2L -> (rrfQ6(2) + rrfQ6(1)),
+        3L -> rrfQ6(2)))
+  }
+
+  test("rrfFuse: k truncates with ties broken doc-asc; queries fuse " +
+    "independently; rrfK shifts every contribution") {
+    // docs 1 and 2 tie exactly (same ranks across two lists, swapped)
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L), (8L, 1L, 7L))
+    val b = Seq((9L, 1L, 2L), (9L, 2L, 1L))
+    val got = fuse(Seq(a, b), k = 1)
+    // query 9: both docs sum rrfQ6(1)+rrfQ6(2) → tie → doc 1 wins;
+    // query 8 fuses its single list independently
+    assert(got === Seq((8L, 1L, 7L, rrfQ6(1)),
+      (9L, 1L, 1L, rrfQ6(1) + rrfQ6(2))))
+    // rrfK=0: contribution is 1e6/rank exactly
+    assert(fuse(Seq(a), k = 10, rrfK = 0)
+      .filter(_._1 === 9L).map(r => (r._3, r._4)).toMap ===
+      Map(1L -> 1000000L, 2L -> 500000L))
+  }
+
+  test("rrfFuse: no cartesian; single-list fusion preserves order " +
+    "and requires at least one list") {
+    val a = Seq((9L, 1L, 3L), (9L, 2L, 1L), (9L, 3L, 2L))
+    assert(fuse(Seq(a), k = 10).sortBy(_._2).map(_._3) ===
+      Seq(3L, 1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.rrfFuse(Nil, k = 5)
+    }
+    val plan = graft.operators.Retrieval.rrfFuse(
+        Seq(a.toDF("query", "rank", "doc")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("k truncates per query; plan has no non-broadcast cartesian") {
     val got = run("apple cherry", k = 1)
     assert(got.size === 1 && got.head._2 === 1L)

@@ -928,6 +928,96 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("retrieve-then-rerank funnel over staged tables: the dense " +
+    "stage touches candidates only and NEITHER corpus side (postings " +
+    "or bucketed embeddings) re-shuffles") {
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"word${i % 13} word${i % 7} word${i % 5} filler$i"))
+      .toDF("doc_id", "text")
+    // embeddings keyed by the same doc ids, bucketed on the id — the
+    // 100 TB layout: the rerank stage's doc-vector lookup is an
+    // equi-join INTO this table's distribution
+    def vecOf(i: Long) = Array.tabulate(4)(j =>
+      (((i * 31 + j * 17) % 11) - 5).toFloat)
+    val ids = (0 until 60).map(_.toLong) ++ (100 until 120).map(_.toLong)
+    val embTable = "graft_emb_funnel_scale"
+    val prefix = "graft_bm25_funnel_scale"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+      .map(prefix + _) :+ embTable
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = docsDf(0 until 60).unionByName(docsDf(100 until 120))
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 4)
+      graft.sources.BucketedTables.writeBucketed(
+        ids.map(i => (i, vecOf(i))).toDF("vec_id", "embedding"),
+        embTable, buckets = 4, Seq("vec_id"))
+      val qs = corpus.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      // stage 1: staged-table BM25 probe, wide k, self excluded AFTER
+      // the cut (the documented funnel contract)
+      val cands = Retrieval.bm25TopKWith(
+          Retrieval.loadPostingsIndex(spark, prefix),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3), k = 20)
+        .filter(col("doc") =!= col("query"))
+      // stage 2: exact cosine rerank against the bucketed embeddings
+      val emb = spark.table(embTable)
+      val reranked = Retrieval.rerankByCosine(cands,
+        emb, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      // the dense stage is candidate-bounded: measure it (the
+      // docs/SCALE.md row) — |queries| * kRetrieve is the ceiling
+      val nCands = cands.count()
+      val nQueries = qs.count()
+      assert(nCands > 0 && nCands <= nQueries * 20,
+        s"candidate set must be funnel-bounded ($nCands)")
+      assert(reranked.count() > 0, "funnel must retrieve")
+      // corpus sides: the postings/doclen scans (stage 1) and BOTH
+      // embeddings scans (stage 2 query- and doc-vector lookups) paid
+      // their layout shuffle at write time — the funnel may shuffle
+      // only candidate-sized intermediates. Same unary-descent check
+      // as the BM25 table test: no exchange directly over a corpus
+      // table scan.
+      val corpusTables = Set(prefix + "_postings", prefix + "_doclen",
+        prefix + "_dfreq", embTable)
+      val plan = reranked.queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!corpusTables.contains(_)),
+          s"corpus table ${hit.getOrElse("")} re-shuffled by the " +
+            s"funnel:\n$plan")
+      }
+      assert(!plan.toString.contains("CartesianProduct"),
+        "the funnel must stay equi-join end to end")
+      // and the bucketed embeddings scans are load-bearing (both
+      // vector lookups read the staged table, not a shuffled copy)
+      val embScans = plan.collect { case f: FileSourceScanExec => f }
+        .flatMap(_.tableIdentifier).map(_.table)
+        .count(_ == embTable)
+      assert(embScans == 2,
+        s"expected the query- and doc-vector lookups to scan the " +
+          s"bucketed table ($embScans):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed index tables: door probes stay exchange-free on the " +
     "corpus side after 2 appended batches; append == rebuild; " +
     "compaction preserves both") {
