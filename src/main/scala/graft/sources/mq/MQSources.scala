@@ -137,8 +137,11 @@ object MQSources {
     *    clear() + re-append of every survivor, the same O(buffer)
     *    rewrite in new clothes.
     *
-    * Per-trigger cost: O(arrivals) writes + O(held keys) key-scan +
-    * O(released) reads/deletes — vs fMGWS's O(held) full
+    * Per-trigger cost: O(arrivals) writes, PLUS — only when the
+    * watermark has reached the min-held bound (a ValueState lower
+    * bound on every held put_ts) — O(held keys) key-scan +
+    * O(released) reads/deletes; triggers whose watermark advanced
+    * past nothing skip the scan entirely. vs fMGWS's O(held) full
     * read-and-rewrite. An event-time timer (tracked in `timerAt`, the
     * `setTimeoutTimestamp` twin) wakes the key when the watermark
     * reaches the oldest held record even if every queue idles.
@@ -175,6 +178,16 @@ object MQSources {
     @transient private var buf
     : ss.MapState[(Long, Int, String), Seq[QueueRecord]] = _
     @transient private var timerAt: ss.ValueState[Long] = _
+    // lower bound on every held key's put_ts — the key-scan early-out.
+    // Invariant: absent when the buffer is empty (post-scan), else
+    // ≤ the true minimum held put_ts. Arrivals only LOWER it (a point
+    // read + conditional write per batch, not per row); each full key
+    // scan resets it exactly. A trigger whose watermark sits below the
+    // bound can release nothing, so it skips the scan entirely —
+    // making the per-trigger cost contract O(arrivals) writes when
+    // the watermark advanced past nothing, and O(arrivals) writes +
+    // O(held keys) key-scan + O(released) reads/deletes otherwise.
+    @transient private var minHeldTs: ss.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: ss.TimeMode): Unit = {
@@ -186,12 +199,40 @@ object MQSources {
         ss.TTLConfig.NONE)
       timerAt = getHandle.getValueState("timerAt", Encoders.scalaLong,
         ss.TTLConfig.NONE)
+      minHeldTs = getHandle.getValueState("minHeldTs",
+        Encoders.scalaLong, ss.TTLConfig.NONE)
+    }
+
+    /** Re-arm (or clear) the wake-up timer and the min-held bound for
+      * a buffer whose oldest held record is `minHeld`
+      * (Long.MaxValue = empty). */
+    private def arm(minHeld: Long, wm: Long): Unit = {
+      val had = timerAt.exists()
+      if (minHeld == Long.MaxValue) {
+        if (had) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+        minHeldTs.clear()
+      } else {
+        minHeldTs.update(minHeld)
+        val want = math.max(minHeld, wm + 1)
+        if (!had || timerAt.get() != want) {
+          if (had) getHandle.deleteTimer(timerAt.get())
+          getHandle.registerTimer(want)
+          timerAt.update(want)
+        }
+      }
     }
 
     /** Release the watermark-passed prefix and re-arm the wake-up
       * timer at the oldest still-held record. Survivor entries are
-      * neither read nor rewritten. */
+      * neither read nor rewritten; a trigger whose watermark is still
+      * below the min-held bound does not even scan the keys. */
     private def release(wm: Long): Iterator[QueueRecord] = {
+      if (minHeldTs.exists() && wm < minHeldTs.get()) {
+        // nothing can release (bound ≤ every held put_ts); arrivals
+        // may have lowered the bound, so re-arm against it
+        arm(minHeldTs.get(), wm)
+        return Iterator.empty
+      }
       val relKeys =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
       var minHeld = Long.MaxValue
@@ -204,29 +245,24 @@ object MQSources {
       // mutate only after the key scan completes
       val out = relKeys.flatMap { k => val v = buf.getValue(k)
         buf.removeKey(k); v }
-      val had = timerAt.exists()
-      if (minHeld == Long.MaxValue) {
-        if (had) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
-      } else {
-        val want = math.max(minHeld, wm + 1)
-        if (!had || timerAt.get() != want) {
-          if (had) getHandle.deleteTimer(timerAt.get())
-          getHandle.registerTimer(want)
-          timerAt.update(want)
-        }
-      }
+      arm(minHeld, wm)
       out.sortInPlaceBy(r => (r.put_ts.getTime, r.seq, r.queue))
         .iterator
     }
 
     override def handleInputRows(key: Int, rows: Iterator[QueueRecord],
         timerValues: ss.TimerValues): Iterator[QueueRecord] = {
+      var arrivedMin = Long.MaxValue
       rows.foreach { r =>
         val k = (r.put_ts.getTime, r.seq, r.queue)
         val prev = if (buf.containsKey(k)) buf.getValue(k)
           else Seq.empty[QueueRecord]
         buf.updateValue(k, prev :+ r)
+        if (k._1 < arrivedMin) arrivedMin = k._1
       }
+      if (arrivedMin != Long.MaxValue &&
+          (!minHeldTs.exists() || arrivedMin < minHeldTs.get()))
+        minHeldTs.update(arrivedMin)
       release(timerValues.getCurrentWatermarkInMs())
     }
 

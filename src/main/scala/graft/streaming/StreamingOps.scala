@@ -343,6 +343,42 @@ object StreamingOps {
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
   }
 
+  /** The full retrieve-then-rerank funnel at the streaming boundary:
+    * [[retrievalProbe]] pulls each arriving query's BM25 top-
+    * `kRetrieve` candidates from the staged postings tables, then
+    * [[graft.operators.Retrieval.rerankByCosine]] reorders them by
+    * exact cosine between the query's OWN embedding (a column on the
+    * arriving micro-batch — streams carry their vectors with them)
+    * and each candidate's embedding from the id-bucketed `embTable`
+    * ([[graft.sources.BucketedTables]]), truncating to the final `k`.
+    *
+    * Same tense contract as [[retrievalProbe]] (foreachBatch on the
+    * query micro-batch) and the same exactness argument: both stages
+    * are per-query functions of the query and the staged state alone,
+    * so per-batch == one-shot, batch for batch (spec-pinned). Plan
+    * shape: stage 1's corpus side is the term-bucketed postings scan;
+    * stage 2's corpus side is the id-bucketed embeddings scan joined
+    * DOWN to the candidate set — dense arithmetic over
+    * ≤ |batch|·kRetrieve rows, never the corpus (the ScaleSpec funnel
+    * contract). Freshness rides the ingest loop: a doc whose postings
+    * AND embedding landed in batch N is retrievable and rerankable
+    * here in batch N+1 with zero corpus re-reads. Output:
+    * (query, rank, doc, cos), rank 1-based by (cos desc, doc asc). */
+  def rerankProbe(queries: DataFrame, qidCol: String, qToks: Column,
+                  qVecCol: String, tablePrefix: String,
+                  embTable: String, embIdCol: String, embVecCol: String,
+                  kRetrieve: Int, k: Int, k1: Double = 1.2,
+                  b: Double = 0.75,
+                  maxDfPermille: Int = 1000): DataFrame = {
+    require(kRetrieve >= k,
+      s"stage 1 must overfetch: kRetrieve=$kRetrieve < k=$k")
+    val cands = retrievalProbe(queries, qidCol, qToks, tablePrefix,
+      kRetrieve, k1, b, maxDfPermille)
+    graft.operators.Retrieval.rerankByCosine(cands,
+      queries, qidCol, qVecCol,
+      queries.sparkSession.table(embTable), embIdCol, embVecCol, k)
+  }
+
   /** Idempotent micro-batch landing write — the write-once half of
     * the [[BatchIdGate]] replay contract: batch N lands in the
     * `batch_id=N` partition directory, so replaying a batch after a

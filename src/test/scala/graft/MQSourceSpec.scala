@@ -768,6 +768,14 @@ class MQSourceSpec extends SparkSpec {
       spark.catalog.refreshTable("graft_cap_band")
       postTables.foreach(spark.catalog.refreshTable)
     }
+    // in-loop retrieval freshness: every foreachBatch invocation ALSO
+    // serves a retrievalProbe over the staged postings tables (the
+    // serving path a production loop runs), recorded per batch id —
+    // the assertion below pins that a doc admitted in batch N is
+    // retrievable inside the SAME run while batch N+1 processes, not
+    // only in the post-hoc rebuild compare
+    val inLoopRetrieved = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Long])]
     def runOnce(): Option[Throwable] = {
       refreshTables()
       val door = StreamingOps.ingestDoor(
@@ -781,6 +789,21 @@ class MQSourceSpec extends SparkSpec {
         .foreachBatch {
           (admitted: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
+            locally {
+              // the serving probe rides the SAME loop: refresh the
+              // cloned session's listings (the cross-session append
+              // visibility contract), probe, record what this batch's
+              // serving path could retrieve
+              val s = admitted.sparkSession
+              postTables.foreach(s.catalog.refreshTable)
+              import s.implicits._
+              inLoopRetrieved += ((batchId,
+                StreamingOps.retrievalProbe(
+                    Seq((1L, "damson elder")).toDF("query_id", "text"),
+                    "query_id", TA.tokens(col("text")),
+                    "graft_cap_post", k = 10)
+                  .select("doc").as[Long].collect().toSet))
+            }
             StreamingOps.writeBatchIdempotent(
               admitted.drop("embedding"), batchId, out.toString)
             if (crashArmed && !admitted.isEmpty) {
@@ -958,6 +981,18 @@ class MQSourceSpec extends SparkSpec {
       assert(viaTables.exists(_._3 == 7000L) &&
         viaTables.exists(_._3 == 8002L),
         "door-admitted docs must be retrievable from the staged tables")
+      // ---- in-loop freshness: batch 0's serving probe saw only the
+      // base corpus (doc 100 matches 'elder'); EVERY batch-1 probe —
+      // including the crashed attempt's — retrieved the doc admitted
+      // in batch 0, inside the same streaming run
+      val b0 = inLoopRetrieved.filter(_._1 == 0L).map(_._2)
+      assert(b0.nonEmpty && b0.forall(s =>
+          s.contains(100L) && !s.contains(7000L) && !s.contains(8002L)),
+        s"batch-0 probes must see only the base corpus: $b0")
+      val b1 = inLoopRetrieved.filter(_._1 == 1L).map(_._2)
+      assert(b1.nonEmpty && b1.forall(_.contains(7000L)),
+        s"a doc admitted in batch N must be retrievable via " +
+          s"retrievalProbe while batch N+1 processes: $b1")
       rebuilt.unpersist()
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cap_dig")

@@ -1208,6 +1208,98 @@ class StreamingOpsSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("rerankProbe in foreachBatch: per-batch funnel == one-shot " +
+    "retrieve-then-rerank over the table state each batch saw; a doc " +
+    "whose postings AND embedding landed in batch N is rerankable in " +
+    "batch N+1") {
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
+    val newDoc = Seq((4L, "elk elk apple")).toDF("doc_id", "text")
+    def vecOf(i: Long) = Array.tabulate(3)(j =>
+      (((i * 7 + j * 5) % 9) - 4).toFloat)
+    val prefix = "graft_rerank_bm25"
+    val embTable = "graft_rerank_emb"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+      .map(prefix + _) :+ embTable
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      graft.sources.BucketedTables.writeBucketed(
+        Seq(1L, 2L, 3L).map(i => (i, vecOf(i))).toDF("vec_id", "embedding"),
+        embTable, buckets = 2, Seq("vec_id"))
+      val input = MemoryStream[(Long, String, Array[Float])]
+      // kRetrieve < k is a contract violation, not a silent truncation
+      intercept[IllegalArgumentException] {
+        StreamingOps.rerankProbe(
+          Seq((100L, "apple", vecOf(100L))).toDF("query_id", "text", "qv"),
+          "query_id", TA.tokens(col("text")), "qv", prefix,
+          embTable, "vec_id", "embedding", kRetrieve = 2, k = 5)
+      }
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      val q = input.toDF().toDF("query_id", "text", "qv").writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+            val s = batch.sparkSession
+            (tables :+ embTable).foreach(s.catalog.refreshTable)
+            got ++= StreamingOps.rerankProbe(batch, "query_id",
+                TA.tokens(col("text")), "qv", prefix,
+                embTable, "vec_id", "embedding", kRetrieve = 10, k = 2)
+              .select(col("query"), col("rank"), col("doc"),
+                graft.rnd(col("cos"), 4).as("cos"))
+              .as[(Long, Long, Long, Double)](
+                org.apache.spark.sql.Encoders.product[
+                  (Long, Long, Long, Double)])
+              .collect()
+            ()
+        }.start()
+      try {
+        input.addData((100L, "apple cherry", vecOf(100L)))
+        q.processAllAvailable()
+        // the ingest loop lands batch N's admit in BOTH staged states:
+        // postings tables and the bucketed embeddings table
+        Retrieval.appendToPostingsIndexTable(newDoc, "doc_id",
+          TA.tokens(col("text")), prefix, buckets = 2)
+        graft.sources.BucketedTables.appendBucketed(
+          Seq((4L, vecOf(4L))).toDF("vec_id", "embedding"),
+          embTable, buckets = 2, Seq("vec_id"))
+        input.addData((101L, "elk", vecOf(101L)),
+          (102L, "apple cherry", vecOf(102L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the one-shot twin: same operators over the same corpus state,
+      // outside any stream
+      def oneShot(c: org.apache.spark.sql.DataFrame,
+                  qs: Seq[(Long, String, Array[Float])]) = {
+        val qdf = qs.toDF("query_id", "text", "qv")
+        val cands = Retrieval.bm25TopK(c, "doc_id",
+          TA.tokens(col("text")), qdf, "query_id",
+          TA.tokens(col("text")), k = 10)
+        Retrieval.rerankByCosine(cands, qdf, "query_id", "qv",
+            c.select("doc_id").join(
+              (Seq(1L, 2L, 3L, 4L).map(i => (i, vecOf(i))))
+                .toDF("vec_id", "embedding"),
+              col("doc_id") === col("vec_id")),
+            "vec_id", "embedding", k = 2)
+          .select(col("query"), col("rank"), col("doc"),
+            graft.rnd(col("cos"), 4).as("cos"))
+          .as[(Long, Long, Long, Double)].collect().toSet
+      }
+      val batch1 = got.filter(_._1 == 100L).toSet
+      val batch2 = got.filter(_._1 != 100L).toSet
+      assert(batch1 === oneShot(corpus,
+        Seq((100L, "apple cherry", vecOf(100L)))))
+      assert(batch2 === oneShot(corpus.unionByName(newDoc),
+        Seq((101L, "elk", vecOf(101L)),
+          (102L, "apple cherry", vecOf(102L)))))
+      assert(batch2.exists(r => r._1 == 101L && r._3 == 4L),
+        "the doc landed in batch N must be rerankable in batch N+1")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Drive the orderedMerge fixture (interleaved queues, a
     * same-millisecond tie, a later-than-watermark record, a
     * still-held tail record) against either merge form and return
