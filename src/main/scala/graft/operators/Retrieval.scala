@@ -294,10 +294,12 @@ object Retrieval {
     *     the highest ub — typically the rarest, shortest list): a
     *     document's full score ≥ any one contribution, so k docs at
     *     single-term contribution ≥ c guarantee k full scores ≥ c.
-    *     One short posting list scanned; no corpus pass. (Fully
-    *     scoring the seed docs would tighten θ at the cost of a
-    *     corpus-wide (term, doc) lookup join — the documented
-    *     next notch if a deployment wants it.)
+    *     One short posting list scanned; no corpus pass.
+    *     (`fullSeedTheta = true` is the tighter notch: fully score
+    *     the seed docs over all the query's terms via a seed-bounded
+    *     (term, doc) lookup join and take the k-th best FULL score —
+    *     θ can only rise, so more terms demote; see essentialSplit
+    *     for when it pays.)
     *  3. Sort the query's terms by ub ascending; the maximal prefix
     *     whose CUMULATIVE ub sum is < θ is NON-ESSENTIAL — a document
     *     matching only prefix terms scores ≤ that cumulative sum
@@ -334,7 +336,8 @@ object Retrieval {
                          queries: DataFrame, qidCol: String,
                          qToks: Column, k: Int, k1: Double = 1.2,
                          b: Double = 0.75, maxDfPermille: Int = 1000,
-                         bounds: Option[DataFrame] = None): DataFrame = {
+                         bounds: Option[DataFrame] = None,
+                         fullSeedTheta: Boolean = false): DataFrame = {
     requireProbeArgs(k, maxDfPermille)
     val qsig = qsigOf(queries, qidCol, qToks)
     // the decision table is signature-sized but its θ column cost a
@@ -346,7 +349,7 @@ object Retrieval {
     // the ContextCleaner once the probe's frames go unreferenced —
     // per-call state that cleans itself up.
     val split = essentialSplit(ix, qsig, k, k1, b, maxDfPermille,
-        bounds)
+        bounds, fullSeedTheta)
       .localCheckpoint(true)
     def matched(terms: DataFrame) = terms
       .select("__sig", "term", "df")
@@ -503,7 +506,8 @@ object Retrieval {
   private[graft] def essentialSplit(ix: PostingsIndex, qsig: DataFrame,
                                     k: Int, k1: Double, b: Double,
                                     maxDfPermille: Int,
-                                    bounds: Option[DataFrame])
+                                    bounds: Option[DataFrame],
+                                    fullSeedTheta: Boolean = false)
   : DataFrame = {
     val sigs = qsig.select("__sig").distinct()
     val qterms = sigs.select(col("__sig"),
@@ -538,21 +542,67 @@ object Retrieval {
     val terms2 = terms1
       .withColumn("__cum_q6", sum("__ub_q6").over(wAsc))
       .withColumn("__seed", row_number().over(wSeed) === 1)
-    // θ per signature: k-th best single-term contribution on the
-    // seed term's own posting list (absent when the list is shorter
-    // than k → no θ → nothing prunes, the exhaustive degenerate)
+    // θ per signature (absent when the seed list is shorter than k →
+    // no θ → nothing prunes, the exhaustive degenerate). Two notches:
+    //
+    //  LOOSE (default): k-th best single-term contribution on the
+    //  seed term's own posting list — one short list scanned, nothing
+    //  else touched. Valid because a doc's FULL score ≥ any one
+    //  contribution, so k docs at single-term contribution ≥ c
+    //  guarantee k full scores ≥ c.
+    //
+    //  FULL-SEED (opt-in): fully score the seed term's ≤ df docs over
+    //  ALL the signature's kept terms — a (term, doc) lookup join
+    //  (each term's postings joined DOWN to the seed docs, the same
+    //  relational seek the candidate phase uses) — and take the k-th
+    //  best FULL score. θ_full ≥ θ_loose term for term (the full
+    //  score of each seed doc ≥ its seed contribution), so strictly
+    //  more prefix terms demote; still exact, because θ_full is
+    //  ACHIEVED by k real documents, so any doc excluded with score
+    //  < θ_full sits below k achieved full scores. Costs one extra
+    //  seed-doc-bounded join pass — pay it when the corpus is
+    //  Zipfian and queries carry several mid-frequency terms whose
+    //  ubs straddle the loose θ (measured crossovers in
+    //  docs/SCALE.md; on single-rare-term queries the loose θ
+    //  already demotes everything demotable and the notch buys ~0).
     val seedMatched = terms2.filter(col("__seed"))
       .select("__sig", "term", "df")
       .join(ix.postings, "term")
       .join(ix.doclen, "doc")
       .crossJoin(broadcast(ix.stats))
       .withColumn("__contrib_q6", contribQ6(k1, b))
-    val wTheta = Window.partitionBy("__sig")
-      .orderBy(col("__contrib_q6").desc, col("doc").asc)
-    val thetas = seedMatched
-      .withColumn("__r", row_number().over(wTheta))
-      .filter(col("__r") === k)
-      .select(col("__sig"), col("__contrib_q6").as("__theta_q6"))
+    val thetas = if (!fullSeedTheta) {
+      val wTheta = Window.partitionBy("__sig")
+        .orderBy(col("__contrib_q6").desc, col("doc").asc)
+      seedMatched
+        .withColumn("__r", row_number().over(wTheta))
+        .filter(col("__r") === k)
+        .select(col("__sig"), col("__contrib_q6").as("__theta_q6"))
+    } else {
+      val seedDocs = seedMatched.select("__sig", "doc")
+      // join ORDER is the cost model: restrict postings to the seed
+      // DOCS first (seedDocs is signatures×df_seed rows — broadcast-
+      // sized — so the postings scan emits only the seed docs' own
+      // rows, ≤ |seed docs|·doc length), THEN keep the signature's
+      // query terms. Joining terms-first would materialize every
+      // query term's full posting list per signature — sig×corpus
+      // rows for a stopword — before the seed restriction.
+      val fullScores = seedDocs
+        .join(ix.postings, "doc")
+        .join(terms1.select("__sig", "term", "df"),
+          Seq("__sig", "term"))
+        .join(ix.doclen, "doc")
+        .crossJoin(broadcast(ix.stats))
+        .withColumn("__contrib_q6", contribQ6(k1, b))
+        .groupBy("__sig", "doc")
+        .agg(sum("__contrib_q6").as("__score_q6"))
+      val wFull = Window.partitionBy("__sig")
+        .orderBy(col("__score_q6").desc, col("doc").asc)
+      fullScores
+        .withColumn("__r", row_number().over(wFull))
+        .filter(col("__r") === k)
+        .select(col("__sig"), col("__score_q6").as("__theta_q6"))
+    }
     // essential iff the ub-ascending cumulative sum through this term
     // reaches θ; the seed term's cum is the full sum >= any achieved
     // score >= θ, so at least one term is always essential

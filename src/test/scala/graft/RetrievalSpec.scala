@@ -224,6 +224,81 @@ class RetrievalSpec extends SparkSpec {
     ix.unpersist()
   }
 
+  test("full-seed θ notch: parity with BOTH existing probes on the " +
+    "dense and Zipfian fixtures; a mid-frequency term demotes under " +
+    "the full θ that stays essential under the loose θ") {
+    import graft.operators.Retrieval
+    // parity on the dense fixture (nothing demotes anywhere)
+    val denseQs = Seq((100L, "apple cherry"), (101L, "banana dog"),
+      (102L, "apple banana cherry dog")).toDF("query_id", "text")
+    val denseIx = Retrieval.postingsIndex(corpus, "doc_id",
+      TA.tokens(col("text")))
+    for (k <- Seq(1, 2, 10)) {
+      val ex = asKey(Retrieval.bm25TopKWith(denseIx, denseQs,
+        "query_id", TA.tokens(col("text")), k = k))
+      assert(asKey(Retrieval.bm25TopKPrunedWith(denseIx, denseQs,
+        "query_id", TA.tokens(col("text")), k = k,
+        fullSeedTheta = true)) === ex,
+        s"full-seed diverged from exhaustive at k=$k (dense)")
+    }
+    denseIx.unpersist()
+    // a corpus where the notch is LOAD-BEARING — the inequality chain
+    // (hand-computed: N=240, avg len 880/240): 'rare' in the 4 seed
+    // docs only (idf 3.98), 'mid' in 24 docs with its tf_max=4 spike
+    // INSIDE the seed docs (idf 2.29, ub = idf·2.2·4/4.3 ≈ 4.68),
+    // 'the' everywhere (ub ≈ 0). Loose θ = the seed docs' single-term
+    // rare contribution ≈ 2.90 < ub_mid → mid stays essential; full
+    // θ adds the seed docs' own mid(tf=4) + the contributions
+    // ≈ 2.90 + 3.34 ≈ 6.25 > ub_mid → mid demotes.
+    val zipf = (0 until 240).map { i =>
+      val isSeed = i % 60 == 0
+      val parts = Seq("the") ++
+        (if (isSeed) Seq.fill(4)("mid")
+         else if (i % 10 == 0) Seq("mid") else Nil) ++
+        (if (isSeed) Seq("rare") else Nil) ++
+        Seq(s"u$i") ++ Seq.fill(i % 4)("pad")
+      (i.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq((1L, "rare mid the"), (2L, "rare the"),
+      (3L, "mid the"), (4L, "absent rare")).toDF("query_id", "text")
+    val ix = Retrieval.postingsIndex(zipf, "doc_id",
+      TA.tokens(col("text")))
+    for (k <- Seq(1, 2, 4, 10)) {
+      val ex = asKey(Retrieval.bm25TopKWith(ix, qs, "query_id",
+        TA.tokens(col("text")), k = k))
+      val loose = asKey(Retrieval.bm25TopKPrunedWith(ix, qs,
+        "query_id", TA.tokens(col("text")), k = k))
+      val full = asKey(Retrieval.bm25TopKPrunedWith(ix, qs,
+        "query_id", TA.tokens(col("text")), k = k,
+        fullSeedTheta = true))
+      assert(loose === ex, s"loose diverged at k=$k")
+      assert(full === ex, s"full-seed diverged at k=$k")
+    }
+    // the decision tables at k=2 for {mid, rare, the}: under the
+    // loose θ mid stays essential (its ub, inflated by tf_max=4,
+    // tops rare's single-term contribution); the full θ adds the
+    // seed docs' own mid+the contributions and demotes it. Pin both
+    // — this is the configuration the notch exists for, and if a
+    // fixture drift ever makes the loose θ demote mid too, the
+    // measured-crossover story below it is vacuous.
+    val qsig = qs.select(col("query_id").as("query"),
+      array_sort(array_distinct(TA.tokens(col("text")))).as("__sig"))
+    def essOf(fullSeed: Boolean) =
+      Retrieval.essentialSplit(ix, qsig, k = 2, k1 = 1.2, b = 0.75,
+          maxDfPermille = 1000, bounds = None,
+          fullSeedTheta = fullSeed)
+        .filter(col("__sig") ===
+          array(lit("mid"), lit("rare"), lit("the")))
+        .select("term", "__ess").as[(String, Boolean)].collect().toMap
+    assert(essOf(false) ===
+      Map("rare" -> true, "mid" -> true, "the" -> false),
+      "fixture drift: loose θ no longer keeps mid essential")
+    assert(essOf(true) ===
+      Map("rare" -> true, "mid" -> false, "the" -> false),
+      "the full-seed θ must demote the mid-frequency term")
+    ix.unpersist()
+  }
+
   test("postings TABLE tense: create + 2 appends == DataFrame index == " +
     "from-scratch rebuild, probe for probe; compaction + maintenance " +
     "preserve content") {
