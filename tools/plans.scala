@@ -31,7 +31,9 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_graph_pagerank", "q_dedup_canonical",
               "q_split_leakproof", "q_corpus_drift",
               "q_sample_weighted", "q_curation_pipeline",
-              "q_text_bm25", "q_text_bm25_pruned")) {
+              "q_text_bm25", "q_text_bm25_pruned",
+              "q_text_bm25_staged", "q_retrieval_rerank",
+              "q_retrieval_hybrid_rrf")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
