@@ -586,6 +586,23 @@ class RetrievalSpec extends SparkSpec {
       Map(1L -> 1000000L, 2L -> 500000L))
   }
 
+  test("rrfFuse is invariant to list order and to row order within " +
+    "lists; rerank drops candidates absent from the vector table") {
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L), (8L, 1L, 7L))
+    val b = Seq((9L, 1L, 2L), (9L, 2L, 3L))
+    val c = Seq((9L, 3L, 2L), (9L, 1L, 1L))
+    // fusion is a sum over (query, doc) — neither the order the lists
+    // are passed in nor the row order inside a list may matter
+    val want = fuse(Seq(a, b, c), k = 10)
+    assert(fuse(Seq(c, a, b), k = 10) === want)
+    assert(fuse(Seq(b, c, a), k = 10) === want)
+    assert(fuse(Seq(a.reverse, b.reverse, c.reverse), k = 10) === want)
+    // an id with NO row in the vector table (distinct from a NULL
+    // vector) is equally unscorable — dropped by the equi-join
+    val got = rerank(Seq((100L, 1L, 1L), (100L, 2L, 999L)), k = 10)
+    assert(got === Seq((100L, 1L, 1L, 1.0d)))
+  }
+
   test("rrfFuse: no cartesian; single-list fusion preserves order " +
     "and requires at least one list") {
     val a = Seq((9L, 1L, 3L), (9L, 2L, 1L), (9L, 3L, 2L))
