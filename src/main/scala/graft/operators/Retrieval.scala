@@ -358,6 +358,23 @@ object Retrieval {
       .crossJoin(broadcast(ix.stats))
       .withColumn("__contrib_q6", contribQ6(k1, b))
       .select("__sig", "doc", "__contrib_q6")
+    // DEGENERATE SHORT-CIRCUIT: when no term demoted anywhere (the
+    // uniform-df corpus, or k past every seed list), the candidate
+    // set is "every matched doc" and the two-branch plan below would
+    // pay an eager candidate materialization plus a vacuous left
+    // join for nothing. The split frame is signature-sized and
+    // already checkpointed, so this driver-side probe costs one
+    // local scan — and the fallback is literally the exhaustive
+    // probe's one-pass aggregation (same expressions, same window):
+    // result-identical by construction, and the dial's worst case
+    // drops from "exhaustive + candidate bookkeeping" to
+    // "exhaustive + the vocabulary-sized bounds/θ math".
+    if (split.filter(!col("__ess")).isEmpty) {
+      val scored = matched(split)
+        .groupBy("__sig", "doc")
+        .agg(sum("__contrib_q6").as("score_q6"))
+      return rankAndFanOut(scored, qsig, k)
+    }
     // ONE pass over the essential lists: the per-(sig, doc) partial
     // score IS the candidate set (a doc is a candidate iff it matched
     // >= 1 essential term). Materialized (same self-cleaning
