@@ -379,6 +379,44 @@ object StreamingOps {
       queries.sparkSession.table(embTable), embIdCol, embVecCol, k)
   }
 
+  /** Hybrid retrieval at the streaming boundary: the lexical BM25
+    * top-`kRetrieve` list from the staged postings tables
+    * ([[retrievalProbe]]) fused with the dense ANN top-`kRetrieve`
+    * list from a staged IVF index
+    * ([[graft.operators.Similarity.ivfTopKWith]] — the semantic
+    * door's own index family, auto-dispatching to the XL broadcast
+    * kernel past the literal boundary) by reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]] — rank-only, integer
+    * micro-units, no score calibration between the two spaces, which
+    * is WHY RRF and not a score blend).
+    *
+    * Same foreachBatch tense and exactness argument as the other
+    * probes: both stage-1 lists are per-query functions of the query
+    * and the staged state, and fusion is a per-(query, doc) sum —
+    * per-batch == one-shot, batch for batch (spec-pinned). Queries
+    * with a NULL vector contribute only their lexical list (the ANN
+    * probe drops them); queries whose tokens match nothing contribute
+    * only their dense list — fusion over whatever lists exist is the
+    * operator's semantics, not an edge case. Output: (query, rank,
+    * doc, rrf_q6). */
+  def hybridProbe(queries: DataFrame, qidCol: String, qToks: Column,
+                  qVecCol: String, tablePrefix: String,
+                  semIndex: graft.operators.Similarity.IvfIndex,
+                  kRetrieve: Int, k: Int, rrfK: Int = 60,
+                  nProbe: Int = 2, k1: Double = 1.2, b: Double = 0.75,
+                  maxDfPermille: Int = 1000): DataFrame = {
+    require(kRetrieve >= k,
+      s"stage 1 must overfetch: kRetrieve=$kRetrieve < k=$k")
+    val bm = retrievalProbe(queries, qidCol, qToks, tablePrefix,
+        kRetrieve, k1, b, maxDfPermille)
+      .select(col("query"), col("rank"), col("doc"))
+    val dense = graft.operators.Similarity.ivfTopKWith(semIndex,
+        queries, qidCol, qVecCol, kRetrieve, nProbe)
+      .select(col("q_id").as("query"),
+        col("rank").cast("long").as("rank"), col("c_id").as("doc"))
+    graft.operators.Retrieval.rrfFuse(Seq(bm, dense), k, rrfK)
+  }
+
   /** Idempotent micro-batch landing write — the write-once half of
     * the [[BatchIdGate]] replay contract: batch N lands in the
     * `batch_id=N` partition directory, so replaying a batch after a

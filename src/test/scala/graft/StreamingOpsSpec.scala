@@ -1300,6 +1300,92 @@ class StreamingOpsSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("hybridProbe in foreachBatch: per-batch lexical ⊕ dense RRF " +
+    "fusion == one-shot over the same staged state; a NULL-vector " +
+    "query contributes only its lexical list") {
+    import graft.operators.{Retrieval, Similarity, TextAnalysis => TA}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    def vecOf(i: Long) = Array.tabulate(3)(j =>
+      (((i * 13 + j * 7) % 9) - 4).toFloat)
+    val corpusVecs = Seq(1L, 2L, 3L, 4L)
+      .map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+    val prefix = "graft_hybrid_bm25"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+      .map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      val ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+        nCentroids = 2, persistIndex = false)
+      // contract violation raises before any probe runs
+      intercept[IllegalArgumentException] {
+        StreamingOps.hybridProbe(
+          Seq((100L, "apple", vecOf(100L))).toDF("query_id", "text", "qv"),
+          "query_id", TA.tokens(col("text")), "qv", prefix, ivf,
+          kRetrieve = 1, k = 5)
+      }
+      val queries = Seq(
+        (100L, "apple cherry", vecOf(100L)),
+        // NULL vector: lexical list only — still fused, never dropped
+        (101L, "dog banana", null.asInstanceOf[Array[Float]]),
+        // no token matches anything: dense list only
+        (102L, "zyxxy", vecOf(102L)))
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = input.toDF().toDF("query_id", "text", "qv").writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+            val s = batch.sparkSession
+            tables.foreach(s.catalog.refreshTable)
+            got ++= StreamingOps.hybridProbe(batch, "query_id",
+                TA.tokens(col("text")), "qv", prefix, ivf,
+                kRetrieve = 10, k = 3, nProbe = 2)
+              .select("query", "rank", "doc", "rrf_q6")
+              .as[(Long, Long, Long, Long)](
+                org.apache.spark.sql.Encoders.product[
+                  (Long, Long, Long, Long)])
+              .collect()
+            ()
+        }.start()
+      try {
+        input.addData(queries.take(2): _*)
+        q.processAllAvailable()
+        input.addData(queries.drop(2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // one-shot twin: same operators over the same staged state,
+      // all queries in one frame, outside any stream
+      val qdf = queries.toDF("query_id", "text", "qv")
+      val bm = Retrieval.bm25TopKWith(
+          Retrieval.loadPostingsIndex(spark, prefix),
+          qdf, "query_id", TA.tokens(col("text")), k = 10)
+        .select("query", "rank", "doc")
+      val dense = Similarity.ivfTopKWith(ivf, qdf, "query_id", "qv",
+          k = 10, nProbe = 2)
+        .select(col("q_id").as("query"),
+          col("rank").cast("long").as("rank"), col("c_id").as("doc"))
+      val want = Retrieval.rrfFuse(Seq(bm, dense), k = 3)
+        .select("query", "rank", "doc", "rrf_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.toSet === want)
+      // the edge semantics actually occurred: the NULL-vec query
+      // produced results (lexical-only), the no-match query produced
+      // results (dense-only)
+      assert(got.exists(_._1 == 101L), "lexical-only query must fuse")
+      assert(got.exists(_._1 == 102L), "dense-only query must fuse")
+      // and a consensus doc (in both lists) exists for query 100 —
+      // its rrf_q6 must exceed any single-list-rank-1 contribution
+      val top100 = got.filter(_._1 == 100L).minBy(_._2)
+      assert(top100._4 > math.floor(1000000.0 / 61).toLong,
+        s"expected a consensus boost for query 100: $top100")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Drive the orderedMerge fixture (interleaved queues, a
     * same-millisecond tie, a later-than-watermark record, a
     * still-held tail record) against either merge form and return
