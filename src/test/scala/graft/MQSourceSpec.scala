@@ -776,6 +776,11 @@ class MQSourceSpec extends SparkSpec {
     // only in the post-hoc rebuild compare
     val inLoopRetrieved = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Set[Long])]
+    // and the HYBRID serving probe (lexical staged tables ⊕ the
+    // loop's own evolving IVF index, RRF-fused) — the whole retrieval
+    // family serves inside the same crash-injected loop
+    val inLoopHybrid = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Long])]
     def runOnce(): Option[Throwable] = {
       refreshTables()
       val door = StreamingOps.ingestDoor(
@@ -802,6 +807,16 @@ class MQSourceSpec extends SparkSpec {
                     Seq((1L, "damson elder")).toDF("query_id", "text"),
                     "query_id", TA.tokens(col("text")),
                     "graft_cap_post", k = 10)
+                  .select("doc").as[Long].collect().toSet))
+              // the hybrid probe reads the loop's CURRENT ivf var —
+              // the same state the door's semantic gate probes
+              val hq = Seq((1L, "damson elder"))
+                .toDF("query_id", "text")
+                .withColumn("qv", embedOf(col("text")))
+              inLoopHybrid += ((batchId,
+                StreamingOps.hybridProbe(hq, "query_id",
+                    TA.tokens(col("text")), "qv", "graft_cap_post",
+                    ivf, kRetrieve = 10, k = 5, nProbe = 1)
                   .select("doc").as[Long].collect().toSet))
             }
             StreamingOps.writeBatchIdempotent(
@@ -993,6 +1008,18 @@ class MQSourceSpec extends SparkSpec {
       assert(b1.nonEmpty && b1.forall(_.contains(7000L)),
         s"a doc admitted in batch N must be retrievable via " +
           s"retrievalProbe while batch N+1 processes: $b1")
+      // hybrid: batch-0 probes fuse over the base state only; every
+      // batch-1 probe retrieves the batch-0 admit through the fused
+      // list (it is in BOTH stage-1 lists by then — postings tables
+      // and the loop's appended IVF index)
+      val hb0 = inLoopHybrid.filter(_._1 == 0L).map(_._2)
+      assert(hb0.nonEmpty && hb0.forall(s =>
+          s.contains(100L) && !s.contains(7000L) && !s.contains(8002L)),
+        s"batch-0 hybrid probes must see only the base state: $hb0")
+      val hb1 = inLoopHybrid.filter(_._1 == 1L).map(_._2)
+      assert(hb1.nonEmpty && hb1.forall(_.contains(7000L)),
+        s"the batch-0 admit must be hybrid-retrievable while batch " +
+          s"N+1 processes: $hb1")
       rebuilt.unpersist()
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cap_dig")
