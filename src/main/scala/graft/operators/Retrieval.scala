@@ -656,6 +656,11 @@ object Retrieval {
   //                      partials; the probe sums them (16 bytes per
   //                      appended batch — a year of minute-batches is
   //                      ~8 MB, never worth a merge protocol)
+  //   <prefix>_tombstones (doc)             bucketed+sorted by doc —
+  //                      ids deleted but not yet physically compacted
+  //                      away; loads anti-join it out of doclen
+  //                      (zero-exchange) and compaction applies+clears
+  //                      it (deleteFromPostingsIndexTable)
   // Append == rebuild holds verbatim (every BM25 state is additive;
   // RetrievalSpec pins content identity through the table path), and
   // ScaleSpec asserts the probe's corpus-side scans stay exchange-free
@@ -685,6 +690,7 @@ object Retrieval {
   private def dfreqTable(prefix: String) = prefix + "_dfreq"
   private def statsTable(prefix: String) = prefix + "_stats"
   private def tfmaxTable(prefix: String) = prefix + "_tfmax"
+  private def tombTable(prefix: String) = prefix + "_tombstones"
 
   /** The batch_id every non-gated write lands under (the base corpus
     * and compacted state). Gated appends use their own positive batch
@@ -699,6 +705,11 @@ object Retrieval {
   // documented single-writer cadence).
   private def mergeDfPartials(df: DataFrame): DataFrame =
     df.groupBy("term").agg(sum("df").as("df"))
+      // a delete's NEGATIVE partials can net a term to 0 (its last
+      // surviving doc deleted) — a rebuilt index has no such row, so
+      // the merged view drops it and delete == rebuild holds for
+      // dfreq content, not just probe verdicts
+      .filter(col("df") > 0)
       .withColumn("batch_id", lit(BasePartition))
 
   // tf_max is additive under append exactly like df (max of maxes),
@@ -739,6 +750,12 @@ object Retrieval {
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").partitionBy("batch_id")
         .saveAsTable(statsTable(prefix))
+      // the tombstone table starts EMPTY (doc ids deleted but not yet
+      // physically compacted away) — created here so every probe/load
+      // composes the same plan whether or not a delete ever happens
+      graft.sources.BucketedTables.writeBucketed(
+        base(ix.doclen.select("doc").limit(0)), tombTable(prefix),
+        buckets, Seq("doc"), partitionCols = part)
     } finally ix.unpersist()
   }
 
@@ -798,6 +815,118 @@ object Retrieval {
     Seq(postingsTable(prefix), doclenTable(prefix),
       dfreqTable(prefix), tfmaxTable(prefix), statsTable(prefix))
 
+  /** The tables a targeted delete writes: its tombstones plus the two
+    * ADDITIVE states it must correct (df and corpus stats). Postings,
+    * doclen and tfmax are untouched until compaction — see
+    * [[deleteFromPostingsIndexTable]]. */
+  private def deleteTables(prefix: String): Seq[String] =
+    Seq(tombTable(prefix), dfreqTable(prefix), statsTable(prefix))
+
+  /** Delete batch ids land in their OWN partition namespace,
+    * -(id + 2) ∈ {-2, -3, …} — disjoint from append partitions (≥ 0)
+    * and the base partition (-1) — because deletes and appends share
+    * the dfreq/stats tables: a replayed delete must be able to drop
+    * exactly its own previous attempt without ever touching an append
+    * batch that happened to use the same foreachBatch id. */
+  private def deletePid(id: Long): Long = -(id + 2)
+
+  /** Targeted document deletion — the takedown / right-to-be-forgotten
+    * tense a production corpus needs (licensing removals, discovered
+    * contamination, privacy requests). At 100 TB a takedown cannot
+    * rewrite term-bucketed postings synchronously, so a delete is an
+    * APPEND, never a rewrite:
+    *
+    *   - the victim doc ids land in the doc-bucketed
+    *     `<prefix>_tombstones` table; [[loadPostingsIndex]] anti-joins
+    *     them out of doclen (doc-bucketed vs doc-bucketed — zero
+    *     exchanges), and because every probe inner-joins postings to
+    *     doclen on `doc`, the victims' postings rows stop scoring the
+    *     same instant, with the postings table untouched;
+    *   - dfreq gets NEGATIVE per-term partials (−1 per victim doc
+    *     containing the term, computed from the victims' own postings
+    *     rows — a victim-bounded join, never a corpus pass) — the
+    *     probe reads the per-term SUM, so idf is EXACT over the
+    *     surviving corpus, not stale;
+    *   - stats gets a negative 1-row partial (−victims, −Σ victim
+    *     len), so N and avgdl are exact too;
+    *   - tfmax is a MAX — not invertible by a negative partial — and
+    *     is deliberately left STALE-HIGH: an overstated tf_max is
+    *     still a VALID MaxScore upper bound, so the pruned probe stays
+    *     result-identical to the exhaustive one (only its pruning
+    *     power degrades for the affected terms) until
+    *     [[compactPostingsIndexTable]] recomputes the bounds exactly.
+    *
+    * Probing [[loadPostingsIndex]] after a delete is therefore
+    * bit-identical to a from-scratch index over the surviving corpus
+    * (spec-pinned, and q_text_bm25_deleted hash-matches a DuckDB
+    * oracle computed over the filtered corpus). The postings/doclen
+    * dead rows cost scan I/O until the next maintenance cadence
+    * physically removes them ([[maintainPostingsIndexTable]] treats
+    * any pending tombstone as a compaction trigger).
+    *
+    * Semantics: ids are resolved against the LIVE set (doclen minus
+    * existing tombstones) — deleting an absent or already-deleted id
+    * is a no-op, so repeated requests never double-decrement df/stats.
+    * Returns the number of docs actually deleted. A tombstoned id must
+    * NOT be re-appended before a compaction has physically removed it
+    * (the append contract's "not already present" includes tombstoned
+    * ids; id reuse is pipeline-hostile anyway).
+    *
+    * `batchId`: same replay contract as the gated append — the three
+    * written tables carry the delete's own partition (see
+    * [[deletePid]]), dropped before writing, so a crash anywhere
+    * between the writes and the caller's gate commit replays into
+    * content identical to a single delivery. Single-writer: deletes
+    * serialize with appends in the ingest loop; maintenance never runs
+    * while a delete is crashed-but-uncommitted (the append's cadence
+    * contract, verbatim). */
+  def deleteFromPostingsIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                   docs: DataFrame, idCol: String,
+                                   prefix: String, buckets: Int,
+                                   batchId: Option[Long] = None): Long = {
+    val pid = batchId.map { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id")
+      deletePid(id)
+    }.getOrElse(BasePartition)
+    batchId.foreach { _ =>
+      deleteTables(prefix).foreach(t => spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$pid)"))
+    }
+    // resolve against the live set, then MATERIALIZE: the victim set
+    // is read from the very tables the writes below mutate (the
+    // tombstone append would empty a lazy `victims` before the dfreq
+    // pass saw it). Eager localCheckpoint — per-call state that the
+    // ContextCleaner reclaims, the bm25TopKPrunedWith stance.
+    val req = docs.select(col(idCol).as("doc")).distinct()
+    val victims = spark.table(doclenTable(prefix)).select("doc", "len")
+      .join(spark.table(tombTable(prefix)).select("doc"),
+        Seq("doc"), "left_anti")
+      .join(req, "doc")
+      .localCheckpoint(true)
+    val nVictims = victims.count()
+    if (nVictims == 0) return 0L
+    def stamped(df: DataFrame) = df.withColumn("batch_id", lit(pid))
+    graft.sources.BucketedTables.appendBucketed(
+      stamped(victims.select("doc")), tombTable(prefix), buckets,
+      Seq("doc"), partitionCols = Seq("batch_id"))
+    // −1 per (term, victim doc): the victims' own postings rows, one
+    // row per (doc, term) by construction of the tf table
+    val negDf = spark.table(postingsTable(prefix))
+      .join(victims.select("doc"), "doc")
+      .groupBy("term").agg((-count(lit(1))).as("df"))
+    graft.sources.BucketedTables.appendBucketed(
+      stamped(negDf), dfreqTable(prefix), buckets, Seq("term"),
+      partitionCols = Seq("batch_id"))
+    val negStats = victims.agg(
+      (-count(lit(1))).as("n_docs"),
+      (-coalesce(sum("len"), lit(0L))).as("tot_len"))
+    stamped(negStats).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").partitionBy("batch_id")
+      .saveAsTable(statsTable(prefix))
+    nVictims
+  }
+
   /** A [[PostingsIndex]] view over the staged tables — probe it with
     * [[bm25TopKWith]] unchanged (one probe definition for all three
     * tenses). The dfreq partials aggregate here, exchange-free over
@@ -807,15 +936,30 @@ object Retrieval {
     * [[graft.sources.BucketedTables.appendBucketed]] visibility
     * contract. */
   def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-                        prefix: String): PostingsIndex =
+                        prefix: String): PostingsIndex = {
+    // deletes surface here: doclen minus tombstones (doc-bucketed vs
+    // doc-bucketed — a zero-exchange anti-join), and because every
+    // probe inner-joins postings→doclen on `doc`, tombstoned docs'
+    // postings rows never score even though the postings table still
+    // holds them until compaction. df/stats already carry the
+    // delete's negative partials, so the sums below are exact over
+    // the surviving corpus. (Existence guard: indexes created before
+    // the tombstone table shipped simply have no deletes.)
+    val len0 = spark.table(doclenTable(prefix)).select("doc", "len")
+    val doclen =
+      if (spark.catalog.tableExists(tombTable(prefix)))
+        len0.join(spark.table(tombTable(prefix)).select("doc"),
+          Seq("doc"), "left_anti")
+      else len0
     PostingsIndex(
       spark.table(postingsTable(prefix)).select("doc", "term", "tf"),
-      spark.table(doclenTable(prefix)).select("doc", "len"),
+      doclen,
       mergeDfPartials(spark.table(dfreqTable(prefix)))
         .select("term", "df"),
       spark.table(statsTable(prefix)).agg(
         coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
         coalesce(sum("tot_len"), lit(0L)).as("tot_len")))
+  }
 
   /** The staged [[pruneBounds]] view — pass to
     * [[bm25TopKPrunedWith]]'s `bounds` so a serving probe never
@@ -841,30 +985,64 @@ object Retrieval {
     // that, not file layout alone, is what bounds the directory count
     // over thousands of appended batches. Replay-safe because
     // compaction runs from the maintenance owner between jobs, never
-    // while an ingest batch is crashed-but-uncommitted.
+    // while an ingest or DELETE batch is crashed-but-uncommitted.
     val part = Seq("batch_id")
+    val hasTomb = spark.catalog.tableExists(tombTable(prefix))
+    val tombPending = hasTomb &&
+      !spark.table(tombTable(prefix)).isEmpty
+    // tombstones apply PHYSICALLY here: victims' rows leave postings
+    // and doclen. The anti-join transform is idempotent (a second
+    // application finds nothing to remove), as rewriteBucketed
+    // requires. Order matters for crash-consistency: the tombstone
+    // table is cleared LAST, so any interrupted state still carries
+    // the tombstones and loadPostingsIndex stays exact throughout
+    // (a compacted postings/doclen just makes the anti-join a no-op).
+    def applyTomb(df: DataFrame): DataFrame =
+      if (tombPending)
+        df.join(spark.table(tombTable(prefix)).select("doc"),
+          Seq("doc"), "left_anti")
+      else df
     graft.sources.BucketedTables.rewriteBucketed(
       spark, postingsTable(prefix), buckets, Seq("term"), part)(
-      collapseBatches)
+      df => collapseBatches(applyTomb(df)))
     graft.sources.BucketedTables.rewriteBucketed(
       spark, doclenTable(prefix), buckets, Seq("doc"), part)(
-      collapseBatches)
+      df => collapseBatches(applyTomb(df)))
     graft.sources.BucketedTables.rewriteBucketed(
       spark, dfreqTable(prefix), buckets, Seq("term"), part)(
       mergeDfPartials)
-    graft.sources.BucketedTables.rewriteBucketed(
-      spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
-      mergeTfMaxPartials)
+    if (tombPending)
+      // max-of-maxes cannot un-count a deleted doc, so with deletes
+      // pending the exact bounds are RECOMPUTED from the now-clean
+      // postings table (one postings pass at maintenance cadence) —
+      // this is where the pruning power a delete degraded comes back
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
+        _ => spark.table(postingsTable(prefix))
+          .groupBy("term").agg(max("tf").as("tf_max"))
+          .withColumn("batch_id", lit(BasePartition)))
+    else
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
+        mergeTfMaxPartials)
+    if (tombPending)
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, tombTable(prefix), buckets, Seq("doc"), part)(
+        _.filter(lit(false)))
   }
 
   /** Audit-gated tense of [[compactPostingsIndexTable]]
     * ([[Dedup.maintainDigestIndexTable]]'s stance): measures
     * files-per-bucket amplification per table and rewrites only the
     * tables above `maxFilesPerBucket`, so the maintenance owner makes
-    * ONE idempotent call per cadence and healthy calls cost three
-    * file listings. A crashed previous rewrite (live table missing,
-    * staging present) is recovered unconditionally. Returns true iff
-    * any table was rewritten (or recovered). */
+    * ONE idempotent call per cadence and healthy calls cost a few
+    * file listings plus a limit-1 tombstone check. Any PENDING
+    * tombstone ([[deleteFromPostingsIndexTable]]) forces the full
+    * apply-and-clear compaction regardless of file amplification —
+    * takedown latency is bounded by one cadence. A crashed previous
+    * rewrite (live table missing, staging present) is recovered
+    * unconditionally. Returns true iff any table was rewritten (or
+    * recovered). */
   def maintainPostingsIndexTable(
       spark: org.apache.spark.sql.SparkSession, prefix: String,
       buckets: Int, maxFilesPerBucket: Double = 2.0): Boolean = {
@@ -884,6 +1062,27 @@ object Retrieval {
     def over(table: String) =
       spark.catalog.tableExists(table) &&
         spark.sql(s"SHOW PARTITIONS $table").count() > maxFilesPerBucket
+    // ANY pending tombstone triggers the full apply-and-clear
+    // compaction — takedown latency is bounded by one maintenance
+    // cadence, and the cross-table ordering (tombstones cleared last)
+    // lives in ONE place. A crashed tombstone-clear recovers the same
+    // way. The healthy-path cost of this check is one limit-1 scan of
+    // the (small) tombstone table.
+    val tombPending =
+      (spark.catalog.tableExists(tombTable(prefix)) &&
+        !spark.table(tombTable(prefix)).isEmpty) ||
+        crashed(tombTable(prefix))
+    if (tombPending) {
+      compactPostingsIndexTable(spark, prefix, buckets)
+      // a crashed CLEAR leaves live-missing/staging-present, which
+      // compact's tombPending re-check may see as already cleared —
+      // recover the swap explicitly so the table is never left dark
+      if (crashed(tombTable(prefix)))
+        graft.sources.BucketedTables.rewriteBucketed(spark,
+          tombTable(prefix), buckets, Seq("doc"), Seq("batch_id"))(
+          _.filter(lit(false)))
+      return true
+    }
     def maintainOne(table: String, keyCols: Seq[String],
                     transform: DataFrame => DataFrame): Boolean =
       if (crashed(table) || over(table)) {

@@ -1030,7 +1030,7 @@ object TextQueries {
       // in-memory catalog is empty, and Spark refuses to CREATE a
       // managed table over an orphaned location — drop both the
       // catalog entries and any stale directories first
-      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
         .map(prefix + _).foreach { tbl =>
           s.sql(s"DROP TABLE IF EXISTS $tbl")
           val p = new org.apache.hadoop.fs.Path(
@@ -1040,6 +1040,48 @@ object TextQueries {
         }
       graft.operators.Retrieval.createPostingsIndexTable(
         docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.Retrieval.bm25TopKPrunedWith(
+          graft.operators.Retrieval.loadPostingsIndex(s, prefix),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 10, maxDfPermille = 1000,
+          bounds = Some(
+            graft.operators.Retrieval.loadPruneBounds(s, prefix)))
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("score_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_text_bm25_deleted" -> ((s, d) => {
+      // The TAKEDOWN tense, oracle-checked per round: build the
+      // bucketed postings tables over the FULL corpus, delete every
+      // doc_id % 7 == 0 through the gated tombstone path
+      // (deleteFromPostingsIndexTable — tombstones + negative
+      // df/stats partials, postings untouched), then run the PRUNED
+      // probe through loadPostingsIndex + loadPruneBounds. The bounds
+      // are the full-corpus, stale-HIGH ones — exercising the claim
+      // that a delete degrades pruning power but never exactness —
+      // and the oracle recomputes df/N/avgdl over the SURVIVORS
+      // independently, so any stale stat on the Spark side
+      // hash-mismatches. Deleted docs still serve as queries (probe
+      // input, not index state) but are never retrieved.
+      val docs = t(s, d, "documents")
+      val prefix = "graft_bm25_takedown"
+      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+          "_tombstones")
+        .map(prefix + _).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      graft.operators.Retrieval.createPostingsIndexTable(
+        docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
+      graft.operators.Retrieval.deleteFromPostingsIndexTable(
+        s, docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        "doc_id", prefix, buckets = 8, batchId = Some(0L))
       val qs = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"), col("text"))
       graft.operators.Retrieval.bm25TopKPrunedWith(
@@ -1286,16 +1328,23 @@ object TextQueries {
   /** The shared BM25 CTE chain (through the per-(query, doc) exact
     * micro-unit score table `s`) — the prefix of the bm25 oracle and
     * of the stage-2 rerank/fusion oracles built on its candidates. */
-  private val bm25CoreCtes: String =
-    """WITH t AS (
+  /** The BM25 CTE chain, parameterized over the corpus the INDEX is
+    * built from (`corpusWhere` filters the docs). The query set q
+    * always comes from the FULL documents table — queries are probe
+    * inputs, not index state, so a deleted doc can still ask but can
+    * never be retrieved (the q_text_bm25_deleted semantics). */
+  private def bm25CoreCtesOver(corpusWhere: String): String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents$corpusWhere),
+      |t AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-      |  FROM documents),
+      |  FROM corpus),
       |tf AS (SELECT doc_id AS doc, term, count(*) AS tf
       |       FROM t GROUP BY 1, 2),
       |len AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS len
       |        FROM tf GROUP BY 1),
       |stats AS (
-      |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  SELECT (SELECT count(*) FROM corpus) AS n_docs,
       |         (SELECT CAST(sum(len) AS DOUBLE) FROM len) AS tot_len),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |kept AS (SELECT term, df FROM df, stats
@@ -1320,10 +1369,9 @@ object TextQueries {
       |s AS (SELECT query, doc, CAST(sum(contrib_q6) AS BIGINT)
       |        AS score_q6 FROM contrib GROUP BY 1, 2)""".stripMargin
 
-  /** The exhaustive BM25 oracle — shared verbatim by q_text_bm25 and
-    * q_text_bm25_pruned: the pruned probe is exact top-k pruning, so
-    * both implementations must hash-match this one independent SQL. */
-  private val bm25OracleSql: String = bm25CoreCtes +
+  private val bm25CoreCtes: String = bm25CoreCtesOver("")
+
+  private val bm25TopTail: String =
     """
       |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
       |  doc AS doc_id, score_q6
@@ -1332,6 +1380,20 @@ object TextQueries {
       |    ORDER BY score_q6 DESC, doc ASC) AS rank
       |  FROM s) r
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The exhaustive BM25 oracle — shared verbatim by q_text_bm25 and
+    * q_text_bm25_pruned: the pruned probe is exact top-k pruning, so
+    * both implementations must hash-match this one independent SQL. */
+  private val bm25OracleSql: String = bm25CoreCtes + bm25TopTail
+
+  /** The takedown oracle: the SAME exhaustive BM25 SQL computed over
+    * the SURVIVING corpus — df, N and avgdl all recomputed over the
+    * survivors by DuckDB independently, so a stale stat anywhere on
+    * the Spark side (a df not decremented, an n_docs still counting a
+    * victim) hash-mismatches. Queries still come from the FULL table:
+    * a deleted doc may ask, never answer. */
+  private val bm25DeletedOracleSql: String =
+    bm25CoreCtesOver(" WHERE doc_id % 7 <> 0") + bm25TopTail
 
   /** Retrieve-then-rerank oracle: BM25 top-50 candidates (self
     * excluded), exact cosine between the query doc's embedding and
@@ -2258,6 +2320,8 @@ object TextQueries {
     // the staged-TABLES serving path is result-identical too (one
     // probe definition for all tenses), so it shares the same SQL
     "q_text_bm25_staged" -> bm25OracleSql,
+    // takedown: the same SQL over the surviving corpus only
+    "q_text_bm25_deleted" -> bm25DeletedOracleSql,
 
     "q_retrieval_rerank" -> rerankOracleSql,
 

@@ -741,7 +741,7 @@ class MQSourceSpec extends SparkSpec {
     // gate is REQUIRED here, which is exactly what this test proves)
     Retrieval.createPostingsIndexTable(corpus, "doc_id",
       TA.tokens(col("text")), "graft_cap_post", 2)
-    val postTables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val postTables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map("graft_cap_post" + _)
     var ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
       nCentroids = 1, persistIndex = false)
@@ -1024,7 +1024,7 @@ class MQSourceSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cap_dig")
       spark.sql("DROP TABLE IF EXISTS graft_cap_band")
-      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats").foreach(s =>
+      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cap_post$s"))
     }
   }

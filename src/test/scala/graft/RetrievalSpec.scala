@@ -307,7 +307,7 @@ class RetrievalSpec extends SparkSpec {
     val b1 = Seq((4L, "dog cherry dog"), (5L, "elk")).toDF("doc_id", "text")
     val b2 = Seq((6L, "apple elk fox"), (7L, "banana")).toDF("doc_id", "text")
     val prefix = "graft_bm25_ix"
-    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _)
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
@@ -381,7 +381,7 @@ class RetrievalSpec extends SparkSpec {
     val b1 = Seq((4L, "dog cherry dog"), (5L, "elk")).toDF("doc_id", "text")
     val b2 = Seq((6L, "apple elk fox")).toDF("doc_id", "text")
     val prefix = "graft_bm25_replay"
-    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _)
     def counts() = all.map(t => t -> spark.table(t).count()).toMap
     def probeSet() = {
@@ -435,6 +435,196 @@ class RetrievalSpec extends SparkSpec {
           toks(col("text")), prefix, buckets = 2, batchId = Some(-1L))
       }
       fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("targeted delete: probe == from-scratch rebuild over the " +
+    "surviving corpus — exhaustive AND pruned with the stale-high " +
+    "bounds; absent/already-deleted ids are no-ops; a deleted doc " +
+    "may still ask, never answer") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    // fox exists ONLY in victim doc 4 — its df must net to zero and
+    // the term must vanish from the merged dfreq view (rebuild has no
+    // such row)
+    val b1 = Seq((4L, "elk fox"), (5L, "elk cherry")).toDF("doc_id", "text")
+    val prefix = "graft_bm25_del"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(0L))
+      // victims span the base corpus (doc 2) and the appended batch
+      // (doc 4); id 99 is absent and must not decrement anything
+      val n = Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(2L, 4L, 99L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(0L))
+      assert(n === 2L)
+      val survivors = corpus.unionByName(b1)
+        .filter(!col("doc_id").isin(2L, 4L))
+      val fresh = Retrieval.postingsIndex(survivors, "doc_id",
+        toks(col("text")))
+      val staged = Retrieval.loadPostingsIndex(spark, prefix)
+      // the three probe-visible states are EXACT over the survivors
+      assert(staged.doclen.select("doc", "len")
+          .as[(Long, Long)].collect().toSet ===
+        fresh.doclen.as[(Long, Long)].collect().toSet)
+      assert(staged.dfreq.select("term", "df")
+          .as[(String, Long)].collect().toSet ===
+        fresh.dfreq.as[(String, Long)].collect().toSet,
+        "net-zero terms must vanish from the merged df view")
+      assert(staged.stats.as[(Long, Long)].collect().toSeq ===
+        fresh.stats.as[(Long, Long)].collect().toSeq)
+      // probes: exhaustive parity, and pruned parity under the
+      // DELIBERATELY stale (full-corpus) tfmax bounds — stale-high is
+      // a valid upper bound, so pruning stays exact
+      val qs = Seq((100L, "cherry elk"), (2L, "banana cherry"))
+        .toDF("query_id", "text")
+      def probeSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val want = probeSet(Retrieval.bm25TopKWith(fresh, qs,
+        "query_id", toks(col("text")), k = 10))
+      assert(want.nonEmpty)
+      assert(probeSet(Retrieval.bm25TopKWith(staged, qs, "query_id",
+        toks(col("text")), k = 10)) === want)
+      assert(probeSet(Retrieval.bm25TopKPrunedWith(staged, qs,
+        "query_id", toks(col("text")), k = 10,
+        bounds = Some(Retrieval.loadPruneBounds(spark, prefix))))
+        === want)
+      // deleted doc 2 queries with its own text and gets results —
+      // none of which are a deleted doc
+      val asked = want.filter(_._1 == 2L)
+      assert(asked.nonEmpty, "a deleted doc may still ask")
+      assert(!want.exists(r => r._3 == 2L || r._3 == 4L),
+        "a deleted doc must never be retrieved")
+      // re-deleting the same ids is a no-op (no double-decrement)
+      val statsBefore = staged.stats.as[(Long, Long)].collect().toSeq
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(2L, 4L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(1L)) === 0L)
+      assert(Retrieval.loadPostingsIndex(spark, prefix).stats
+        .as[(Long, Long)].collect().toSeq === statsBefore)
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("gated delete is replay-idempotent (full and PARTIAL first " +
+    "attempts) and its partition namespace never collides with an " +
+    "append using the same batch id") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val b1 = Seq((4L, "dog cherry"), (5L, "elk")).toDF("doc_id", "text")
+    val prefix = "graft_bm25_del_replay"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    def counts() = all.map(t => t -> spark.table(t).count()).toMap
+    def probeSet() = {
+      val qs = Seq((1L, "dog elk cherry")).toDF("query_id", "text")
+      Retrieval.bm25TopKWith(Retrieval.loadPostingsIndex(spark, prefix),
+          qs, "query_id", toks(col("text")), k = 10)
+        .select("query", "rank", "doc", "score_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      // append batch 0 and delete batch 0 SHARE the id — the delete's
+      // -(id+2) partition namespace must leave the append's partition
+      // (batch_id=0 on dfreq/stats) untouched
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(0L))
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(0L)) === 2L)
+      val once = counts()
+      val onceProbe = probeSet()
+      assert(spark.table(prefix + "_dfreq")
+        .filter(col("batch_id") === 0L).count() > 0,
+        "the append's own partition must survive the delete gate")
+      // FULL replay of delete batch 0
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(0L)) === 2L)
+      assert(counts() === once, "full replay must not double-count")
+      assert(probeSet() === onceProbe)
+      // PARTIAL first attempt of delete batch 1: only a bogus dfreq
+      // partial landed under the delete's partition before the
+      // "crash"; the replay must erase it and land exactly once
+      graft.sources.BucketedTables.appendBucketed(
+        Seq(("cherry", -999L)).toDF("term", "df")
+          .withColumn("batch_id", lit(-3L)),
+        prefix + "_dfreq", 2, Seq("term"),
+        partitionCols = Seq("batch_id"))
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(5L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(1L)) === 1L)
+      val survivors = corpus.unionByName(b1)
+        .filter(!col("doc_id").isin(3L, 4L, 5L))
+      val fresh = Retrieval.postingsIndex(survivors, "doc_id",
+        toks(col("text")))
+      val staged = Retrieval.loadPostingsIndex(spark, prefix)
+      assert(staged.dfreq.select("term", "df")
+          .as[(String, Long)].collect().toSet ===
+        fresh.dfreq.as[(String, Long)].collect().toSet,
+        "partial-attempt leftovers must be erased by the replay")
+      assert(staged.stats.as[(Long, Long)].collect().toSeq ===
+        fresh.stats.as[(Long, Long)].collect().toSeq)
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("maintenance treats pending tombstones as a trigger: victims " +
+    "leave postings/doclen physically, tfmax is recomputed exactly, " +
+    "tombstones clear, and the probe verdict is unchanged") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val prefix = "graft_bm25_del_compact"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      // doc 3 holds the corpus-max cherry tf (3) — deleting it must
+      // LOWER the recomputed bound, proving recompute-not-merge
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L).toDF("doc_id"), "doc_id", prefix,
+        buckets = 2, batchId = Some(0L)) === 1L)
+      val qs = Seq((100L, "cherry banana")).toDF("query_id", "text")
+      def probeSet() =
+        Retrieval.bm25TopKWith(
+            Retrieval.loadPostingsIndex(spark, prefix),
+            qs, "query_id", toks(col("text")), k = 10)
+          .select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val want = probeSet()
+      assert(want.nonEmpty)
+      // pre-compaction: the dead rows are still in postings, the
+      // tombstone is pending, and the stale bound still shows tf 3
+      assert(spark.table(prefix + "_postings")
+        .filter(col("doc") === 3L).count() > 0)
+      assert(spark.table(prefix + "_tombstones").count() === 1L)
+      assert(Retrieval.loadPruneBounds(spark, prefix)
+        .filter(col("term") === "cherry")
+        .select("tf_max").as[Long].head() === 3L)
+      // the pending tombstone IS the maintenance trigger
+      assert(Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
+      assert(spark.table(prefix + "_postings")
+        .filter(col("doc") === 3L).count() === 0L,
+        "compaction must remove the victim's postings rows")
+      assert(spark.table(prefix + "_doclen")
+        .filter(col("doc") === 3L).count() === 0L)
+      assert(spark.table(prefix + "_tombstones").count() === 0L,
+        "applied tombstones must clear")
+      assert(Retrieval.loadPruneBounds(spark, prefix)
+        .filter(col("term") === "cherry")
+        .select("tf_max").as[Long].head() === 1L,
+        "tfmax must be recomputed from the surviving postings")
+      assert(probeSet() === want, "compaction changes no verdict")
+      // healthy after: no-op, and the whole cycle was idempotent
+      assert(!Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

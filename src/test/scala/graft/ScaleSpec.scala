@@ -841,7 +841,7 @@ class ScaleSpec extends SparkSpec {
       (i.toLong, s"word${i % 13} word${i % 7} word${i % 5} filler$i"))
       .toDF("doc_id", "text")
     val prefix = "graft_bm25_scale"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _)
     val prevBroadcast =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -919,6 +919,37 @@ class ScaleSpec extends SparkSpec {
           s"corpus table ${hit.getOrElse("")} re-shuffled by the " +
             s"pruned probe:\n$pplan")
       }
+      // TAKEDOWN shape: after a targeted delete the probe gains the
+      // doclen ∖ tombstones anti-join — both sides doc-bucketed, so
+      // the corpus-side contract must hold UNCHANGED (the tombstone
+      // scan included: it is corpus-layout state, never re-shuffled)
+      Retrieval.deleteFromPostingsIndexTable(spark,
+        docsDf(100 until 110).select("doc_id"), "doc_id", prefix,
+        buckets = 4, batchId = Some(0L))
+      val afterDel = Retrieval.bm25TopKWith(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        qs, "query_id", slice(TA.tokens(col("text")), 1, 3), k = 5)
+      assert(afterDel.count() > 0, "post-delete probe must retrieve")
+      val delCorpus = corpusTables + (prefix + "_tombstones")
+      val dplan = afterDel.queryExecution.executedPlan
+      dplan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!delCorpus.contains(_)),
+          s"corpus table ${hit.getOrElse("")} re-shuffled by the " +
+            s"post-delete probe:\n$dplan")
+      }
+      assert(dplan.collect { case f: FileSourceScanExec => f }
+          .flatMap(_.tableIdentifier).map(_.table)
+          .contains(prefix + "_tombstones"),
+        s"the tombstone anti-join must be load-bearing:\n$dplan")
       spark.catalog.clearCache() // the pruned probe's pinned frames
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
@@ -944,7 +975,7 @@ class ScaleSpec extends SparkSpec {
     val ids = (0 until 60).map(_.toLong) ++ (100 until 120).map(_.toLong)
     val embTable = "graft_emb_funnel_scale"
     val prefix = "graft_bm25_funnel_scale"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _) :+ embTable
     val prevBroadcast =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
