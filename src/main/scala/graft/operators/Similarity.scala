@@ -2148,4 +2148,73 @@ object Similarity {
         index.cents, index.codebook, index.residual)),
       index.residual)
   }
+
+  // ------------------------------------------------------------------
+  // Targeted ANN deletion — the takedown twin of the appends above
+  // (and the dense-side counterpart of
+  // Retrieval.deleteFromPostingsIndexTable): remove vectors from a
+  // staged index so a taken-down document can never be retrieved
+  // through the EMBEDDING space either (a hybrid probe that fuses a
+  // lexical and a dense list must not resurface a victim through the
+  // list that forgot to delete it). Far simpler than the BM25 delete
+  // because ANN state has no global statistics: a victim is just its
+  // own id-keyed rows in the assigned/bucket/code table, and the
+  // quantizers (centroids / planes / codebook) are FROZEN state that
+  // deletion does not touch — exactly the appends' contract mirrored,
+  // so delete == a rebuild holding the same quantizers over the
+  // survivors, row for row (spec-asserted per path). A centroid or
+  // bucket whose last member leaves simply goes empty (probes of it
+  // return nothing); quantizer drift from shrinkage is the same
+  // deliberate trade as append drift, audited by q_sim_ann_recall and
+  // repaired at the rebuild cadence. LSH's census `dropped` table is
+  // NOT revisited (a censored bucket stays censored — the next
+  // rebuild re-censuses).
+  //
+  // REPLAY: unlike the appends, deletion is set-semantically
+  // idempotent — an anti-join removes the same rows however often it
+  // replays — so no gate is needed. In production the deleted index
+  // persists as a NEW VERSION through the IndexMaintenance
+  // VersionedIndexStore (delete → save → publish), the same
+  // swap-under-readers protocol rebuilds use.
+  // ------------------------------------------------------------------
+
+  // a USING-column anti-join reorders the join key to the front;
+  // re-select the table's own column order so delete == rebuild is
+  // ROW-identical, not just set-equal modulo projection
+  private def antiIdRows(rows: DataFrame, victims: DataFrame): DataFrame =
+    rows.join(victims, Seq("c_id"), "left_anti")
+      .select(rows.columns.map(col).toIndexedSeq: _*)
+
+  /** Remove ids from a staged [[IvfIndex]]. */
+  def deleteFromIvfIndex(index: IvfIndex, ids: DataFrame,
+                         idCol: String): IvfIndex = {
+    requireIntegralId(ids, idCol, "deleteFromIvfIndex")
+    IvfIndex(index.cents, antiIdRows(index.assigned,
+      ids.select(col(idCol).cast("long").as("c_id")).distinct()))
+  }
+
+  /** Remove ids from a staged [[LshIndex]]. */
+  def deleteFromLshIndex(index: LshIndex, ids: DataFrame,
+                         idCol: String): LshIndex =
+    LshIndex(index.nPlanes,
+      antiIdRows(index.buckets,
+        ids.select(col(idCol).as("c_id")).distinct()),
+      index.dropped)
+
+  /** Remove ids from a staged [[PqIndex]]. */
+  def deleteFromPqIndex(index: PqIndex, ids: DataFrame,
+                        idCol: String): PqIndex =
+    PqIndex(index.codebook,
+      antiIdRows(index.encoded,
+        ids.select(col(idCol).as("c_id")).distinct()))
+
+  /** Remove ids from a staged [[IvfPqIndex]]. */
+  def deleteFromIvfPqIndex(index: IvfPqIndex, ids: DataFrame,
+                           idCol: String): IvfPqIndex = {
+    requireIntegralId(ids, idCol, "deleteFromIvfPqIndex")
+    IvfPqIndex(index.cents, index.codebook,
+      antiIdRows(index.encoded,
+        ids.select(col(idCol).cast("long").as("c_id")).distinct()),
+      index.residual)
+  }
 }

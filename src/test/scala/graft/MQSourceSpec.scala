@@ -1020,6 +1020,48 @@ class MQSourceSpec extends SparkSpec {
       assert(hb1.nonEmpty && hb1.forall(_.contains(7000L)),
         s"the batch-0 admit must be hybrid-retrievable while batch " +
           s"N+1 processes: $hb1")
+      // ---- run 5: the TAKEDOWN epilogue. Delete the batch-0 admit
+      // from BOTH retrieval spaces (postings tables + the loop's IVF),
+      // then re-ingest its EXACT bytes through the door. Two opposite
+      // contracts must hold at once: retrieval FORGETS the doc (the
+      // serving probes inside the same loop stop listing it, without
+      // any compaction having run), while dedup REMEMBERS it (the
+      // retained digest refuses the re-arrival at the door — takedown
+      // content must not come back as a fresh admit).
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(7000L).toDF("doc_id"), "doc_id", "graft_cap_post", 2,
+        batchId = Some(99L)) == 1L)
+      ivf = Similarity.deleteFromIvfIndex(ivf,
+        Seq(7000L).toDF("vec_id"), "vec_id")
+      append(dir,
+        (9000L, "damson elder apple cherry banana damson elder"))
+      assert(runOnce().isEmpty)
+      assert(gate.lastCommitted() == 2L)
+      val landedAfter = spark.read.parquet(out.toString)
+        .select("key").as[String].collect().sorted.toSeq
+      assert(landedAfter == Seq("7000_1", "8002_1"),
+        s"the taken-down bytes must be refused at the door: " +
+          s"$landedAfter")
+      // the run-5 in-loop serving probes saw the post-takedown state:
+      // the victim gone, the other admit still served
+      val b2 = inLoopRetrieved.filter(_._1 == 2L).map(_._2)
+      assert(b2.nonEmpty && b2.forall(s =>
+          !s.contains(7000L) && s.contains(8002L)),
+        s"post-takedown probes must forget 7000, keep 8002: $b2")
+      val hb2 = inLoopHybrid.filter(_._1 == 2L).map(_._2)
+      assert(hb2.nonEmpty && hb2.forall(s =>
+          !s.contains(7000L) && s.contains(8002L)),
+        s"post-takedown hybrid probes must forget 7000: $hb2")
+      // and the staged tables now probe exactly like a rebuild over
+      // the SURVIVORS — stale tfmax bounds and all
+      refreshTables()
+      val rebuiltSurv = Retrieval.postingsIndex(
+        allDocs.filter(col("doc_id") =!= 7000L), "doc_id",
+        TA.tokens(col("text")))
+      assert(probeSet(Retrieval.loadPostingsIndex(
+          spark, "graft_cap_post")) == probeSet(rebuiltSurv),
+        "post-takedown staged retrieval must equal a survivors rebuild")
+      rebuiltSurv.unpersist()
       rebuilt.unpersist()
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cap_dig")

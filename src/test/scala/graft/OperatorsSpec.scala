@@ -1085,6 +1085,90 @@ class SimilaritySpec extends SparkSpec {
       "IVF+PQ ADC must surface the appended direction")
   }
 
+  test("ANN index deletes == frozen-quantizer rebuild over the " +
+    "survivors; a deleted vector never surfaces; replay-idempotent " +
+    "without a gate") {
+    // the takedown twin of the append test above: build each index
+    // over (corpus ∪ victims), delete the victims, and the remaining
+    // rows must be identical to assigning/encoding the corpus alone
+    // under the SAME frozen quantizers (append onto the same index
+    // emptied — public API only). Probes of the victims' own
+    // direction must come back victim-free.
+    def mk(i: Long, base: Int): (Long, Array[Float]) = {
+      val v = Array.tabulate(8)(j =>
+        (math.sin(base * 3.7 + j * 1.3) + (i % 5) * 0.01).toFloat)
+      (i, v)
+    }
+    val corpus = ((0L until 30L).map(i => mk(i, (i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val victims = (100L until 105L).map(i => mk(i, 7))
+    val victimDf = victims.toDF("vec_id", "embedding")
+    val victimIds = victims.map(_._1).toDF("vec_id")
+    val union = corpus.unionByName(victimDf)
+    val query = Seq((999L, victims.head._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // ---- IVF
+    val ivf0 = Similarity.ivfIndex(union, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false)
+    val ivf1 = Similarity.deleteFromIvfIndex(ivf0, victimIds, "vec_id")
+    val ivfSurv = Similarity.appendToIvfIndex(
+      Similarity.IvfIndex(ivf0.cents, ivf0.assigned.limit(0)), corpus,
+      "vec_id", "embedding")
+    assert(rows(ivf1.assigned) == rows(ivfSurv.assigned))
+    assert(rows(Similarity.deleteFromIvfIndex(ivf1, victimIds,
+        "vec_id").assigned) == rows(ivf1.assigned),
+      "re-deleting must be a no-op")
+    assert(Similarity.ivfTopKWith(ivf1, query, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(victims.map(_._1).toSet).isEmpty,
+      "IVF probe must never surface a deleted vector")
+    // ---- LSH
+    val lsh0 = Similarity.lshIndex(union, "vec_id", "embedding",
+      nPlanes = 4, persistIndex = false)
+    val lsh1 = Similarity.deleteFromLshIndex(lsh0, victimIds, "vec_id")
+    val lshSurv = Similarity.appendToLshIndex(
+      Similarity.LshIndex(lsh0.nPlanes, lsh0.buckets.limit(0),
+        lsh0.dropped), corpus, "vec_id", "embedding")
+    assert(rows(lsh1.buckets) == rows(lshSurv.buckets))
+    assert(Similarity.lshTopKWith(lsh1, query, "vec_id", "embedding",
+        k = 3)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(victims.map(_._1).toSet).isEmpty,
+      "LSH probe must never surface a deleted vector")
+    // ---- PQ
+    val pq0 = Similarity.pqIndex(union, "vec_id", "embedding",
+      m = 4, ksub = 4, persistIndex = false)
+    val pq1 = Similarity.deleteFromPqIndex(pq0, victimIds, "vec_id")
+    val pqSurv = Similarity.appendToPqIndex(
+      Similarity.PqIndex(pq0.codebook, pq0.encoded.limit(0)), corpus,
+      "vec_id", "embedding")
+    assert(rows(pq1.encoded) == rows(pqSurv.encoded))
+    assert(Similarity.pqTopKWith(pq1, query, union, "vec_id",
+        "embedding", k = 3)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(victims.map(_._1).toSet).isEmpty,
+      "PQ ADC must never surface a deleted vector")
+    // ---- IVF+PQ
+    val ivfpq0 = Similarity.ivfPqIndex(union, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 4, residual = true,
+      persistIndex = false)
+    val ivfpq1 = Similarity.deleteFromIvfPqIndex(ivfpq0, victimIds,
+      "vec_id")
+    val ivfpqSurv = Similarity.appendToIvfPqIndex(
+      Similarity.IvfPqIndex(ivfpq0.cents, ivfpq0.codebook,
+        ivfpq0.encoded.limit(0), ivfpq0.residual), corpus,
+      "vec_id", "embedding")
+    assert(rows(ivfpq1.encoded) == rows(ivfpqSurv.encoded))
+    assert(Similarity.ivfPqTopKWith(ivfpq1, query, union, "vec_id",
+        "embedding", k = 3, nProbe = 2)
+      .select("c_id").as[Long].collect().toSet
+      .intersect(victims.map(_._1).toSet).isEmpty,
+      "IVF+PQ ADC must never surface a deleted vector")
+  }
+
   test("NULL embeddings are excluded, never NPE mid-job") {
     // the realistic failed-extraction artifact: one null vector used
     // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException

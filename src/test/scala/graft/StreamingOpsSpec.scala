@@ -1145,7 +1145,7 @@ class StreamingOpsSpec extends SparkSpec {
       (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
     val newDoc = Seq((4L, "elk elk apple")).toDF("doc_id", "text")
     val prefix = "graft_probe_bm25"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _)
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
@@ -1187,6 +1187,13 @@ class StreamingOpsSpec extends SparkSpec {
           TA.tokens(col("text")), prefix, buckets = 2)
         input.addData((101L, "elk"), (102L, "apple cherry"))
         q.processAllAvailable()
+        // and a TAKEDOWN between batches: the tombstone delete is
+        // visible to the very next probe, no corpus re-reads either
+        Retrieval.deleteFromPostingsIndexTable(spark,
+          Seq(1L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+          batchId = Some(0L))
+        input.addData((103L, "apple cherry"))
+        q.processAllAvailable()
       } finally q.stop()
       def oneShot(c: org.apache.spark.sql.DataFrame, qs: Seq[(Long, String)]) =
         Retrieval.bm25TopK(c, "doc_id", TA.tokens(col("text")),
@@ -1195,7 +1202,8 @@ class StreamingOpsSpec extends SparkSpec {
           .select("query", "rank", "doc", "score_q6")
           .as[(Long, Long, Long, Long)].collect().toSet
       val batch1 = got.filter(_._1 == 100L).toSet
-      val batch2 = got.filter(_._1 != 100L).toSet
+      val batch2 = got.filter(r => r._1 == 101L || r._1 == 102L).toSet
+      val batch3 = got.filter(_._1 == 103L).toSet
       // batch 1 scored against the 3-doc table state
       assert(batch1 === oneShot(corpus, Seq((100L, "apple cherry"))))
       // batch 2 sees the appended doc: the elk query retrieves doc 4,
@@ -1205,6 +1213,14 @@ class StreamingOpsSpec extends SparkSpec {
         Seq((101L, "elk"), (102L, "apple cherry"))))
       assert(batch2.exists(r => r._1 == 101L && r._3 == 4L),
         "the appended doc must be retrievable in the next batch")
+      // batch 3 sees the takedown: the same query re-scored over the
+      // surviving corpus exactly (df/N/avg-length all shrunk), and
+      // the deleted doc is gone from the lists
+      assert(batch3 === oneShot(
+        corpus.filter(col("doc_id") =!= 1L).unionByName(newDoc),
+        Seq((103L, "apple cherry"))))
+      assert(batch3.nonEmpty && !batch3.exists(_._3 == 1L),
+        "a deleted doc must not be retrievable in the next batch")
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
@@ -1221,7 +1237,7 @@ class StreamingOpsSpec extends SparkSpec {
       (((i * 7 + j * 5) % 9) - 4).toFloat)
     val prefix = "graft_rerank_bm25"
     val embTable = "graft_rerank_emb"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _) :+ embTable
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
@@ -1313,7 +1329,7 @@ class StreamingOpsSpec extends SparkSpec {
     val corpusVecs = Seq(1L, 2L, 3L, 4L)
       .map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
     val prefix = "graft_hybrid_bm25"
-    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats")
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
       .map(prefix + _)
     try {
       Retrieval.createPostingsIndexTable(corpus, "doc_id",
@@ -1383,6 +1399,72 @@ class StreamingOpsSpec extends SparkSpec {
       val top100 = got.filter(_._1 == 100L).minBy(_._2)
       assert(top100._4 > math.floor(1000000.0 / 61).toLong,
         s"expected a consensus boost for query 100: $top100")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("hybrid takedown: a doc deleted from BOTH spaces (postings " +
+    "tables + IVF index) never resurfaces through hybridProbe, and " +
+    "the fused lists equal a frozen-quantizer rebuild over the " +
+    "survivors") {
+    import graft.operators.{Retrieval, Similarity, TextAnalysis => TA}
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    def vecOf(i: Long) = Array.tabulate(3)(j =>
+      (((i * 13 + j * 7) % 9) - 4).toFloat)
+    val corpusVecs = Seq(1L, 2L, 3L, 4L)
+      .map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+    val prefix = "graft_hybrid_takedown"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax",
+      "_stats", "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      val ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+        nCentroids = 2, persistIndex = false)
+      // the victim's OWN text and vector as the query — the hardest
+      // case: both spaces consider it the best match
+      val qdf = Seq((200L, "cherry cherry cherry dog", vecOf(3L)))
+        .toDF("query_id", "text", "qv")
+      def fused(ix: Similarity.IvfIndex) =
+        StreamingOps.hybridProbe(qdf, "query_id",
+            TA.tokens(col("text")), "qv", prefix, ix,
+            kRetrieve = 10, k = 4, nProbe = 2)
+          .select("query", "rank", "doc", "rrf_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fused(ivf).exists(_._3 == 3L),
+        "pre-delete, the victim must be in the fused list")
+      // the takedown, applied to BOTH retrieval spaces
+      Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(0L))
+      val ivfDel = Similarity.deleteFromIvfIndex(ivf,
+        Seq(3L).toDF("vec_id"), "vec_id")
+      val after = fused(ivfDel)
+      assert(after.nonEmpty && !after.exists(_._3 == 3L),
+        "post-delete, the victim must be gone from the fused list")
+      // delete == rebuild at the FUSED level: fresh postings tables
+      // over the survivors + the same-quantizer IVF over the
+      // survivors fuse to the identical lists
+      val survivors = corpus.filter(col("doc_id") =!= 3L)
+      val survVecs = corpusVecs.filter(col("vec_id") =!= 3L)
+      val prefix2 = prefix + "_rb"
+      val tables2 = Seq("_postings", "_doclen", "_dfreq", "_tfmax",
+        "_stats", "_tombstones").map(prefix2 + _)
+      try {
+        Retrieval.createPostingsIndexTable(survivors, "doc_id",
+          TA.tokens(col("text")), prefix2, buckets = 2)
+        val ivfSurv = Similarity.appendToIvfIndex(
+          Similarity.IvfIndex(ivf.cents, ivf.assigned.limit(0)),
+          survVecs, "vec_id", "embedding")
+        val want = StreamingOps.hybridProbe(qdf, "query_id",
+            TA.tokens(col("text")), "qv", prefix2, ivfSurv,
+            kRetrieve = 10, k = 4, nProbe = 2)
+          .select("query", "rank", "doc", "rrf_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(after === want)
+      } finally tables2.foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
