@@ -456,6 +456,80 @@ object StreamingOps {
     batch.write.mode("overwrite").parquet(part.toString)
   }
 
+  private val PurgeSuffix = "__purging"
+
+  /** Purge taken-down documents from the LANDED corpus itself — the
+    * final leg of the takedown: the retrieval indexes stop SERVING a
+    * victim ([[graft.operators.Retrieval.deleteFromPostingsIndexTable]],
+    * the ANN deletes), but a privacy/licensing removal also requires
+    * the bytes to leave storage. Because [[writeBatchIdempotent]]
+    * lands every micro-batch in its own `batch_id=N` directory, a
+    * victim's rows live in exactly the partitions of the batches that
+    * admitted it — so the purge rewrites ONLY those directories
+    * (cost bounded by the victims' own batch sizes, never a corpus
+    * pass; the batch_id=N partition column is directory-derived, so
+    * untouched batches keep their files byte-identical).
+    *
+    * Per affected partition the rewrite is crash-safe in the
+    * rewriteBucketed style: filtered rows land in `batch_id=N__purging`
+    * first, then the live directory is deleted and the staging
+    * renamed. Every entry scans for leftovers FIRST: staging with
+    * live missing (died between delete and rename) finishes the swap
+    * — the staging copy IS the purged form; staging with live present
+    * (died before the delete) discards the staging and re-derives it.
+    * Re-purging the same ids is a no-op (their partitions no longer
+    * match), so the call is idempotent. Returns the number of rows
+    * removed.
+    *
+    * NOTE the deliberate asymmetry with the door's indexes: the
+    * digest/banded tables retain the victims' SIGNATURES (hashes, not
+    * content) so the taken-down bytes stay refused if they arrive
+    * again — purging the landing is compatible with that, because
+    * signatures are not the document. Single-writer: run from the
+    * maintenance owner, never concurrently with the ingest loop's
+    * landing writes. */
+  def purgeFromLanding(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, ids: DataFrame,
+                       idCol: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    // crash recovery before anything reads the root
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(PurgeSuffix))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          st.getPath.getName.stripSuffix(PurgeSuffix))
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+      }
+    if (fs.listStatus(root).isEmpty) return 0L
+    // victims materialize BEFORE any rewrite: the id frame may itself
+    // derive from the corpus being rewritten
+    val victims = ids.select(col(idCol).as("__pid")).distinct()
+      .localCheckpoint(true)
+    val corpus = spark.read.parquet(dir)
+    val affected = corpus
+      .join(victims, corpus(idCol) === victims("__pid"))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    var purged = 0L
+    affected.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(root, s"batch_id=$b")
+      val staging = new org.apache.hadoop.fs.Path(root,
+        s"batch_id=$b$PurgeSuffix")
+      // every read of `live` completes before its delete below, so no
+      // checkpoint is needed on the partition rows themselves
+      val rows = spark.read.parquet(live.toString)
+      val kept = rows.join(victims,
+        rows(idCol) === victims("__pid"), "left_anti")
+      purged += rows.count() - kept.count()
+      kept.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(live, true)
+      fs.rename(staging, live)
+    }
+    purged
+  }
+
   /** Per-doc door scores for [[admitAtDoor]], exposed for parity
     * testing: quality (any BIGINT Q8 score expression, typically
     * [[graft.operators.TextAnalysis.linearModelQ8]]) plus shingle

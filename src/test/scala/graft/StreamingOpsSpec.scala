@@ -1562,4 +1562,61 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("purgeFromLanding rewrites ONLY the victims' own batch " +
+    "partitions, is idempotent, and recovers a crashed swap") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files.createTempDirectory("graft-purge")
+    val dir = root.toString
+    def land(b: Long, rows: (Long, String)*): Unit =
+      StreamingOps.writeBatchIdempotent(
+        rows.toDF("doc_id", "text"), b, dir)
+    def landedIds(): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    def fileSig(b: Long): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"batch_id=$b")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(s =>
+        (s.getPath.getName, s.getModificationTime)).toSet
+    }
+    land(0L, (1L, "alpha"), (2L, "beta"))
+    land(1L, (3L, "gamma"), (4L, "delta"))
+    land(2L, (5L, "epsilon"))
+    val sig0 = fileSig(0L)
+    val sig2 = fileSig(2L)
+    // victim 3 lives in batch 1; id 99 is absent — only batch 1 may
+    // be rewritten, and exactly one row leaves
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(3L, 99L).toDF("doc_id"), "doc_id") === 1L)
+    assert(landedIds() === Set(1L, 2L, 4L, 5L))
+    assert(fileSig(0L) === sig0 && fileSig(2L) === sig2,
+      "untouched batches must keep their files byte-identical")
+    // idempotent: the victim is gone, so nothing matches
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(3L).toDF("doc_id"), "doc_id") === 0L)
+    assert(landedIds() === Set(1L, 2L, 4L, 5L))
+    // purge a whole partition to empty — readers keep working
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(5L).toDF("doc_id"), "doc_id") === 1L)
+    assert(landedIds() === Set(1L, 2L, 4L))
+    // crashed swap, variant A: died between delete and rename — the
+    // staging dir holds the only copy; the next call restores it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "batch_id=0"),
+      new org.apache.hadoop.fs.Path(dir, "batch_id=0__purging"))
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      spark.emptyDataset[Long].toDF("doc_id"), "doc_id") === 0L)
+    assert(landedIds() === Set(1L, 2L, 4L))
+    // crashed swap, variant B: died before the delete — live AND
+    // staging present; the stale staging is discarded, live wins
+    land(3L, (7L, "zeta"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=3__purging"))
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(7L).toDF("doc_id"), "doc_id") === 1L)
+    assert(landedIds() === Set(1L, 2L, 4L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=3__purging")))
+  }
 }
