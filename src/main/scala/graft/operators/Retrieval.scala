@@ -815,6 +815,52 @@ object Retrieval {
     Seq(postingsTable(prefix), doclenTable(prefix),
       dfreqTable(prefix), tfmaxTable(prefix), statsTable(prefix))
 
+  /** Takedown audit — auditable erasure, the report a compliance
+    * owner files after [[deleteFromPostingsIndexTable]]: one row per
+    * requested id with what each surface of the staged index still
+    * holds.
+    *
+    *   - `serving_rows`: rows the PROBES can still see (the
+    *     tombstone-filtered doclen view — every probe inner-joins
+    *     through it, so 0 here means NO query can score the doc,
+    *     independent of compaction);
+    *   - `physical_rows`: raw postings + doclen rows still on storage
+    *     (nonzero between the delete and the compaction that applies
+    *     the tombstones — "silenced but not yet erased");
+    *   - `tombstoned`: whether the id is tombstoned — distinguishes
+    *     "deleted, awaiting compaction" from "never present".
+    *
+    * A victim reads (0, n, true) right after the delete and
+    * (0, 0, false) after maintenance compacts; a live doc reads
+    * (1, terms+1, false); an unknown id (0, 0, false). Scale shape:
+    * the request set is takedown-sized and joins INTO each table
+    * before any aggregation (runtime filter pushdown thins the
+    * term-bucketed postings scan), so every aggregate is
+    * victim-bounded — never a corpus pass. The landing layer has its
+    * own check: count the ids in the corpus root after
+    * [[graft.streaming.StreamingOps.purgeFromLanding]]. */
+  def takedownAudit(spark: org.apache.spark.sql.SparkSession,
+                    ids: DataFrame, idCol: String,
+                    prefix: String): DataFrame = {
+    val req = ids.select(col(idCol).as("doc")).distinct()
+    val serving = loadPostingsIndex(spark, prefix).doclen
+      .select("doc").join(req, "doc")
+      .groupBy("doc").agg(count(lit(1)).as("serving_rows"))
+    val phys = spark.table(postingsTable(prefix)).select("doc")
+      .unionByName(spark.table(doclenTable(prefix)).select("doc"))
+      .join(req, "doc")
+      .groupBy("doc").agg(count(lit(1)).as("physical_rows"))
+    val tomb = spark.table(tombTable(prefix)).select("doc").distinct()
+      .withColumn("__t", lit(true))
+    req.join(serving, Seq("doc"), "left")
+      .join(phys, Seq("doc"), "left")
+      .join(tomb, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("serving_rows"), lit(0L)).as("serving_rows"),
+        coalesce(col("physical_rows"), lit(0L)).as("physical_rows"),
+        coalesce(col("__t"), lit(false)).as("tombstoned"))
+  }
+
   /** The tables a targeted delete writes: its tombstones plus the two
     * ADDITIVE states it must correct (df and corpus stats). Postings,
     * doclen and tfmax are untouched until compaction — see

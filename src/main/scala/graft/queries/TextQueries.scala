@@ -1095,6 +1095,40 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_retrieval_takedown_audit" -> ((s, d) => {
+      // Proof of erasure, oracle-checked: build the postings tables,
+      // gated-delete doc_id % 7 == 0, then audit a MIXED request set
+      // (the victims plus the % 50 == 0 docs). The oracle computes
+      // each surface independently in DuckDB: a victim reads
+      // (serving 0, physical terms+1, tombstoned) — silenced
+      // instantly, erased at the next compaction — while a live doc
+      // reads (1, terms+1, not tombstoned). The %350 == 0 ids sit in
+      // BOTH classes and must read as victims.
+      val docs = t(s, d, "documents")
+      val prefix = "graft_bm25_audit"
+      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+          "_tombstones")
+        .map(prefix + _).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      graft.operators.Retrieval.createPostingsIndexTable(
+        docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
+      graft.operators.Retrieval.deleteFromPostingsIndexTable(
+        s, docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        "doc_id", prefix, buckets = 8, batchId = Some(0L))
+      val req = docs
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 50 === 0)
+        .select("doc_id")
+      graft.operators.Retrieval.takedownAudit(s, req, "doc_id", prefix)
+        .select(col("doc").as("doc_id"), col("serving_rows"),
+          col("physical_rows"), col("tombstoned"))
+        .orderBy("doc_id")
+    }),
+
     "q_retrieval_rerank" -> ((s, d) => {
       // The retrieve-then-rerank funnel: BM25 top-50 candidates per
       // seed query (stage 1, lexical recall — the q_text_bm25 task at
@@ -1394,6 +1428,27 @@ object TextQueries {
     * a deleted doc may ask, never answer. */
   private val bm25DeletedOracleSql: String =
     bm25CoreCtesOver(" WHERE doc_id % 7 <> 0") + bm25TopTail
+
+  /** The erasure-audit oracle: each surface computed independently —
+    * a victim is silenced (serving 0) but not yet erased (physical =
+    * distinct terms + the doclen row) and tombstoned; a live doc
+    * serves 1 row, holds the same physical shape, no tombstone. */
+  private val takedownAuditOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |nterms AS (
+      |  SELECT doc_id, count(DISTINCT term) AS nt FROM t GROUP BY 1),
+      |req AS (
+      |  SELECT doc_id, (doc_id % 7 = 0) AS victim FROM documents
+      |  WHERE doc_id % 7 = 0 OR doc_id % 50 = 0)
+      |SELECT r.doc_id,
+      |  CAST(CASE WHEN r.victim THEN 0 ELSE 1 END AS BIGINT)
+      |    AS serving_rows,
+      |  CAST(n.nt + 1 AS BIGINT) AS physical_rows,
+      |  r.victim AS tombstoned
+      |FROM req r JOIN nterms n USING (doc_id)
+      |ORDER BY r.doc_id""".stripMargin
 
   /** Retrieve-then-rerank oracle: BM25 top-50 candidates (self
     * excluded), exact cosine between the query doc's embedding and
@@ -2322,6 +2377,7 @@ object TextQueries {
     "q_text_bm25_staged" -> bm25OracleSql,
     // takedown: the same SQL over the surviving corpus only
     "q_text_bm25_deleted" -> bm25DeletedOracleSql,
+    "q_retrieval_takedown_audit" -> takedownAuditOracleSql,
 
     "q_retrieval_rerank" -> rerankOracleSql,
 

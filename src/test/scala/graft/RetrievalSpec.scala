@@ -628,6 +628,39 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("takedownAudit reports each surface through the erasure " +
+    "lifecycle: live → silenced-but-physical → erased; unknown ids " +
+    "read all-zero") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val prefix = "graft_bm25_audit_spec"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    def audit() = Retrieval.takedownAudit(spark,
+        Seq(1L, 3L, 99L).toDF("doc_id"), "doc_id", prefix)
+      .select("doc", "serving_rows", "physical_rows", "tombstoned")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      // doc 1: {apple, banana} → 2 postings + 1 doclen = 3 physical;
+      // doc 3: {cherry, dog} → 3 physical
+      assert(audit() === Set(
+        (1L, 1L, 3L, false), (3L, 1L, 3L, false), (99L, 0L, 0L, false)))
+      Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(0L))
+      // silenced instantly (serving 0), bytes still on storage,
+      // tombstone distinguishes "deleted" from "never present"
+      assert(audit() === Set(
+        (1L, 1L, 3L, false), (3L, 0L, 3L, true), (99L, 0L, 0L, false)))
+      assert(Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
+      // erased: compaction removed the bytes and cleared the tombstone
+      assert(audit() === Set(
+        (1L, 1L, 3L, false), (3L, 0L, 0L, false), (99L, 0L, 0L, false)))
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("PostingsIndex lifecycle: appends pin one frame each; " +
     "checkpointed() releases them and preserves every table") {
     import graft.operators.Retrieval
