@@ -104,7 +104,19 @@ object Retrieval {
     // lifecycle: session clearCache, the Keywords/tfidfTopK stance
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val doclen = tf.groupBy("doc").agg(sum("tf").as("len"))
+    // doclen is the live-doc REGISTRY, not just a tf aggregate: a doc
+    // whose token expression is NULL (NULL text under the repo's
+    // "tokens(NULL) = NULL" contract) has no postings rows but still
+    // counts in n_docs — it must carry a (doc, 0) row here, or the
+    // takedown path could never resolve it (deletes and the erasure
+    // audit resolve against doclen) and its n_docs contribution would
+    // be undeletable. Probe-neutral: a len-0 doc matches no term and
+    // adds 0 to tot_len. Costs one corpus-keyed left join at BUILD
+    // time only, never per probe.
+    val doclen = corpus.select(col(idCol).as("doc"))
+      .join(tf.groupBy("doc").agg(sum("tf").as("__len")),
+        Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N from the corpus frame itself (not the tf table) so the
     // contract survives operators that could one day emit no tokens
@@ -136,7 +148,12 @@ object Retrieval {
     val terms = batch.select(col(idCol).as("doc"), explode(toks).as("term"))
     val newTf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newLen = newTf.groupBy("doc").agg(sum("tf").as("len"))
+    // the registry form, like the build: token-less batch docs get a
+    // (doc, 0) row so they stay deletable/auditable
+    val newLen = batch.select(col(idCol).as("doc"))
+      .join(newTf.groupBy("doc").agg(sum("tf").as("__len")),
+        Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
     val newDf = newTf.groupBy("term").agg(count(lit(1)).as("df"))
     val newStats = batch.select(count(lit(1)).as("n_docs"))
       .crossJoin(newLen.select(

@@ -1431,8 +1431,11 @@ object TextQueries {
 
   /** The erasure-audit oracle: each surface computed independently —
     * a victim is silenced (serving 0) but not yet erased (physical =
-    * distinct terms + the doclen row) and tombstoned; a live doc
-    * serves 1 row, holds the same physical shape, no tombstone. */
+    * distinct terms + the doclen registry row) and tombstoned; a live
+    * doc serves 1 row, holds the same physical shape, no tombstone.
+    * LEFT join + coalesce because a NULL-text doc has no term rows
+    * yet still holds its registry row (nt = 0, physical = 1) — the
+    * nullcheck gate injects exactly that shape. */
   private val takedownAuditOracleSql: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -1445,9 +1448,9 @@ object TextQueries {
       |SELECT r.doc_id,
       |  CAST(CASE WHEN r.victim THEN 0 ELSE 1 END AS BIGINT)
       |    AS serving_rows,
-      |  CAST(n.nt + 1 AS BIGINT) AS physical_rows,
+      |  CAST(COALESCE(n.nt, 0) + 1 AS BIGINT) AS physical_rows,
       |  r.victim AS tombstoned
-      |FROM req r JOIN nterms n USING (doc_id)
+      |FROM req r LEFT JOIN nterms n USING (doc_id)
       |ORDER BY r.doc_id""".stripMargin
 
   /** Retrieve-then-rerank oracle: BM25 top-50 candidates (self
