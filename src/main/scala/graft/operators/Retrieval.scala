@@ -942,7 +942,13 @@ object Retrieval {
     * content identical to a single delivery. Single-writer: deletes
     * serialize with appends in the ingest loop; maintenance never runs
     * while a delete is crashed-but-uncommitted (the append's cadence
-    * contract, verbatim). */
+    * contract, verbatim).
+    *
+    * The in-memory [[PostingsIndex]] has no delete twin on purpose:
+    * that form is the within-job tense, where a takedown is simply
+    * `postingsIndex(corpus.filter(!victim), …)` — tombstones exist to
+    * avoid rewriting STAGED state, which the DataFrame form has none
+    * of. */
   def deleteFromPostingsIndexTable(spark: org.apache.spark.sql.SparkSession,
                                    docs: DataFrame, idCol: String,
                                    prefix: String, buckets: Int,
@@ -1029,7 +1035,11 @@ object Retrieval {
     * recomputes tf_max from the postings (the partials merge
     * vocabulary-sized, exchange-free over the term-bucketed scan,
     * exactly like dfreq). Equals `pruneBounds` of a from-scratch
-    * index over the same corpus (spec-pinned). */
+    * index over the same corpus (spec-pinned) — EXCEPT between a
+    * [[deleteFromPostingsIndexTable]] and the compaction that applies
+    * it, when affected terms read stale-HIGH: still valid upper
+    * bounds (pruning stays exact, only weaker), restored exactly by
+    * the compaction's recompute. */
   def loadPruneBounds(spark: org.apache.spark.sql.SparkSession,
                       prefix: String): DataFrame =
     mergeTfMaxPartials(spark.table(tfmaxTable(prefix)))

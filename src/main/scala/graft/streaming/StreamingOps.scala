@@ -465,10 +465,15 @@ object StreamingOps {
     * the bytes to leave storage. Because [[writeBatchIdempotent]]
     * lands every micro-batch in its own `batch_id=N` directory, a
     * victim's rows live in exactly the partitions of the batches that
-    * admitted it — so the purge rewrites ONLY those directories
-    * (cost bounded by the victims' own batch sizes, never a corpus
-    * pass; the batch_id=N partition column is directory-derived, so
-    * untouched batches keep their files byte-identical).
+    * admitted it — so the REWRITE touches only those directories
+    * (bounded by the victims' own batch sizes; the batch_id=N
+    * partition column is directory-derived, so untouched batches
+    * keep their files byte-identical). DISCOVERING the affected
+    * partitions is one column-pruned scan of the landing's id column
+    * — honest cost accounting: a deployment purging at high
+    * frequency should maintain an (id → batch_id) lookup at admit
+    * time and filter to it upstream; at takedown cadence the pruned
+    * scan is the simpler correct tool.
     *
     * Per affected partition the rewrite is crash-safe in the
     * rewriteBucketed style: filtered rows land in `batch_id=N__purging`
