@@ -65,7 +65,8 @@ object Retrieval {
     * postings only through the term equi-join.
     *
     * `pinned` tracks the frames this index holds persisted (the base
-    * tf table plus one per append) so the caller owns the lifecycle:
+    * build's tf + doclen, plus a tf + len pair per append) so the
+    * caller owns the lifecycle:
     * [[unpersist]] when the index is retired, or [[checkpointed]] on
     * a batch cadence to cut both the pinned cache entries and the
     * union lineage an in-memory append run accumulates. The TABLE
@@ -104,27 +105,35 @@ object Retrieval {
     // lifecycle: session clearCache, the Keywords/tfidfTopK stance
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // doclen is the live-doc REGISTRY, not just a tf aggregate: a doc
-    // whose token expression is NULL (NULL text under the repo's
-    // "tokens(NULL) = NULL" contract) has no postings rows but still
-    // counts in n_docs — it must carry a (doc, 0) row here, or the
-    // takedown path could never resolve it (deletes and the erasure
-    // audit resolve against doclen) and its n_docs contribution would
-    // be undeletable. Probe-neutral: a len-0 doc matches no term and
-    // adds 0 to tot_len. Costs one corpus-keyed left join at BUILD
-    // time only, never per probe.
-    val doclen = corpus.select(col(idCol).as("doc"))
-      .join(tf.groupBy("doc").agg(sum("tf").as("__len")),
-        Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
+    // doclen is the live-doc REGISTRY (see registryDoclen), PERSISTED
+    // like tf: its plan joins the raw corpus frame, and without the
+    // cache every probe of an in-memory index would re-scan the
+    // corpus per action (the table tense materializes it anyway).
+    val doclen = registryDoclen(corpus, idCol, tf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N from the corpus frame itself (not the tf table) so the
     // contract survives operators that could one day emit no tokens
     val stats = corpus.select(count(lit(1)).as("n_docs"))
       .crossJoin(doclen.select(
         coalesce(sum("len"), lit(0L)).as("tot_len")))
-    PostingsIndex(tf, doclen, dfreq, stats, pinned = Seq(tf))
+    PostingsIndex(tf, doclen, dfreq, stats, pinned = Seq(tf, doclen))
   }
+
+  /** The live-doc REGISTRY form of doclen, shared by the build and
+    * append tenses: a doc whose token expression is NULL (NULL text
+    * under the repo's "tokens(NULL) = NULL" contract) has no postings
+    * rows but still counts in n_docs — it must carry a (doc, 0) row,
+    * or the takedown path could never resolve it (deletes and the
+    * erasure audit resolve against doclen) and its n_docs
+    * contribution would be undeletable. Probe-neutral: a len-0 doc
+    * matches no term and adds 0 to tot_len. */
+  private def registryDoclen(frame: DataFrame, idCol: String,
+                             tf: DataFrame): DataFrame =
+    frame.select(col(idCol).as("doc"))
+      .join(tf.groupBy("doc").agg(sum("tf").as("__len")),
+        Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
 
   /** Fold an admitted batch into the index. Caller contract (shared
     * with every append in this repo): `batch` doc ids are NOT already
@@ -133,8 +142,8 @@ object Retrieval {
     * corpus-sized side), df merges vocabulary-sized, stats merge
     * 1-row×1-row; append == rebuild row-identical (RetrievalSpec).
     *
-    * Long-run lineage: each append adds one union layer (and pins one
-    * batch-sized tf frame — tracked in `pinned`), so after thousands
+    * Long-run lineage: each append adds one union layer (and pins a
+    * batch-sized tf + len pair — tracked in `pinned`), so after thousands
     * of micro-batches the postings PLAN is a deep union tree — the
     * same axis the dedup indexes resolve by living as bucketed
     * TABLES. A long-lived deployment lands appends in
@@ -148,12 +157,12 @@ object Retrieval {
     val terms = batch.select(col(idCol).as("doc"), explode(toks).as("term"))
     val newTf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the registry form, like the build: token-less batch docs get a
-    // (doc, 0) row so they stay deletable/auditable
-    val newLen = batch.select(col(idCol).as("doc"))
-      .join(newTf.groupBy("doc").agg(sum("tf").as("__len")),
-        Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
+    // the registry form, like the build (token-less batch docs get a
+    // (doc, 0) row so they stay deletable/auditable), persisted so
+    // the growing doclen union does not re-scan every batch frame on
+    // every probe action
+    val newLen = registryDoclen(batch, idCol, newTf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newDf = newTf.groupBy("term").agg(count(lit(1)).as("df"))
     val newStats = batch.select(count(lit(1)).as("n_docs"))
       .crossJoin(newLen.select(
@@ -167,7 +176,7 @@ object Retrieval {
           .select(col("n_docs").as("add_n"), col("tot_len").as("add_len"))))
         .select((col("n_docs") + col("add_n")).as("n_docs"),
           (col("tot_len") + col("add_len")).as("tot_len")),
-      pinned = ix.pinned :+ newTf)
+      pinned = ix.pinned :+ newTf :+ newLen)
   }
 
   // ---- the ONE scoring arithmetic, shared by the exhaustive and
@@ -832,6 +841,13 @@ object Retrieval {
     Seq(postingsTable(prefix), doclenTable(prefix),
       dfreqTable(prefix), tfmaxTable(prefix), statsTable(prefix))
 
+  /** Every table a postings-index prefix owns, tombstones included —
+    * the ONE list callers use to drop or refresh the whole family
+    * (harness cleanup, cross-session refreshTable loops), so adding a
+    * table to the layout cannot silently miss a cleanup site. */
+  def indexTableNames(prefix: String): Seq[String] =
+    allTables(prefix) :+ tombTable(prefix)
+
   /** Takedown audit — auditable erasure, the report a compliance
     * owner files after [[deleteFromPostingsIndexTable]]: one row per
     * requested id with what each surface of the staged index still
@@ -867,8 +883,13 @@ object Retrieval {
       .unionByName(spark.table(doclenTable(prefix)).select("doc"))
       .join(req, "doc")
       .groupBy("doc").agg(count(lit(1)).as("physical_rows"))
-    val tomb = spark.table(tombTable(prefix)).select("doc").distinct()
-      .withColumn("__t", lit(true))
+    // pre-tombstone indexes (the loadPostingsIndex guard's case)
+    // simply have no deletes — the audit must report on them, not
+    // throw on its first takedown request
+    val tomb = (if (spark.catalog.tableExists(tombTable(prefix)))
+        spark.table(tombTable(prefix)).select("doc")
+      else req.select("doc").limit(0))
+      .distinct().withColumn("__t", lit(true))
     req.join(serving, Seq("doc"), "left")
       .join(phys, Seq("doc"), "left")
       .join(tomb, Seq("doc"), "left")
@@ -944,6 +965,18 @@ object Retrieval {
     * while a delete is crashed-but-uncommitted (the append's cadence
     * contract, verbatim).
     *
+    * The UNGATED path (batchId = None) has a documented half-applied
+    * window: a crash between the tombstone append and the negative
+    * df/stats partials leaves those sums overstated, and the retry is
+    * a no-op (the victims already read as tombstoned). The drift is
+    * TRANSIENT, not permanent: serving is already correct (tombstoned
+    * docs cannot score), and the next tombstone-triggered compaction
+    * RECOMPUTES df/tfmax/stats from the cleaned base tables rather
+    * than merging partials, restoring rebuild-exact state whatever
+    * partials landed (spec-pinned). Callers without their own
+    * exactly-once delivery should still prefer the gated form — it
+    * closes the window entirely.
+    *
     * The in-memory [[PostingsIndex]] has no delete twin on purpose:
     * that form is the within-job tense, where a takedown is simply
     * `postingsIndex(corpus.filter(!victim), …)` — tombstones exist to
@@ -957,6 +990,15 @@ object Retrieval {
       require(id >= 0, s"gated batch ids are non-negative, got $id")
       deletePid(id)
     }.getOrElse(BasePartition)
+    // an index created before the tombstone table shipped gets one
+    // lazily on its first delete — same schema and layout as
+    // createPostingsIndexTable writes
+    if (!spark.catalog.tableExists(tombTable(prefix)))
+      graft.sources.BucketedTables.writeBucketed(
+        spark.table(doclenTable(prefix)).select("doc").limit(0)
+          .withColumn("batch_id", lit(BasePartition)),
+        tombTable(prefix), buckets, Seq("doc"),
+        partitionCols = Seq("batch_id"))
     batchId.foreach { _ =>
       deleteTables(prefix).foreach(t => spark.sql(
         s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$pid)"))
@@ -1081,27 +1123,62 @@ object Retrieval {
     graft.sources.BucketedTables.rewriteBucketed(
       spark, doclenTable(prefix), buckets, Seq("doc"), part)(
       df => collapseBatches(applyTomb(df)))
-    graft.sources.BucketedTables.rewriteBucketed(
-      spark, dfreqTable(prefix), buckets, Seq("term"), part)(
-      mergeDfPartials)
-    if (tombPending)
-      // max-of-maxes cannot un-count a deleted doc, so with deletes
-      // pending the exact bounds are RECOMPUTED from the now-clean
-      // postings table (one postings pass at maintenance cadence) —
-      // this is where the pruning power a delete degraded comes back
+    if (tombPending) {
+      // with deletes pending, every DERIVED state is RECOMPUTED from
+      // the now-clean base tables instead of merged from partials —
+      // not just because max-of-maxes cannot un-count a deleted doc
+      // (tfmax), but as the SELF-HEALING property: an ungated delete
+      // that crashed between its tombstone append and its negative
+      // df/stats partials leaves those sums overstated, and a partial
+      // MERGE would freeze the drift forever, while a recompute from
+      // postings/doclen (which the tombstone anti-join just cleaned)
+      // restores rebuild-exact state no matter what partials landed.
+      // One postings pass + one doclen pass, at maintenance cadence.
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, dfreqTable(prefix), buckets, Seq("term"), part)(
+        _ => spark.table(postingsTable(prefix))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("batch_id", lit(BasePartition)))
       graft.sources.BucketedTables.rewriteBucketed(
         spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
         _ => spark.table(postingsTable(prefix))
           .groupBy("term").agg(max("tf").as("tf_max"))
           .withColumn("batch_id", lit(BasePartition)))
-    else
-      graft.sources.BucketedTables.rewriteBucketed(
-        spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
-        mergeTfMaxPartials)
-    if (tombPending)
+      // stats heal by a CORRECTION PARTIAL (the table's own append
+      // protocol — no new swap machinery): true values from the clean
+      // doclen registry vs the current partial sum; a zero diff (the
+      // gated path's normal case) appends nothing, and a crash
+      // anywhere re-derives the diff next cadence
+      val truth = spark.table(doclenTable(prefix))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("len"), lit(0L)).as("tot_len"))
+        .collect()(0)
+      val cur = spark.table(statsTable(prefix))
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("tot_len"), lit(0L)).as("tot_len"))
+        .collect()(0)
+      val (dN, dL) =
+        (truth.getLong(0) - cur.getLong(0),
+          truth.getLong(1) - cur.getLong(1))
+      if (dN != 0L || dL != 0L) {
+        import spark.implicits._
+        Seq((dN, dL)).toDF("n_docs", "tot_len")
+          .withColumn("batch_id", lit(BasePartition))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").partitionBy("batch_id")
+          .saveAsTable(statsTable(prefix))
+      }
       graft.sources.BucketedTables.rewriteBucketed(
         spark, tombTable(prefix), buckets, Seq("doc"), part)(
         _.filter(lit(false)))
+    } else {
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, dfreqTable(prefix), buckets, Seq("term"), part)(
+        mergeDfPartials)
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
+        mergeTfMaxPartials)
+    }
   }
 
   /** Audit-gated tense of [[compactPostingsIndexTable]]

@@ -16,6 +16,22 @@ object TextQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Harness hygiene for the table-building BM25 queries, in ONE
+    * place (the table list comes from Retrieval so a layout change
+    * cannot miss a cleanup site): a PREVIOUS JVM's run leaves the
+    * warehouse directories behind while this session's in-memory
+    * catalog is empty, and Spark refuses to CREATE a managed table
+    * over an orphaned location — drop both the catalog entries and
+    * any stale directories first. */
+  private def dropBm25Tables(s: SparkSession, prefix: String): Unit =
+    graft.operators.Retrieval.indexTableNames(prefix).foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
   // ONE cap shared by q_dedup_simhash_banded and its audit query —
@@ -1025,19 +1041,7 @@ object TextQueries {
       // overwrite-idempotent, so reruns in one session are safe.
       val docs = t(s, d, "documents")
       val prefix = "graft_bm25_serving"
-      // harness hygiene, not operator semantics: a PREVIOUS JVM's run
-      // leaves the warehouse directories behind while this session's
-      // in-memory catalog is empty, and Spark refuses to CREATE a
-      // managed table over an orphaned location — drop both the
-      // catalog entries and any stale directories first
-      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones")
-        .map(prefix + _).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+      dropBm25Tables(s, prefix)
       graft.operators.Retrieval.createPostingsIndexTable(
         docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
       val qs = docs.filter(col("doc_id") % 50 === 0)
@@ -1068,15 +1072,7 @@ object TextQueries {
       // input, not index state) but are never retrieved.
       val docs = t(s, d, "documents")
       val prefix = "graft_bm25_takedown"
-      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
-          "_tombstones")
-        .map(prefix + _).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+      dropBm25Tables(s, prefix)
       graft.operators.Retrieval.createPostingsIndexTable(
         docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
       graft.operators.Retrieval.deleteFromPostingsIndexTable(
@@ -1106,15 +1102,7 @@ object TextQueries {
       // BOTH classes and must read as victims.
       val docs = t(s, d, "documents")
       val prefix = "graft_bm25_audit"
-      Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
-          "_tombstones")
-        .map(prefix + _).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+      dropBm25Tables(s, prefix)
       graft.operators.Retrieval.createPostingsIndexTable(
         docs, "doc_id", TA.tokens(col("text")), prefix, buckets = 8)
       graft.operators.Retrieval.deleteFromPostingsIndexTable(

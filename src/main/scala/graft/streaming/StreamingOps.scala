@@ -457,6 +457,7 @@ object StreamingOps {
   }
 
   private val PurgeSuffix = "__purging"
+  private val TrashSuffix = "__purged"
 
   /** Purge taken-down documents from the LANDED corpus itself — the
     * final leg of the takedown: the retrieval indexes stop SERVING a
@@ -475,16 +476,22 @@ object StreamingOps {
     * time and filter to it upstream; at takedown cadence the pruned
     * scan is the simpler correct tool.
     *
-    * Per affected partition the rewrite is crash-safe in the
-    * rewriteBucketed style: filtered rows land in `batch_id=N__purging`
-    * first, then the live directory is deleted and the staging
-    * renamed. Every entry scans for leftovers FIRST: staging with
-    * live missing (died between delete and rename) finishes the swap
-    * — the staging copy IS the purged form; staging with live present
-    * (died before the delete) discards the staging and re-derives it.
-    * Re-purging the same ids is a no-op (their partitions no longer
-    * match), so the call is idempotent. Returns the number of rows
-    * removed.
+    * Per affected partition the swap uses only ATOMIC directory
+    * renames around the non-atomic operations: the filtered rows land
+    * in `batch_id=N__purging`, the live directory is renamed aside to
+    * `batch_id=N__purged` (atomic), the staging renamed into place
+    * (atomic), and only then is the trash directory deleted. A
+    * recursive delete of LIVE data never happens — the naive
+    * delete-then-rename protocol has a lost-survivors window (a crash
+    * mid-delete leaves live present-but-truncated, and recovery would
+    * discard the only complete staging copy). Every entry recovers
+    * leftovers FIRST: a trash dir means the live→aside rename
+    * committed, so the staging (or, conservatively, the trash) is
+    * authoritative; a staging dir with live present and no trash
+    * means the swap never started — the staging is discarded and
+    * re-derived. Re-purging the same ids is a no-op (their partitions
+    * no longer match), so the call is idempotent. Returns the number
+    * of rows removed.
     *
     * NOTE the deliberate asymmetry with the door's indexes: the
     * digest/banded tables retain the victims' SIGNATURES (hashes, not
@@ -499,11 +506,26 @@ object StreamingOps {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    // crash recovery before anything reads the root
+    def path(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    // crash recovery before anything reads the root. Trash first: its
+    // existence proves the atomic live→aside rename committed, so the
+    // purged staging copy is authoritative (or, if the staging rename
+    // also committed, the trash is just un-deleted garbage).
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(TrashSuffix))
+      .foreach { st =>
+        val base = st.getPath.getName.stripSuffix(TrashSuffix)
+        val (live, staging) = (path(base), path(base + PurgeSuffix))
+        if (!fs.exists(live)) {
+          if (fs.exists(staging)) fs.rename(staging, live)
+          else fs.rename(st.getPath, live) // unreachable; conservative
+        }
+        if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+      }
+    // staging with live present and no trash: the swap never started
+    // — the staging may be incomplete, the live dir is authoritative
     fs.listStatus(root).filter(_.getPath.getName.endsWith(PurgeSuffix))
       .foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(root,
-          st.getPath.getName.stripSuffix(PurgeSuffix))
+        val live = path(st.getPath.getName.stripSuffix(PurgeSuffix))
         if (!fs.exists(live)) fs.rename(st.getPath, live)
         else fs.delete(st.getPath, true)
       }
@@ -519,18 +541,23 @@ object StreamingOps {
       .collect().map(_.getLong(0))
     var purged = 0L
     affected.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(root, s"batch_id=$b")
-      val staging = new org.apache.hadoop.fs.Path(root,
-        s"batch_id=$b$PurgeSuffix")
-      // every read of `live` completes before its delete below, so no
-      // checkpoint is needed on the partition rows themselves
+      val live = path(s"batch_id=$b")
+      val staging = path(s"batch_id=$b$PurgeSuffix")
+      val trash = path(s"batch_id=$b$TrashSuffix")
+      // one scan of the live partition: count, anti-join and write
+      // all read the cached rows
       val rows = spark.read.parquet(live.toString)
-      val kept = rows.join(victims,
-        rows(idCol) === victims("__pid"), "left_anti")
-      purged += rows.count() - kept.count()
-      kept.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(live, true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kept = rows.join(victims,
+          rows(idCol) === victims("__pid"), "left_anti")
+        purged += rows.count() - kept.count()
+        kept.write.mode("overwrite").parquet(staging.toString)
+      } finally rows.unpersist()
+      // atomic renames only — live data is never recursively deleted
+      fs.rename(live, trash)
       fs.rename(staging, live)
+      fs.delete(trash, true)
     }
     purged
   }

@@ -628,6 +628,55 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("half-applied ungated delete (tombstone landed, negative " +
+    "partials lost) self-heals at the tombstone-triggered " +
+    "compaction: df/stats recomputed from the cleaned base tables") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val prefix = "graft_bm25_halfdel"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      // simulate the ungated crash window: the tombstone for doc 2
+      // lands, the negative df/stats partials never do
+      graft.sources.BucketedTables.appendBucketed(
+        Seq(2L).toDF("doc").withColumn("batch_id", lit(-1L)),
+        prefix + "_tombstones", 2, Seq("doc"),
+        partitionCols = Seq("batch_id"))
+      val survivors = corpus.filter(col("doc_id") =!= 2L)
+      val fresh = Retrieval.postingsIndex(survivors, "doc_id",
+        toks(col("text")))
+      val qs = Seq((100L, "banana cherry")).toDF("query_id", "text")
+      def probeSet(ix: Retrieval.PostingsIndex) =
+        Retrieval.bm25TopKWith(ix, qs, "query_id",
+            toks(col("text")), k = 10)
+          .select("query", "rank", "doc", "score_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      // BEFORE compaction: serving is correct in WHICH docs appear
+      // (tombstoned docs cannot score) but df/N are overstated — the
+      // documented transient window
+      val staged0 = Retrieval.loadPostingsIndex(spark, prefix)
+      assert(!probeSet(staged0).exists(_._3 == 2L))
+      assert(staged0.stats.as[(Long, Long)].head()._1 === 3L,
+        "the half-applied window overstates n_docs (docs it: 3 not 2)")
+      // the pending tombstone triggers the healing compaction
+      assert(Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
+      val staged1 = Retrieval.loadPostingsIndex(spark, prefix)
+      assert(staged1.stats.as[(Long, Long)].collect().toSeq ===
+        fresh.stats.as[(Long, Long)].collect().toSeq,
+        "stats must be rebuild-exact after the healing compaction")
+      assert(staged1.dfreq.select("term", "df")
+          .as[(String, Long)].collect().toSet ===
+        fresh.dfreq.as[(String, Long)].collect().toSet,
+        "df must be rebuild-exact after the healing compaction")
+      assert(probeSet(staged1) === probeSet(fresh),
+        "probe == rebuild over the survivors after healing")
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("takedownAudit reports each surface through the erasure " +
     "lifecycle: live → silenced-but-physical → erased; unknown ids " +
     "read all-zero") {
@@ -661,15 +710,16 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
-  test("PostingsIndex lifecycle: appends pin one frame each; " +
-    "checkpointed() releases them and preserves every table") {
+  test("PostingsIndex lifecycle: build and appends pin their tf+len " +
+    "frames; checkpointed() releases them and preserves every table") {
     import graft.operators.Retrieval
     val base = Retrieval.postingsIndex(corpus, "doc_id",
       TA.tokens(col("text")))
     val b1 = Seq((4L, "dog cherry dog")).toDF("doc_id", "text")
     val appended = Retrieval.appendToPostingsIndex(base, b1, "doc_id",
       TA.tokens(col("text")))
-    assert(appended.pinned.size === 2, "base tf + one per append")
+    assert(appended.pinned.size === 4,
+      "base tf+doclen + a tf+len pair per append")
     val before = appended.postings.as[(Long, String, Long)]
       .collect().toSet
     val flat = appended.checkpointed()

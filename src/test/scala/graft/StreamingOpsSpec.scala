@@ -1608,8 +1608,9 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.purgeFromLanding(spark, dir,
       spark.emptyDataset[Long].toDF("doc_id"), "doc_id") === 0L)
     assert(landedIds() === Set(1L, 2L, 4L))
-    // crashed swap, variant B: died before the delete — live AND
-    // staging present; the stale staging is discarded, live wins
+    // crashed swap, variant B: died before the swap started — live
+    // AND (possibly incomplete) staging present, no trash; the stale
+    // staging is discarded, live wins
     land(3L, (7L, "zeta"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir,
       "batch_id=3__purging"))
@@ -1618,5 +1619,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(landedIds() === Set(1L, 2L, 4L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
       "batch_id=3__purging")))
+    // crashed swap, variant C: died between the two atomic renames —
+    // live is aside in __purged, the completed staging copy is
+    // authoritative; non-victim row 9 must survive
+    land(4L, (8L, "eta"), (9L, "theta"))
+    Seq((9L, "theta")).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/batch_id=4__purging")
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "batch_id=4"),
+      new org.apache.hadoop.fs.Path(dir, "batch_id=4__purged"))
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      spark.emptyDataset[Long].toDF("doc_id"), "doc_id") === 0L)
+    assert(landedIds() === Set(1L, 2L, 4L, 9L),
+      "the staging survivors must be restored, the victim gone")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=4__purged")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=4__purging")))
+    // crashed swap, variant D: died after the swap completed but
+    // before the trash delete — live intact, stray trash removed
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=4__purged"))
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      spark.emptyDataset[Long].toDF("doc_id"), "doc_id") === 0L)
+    assert(landedIds() === Set(1L, 2L, 4L, 9L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "batch_id=4__purged")))
   }
 }
