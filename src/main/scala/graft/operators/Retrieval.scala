@@ -284,6 +284,36 @@ object Retrieval {
     bm25TopKWith(postingsIndex(corpus, idCol, toks),
       queries, qidCol, qToks, k, k1, b, maxDfPermille)
 
+  /** Restrict an index's SERVING set to `allowed` doc ids — filtered
+    * retrieval (lang = 'en', one source, a license class…), the
+    * constraint production search always carries. The filter lives
+    * INSIDE the ranking: both probes join candidates through doclen,
+    * so a semi-join here means disallowed docs never occupy a rank
+    * and the k-th result is the k-th ALLOWED doc — filtering a
+    * truncated unfiltered top-k instead silently loses every allowed
+    * doc that sat below the cut (spec-pinned difference).
+    *
+    * Scoring stats stay CORPUS-level (df, N, avgdl are not
+    * recomputed over the subset): an allowed doc scores identically
+    * under any filter — the standard engine stance (a filter narrows
+    * WHO ranks, not what anything is worth), and it is what keeps the
+    * MaxScore bounds valid: θ from the filtered seed docs can only
+    * DROP relative to the unfiltered probe, while the per-term upper
+    * bounds are unchanged — the exclusion proof is per-document, so
+    * both probes stay exact under any restriction (spec-pinned).
+    *
+    * Scale shape: the semi-join keys on `doc`, the doclen table's
+    * bucket layout — a corpus-scale allowlist staged doc-bucketed
+    * joins exchange-free on the corpus side; a search-sized one
+    * broadcasts. Composes with the takedown path: tombstoned docs are
+    * already absent from the doclen view, so restrict(delete(ix)) ==
+    * delete(restrict(ix)). */
+  def restrictToDocs(ix: PostingsIndex, allowed: DataFrame,
+                     idCol: String): PostingsIndex =
+    ix.copy(doclen = ix.doclen.join(
+      allowed.select(col(idCol).as("doc")).distinct(),
+      Seq("doc"), "left_semi"))
+
   /** Sentinel ub for a query term absent from a caller-staged bounds
     * table: far above any real bound (ub_q6 ≤ idf·(k1+1)·1e6 ≲ 7e7
     * even at a 10¹²-doc corpus) yet small enough that a cumulative

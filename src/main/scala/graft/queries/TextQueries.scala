@@ -1091,6 +1091,31 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_text_bm25_filtered" -> ((s, d) => {
+      // Filtered retrieval: the metadata constraint production search
+      // always carries (here lang = 'en'), applied INSIDE the ranking
+      // via restrictToDocs — rank k is the k-th ALLOWED doc, which a
+      // post-truncation filter cannot produce. Scoring stats stay
+      // corpus-level (an allowed doc scores identically under any
+      // filter — the standard engine stance), which the oracle
+      // mirrors by ranking the full-corpus score table joined to the
+      // allowlist.
+      val docs = t(s, d, "documents")
+      val ix = graft.operators.Retrieval.postingsIndex(
+        docs, "doc_id", TA.tokens(col("text")))
+      val allowed = docs.filter(col("lang") === "en").select("doc_id")
+      val qs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.operators.Retrieval.bm25TopKWith(
+          graft.operators.Retrieval.restrictToDocs(ix, allowed,
+            "doc_id"),
+          qs, "query_id", slice(TA.tokens(col("text")), 1, 3),
+          k = 10, maxDfPermille = 1000)
+        .select(col("query").as("query_id"), col("rank"),
+          col("doc").as("doc_id"), col("score_q6"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_retrieval_takedown_audit" -> ((s, d) => {
       // Proof of erasure, oracle-checked: build the postings tables,
       // gated-delete doc_id % 7 == 0, then audit a MIXED request set
@@ -1416,6 +1441,21 @@ object TextQueries {
     * a deleted doc may ask, never answer. */
   private val bm25DeletedOracleSql: String =
     bm25CoreCtesOver(" WHERE doc_id % 7 <> 0") + bm25TopTail
+
+  /** Filtered retrieval oracle: the SAME full-corpus score table,
+    * ranked over the allowlist join — corpus-level stats, filter
+    * inside the ranking (the restrictToDocs contract, verbatim). */
+  private val bm25FilteredOracleSql: String = bm25CoreCtes +
+    """,
+      |allowed AS (SELECT doc_id AS doc FROM documents
+      |            WHERE lang = 'en')
+      |SELECT query AS query_id, CAST(rank AS BIGINT) AS rank,
+      |  doc AS doc_id, score_q6
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query
+      |    ORDER BY score_q6 DESC, doc ASC) AS rank
+      |  FROM s JOIN allowed USING (doc)) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The erasure-audit oracle: each surface computed independently —
     * a victim is silenced (serving 0) but not yet erased (physical =
@@ -2369,6 +2409,7 @@ object TextQueries {
     // takedown: the same SQL over the surviving corpus only
     "q_text_bm25_deleted" -> bm25DeletedOracleSql,
     "q_retrieval_takedown_audit" -> takedownAuditOracleSql,
+    "q_text_bm25_filtered" -> bm25FilteredOracleSql,
 
     "q_retrieval_rerank" -> rerankOracleSql,
 

@@ -628,6 +628,72 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("restrictToDocs: the filter ranks INSIDE (a below-the-cut " +
+    "allowed doc enters the filtered top-k), scores stay " +
+    "corpus-level, the pruned probe stays exact, and it composes " +
+    "with deletes") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val ix = Retrieval.postingsIndex(corpus, "doc_id",
+      toks(col("text")))
+    val qs = Seq((100L, "cherry banana")).toDF("query_id", "text")
+    def probe(ixx: Retrieval.PostingsIndex, k: Int,
+              pruned: Boolean = false) =
+      (if (pruned)
+        Retrieval.bm25TopKPrunedWith(ixx, qs, "query_id",
+          toks(col("text")), k = k)
+      else Retrieval.bm25TopKWith(ixx, qs, "query_id",
+        toks(col("text")), k = k))
+        .select("rank", "doc", "score_q6")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // unfiltered: cherry matches docs 2, 3; banana docs 1, 2
+    val full = probe(ix, k = 2)
+    val fullAll = probe(ix, k = 10)
+    assert(fullAll.map(_._2).toSet === Set(1L, 2L, 3L))
+    val cut = full.map(_._2).toSet
+    // restrict to the docs NOT in the unfiltered top-2: the allowed
+    // doc below the cut must now rank — a post-truncation filter of
+    // `full` would return nothing for it
+    val below = Set(1L, 2L, 3L) -- cut
+    val restricted = Retrieval.restrictToDocs(ix,
+      below.toSeq.toDF("doc_id"), "doc_id")
+    val filtered = probe(restricted, k = 2)
+    assert(filtered.map(_._2).toSet === below,
+      s"below-the-cut allowed docs must rank: $filtered")
+    // corpus-level stats: the allowed doc's score is identical to its
+    // score in the unfiltered probe (the filter narrows WHO ranks,
+    // not what anything is worth)
+    val fullScores = fullAll.map(r => r._2 -> r._3).toMap
+    filtered.foreach { case (_, doc, s) =>
+      assert(s === fullScores(doc),
+        s"doc $doc must score identically under the filter")
+    }
+    // the pruned probe is result-identical under any restriction
+    // (bounds stay corpus-level, θ from filtered seeds only drops)
+    assert(probe(restricted, k = 2, pruned = true) === filtered)
+    // composes with the table-tense delete: a tombstoned doc stays
+    // excluded even when the allowlist names it
+    val prefix = "graft_bm25_restrict_del"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(3L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(0L))
+      val staged = Retrieval.restrictToDocs(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        Seq(2L, 3L).toDF("doc_id"), "doc_id")
+      val got = Retrieval.bm25TopKWith(staged, qs, "query_id",
+          toks(col("text")), k = 10)
+        .select("doc").as[Long].collect().toSet
+      assert(got === Set(2L),
+        "restrict(delete(ix)) must exclude the tombstoned doc")
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ix.unpersist()
+  }
+
   test("half-applied ungated delete (tombstone landed, negative " +
     "partials lost) self-heals at the tombstone-triggered " +
     "compaction: df/stats recomputed from the cleaned base tables") {
