@@ -175,6 +175,47 @@ class IndexMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.publish(1L) }
   }
 
+  test("takedown through the versioned store: delete -> save -> " +
+    "publish swaps readers to the victim-free index; straddling " +
+    "readers keep the pre-delete version until GC") {
+    val store = tmpStore()
+    val v0 = IM.rebuildIvfIndex(store, clustered, "vec_id", "embedding",
+      nCentroids = 4)
+    // the takedown: remove vec 7 with the quantizer frozen, persist
+    // as the NEXT version, publish — the rebuild swap protocol reused
+    // verbatim for deletion
+    val deleted = Similarity.deleteFromIvfIndex(v0,
+      Seq(7L).toDF("vec_id"), "vec_id")
+    val v = store.nextVersion()
+    IM.saveIvfIndex(deleted, store.versionDir(v))
+    // until publish, readers still serve the pre-delete index (the
+    // compliance cutover is the pointer flip, not the write)
+    assert(IM.currentIvfIndex(store, spark).get
+      .assigned.select("c_id").as[Long].collect().contains(7L))
+    store.publish(v)
+    val now = IM.currentIvfIndex(store, spark).get
+    val ids = now.assigned.select("c_id").as[Long].collect().toSeq
+    assert(!ids.contains(7L) && ids.size.toLong ===
+      clustered.count() - 1, "published index must be victim-free")
+    // a probe of the victim's own direction through the published
+    // index never returns it
+    val q = clustered.filter(col("vec_id") === 7L)
+      .select(lit(999L).as("vec_id"), col("embedding"))
+    assert(!Similarity.ivfTopKWith(now, q, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .select("c_id").as[Long].collect().contains(7L))
+    // the straddling-reader window: the pre-delete version stays
+    // readable until retention GC removes it
+    assert(IM.loadIvfIndex(spark, store.versionDir(0L))
+      .assigned.select("c_id").as[Long].collect().contains(7L))
+    assert(store.retainVersions(0) == Seq(0L),
+      "aggressive retention prunes exactly the pre-delete version")
+    intercept[Exception] {
+      IM.loadIvfIndex(spark, store.versionDir(0L))
+        .assigned.collect()
+    }
+  }
+
   // drifted-corpus fixture: corpus A lives in the positive unit box,
   // batch B arrives later FAR outside it — 12 tight clusters at
   // -100·1 + ±0.8 sign patterns (popcount-4 masks, so every cluster

@@ -1061,6 +1061,17 @@ class MQSourceSpec extends SparkSpec {
       assert(probeSet(Retrieval.loadPostingsIndex(
           spark, "graft_cap_post")) == probeSet(rebuiltSurv),
         "post-takedown staged retrieval must equal a survivors rebuild")
+      // the BYTES leave too: purge the victim from the landed corpus
+      // (its key encodes put_ts=7000) — the other admit's partition is
+      // untouched and the taken-down content is gone from storage
+      assert(StreamingOps.purgeFromLanding(spark, out.toString,
+        spark.read.parquet(out.toString)
+          .filter(col("key") === "7000_1").select("key"),
+        "key") == 1L)
+      assert(spark.read.parquet(out.toString)
+          .select("key").as[String].collect().sorted.toSeq
+        == Seq("8002_1"),
+        "the purge must remove exactly the victim's landed row")
       rebuiltSurv.unpersist()
       rebuilt.unpersist()
     } finally {
