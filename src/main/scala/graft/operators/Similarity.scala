@@ -2178,12 +2178,34 @@ object Similarity {
   // swap-under-readers protocol rebuilds use.
   // ------------------------------------------------------------------
 
-  // a USING-column anti-join reorders the join key to the front;
-  // re-select the table's own column order so delete == rebuild is
-  // ROW-identical, not just set-equal modulo projection
+  // a USING-column anti/semi-join reorders the join key to the front;
+  // re-select the table's own column order so delete == rebuild (and
+  // restrict == subset-build) is ROW-identical, not just set-equal
+  // modulo projection
   private def antiIdRows(rows: DataFrame, victims: DataFrame): DataFrame =
     rows.join(victims, Seq("c_id"), "left_anti")
       .select(rows.columns.map(col).toIndexedSeq: _*)
+
+  private def semiIdRows(rows: DataFrame, allowed: DataFrame): DataFrame =
+    rows.join(allowed, Seq("c_id"), "left_semi")
+      .select(rows.columns.map(col).toIndexedSeq: _*)
+
+  /** Restrict an [[IvfIndex]]'s SERVING set to `allowed` ids — the
+    * dense-space twin of [[graft.operators.Retrieval.restrictToDocs]]
+    * (filtered retrieval must constrain BOTH spaces of a hybrid
+    * funnel, or the allowlist leaks through the list that skipped
+    * it). Same exactness stance as the filter's lexical side: the
+    * restriction lives INSIDE the ranking (a disallowed vector never
+    * occupies a rank — filtering a truncated list instead loses every
+    * allowed vector below the cut), and the quantizer is untouched,
+    * so restrict == a same-quantizer build over the subset, row for
+    * row. */
+  def restrictIvfToIds(index: IvfIndex, allowed: DataFrame,
+                       idCol: String): IvfIndex = {
+    requireIntegralId(allowed, idCol, "restrictIvfToIds")
+    IvfIndex(index.cents, semiIdRows(index.assigned,
+      allowed.select(col(idCol).cast("long").as("c_id")).distinct()))
+  }
 
   /** Remove ids from a staged [[IvfIndex]]. */
   def deleteFromIvfIndex(index: IvfIndex, ids: DataFrame,

@@ -327,20 +327,29 @@ object StreamingOps {
     * makes a doc admitted in batch N retrievable here in batch N+1
     * with zero corpus re-reads (this method re-resolves the tables
     * per call; same-session appends are visible immediately, another
-    * session's appender needs the refreshTable contract). */
+    * session's appender needs the refreshTable contract).
+    *
+    * `allowedDocs`: optional serving-set restriction
+    * ([[graft.operators.Retrieval.restrictToDocs]] — filtered
+    * retrieval with the filter INSIDE the ranking); the frame must
+    * carry the allowed ids in a column named `doc`. */
   def retrievalProbe(queries: DataFrame, qidCol: String, qToks: Column,
                      tablePrefix: String, k: Int, k1: Double = 1.2,
                      b: Double = 0.75,
-                     maxDfPermille: Int = 1000): DataFrame = {
+                     maxDfPermille: Int = 1000,
+                     allowedDocs: Option[DataFrame] = None): DataFrame = {
     require(!queries.isStreaming,
       "retrievalProbe is the foreachBatch tense: pass the micro-batch " +
         "frame (scoring aggregates over matched postings, which a " +
         "stateless streaming plan cannot express; per-batch scoring " +
         "is exact — see scaladoc)")
+    val ix0 = graft.operators.Retrieval.loadPostingsIndex(
+      queries.sparkSession, tablePrefix)
+    val ix = allowedDocs.map(a =>
+      graft.operators.Retrieval.restrictToDocs(ix0, a, "doc"))
+      .getOrElse(ix0)
     graft.operators.Retrieval.bm25TopKWith(
-      graft.operators.Retrieval.loadPostingsIndex(
-        queries.sparkSession, tablePrefix),
-      queries, qidCol, qToks, k, k1, b, maxDfPermille)
+      ix, queries, qidCol, qToks, k, k1, b, maxDfPermille)
   }
 
   /** The full retrieve-then-rerank funnel at the streaming boundary:
@@ -369,11 +378,14 @@ object StreamingOps {
                   embTable: String, embIdCol: String, embVecCol: String,
                   kRetrieve: Int, k: Int, k1: Double = 1.2,
                   b: Double = 0.75,
-                  maxDfPermille: Int = 1000): DataFrame = {
+                  maxDfPermille: Int = 1000,
+                  allowedDocs: Option[DataFrame] = None): DataFrame = {
     require(kRetrieve >= k,
       s"stage 1 must overfetch: kRetrieve=$kRetrieve < k=$k")
+    // the allowlist constrains stage 1, and stage 2 reranks only
+    // stage-1 candidates — so the funnel is filtered end to end
     val cands = retrievalProbe(queries, qidCol, qToks, tablePrefix,
-      kRetrieve, k1, b, maxDfPermille)
+      kRetrieve, k1, b, maxDfPermille, allowedDocs)
     graft.operators.Retrieval.rerankByCosine(cands,
       queries, qidCol, qVecCol,
       queries.sparkSession.table(embTable), embIdCol, embVecCol, k)
@@ -404,13 +416,24 @@ object StreamingOps {
                   semIndex: graft.operators.Similarity.IvfIndex,
                   kRetrieve: Int, k: Int, rrfK: Int = 60,
                   nProbe: Int = 2, k1: Double = 1.2, b: Double = 0.75,
-                  maxDfPermille: Int = 1000): DataFrame = {
+                  maxDfPermille: Int = 1000,
+                  allowedDocs: Option[DataFrame] = None): DataFrame = {
     require(kRetrieve >= k,
       s"stage 1 must overfetch: kRetrieve=$kRetrieve < k=$k")
+    // an allowlist must constrain BOTH spaces: filtering only the
+    // lexical list would leak disallowed docs through the dense list
+    // (RRF fuses whatever its lists contain), and filtering a
+    // truncated dense list post-hoc loses allowed vectors below the
+    // cut — so the restriction goes INSIDE each ranking
+    // (restrictToDocs on the postings view, restrictIvfToIds on the
+    // assigned table)
     val bm = retrievalProbe(queries, qidCol, qToks, tablePrefix,
-        kRetrieve, k1, b, maxDfPermille)
+        kRetrieve, k1, b, maxDfPermille, allowedDocs)
       .select(col("query"), col("rank"), col("doc"))
-    val dense = graft.operators.Similarity.ivfTopKWith(semIndex,
+    val sem = allowedDocs.map(a =>
+      graft.operators.Similarity.restrictIvfToIds(semIndex, a, "doc"))
+      .getOrElse(semIndex)
+    val dense = graft.operators.Similarity.ivfTopKWith(sem,
         queries, qidCol, qVecCol, kRetrieve, nProbe)
       .select(col("q_id").as("query"),
         col("rank").cast("long").as("rank"), col("c_id").as("doc"))

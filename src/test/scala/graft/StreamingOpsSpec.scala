@@ -1468,6 +1468,67 @@ class StreamingOpsSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered hybridProbe: the allowlist constrains BOTH spaces " +
+    "inside their rankings — the fused lists equal probing " +
+    "subset-restricted index states, and a disallowed doc that tops " +
+    "both spaces never appears") {
+    import graft.operators.{Retrieval, Similarity, TextAnalysis => TA}
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    def vecOf(i: Long) = Array.tabulate(3)(j =>
+      (((i * 13 + j * 7) % 9) - 4).toFloat)
+    val corpusVecs = Seq(1L, 2L, 3L, 4L)
+      .map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+    val prefix = "graft_hybrid_filtered"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax",
+      "_stats", "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      val ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+        nCentroids = 2, persistIndex = false)
+      // doc 3's own text+vector as the query: it tops BOTH spaces,
+      // and the allowlist excludes it
+      val qdf = Seq((200L, "cherry cherry cherry dog", vecOf(3L)))
+        .toDF("query_id", "text", "qv")
+      val allowed = Seq(1L, 2L, 4L).toDF("doc")
+      val got = StreamingOps.hybridProbe(qdf, "query_id",
+          TA.tokens(col("text")), "qv", prefix, ivf,
+          kRetrieve = 10, k = 4, nProbe = 2,
+          allowedDocs = Some(allowed))
+        .select("query", "rank", "doc", "rrf_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && !got.exists(_._3 == 3L),
+        s"the disallowed doc must never appear: $got")
+      // parity: the same fusion over explicitly subset-restricted
+      // index states (the one-shot the operator promises)
+      val bm = Retrieval.bm25TopKWith(
+          Retrieval.restrictToDocs(
+            Retrieval.loadPostingsIndex(spark, prefix),
+            allowed, "doc"),
+          qdf, "query_id", TA.tokens(col("text")), k = 10)
+        .select("query", "rank", "doc")
+      val dense = Similarity.ivfTopKWith(
+          Similarity.restrictIvfToIds(ivf, allowed, "doc"),
+          qdf, "query_id", "qv", k = 10, nProbe = 2)
+        .select(col("q_id").as("query"),
+          col("rank").cast("long").as("rank"), col("c_id").as("doc"))
+      val want = Retrieval.rrfFuse(Seq(bm, dense), k = 4)
+        .select("query", "rank", "doc", "rrf_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+      // and the allowed docs RANK UP: rank 1 now goes to an allowed
+      // doc that an unfiltered probe ranks below doc 3
+      val unfiltered = StreamingOps.hybridProbe(qdf, "query_id",
+          TA.tokens(col("text")), "qv", prefix, ivf,
+          kRetrieve = 10, k = 1, nProbe = 2)
+        .select("doc").as[Long].head()
+      assert(unfiltered === 3L, "fixture: the victim tops unfiltered")
+      assert(got.exists(_._2 == 1L), "filtered rank 1 must exist")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Drive the orderedMerge fixture (interleaved queues, a
     * same-millisecond tie, a later-than-watermark record, a
     * still-held tail record) against either merge form and return
