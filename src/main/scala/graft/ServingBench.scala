@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-latency split: the sweep's table-tense retrieval numbers
+  * (q_text_bm25_staged/_deleted/...) deliberately FUSE index build +
+  * mutation + probe into one number — the honest cost of the query AS
+  * REGISTERED. A serving deployment pays the build once and the probe
+  * per request, so this main stages every table ONCE, then times the
+  * PROBES alone (median of SPARK_GRAFT_REPS, staged state warm — the
+  * steady-state serving scenario) and reports build and probe in
+  * separate columns. One JSON line on stdout; docs/SCALE.md carries
+  * the per-round table.
+  *
+  * Probes (the round-13/14 retrieval surface): exhaustive bm25,
+  * MaxScore-pruned, filtered (restrictToDocs on a lang allowlist),
+  * deleted (pruned probe over a prefix with a gated takedown
+  * pending), retrieve-then-rerank, and hybrid RRF (lexical fused with
+  * the staged IVF list).
+  */
+object ServingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    import graft.operators.{Retrieval, Similarity, TextAnalysis => TA}
+    import graft.streaming.StreamingOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val prefix = "graft_serving_bench"
+    val prefixDel = prefix + "_del"
+    val embTable = prefix + "_embt"
+    val allTables = Retrieval.indexTableNames(prefix) ++
+      Retrieval.indexTableNames(prefixDel) :+ embTable
+    allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val buckets = cpus.toInt
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    builds("postings_create") = timed {
+      Retrieval.createPostingsIndexTable(docs, "doc_id",
+        TA.tokens(col("text")), prefix, buckets)
+    }
+    builds("postings_create_victimized") = timed {
+      Retrieval.createPostingsIndexTable(docs, "doc_id",
+        TA.tokens(col("text")), prefixDel, buckets)
+    }
+    builds("takedown_delete") = timed {
+      Retrieval.deleteFromPostingsIndexTable(spark,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        "doc_id", prefixDel, buckets, batchId = Some(0L))
+    }
+    builds("embeddings_bucketed") = timed {
+      graft.sources.BucketedTables.writeBucketed(emb, embTable,
+        buckets, Seq("vec_id"))
+    }
+    var ivf: Similarity.IvfIndex = null
+    builds("ivf_index") = timed {
+      ivf = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        Similarity.suggestedNCentroids(
+          emb.filter(col("embedding").isNotNull).count()))
+      ivf.assigned.count() // materialize the staged state
+    }
+
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .localCheckpoint(true) // query frames are request-side, tiny
+    val allowed = docs.filter(col("lang") === "en").select("doc_id")
+      .localCheckpoint(true)
+    val hq = qs.join(spark.table(embTable)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")),
+      Seq("query_id"), "left").localCheckpoint(true)
+    val qToks = slice(TA.tokens(col("text")), 1, 3)
+
+    val probes: Seq[(String, () => Long)] = Seq(
+      "bm25" -> (() => Retrieval.bm25TopKWith(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        qs, "query_id", qToks, k = 10).count()),
+      "pruned" -> (() => Retrieval.bm25TopKPrunedWith(
+        Retrieval.loadPostingsIndex(spark, prefix),
+        qs, "query_id", qToks, k = 10,
+        bounds = Some(Retrieval.loadPruneBounds(spark, prefix)))
+        .count()),
+      "filtered" -> (() => Retrieval.bm25TopKWith(
+        Retrieval.restrictToDocs(
+          Retrieval.loadPostingsIndex(spark, prefix), allowed,
+          "doc_id"),
+        qs, "query_id", qToks, k = 10).count()),
+      "deleted" -> (() => Retrieval.bm25TopKPrunedWith(
+        Retrieval.loadPostingsIndex(spark, prefixDel),
+        qs, "query_id", qToks, k = 10,
+        bounds = Some(Retrieval.loadPruneBounds(spark, prefixDel)))
+        .count()),
+      "rerank" -> (() => {
+        val embT = spark.table(embTable)
+        Retrieval.rerankByCosine(
+          Retrieval.bm25TopKWith(
+            Retrieval.loadPostingsIndex(spark, prefix),
+            qs, "query_id", qToks, k = 50)
+            .filter(col("doc") =!= col("query")),
+          embT, "vec_id", "embedding", embT, "vec_id", "embedding",
+          k = 10).count()
+      }),
+      "hybrid" -> (() => StreamingOps.hybridProbe(hq, "query_id",
+        qToks, "qv", prefix, ivf, kRetrieve = 10, k = 10,
+        nProbe = 2).count())
+    )
+    val medians = probes.map { case (name, run) =>
+      val times = (1 to reps).map(_ => timed { run(); () })
+      System.err.println(s"[serving] $name reps=[" +
+        times.map(t => f"$t%.2f").mkString(",") + "]")
+      name -> times.sorted.apply(times.size / 2)
+    }
+    def js(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    println(s"""{"metric":"serving_split","sf":"$sfDir","reps":$reps,"buckets":$buckets,"build_sec":${js(builds)},"probe_median_sec":${js(medians)}}""")
+    allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}

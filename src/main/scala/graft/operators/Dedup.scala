@@ -580,7 +580,16 @@ object Dedup {
 
   /** Restore single-file buckets after a run of appends (content
     * unchanged; merge joins stop re-sorting multi-file buckets). Run
-    * from the maintenance owner, not the ingest loop. */
+    * from the maintenance owner, not the ingest loop.
+    *
+    * Straddling-reader story (the postings compaction's multi-table
+    * ordering argument, trivially satisfied here): this index is ONE
+    * table and the rewrite is content-IDENTITY, so there is no
+    * intermediate state for a reader to mix — a re-resolving reader
+    * sees the same rows before, between and after; the only gap is
+    * rewriteBucketed's own drop-rename window, whose crash recovery
+    * and reader-visible semantics are that protocol's documented
+    * contract (BucketingSpec). */
   def compactBandedIndexTable(spark: org.apache.spark.sql.SparkSession,
                               table: String, buckets: Int): Unit =
     graft.sources.BucketedTables.compactBucketed(spark, table, buckets,

@@ -159,6 +159,19 @@ object IndexMaintenance {
       val cur = currentVersion()
       if (cur < 0) Nil else releaseBelow(cur - n)
     }
+
+    /** Version directories physically present on disk, ascending —
+      * the compliance audit's enumeration of everything a reader
+      * could still load: CURRENT, retained versions below it (a
+      * straggling reader's window), and any in-flight staging above
+      * it. A takedown is fully erased from this store only when NO
+      * present version holds the victim
+      * ([[Retrieval.takedownAuditAll]] counts per-version rows from
+      * exactly this list). */
+    def versionsPresent(): Seq[Long] = {
+      val (fs, _) = fsAndRoot()
+      versionsOnDisk(fs).sorted.toSeq
+    }
   }
 
   // ---------------------------------------------------------------- //
@@ -272,6 +285,20 @@ object IndexMaintenance {
   def currentIvfPqIndex(store: VersionedIndexStore,
                         spark: SparkSession): Option[IvfPqIndex] =
     store.currentDir().map(loadIvfPqIndex(spark, _))
+
+  /** Load a version directory as the SAME family as `like` — the
+    * family-dispatch seam the cross-surface erasure audit uses to
+    * enumerate what every retained store version still holds without
+    * the caller naming the family twice (the live handle already
+    * knows it). */
+  def loadAnnIndexLike(spark: SparkSession, dir: String,
+                       like: Similarity.AnnIndex): Similarity.AnnIndex =
+    like match {
+      case _: IvfIndex   => loadIvfIndex(spark, dir)
+      case _: LshIndex   => loadLshIndex(spark, dir)
+      case _: PqIndex    => loadPqIndex(spark, dir)
+      case _: IvfPqIndex => loadIvfPqIndex(spark, dir)
+    }
 
   // ---------------------------------------------------------------- //
   // rebuild*: re-train the quantizer on `corpus` (a FRESH build — the

@@ -844,6 +844,28 @@ object Retrieval {
       allTables(prefix).foreach(t => spark.sql(
         s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)"))
     }
+    // ENFORCE the "not already present" contract for the one case the
+    // door cannot see: a tombstoned id is invisible to serving (and to
+    // the door's corpus probes once its signatures age out) but still
+    // PENDING physical removal — re-appending it would add postings/
+    // doclen rows plus POSITIVE df/stats partials that the eventual
+    // compaction's anti-join then destroys, silently losing the new
+    // rows and leaving probe scores drifted until the recompute. The
+    // check is a batch-sized semi-join against the (small) tombstone
+    // table, gated on a limit-1 emptiness scan so the no-deletes hot
+    // path pays almost nothing.
+    if (spark.catalog.tableExists(tombTable(prefix)) &&
+        !spark.table(tombTable(prefix)).isEmpty) {
+      val clash = batch.select(col(idCol).as("doc"))
+        .join(spark.table(tombTable(prefix)).select("doc"),
+          Seq("doc"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToPostingsIndexTable($prefix): batch contains doc ids " +
+          "that are tombstoned but not yet compacted away (e.g. " +
+          clash.limit(3).collect().map(_.get(0)).mkString(", ") +
+          "); run maintainPostingsIndexTable first — re-appending a " +
+          "pending-delete id would be destroyed by the compaction")
+    }
     val ix = postingsIndex(batch, idCol, toks)
     val part = Seq("batch_id")
     def stamped(df: DataFrame) = df.withColumn("batch_id", lit(pid))
@@ -929,6 +951,113 @@ object Retrieval {
         coalesce(col("__t"), lit(false)).as("tombstoned"))
   }
 
+  /** One dense surface of [[takedownAuditAll]]: a display name, the
+    * LIVE index handle the serving path probes, and optionally the
+    * [[IndexMaintenance.VersionedIndexStore]] it persists through —
+    * with a store, the audit also counts what the CURRENT published
+    * version and every RETAINED (non-current, still-on-disk) version
+    * hold, because a reader that resolved the pointer before the
+    * delete-publish — or any version retention GC has not yet deleted
+    * — can still serve the victim. */
+  final case class AnnAuditSurface(name: String,
+      live: Similarity.AnnIndex,
+      store: Option[IndexMaintenance.VersionedIndexStore] = None)
+
+  /** The ONE erasure report across EVERY surface a taken-down
+    * document can still be served or stored from — what a compliance
+    * owner files instead of stitching per-family checks: the postings
+    * tables ([[takedownAudit]]'s three columns), each staged ANN
+    * index family ([[AnnAuditSurface]] — IVF/LSH/PQ/IVFPQ live
+    * handles plus their versioned stores), and the landed corpus
+    * itself (the [[graft.streaming.StreamingOps.purgeFromLanding]]
+    * target). Long-form output, one row per (surface, requested id):
+    *
+    *   - `serving_rows`: rows the surface's PROBES can see now —
+    *     tombstone-filtered doclen for postings, the live id-keyed
+    *     table for ANN, the corpus root for landing. 0 on every row
+    *     of a victim = no query on any surface can return it.
+    *   - `physical_rows`: rows still on storage — postings+doclen for
+    *     the lexical surface ("silenced but not yet compacted"); the
+    *     CURRENT published store version for an ANN surface with a
+    *     store (what a pointer-following reader loads), else the live
+    *     handle's own rows; the landing count again for landing.
+    *   - `retained_rows`: rows held by PRESENT non-current store
+    *     versions (retention window + any crashed staging) — the
+    *     straggling-reader exposure that only
+    *     [[IndexMaintenance.VersionedIndexStore.retainVersions]] GC
+    *     erases. 0 for surfaces without a store.
+    *   - `tombstoned`: the postings surface's pending-compaction
+    *     marker; false elsewhere (ANN deletes and landing purges are
+    *     physical removals, not tombstones).
+    *
+    * Scale shape: every count is victim-bounded — the request set
+    * joins INTO each table before aggregation (the [[takedownAudit]]
+    * stance), and store versions are enumerated driver-side (a
+    * retention-bounded handful). The landing count shares
+    * purgeFromLanding's honest column-pruned id scan; a deployment
+    * purging at high cadence audits through its id→batch lookup
+    * ([[graft.streaming.StreamingOps]]'s landing lookup) upstream
+    * instead. */
+  def takedownAuditAll(spark: org.apache.spark.sql.SparkSession,
+                       ids: DataFrame, idCol: String,
+                       postingsPrefix: Option[String] = None,
+                       ann: Seq[AnnAuditSurface] = Nil,
+                       landingDir: Option[String] = None): DataFrame = {
+    require(postingsPrefix.nonEmpty || ann.nonEmpty ||
+      landingDir.nonEmpty, "takedownAuditAll needs at least one surface")
+    val reqIds = ids.select(col(idCol)).distinct()
+    val lexical = postingsPrefix.map { p =>
+      takedownAudit(spark, reqIds, idCol, p)
+        .select(lit("postings").as("surface"), col("doc"),
+          col("serving_rows"), col("physical_rows"),
+          lit(0L).as("retained_rows"), col("tombstoned"))
+    }
+    val dense = ann.map { sfc =>
+      val serving = Similarity.annRowsHeld(sfc.live, reqIds, idCol)
+        .withColumnRenamed("rows_held", "serving_rows")
+      val counted = sfc.store match {
+        case None =>
+          // no store: the live handle is the only materialization
+          serving.withColumn("physical_rows", col("serving_rows"))
+            .withColumn("retained_rows", lit(0L))
+        case Some(st) =>
+          val cur = st.currentVersion()
+          val phys =
+            (if (cur >= 0)
+              Similarity.annRowsHeld(IndexMaintenance.loadAnnIndexLike(
+                spark, st.versionDir(cur), sfc.live), serving, "doc")
+            else serving.select(col("doc"), lit(0L).as("rows_held")))
+            .withColumnRenamed("rows_held", "physical_rows")
+          val others = st.versionsPresent().filter(_ != cur)
+          val retained =
+            if (others.isEmpty)
+              serving.select(col("doc"), lit(0L).as("retained_rows"))
+            else others.map(v => Similarity.annRowsHeld(
+                IndexMaintenance.loadAnnIndexLike(spark,
+                  st.versionDir(v), sfc.live), serving, "doc"))
+              .reduce(_ unionByName _)
+              .groupBy("doc").agg(sum("rows_held").as("retained_rows"))
+          serving.join(phys, "doc").join(retained, "doc")
+      }
+      counted.select(lit(sfc.name).as("surface"), col("doc"),
+        col("serving_rows").cast("long").as("serving_rows"),
+        col("physical_rows").cast("long").as("physical_rows"),
+        col("retained_rows").cast("long").as("retained_rows"),
+        lit(false).as("tombstoned"))
+    }
+    val landed = landingDir.map { dir =>
+      val held = spark.read.parquet(dir).select(col(idCol))
+        .join(reqIds, idCol)
+        .groupBy(idCol).agg(count(lit(1)).as("__n"))
+      reqIds.join(held, Seq(idCol), "left")
+        .select(lit("landing").as("surface"), col(idCol).as("doc"),
+          coalesce(col("__n"), lit(0L)).as("serving_rows"),
+          coalesce(col("__n"), lit(0L)).as("physical_rows"),
+          lit(0L).as("retained_rows"), lit(false).as("tombstoned"))
+    }
+    (lexical.toSeq ++ dense ++ landed.toSeq).reduce(_ unionByName _)
+  }
+
   /** The tables a targeted delete writes: its tombstones plus the two
     * ADDITIVE states it must correct (df and corpus stats). Postings,
     * doclen and tfmax are untouched until compaction — see
@@ -984,7 +1113,10 @@ object Retrieval {
     * Returns the number of docs actually deleted. A tombstoned id must
     * NOT be re-appended before a compaction has physically removed it
     * (the append contract's "not already present" includes tombstoned
-    * ids; id reuse is pipeline-hostile anyway).
+    * ids; id reuse is pipeline-hostile anyway) — ENFORCED:
+    * [[appendToPostingsIndexTable]] rejects a batch that intersects
+    * pending tombstones rather than letting the eventual compaction
+    * silently destroy the re-appended rows.
     *
     * `batchId`: same replay contract as the gated append — the three
     * written tables carry the delete's own partition (see
@@ -1124,13 +1256,39 @@ object Retrieval {
     * [[Dedup.compactDigestIndexTable]] stance. Stats partials are
     * left as-is (see the layout note: never worth a merge). */
   def compactPostingsIndexTable(spark: org.apache.spark.sql.SparkSession,
-                                prefix: String, buckets: Int): Unit = {
+                                prefix: String, buckets: Int): Unit =
+    compactPostingsIndexTableStepped(spark, prefix, buckets, _ => ())
+
+  /** [[compactPostingsIndexTable]] with a hook invoked after each
+    * table's rewrite commits — the STRADDLING-READER seam: the spec
+    * re-resolves and probes the index at every intermediate state and
+    * pins that a reader landing between table rewrites is always
+    * exact (the cross-table ordering argument in the comments below,
+    * made checkable). Package-private: production callers take the
+    * plain form; the hook exists so the ordering proof cannot rot
+    * silently when a table is added to the layout. */
+  private[graft] def compactPostingsIndexTableStepped(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String, buckets: Int,
+      onStep: String => Unit): Unit = {
     // every rewrite COLLAPSES batch attribution into the base
     // partition (probe-equivalent: batch_id never reaches a probe) —
     // that, not file layout alone, is what bounds the directory count
     // over thousands of appended batches. Replay-safe because
     // compaction runs from the maintenance owner between jobs, never
     // while an ingest or DELETE batch is crashed-but-uncommitted.
+    //
+    // STRADDLING-READER exactness (the `onStep` contract, spec-pinned
+    // per state): a reader re-resolving loadPostingsIndex between any
+    // two rewrites below sees an exact index, because every
+    // intermediate state is self-consistent —
+    //   - postings/doclen cleaned + tombstones still present: the
+    //     anti-join is a no-op over already-clean tables;
+    //   - dfreq/tfmax/stats still partial-form: the load SUMS
+    //     partials, and the delete's negative partials mirror exactly
+    //     the rows the cleaning removed;
+    //   - derived tables recomputed + tombstones cleared LAST: the
+    //     recompute reads the already-clean base tables.
     val part = Seq("batch_id")
     val hasTomb = spark.catalog.tableExists(tombTable(prefix))
     val tombPending = hasTomb &&
@@ -1150,9 +1308,11 @@ object Retrieval {
     graft.sources.BucketedTables.rewriteBucketed(
       spark, postingsTable(prefix), buckets, Seq("term"), part)(
       df => collapseBatches(applyTomb(df)))
+    onStep("postings")
     graft.sources.BucketedTables.rewriteBucketed(
       spark, doclenTable(prefix), buckets, Seq("doc"), part)(
       df => collapseBatches(applyTomb(df)))
+    onStep("doclen")
     if (tombPending) {
       // with deletes pending, every DERIVED state is RECOMPUTED from
       // the now-clean base tables instead of merged from partials —
@@ -1169,11 +1329,13 @@ object Retrieval {
         _ => spark.table(postingsTable(prefix))
           .groupBy("term").agg(count(lit(1)).as("df"))
           .withColumn("batch_id", lit(BasePartition)))
+      onStep("dfreq")
       graft.sources.BucketedTables.rewriteBucketed(
         spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
         _ => spark.table(postingsTable(prefix))
           .groupBy("term").agg(max("tf").as("tf_max"))
           .withColumn("batch_id", lit(BasePartition)))
+      onStep("tfmax")
       // stats heal by a CORRECTION PARTIAL (the table's own append
       // protocol — no new swap machinery): true values from the clean
       // doclen registry vs the current partial sum; a zero diff (the
@@ -1198,16 +1360,20 @@ object Retrieval {
           .format("parquet").partitionBy("batch_id")
           .saveAsTable(statsTable(prefix))
       }
+      onStep("stats")
       graft.sources.BucketedTables.rewriteBucketed(
         spark, tombTable(prefix), buckets, Seq("doc"), part)(
         _.filter(lit(false)))
+      onStep("tombstones")
     } else {
       graft.sources.BucketedTables.rewriteBucketed(
         spark, dfreqTable(prefix), buckets, Seq("term"), part)(
         mergeDfPartials)
+      onStep("dfreq")
       graft.sources.BucketedTables.rewriteBucketed(
         spark, tfmaxTable(prefix), buckets, Seq("term"), part)(
         mergeTfMaxPartials)
+      onStep("tfmax")
     }
   }
 

@@ -266,13 +266,23 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Common supertype of the four staged ANN index families (IVF,
+    * LSH, PQ, IVF+PQ) — what lets a consumer that serves ANY dense
+    * index (the hybrid funnel's dense list, the filtered-serving
+    * allowlist path) dispatch one restrict ([[restrictAnnToIds]]) and
+    * one probe ([[annTopKWith]]) without caring which family the
+    * deployment staged. Sealed: the per-family operators stay the
+    * primary API; this is the dispatch seam, not a new abstraction
+    * layer. */
+  sealed trait AnnIndex
+
   /** Staged IVF index: the coarse-quantizer centroid table (driver
     * state — nCentroids·dim doubles, the bounded-collect stance shared
     * with [[kmeans]] seeding) plus the corpus assigned to its nearest
     * list, persisted so every consumer (probe join, recall audit)
     * reads one materialization. */
   final case class IvfIndex(cents: Seq[(Long, Seq[Double])],
-                            assigned: DataFrame)
+                            assigned: DataFrame) extends AnnIndex
 
   /** Build the IVF index: `nCentroids` centroids picked
     * deterministically (smallest xxhash64 of the id — a seeded uniform
@@ -354,6 +364,37 @@ object Similarity {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else assigned0
     IvfIndex(cents, assigned)
+  }
+
+  /** Build an [[IvfIndex]] under a caller-supplied FROZEN coarse
+    * quantizer — the externally-trained-quantizer deployment shape
+    * (FAISS-style: train the quantizer in one system, assign here),
+    * and what makes the whole IVF probe oracle-expressible when the
+    * centroids are an id-picked corpus subset (q_sim_ann_ivf's DuckDB
+    * twin recomputes assignment + probe + in-list rerank from the
+    * same explicit table). Assignment is the builds' shared
+    * [[ivfAssign]] projection (literal fold below
+    * [[LiteralQuantizerMax]], broadcast kernel above — bit-identical),
+    * so append/delete/restrict semantics are unchanged. Centroids are
+    * re-sorted by id, the [[ivfIndex]] invariant every probe's
+    * tie-break relies on. */
+  def ivfIndexWithCentroids(candidates: DataFrame, idCol: String,
+                            vecCol: String,
+                            cents: Seq[(Long, Seq[Double])],
+                            persistIndex: Boolean = true): IvfIndex = {
+    require(cents.nonEmpty,
+      "ivfIndexWithCentroids needs at least one centroid")
+    requireIntegralId(candidates, idCol, "ivfIndexWithCentroids")
+    val sorted = cents.sortBy(_._1)
+    val assigned0 = ivfAssign(
+      nonNullVecs(candidates, vecCol)
+        .select(col(idCol).cast("long").as("c_id"),
+          toDouble(col(vecCol)).as("c_vec")), sorted)
+    val assigned =
+      if (persistIndex) assigned0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    IvfIndex(sorted, assigned)
   }
 
   /** Contract shared by every operator keying on a Long id: ids must
@@ -1013,7 +1054,7 @@ object Similarity {
     * biased fraction of its true membership). Bounded by 2^nPlanes
     * rows and in practice by the handful of degenerate buckets. */
   final case class LshIndex(nPlanes: Int, buckets: DataFrame,
-                            dropped: DataFrame)
+                            dropped: DataFrame) extends AnnIndex
 
   /** Bucketed-and-capped LSH corpus index, materialized once (in a
     * real deployment this is a bucketed TABLE amortized over all
@@ -1735,7 +1776,7 @@ object Similarity {
     * expensive artifact (32× smaller than the raw vectors), built
     * once and amortized over all queries and recall audits. */
   final case class PqIndex(codebook: Array[Array[Seq[Double]]],
-                           encoded: DataFrame)
+                           encoded: DataFrame) extends AnnIndex
 
   def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 16, maxIter: Int = 5,
@@ -1865,7 +1906,7 @@ object Similarity {
   final case class IvfPqIndex(cents: Seq[(Long, Seq[Double])],
                               codebook: Array[Array[Seq[Double]]],
                               encoded: DataFrame,
-                              residual: Boolean)
+                              residual: Boolean) extends AnnIndex
 
   /** The assigned centroid's vector, looked up from the bounded
     * centroid table as ONE map literal — stays inside the map-only
@@ -2205,6 +2246,135 @@ object Similarity {
     requireIntegralId(allowed, idCol, "restrictIvfToIds")
     IvfIndex(index.cents, semiIdRows(index.assigned,
       allowed.select(col(idCol).cast("long").as("c_id")).distinct()))
+  }
+
+  /** Restrict an [[LshIndex]]'s SERVING set to `allowed` ids — the
+    * [[restrictIvfToIds]] contract on the LSH family: the planes AND
+    * the build census's `dropped` table are frozen, so restrict == a
+    * same-plane build over the subset that keeps the original census
+    * (the [[appendToLshIndex]] stance: a bucket censored at build
+    * stays censored — re-censusing over the subset would resurrect
+    * hot buckets with a biased sliver of their membership), row for
+    * row. */
+  def restrictLshToIds(index: LshIndex, allowed: DataFrame,
+                       idCol: String): LshIndex =
+    LshIndex(index.nPlanes,
+      semiIdRows(index.buckets,
+        allowed.select(col(idCol).as("c_id")).distinct()),
+      index.dropped)
+
+  /** Restrict a [[PqIndex]]'s SERVING set to `allowed` ids — the
+    * [[restrictIvfToIds]] contract on the PQ family: the codebook is
+    * frozen and encoding is per-row, so restrict == a same-codebook
+    * build over the subset, row for row. The ADC probe's exact-rerank
+    * stage joins raw vectors DOWN to the (already restricted)
+    * shortlist ids, so restricting the encoded table alone restricts
+    * the whole probe. */
+  def restrictPqToIds(index: PqIndex, allowed: DataFrame,
+                      idCol: String): PqIndex =
+    PqIndex(index.codebook,
+      semiIdRows(index.encoded,
+        allowed.select(col(idCol).as("c_id")).distinct()))
+
+  /** Restrict an [[IvfPqIndex]]'s SERVING set to `allowed` ids — the
+    * [[restrictIvfToIds]] contract on the composed family: coarse
+    * quantizer and codebook both frozen, assignment and encoding both
+    * per-row, so restrict == a same-quantizers build over the subset,
+    * row for row. */
+  def restrictIvfPqToIds(index: IvfPqIndex, allowed: DataFrame,
+                         idCol: String): IvfPqIndex = {
+    requireIntegralId(allowed, idCol, "restrictIvfPqToIds")
+    IvfPqIndex(index.cents, index.codebook,
+      semiIdRows(index.encoded,
+        allowed.select(col(idCol).cast("long").as("c_id")).distinct()),
+      index.residual)
+  }
+
+  /** Family-dispatching restrict — the one call a filtered-serving
+    * path makes so an allowlist constrains the dense space WHICHEVER
+    * index family the deployment staged
+    * ([[graft.streaming.StreamingOps.hybridProbe]]'s seam): without
+    * it, a funnel serving off PQ/IVFPQ/LSH could not honor the
+    * allowlist inside the dense ranking and would leak disallowed
+    * docs through RRF — exactly the failure filtered retrieval
+    * exists to prevent. Semantics per family are the four restrict
+    * operators verbatim (restrict == frozen-quantizer subset build,
+    * row for row; the restriction lives INSIDE the ranking). */
+  def restrictAnnToIds(index: AnnIndex, allowed: DataFrame,
+                       idCol: String): AnnIndex = index match {
+    case ix: IvfIndex   => restrictIvfToIds(ix, allowed, idCol)
+    case ix: LshIndex   => restrictLshToIds(ix, allowed, idCol)
+    case ix: PqIndex    => restrictPqToIds(ix, allowed, idCol)
+    case ix: IvfPqIndex => restrictIvfPqToIds(ix, allowed, idCol)
+  }
+
+  /** Family-dispatching top-k probe: one entry point over the four
+    * staged families, returning the shared (q_id, rank, c_id, cos)
+    * shape. `nProbe` applies to the IVF-routed families (LSH/PQ scan
+    * their own structures); `rerankVecs` is the raw-vector frame the
+    * PQ families' exact-rerank stage reads (REQUIRED for PQ/IVFPQ —
+    * in production the id-bucketed embeddings table — ignored by
+    * IVF/LSH, whose indexes hold the raw vectors already); its id/vec
+    * columns must be named `idCol`/`vecCol` like the queries'.
+    * `rerankDepth` is the ADC shortlist depth, floored at k so a deep
+    * hybrid overfetch cannot trip the rerank >= k contract. */
+  /** Rows a staged ANN index still holds per requested id — the
+    * dense-side erasure counter behind
+    * [[Retrieval.takedownAuditAll]]: 0 after a
+    * [[deleteFromIvfIndex]]-family delete (ANN deletes are physical
+    * removals from the id-keyed table — no tombstone state), 1 for a
+    * live indexed vector, 0 for an id that never entered the index
+    * (NULL embedding, census-dropped LSH bucket, unknown id).
+    * Victim-bounded: the request set joins INTO the table before any
+    * aggregation, so the cost is the victims' own rows, never a
+    * corpus pass — and on a cent_id/bucket-bucketed table the join
+    * keys on the id column exactly as the delete did. Output:
+    * (doc, rows_held), one row per distinct requested id. */
+  def annRowsHeld(index: AnnIndex, ids: DataFrame,
+                  idCol: String): DataFrame = {
+    val table = index match {
+      case ix: IvfIndex   => ix.assigned
+      case ix: LshIndex   => ix.buckets
+      case ix: PqIndex    => ix.encoded
+      case ix: IvfPqIndex => ix.encoded
+    }
+    // the Long-keyed families cast like their restrict/delete twins,
+    // so the audit resolves ids in the same key space the takedown
+    // acted in
+    val key = index match {
+      case _: IvfIndex | _: IvfPqIndex =>
+        requireIntegralId(ids, idCol, "annRowsHeld")
+        col(idCol).cast("long")
+      case _ => col(idCol)
+    }
+    val req = ids.select(key.as("doc")).distinct()
+    val held = table.select(col("c_id").as("doc"))
+      .join(req, "doc")
+      .groupBy("doc").agg(count(lit(1)).as("rows_held"))
+    req.join(held, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("rows_held"), lit(0L)).as("rows_held"))
+  }
+
+  def annTopKWith(index: AnnIndex, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int = 2,
+                  rerankVecs: Option[DataFrame] = None,
+                  rerankDepth: Int = 32): DataFrame = {
+    def vecs(fam: String): DataFrame = rerankVecs.getOrElse(
+      throw new IllegalArgumentException(
+        s"annTopKWith($fam) needs rerankVecs: the ADC shortlist is " +
+          "re-scored exactly against raw vectors, which a PQ-coded " +
+          "index does not hold"))
+    val depth = math.max(rerankDepth, k)
+    index match {
+      case ix: IvfIndex => ivfTopKWith(ix, queries, idCol, vecCol, k,
+        nProbe)
+      case ix: LshIndex => lshTopKWith(ix, queries, idCol, vecCol, k)
+      case ix: PqIndex => pqTopKWith(ix, queries, vecs("PqIndex"),
+        idCol, vecCol, k, depth)
+      case ix: IvfPqIndex => ivfPqTopKWith(ix, queries,
+        vecs("IvfPqIndex"), idCol, vecCol, k, nProbe, depth)
+    }
   }
 
   /** Remove ids from a staged [[IvfIndex]]. */

@@ -394,13 +394,14 @@ object StreamingOps {
   /** Hybrid retrieval at the streaming boundary: the lexical BM25
     * top-`kRetrieve` list from the staged postings tables
     * ([[retrievalProbe]]) fused with the dense ANN top-`kRetrieve`
-    * list from a staged IVF index
-    * ([[graft.operators.Similarity.ivfTopKWith]] — the semantic
-    * door's own index family, auto-dispatching to the XL broadcast
-    * kernel past the literal boundary) by reciprocal-rank fusion
-    * ([[graft.operators.Retrieval.rrfFuse]] — rank-only, integer
-    * micro-units, no score calibration between the two spaces, which
-    * is WHY RRF and not a score blend).
+    * list from a staged index of ANY family —
+    * [[graft.operators.Similarity.AnnIndex]]: IVF (the semantic
+    * door's own index, auto-dispatching to the XL broadcast kernel
+    * past the literal boundary), LSH, PQ or IVF+PQ, probed through
+    * [[graft.operators.Similarity.annTopKWith]] — by reciprocal-rank
+    * fusion ([[graft.operators.Retrieval.rrfFuse]] — rank-only,
+    * integer micro-units, no score calibration between the two
+    * spaces, which is WHY RRF and not a score blend).
     *
     * Same foreachBatch tense and exactness argument as the other
     * probes: both stage-1 lists are per-query functions of the query
@@ -410,14 +411,23 @@ object StreamingOps {
     * probe drops them); queries whose tokens match nothing contribute
     * only their dense list — fusion over whatever lists exist is the
     * operator's semantics, not an edge case. Output: (query, rank,
-    * doc, rrf_q6). */
+    * doc, rrf_q6).
+    *
+    * `semRerankVecs`: the raw-vector frame the PQ families' exact
+    * rerank reads (REQUIRED when `semIndex` is PQ/IVFPQ — in
+    * production the id-bucketed embeddings table, columns named
+    * `qidCol`/`qVecCol`; ignored for IVF/LSH). It does NOT need its
+    * own allowlist restriction: the rerank joins raw vectors down to
+    * shortlist ids that the restricted encoded table already
+    * confined. */
   def hybridProbe(queries: DataFrame, qidCol: String, qToks: Column,
                   qVecCol: String, tablePrefix: String,
-                  semIndex: graft.operators.Similarity.IvfIndex,
+                  semIndex: graft.operators.Similarity.AnnIndex,
                   kRetrieve: Int, k: Int, rrfK: Int = 60,
                   nProbe: Int = 2, k1: Double = 1.2, b: Double = 0.75,
                   maxDfPermille: Int = 1000,
-                  allowedDocs: Option[DataFrame] = None): DataFrame = {
+                  allowedDocs: Option[DataFrame] = None,
+                  semRerankVecs: Option[DataFrame] = None): DataFrame = {
     require(kRetrieve >= k,
       s"stage 1 must overfetch: kRetrieve=$kRetrieve < k=$k")
     // an allowlist must constrain BOTH spaces: filtering only the
@@ -425,16 +435,17 @@ object StreamingOps {
     // (RRF fuses whatever its lists contain), and filtering a
     // truncated dense list post-hoc loses allowed vectors below the
     // cut — so the restriction goes INSIDE each ranking
-    // (restrictToDocs on the postings view, restrictIvfToIds on the
-    // assigned table)
+    // (restrictToDocs on the postings view, restrictAnnToIds on the
+    // family's own id-keyed table)
     val bm = retrievalProbe(queries, qidCol, qToks, tablePrefix,
         kRetrieve, k1, b, maxDfPermille, allowedDocs)
       .select(col("query"), col("rank"), col("doc"))
     val sem = allowedDocs.map(a =>
-      graft.operators.Similarity.restrictIvfToIds(semIndex, a, "doc"))
+      graft.operators.Similarity.restrictAnnToIds(semIndex, a, "doc"))
       .getOrElse(semIndex)
-    val dense = graft.operators.Similarity.ivfTopKWith(sem,
-        queries, qidCol, qVecCol, kRetrieve, nProbe)
+    val dense = graft.operators.Similarity.annTopKWith(sem,
+        queries, qidCol, qVecCol, kRetrieve, nProbe,
+        rerankVecs = semRerankVecs, rerankDepth = kRetrieve)
       .select(col("q_id").as("query"),
         col("rank").cast("long").as("rank"), col("c_id").as("doc"))
     graft.operators.Retrieval.rrfFuse(Seq(bm, dense), k, rrfK)
@@ -482,6 +493,110 @@ object StreamingOps {
   private val PurgeSuffix = "__purging"
   private val TrashSuffix = "__purged"
 
+  // Hadoop FileSystem reports most rename/delete failures (dest
+  // exists, permissions, object-store rename quirks) by returning
+  // FALSE, not throwing — and a compliance path must never report
+  // rows purged when a swap silently failed, so every rename/delete
+  // in the purge protocol is checked and a false SURFACES
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"purge rename failed: $src -> $dst")
+
+  private def mustDelete(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Unit =
+    require(fs.delete(p, true), s"purge delete failed: $p")
+
+  /** Crash recovery for the purge swap protocol under `root` — run on
+    * every entry BEFORE anything reads the root. Trash first: its
+    * existence proves the atomic live→aside rename committed, so the
+    * purged staging copy is authoritative (or, if the staging rename
+    * also committed, the trash is just un-deleted garbage). A staging
+    * dir with live present and no trash means the swap never started
+    * — the staging may be incomplete, the live dir is authoritative. */
+  private def recoverPurgeLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    def path(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(TrashSuffix))
+      .foreach { st =>
+        val base = st.getPath.getName.stripSuffix(TrashSuffix)
+        val (live, staging) = (path(base), path(base + PurgeSuffix))
+        if (!fs.exists(live)) {
+          if (fs.exists(staging)) mustRename(fs, staging, live)
+          else
+            // trash present with BOTH live and staging missing is an
+            // invariant violation (the protocol always writes staging
+            // before the live→trash rename). The one wrong default
+            // here would be restoring the trash — it is the PRE-purge
+            // copy, victim rows included, and silently resurrecting a
+            // takedown must fail loudly instead.
+            throw new IllegalStateException(
+              s"purge recovery invariant violated at ${st.getPath}: " +
+                "trash present but live and staging both missing — " +
+                "refusing to restore the un-purged copy; intervene " +
+                "manually (the trash still holds the pre-purge rows)")
+        }
+        if (fs.exists(st.getPath)) mustDelete(fs, st.getPath)
+      }
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(PurgeSuffix))
+      .foreach { st =>
+        val live = path(st.getPath.getName.stripSuffix(PurgeSuffix))
+        if (!fs.exists(live)) mustRename(fs, st.getPath, live)
+        else mustDelete(fs, st.getPath)
+      }
+  }
+
+  /** Rewrite `root/batch_id=b` through the atomic-rename swap,
+    * keeping only rows that survive `keep`. Returns rows removed.
+    * Shared by the landing purge and the lookup hygiene pass — ONE
+    * protocol definition, so the two directories cannot drift in
+    * crash semantics. */
+  private def swapPurgePartition(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, b: Long,
+      keep: DataFrame => DataFrame): Long = {
+    def path(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    val live = path(s"batch_id=$b")
+    if (!fs.exists(live)) return 0L
+    val staging = path(s"batch_id=$b$PurgeSuffix")
+    val trash = path(s"batch_id=$b$TrashSuffix")
+    // one scan of the live partition: count, anti-join and write all
+    // read the cached rows
+    val rows = spark.read.parquet(live.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val removed = try {
+      val kept = keep(rows)
+      val n = rows.count() - kept.count()
+      kept.write.mode("overwrite").parquet(staging.toString)
+      n
+    } finally rows.unpersist()
+    // atomic renames only — live data is never recursively deleted;
+    // each step checked, so a silent false can never report rows
+    // purged while the live directory still holds the victims
+    mustRename(fs, live, trash)
+    mustRename(fs, staging, live)
+    mustDelete(fs, trash)
+    removed
+  }
+
+  /** Maintain the (id → batch_id) landing LOOKUP at admit time — the
+    * narrow append that lets a takedown discover its affected landing
+    * partitions WITHOUT the column-pruned full scan
+    * [[purgeFromLanding]] otherwise pays: call right after
+    * [[writeBatchIdempotent]] with the same batch and batch id, and
+    * the lookup's `batch_id=N` directory holds the batch's distinct
+    * ids (one tiny column per batch; same `_SUCCESS`-gated idempotent
+    * replay contract, so a replayed batch can never duplicate lookup
+    * rows). Pass the lookup root as `purgeFromLanding`'s `lookupDir`
+    * and the purge's discovery reads victims' own lookup rows instead
+    * of scanning the landing. */
+  def writeLandingLookup(batch: DataFrame, idCol: String,
+                         batchId: Long, lookupDir: String): Unit =
+    writeBatchIdempotent(batch.select(col(idCol)).distinct(), batchId,
+      lookupDir)
+
   /** Purge taken-down documents from the LANDED corpus itself — the
     * final leg of the takedown: the retrieval indexes stop SERVING a
     * victim ([[graft.operators.Retrieval.deleteFromPostingsIndexTable]],
@@ -493,11 +608,12 @@ object StreamingOps {
     * (bounded by the victims' own batch sizes; the batch_id=N
     * partition column is directory-derived, so untouched batches
     * keep their files byte-identical). DISCOVERING the affected
-    * partitions is one column-pruned scan of the landing's id column
-    * — honest cost accounting: a deployment purging at high
-    * frequency should maintain an (id → batch_id) lookup at admit
-    * time and filter to it upstream; at takedown cadence the pruned
-    * scan is the simpler correct tool.
+    * partitions: with `lookupDir` (the [[writeLandingLookup]] table
+    * the ingest loop maintains at admit time) the discovery reads
+    * ONLY the victims' own lookup rows — no landing scan at all, the
+    * high-cadence deployment's tool (spec-pinned equal to scan
+    * discovery); without it, one column-pruned scan of the landing's
+    * id column — the simpler correct tool at takedown cadence.
     *
     * Per affected partition the swap uses only ATOMIC directory
     * renames around the non-atomic operations: the filtered rows land
@@ -525,62 +641,53 @@ object StreamingOps {
     * landing writes. */
   def purgeFromLanding(spark: org.apache.spark.sql.SparkSession,
                        dir: String, ids: DataFrame,
-                       idCol: String): Long = {
+                       idCol: String,
+                       lookupDir: Option[String] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    def path(name: String) = new org.apache.hadoop.fs.Path(root, name)
-    // crash recovery before anything reads the root. Trash first: its
-    // existence proves the atomic live→aside rename committed, so the
-    // purged staging copy is authoritative (or, if the staging rename
-    // also committed, the trash is just un-deleted garbage).
-    fs.listStatus(root).filter(_.getPath.getName.endsWith(TrashSuffix))
-      .foreach { st =>
-        val base = st.getPath.getName.stripSuffix(TrashSuffix)
-        val (live, staging) = (path(base), path(base + PurgeSuffix))
-        if (!fs.exists(live)) {
-          if (fs.exists(staging)) fs.rename(staging, live)
-          else fs.rename(st.getPath, live) // unreachable; conservative
-        }
-        if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
-      }
-    // staging with live present and no trash: the swap never started
-    // — the staging may be incomplete, the live dir is authoritative
-    fs.listStatus(root).filter(_.getPath.getName.endsWith(PurgeSuffix))
-      .foreach { st =>
-        val live = path(st.getPath.getName.stripSuffix(PurgeSuffix))
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
-        else fs.delete(st.getPath, true)
-      }
+    recoverPurgeLeftovers(fs, root)
+    val lookupRoot = lookupDir.map(new org.apache.hadoop.fs.Path(_))
+      .filter(fs.exists)
+    lookupRoot.foreach(recoverPurgeLeftovers(fs, _))
     if (fs.listStatus(root).isEmpty) return 0L
     // victims materialize BEFORE any rewrite: the id frame may itself
     // derive from the corpus being rewritten
     val victims = ids.select(col(idCol).as("__pid")).distinct()
       .localCheckpoint(true)
-    val corpus = spark.read.parquet(dir)
-    val affected = corpus
-      .join(victims, corpus(idCol) === victims("__pid"))
+    def discover(frame: DataFrame): Array[Long] = frame
+      .join(victims, frame(idCol) === victims("__pid"))
       .select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0))
+    // lookup discovery reads the victims' own (id, batch_id) rows —
+    // bounded by the victims, never a landing pass; scan discovery is
+    // the no-lookup fallback. The lookup can only OVER-approximate
+    // (hygiene-crash staleness, see below): extra partitions re-swap
+    // to identical content — idempotent, never wrong.
+    val affected = lookupRoot match {
+      case Some(lr) => discover(spark.read.parquet(lr.toString))
+      case None     => discover(spark.read.parquet(dir))
+    }
     var purged = 0L
     affected.foreach { b =>
-      val live = path(s"batch_id=$b")
-      val staging = path(s"batch_id=$b$PurgeSuffix")
-      val trash = path(s"batch_id=$b$TrashSuffix")
-      // one scan of the live partition: count, anti-join and write
-      // all read the cached rows
-      val rows = spark.read.parquet(live.toString)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val kept = rows.join(victims,
-          rows(idCol) === victims("__pid"), "left_anti")
-        purged += rows.count() - kept.count()
-        kept.write.mode("overwrite").parquet(staging.toString)
-      } finally rows.unpersist()
-      // atomic renames only — live data is never recursively deleted
-      fs.rename(live, trash)
-      fs.rename(staging, live)
-      fs.delete(trash, true)
+      purged += swapPurgePartition(spark, fs, root, b,
+        rows => rows.join(victims,
+          rows(idCol) === victims("__pid"), "left_anti"))
+    }
+    // lookup HYGIENE, after the landing swaps commit: drop the
+    // victims' rows from the touched lookup partitions so a later
+    // purge of new ids never re-discovers (and re-swaps) partitions
+    // on their account, and re-purging the same ids stays a no-op
+    // like the scan path. Same swap protocol, same recovery; a crash
+    // between the landing swap and this pass leaves stale lookup
+    // rows whose only cost is an idempotent no-op re-swap later —
+    // the landing (the compliance surface) is already clean.
+    lookupRoot.foreach { lr =>
+      affected.foreach { b =>
+        swapPurgePartition(spark, fs, lr, b,
+          rows => rows.join(victims,
+            rows(idCol) === victims("__pid"), "left_anti"))
+      }
     }
     purged
   }

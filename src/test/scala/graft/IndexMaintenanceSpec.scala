@@ -649,4 +649,104 @@ class IndexMaintenanceSpec extends SparkSpec {
       expected(1))
     assert(answerOf(IM.currentIvfIndex(store, spark).get) == expected(2))
   }
+
+  test("cross-surface takedown audit lifecycle: ONE report over " +
+    "postings + all four ANN families + landing, through delete → " +
+    "publish → retention GC → compaction") {
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    import graft.streaming.StreamingOps
+    // shared id space: text + vector per doc, ids 0..11; victims 0, 7
+    def vecOf(i: Long) = Array.tabulate(4)(j =>
+      (((i * 13 + j * 7) % 9) - 4).toFloat)
+    val ids = (0L until 12L)
+    val docs = ids.map(i =>
+      (i, s"word${i % 5} word${i % 3} filler$i")).toDF("doc_id", "text")
+    val vecs = ids.map(i => (i, vecOf(i))).toDF("doc_id", "embedding")
+    val victims = Seq(0L, 7L).toDF("doc_id")
+    val prefix = "graft_audit_lifecycle"
+    val root = java.nio.file.Files.createTempDirectory("graft-audit")
+    val landing = s"$root/landing"
+    try {
+      // lexical surface + gated delete
+      Retrieval.createPostingsIndexTable(docs, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      assert(Retrieval.deleteFromPostingsIndexTable(spark, victims,
+        "doc_id", prefix, buckets = 2, batchId = Some(0L)) === 2L)
+      // four dense families, deleted per family
+      val ivfFull = Similarity.ivfIndex(vecs, "doc_id", "embedding",
+        nCentroids = 2, persistIndex = false)
+      val ivf = Similarity.deleteFromIvfIndex(ivfFull, victims,
+        "doc_id")
+      val lsh = Similarity.deleteFromLshIndex(
+        Similarity.lshIndex(vecs, "doc_id", "embedding", nPlanes = 2,
+          persistIndex = false), victims, "doc_id")
+      val pq = Similarity.deleteFromPqIndex(
+        Similarity.pqIndex(vecs, "doc_id", "embedding", m = 2,
+          ksub = 2, persistIndex = false), victims, "doc_id")
+      val ivfpq = Similarity.deleteFromIvfPqIndex(
+        Similarity.ivfPqIndex(vecs, "doc_id", "embedding",
+          nCentroids = 2, m = 2, ksub = 2, persistIndex = false),
+        victims, "doc_id")
+      // the documented ANN takedown protocol on the store: v0 is the
+      // pre-delete publish, the delete lands as v1 — v0 is exactly
+      // the straggling-reader exposure until retention GC
+      val store = new IM.VersionedIndexStore(s"$root/store")
+      IM.saveIvfIndex(ivfFull, store.versionDir(store.nextVersion()))
+      store.publish(0L)
+      IM.saveIvfIndex(ivf, store.versionDir(store.nextVersion()))
+      store.publish(1L)
+      // landing written batch-partitioned, then purged
+      vecs.withColumn("batch_id", (col("doc_id") % 3).cast("long"))
+        .write.partitionBy("batch_id").parquet(landing)
+      assert(StreamingOps.purgeFromLanding(spark, landing, victims,
+        "doc_id") === 2L)
+      def audit(): Map[(String, Long), (Long, Long, Long, Boolean)] =
+        Retrieval.takedownAuditAll(spark,
+            ids.toDF("doc_id"), "doc_id",
+            postingsPrefix = Some(prefix),
+            ann = Seq(
+              Retrieval.AnnAuditSurface("ivf", ivf, Some(store)),
+              Retrieval.AnnAuditSurface("lsh", lsh),
+              Retrieval.AnnAuditSurface("pq", pq),
+              Retrieval.AnnAuditSurface("ivfpq", ivfpq)),
+            landingDir = Some(landing))
+          .as[(String, Long, Long, Long, Long, Boolean)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      val a1 = audit()
+      // victims: serving 0 on EVERY surface
+      for (s <- Seq("postings", "ivf", "lsh", "pq", "ivfpq", "landing");
+           v <- Seq(0L, 7L))
+        assert(a1((s, v))._1 === 0L, s"victim $v must not serve on $s")
+      // postings: silenced-not-erased (physical > 0, tombstoned) for
+      // victims; a live doc serves
+      assert(a1(("postings", 0L))._2 > 0L && a1(("postings", 0L))._4)
+      assert(a1(("postings", 1L)) === ((1L, a1(("postings", 1L))._2,
+        0L, false)) && a1(("postings", 1L))._2 > 0L)
+      // ivf store: CURRENT (v1) no longer holds victims, but the
+      // RETAINED v0 still does — the number retention GC must erase
+      assert(a1(("ivf", 0L)) === ((0L, 0L, 1L, false)))
+      assert(a1(("ivf", 1L)) === ((1L, 1L, 1L, false)))
+      // storeless families report live == physical, no retained
+      for (s <- Seq("lsh", "pq", "ivfpq")) {
+        assert(a1((s, 0L)) === ((0L, 0L, 0L, false)))
+        assert(a1((s, 1L)) === ((1L, 1L, 0L, false)))
+      }
+      // landing: victims' bytes gone, survivors intact
+      assert(a1(("landing", 0L)) === ((0L, 0L, 0L, false)))
+      assert(a1(("landing", 1L)) === ((1L, 1L, 0L, false)))
+      // retention GC (keep only CURRENT) erases the straggler window
+      assert(store.retainVersions(0) === Seq(0L))
+      val a2 = audit()
+      assert(a2(("ivf", 0L)) === ((0L, 0L, 0L, false)),
+        "after GC no retained version may hold the victim")
+      assert(a2(("ivf", 1L)) === ((1L, 1L, 0L, false)))
+      // postings compaction applies the tombstones: fully erased
+      assert(Retrieval.maintainPostingsIndexTable(spark, prefix, 2))
+      val a3 = audit()
+      assert(a3(("postings", 0L)) === ((0L, 0L, 0L, false)),
+        "post-compaction the victim must read fully erased")
+      assert(a3(("postings", 1L))._1 === 1L)
+    } finally Retrieval.indexTableNames(prefix)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -754,6 +754,7 @@ class MQSourceSpec extends SparkSpec {
     val dir = tmpDir("mq-capstone")
     val ckpt = tmpDir("mq-capstone-ckpt")
     val out = tmpDir("mq-capstone-out")
+    val lookupOut = tmpDir("mq-capstone-lookup")
     val gate = new BatchIdGate(
       ckpt.resolve("graft-applied").toString)
     @volatile var crashArmed = true
@@ -821,6 +822,12 @@ class MQSourceSpec extends SparkSpec {
             }
             StreamingOps.writeBatchIdempotent(
               admitted.drop("embedding"), batchId, out.toString)
+            // the admit-time (id → batch_id) lookup rides the same
+            // loop — one narrow append per batch, same idempotent
+            // replay contract — so the takedown epilogue can discover
+            // its partitions without scanning the landing
+            StreamingOps.writeLandingLookup(
+              admitted, "key", batchId, lookupOut.toString)
             if (crashArmed && !admitted.isEmpty) {
               crashArmed = false
               throw new RuntimeException("injected crash before commit")
@@ -1062,16 +1069,24 @@ class MQSourceSpec extends SparkSpec {
           spark, "graft_cap_post")) == probeSet(rebuiltSurv),
         "post-takedown staged retrieval must equal a survivors rebuild")
       // the BYTES leave too: purge the victim from the landed corpus
-      // (its key encodes put_ts=7000) — the other admit's partition is
-      // untouched and the taken-down content is gone from storage
+      // (its key encodes put_ts=7000) — discovery goes through the
+      // admit-time LOOKUP the loop maintained (no landing scan), the
+      // other admit's partition is untouched and the taken-down
+      // content is gone from storage
       assert(StreamingOps.purgeFromLanding(spark, out.toString,
-        spark.read.parquet(out.toString)
+        spark.read.parquet(lookupOut.toString)
           .filter(col("key") === "7000_1").select("key"),
-        "key") == 1L)
+        "key", lookupDir = Some(lookupOut.toString)) == 1L)
       assert(spark.read.parquet(out.toString)
           .select("key").as[String].collect().sorted.toSeq
         == Seq("8002_1"),
         "the purge must remove exactly the victim's landed row")
+      // lookup hygiene rode the same purge: the victim's (id, batch)
+      // row left the lookup, the survivor's stayed
+      assert(spark.read.parquet(lookupOut.toString)
+          .select("key").as[String].collect().sorted.toSeq
+        == Seq("8002_1"),
+        "the purge must drop the victim's lookup row too")
       rebuiltSurv.unpersist()
       rebuilt.unpersist()
     } finally {

@@ -1169,6 +1169,109 @@ class SimilaritySpec extends SparkSpec {
       "IVF+PQ ADC must never surface a deleted vector")
   }
 
+  test("ANN restrict == frozen-quantizer subset build on ALL FOUR " +
+    "index families, and the family dispatcher probes each " +
+    "disallowed-free") {
+    // the filtered-serving twin of the delete test above: restricting
+    // an index to an allowlist must equal appending ONLY the allowed
+    // rows onto the same index emptied (frozen quantizers, public API
+    // only), row for row — and annTopKWith/restrictAnnToIds must
+    // dispatch every family so a hybrid funnel can honor an allowlist
+    // whatever dense index the deployment staged.
+    def mk(i: Long, base: Int): (Long, Array[Float]) = {
+      val v = Array.tabulate(8)(j =>
+        (math.sin(base * 3.7 + j * 1.3) + (i % 5) * 0.01).toFloat)
+      (i, v)
+    }
+    val all = (0L until 30L).map(i => mk(i, (i % 3).toInt))
+    val corpus = all.toDF("vec_id", "embedding")
+    val allowedSeq = all.filter(_._1 % 3 != 0L)
+    val allowedDf = allowedSeq.toDF("vec_id", "embedding")
+    val allowedIds = allowedSeq.map(_._1).toDF("vec_id")
+    val disallowed = all.map(_._1).toSet -- allowedSeq.map(_._1).toSet
+    val query = Seq((999L, mk(0L, 0)._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    def probedIds(ix: Similarity.AnnIndex): Set[Long] =
+      Similarity.annTopKWith(ix, query, "vec_id", "embedding", k = 5,
+          nProbe = 2, rerankVecs = Some(corpus))
+        .select("c_id").as[Long].collect().toSet
+    // ---- IVF
+    val ivf0 = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, persistIndex = false)
+    val ivfR = Similarity.restrictIvfToIds(ivf0, allowedIds, "vec_id")
+    val ivfSub = Similarity.appendToIvfIndex(
+      Similarity.IvfIndex(ivf0.cents, ivf0.assigned.limit(0)),
+      allowedDf, "vec_id", "embedding")
+    assert(rows(ivfR.assigned) == rows(ivfSub.assigned))
+    // ---- LSH (census frozen: the build's dropped table is kept)
+    val lsh0 = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      nPlanes = 4, persistIndex = false)
+    val lshR = Similarity.restrictLshToIds(lsh0, allowedIds, "vec_id")
+    val lshSub = Similarity.appendToLshIndex(
+      Similarity.LshIndex(lsh0.nPlanes, lsh0.buckets.limit(0),
+        lsh0.dropped), allowedDf, "vec_id", "embedding")
+    assert(rows(lshR.buckets) == rows(lshSub.buckets))
+    // ---- PQ
+    val pq0 = Similarity.pqIndex(corpus, "vec_id", "embedding",
+      m = 4, ksub = 4, persistIndex = false)
+    val pqR = Similarity.restrictPqToIds(pq0, allowedIds, "vec_id")
+    val pqSub = Similarity.appendToPqIndex(
+      Similarity.PqIndex(pq0.codebook, pq0.encoded.limit(0)),
+      allowedDf, "vec_id", "embedding")
+    assert(rows(pqR.encoded) == rows(pqSub.encoded))
+    // ---- IVF+PQ
+    val ivfpq0 = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 4, residual = true,
+      persistIndex = false)
+    val ivfpqR = Similarity.restrictIvfPqToIds(ivfpq0, allowedIds,
+      "vec_id")
+    val ivfpqSub = Similarity.appendToIvfPqIndex(
+      Similarity.IvfPqIndex(ivfpq0.cents, ivfpq0.codebook,
+        ivfpq0.encoded.limit(0), ivfpq0.residual), allowedDf,
+      "vec_id", "embedding")
+    assert(rows(ivfpqR.encoded) == rows(ivfpqSub.encoded))
+    // the dispatcher returns the same family with the same serving
+    // set; a probe of any restricted family never surfaces a
+    // disallowed id AND equals the same probe over the explicitly
+    // subset-built index — the restriction is INSIDE the ranking
+    // (parity is the non-vacuous check: an LSH query whose own bucket
+    // held only disallowed ids legitimately probes empty, exactly as
+    // the subset build would)
+    Seq[(Similarity.AnnIndex, Similarity.AnnIndex, Similarity.AnnIndex)](
+      (ivfR, Similarity.restrictAnnToIds(ivf0, allowedIds, "vec_id"),
+        ivfSub),
+      (lshR, Similarity.restrictAnnToIds(lsh0, allowedIds, "vec_id"),
+        lshSub),
+      (pqR, Similarity.restrictAnnToIds(pq0, allowedIds, "vec_id"),
+        pqSub),
+      (ivfpqR, Similarity.restrictAnnToIds(ivfpq0, allowedIds,
+        "vec_id"), ivfpqSub)
+    ).foreach { case (direct, dispatched, subsetBuilt) =>
+      assert(direct.getClass == dispatched.getClass)
+      val got = probedIds(dispatched)
+      assert(got.intersect(disallowed).isEmpty,
+        s"restricted ${direct.getClass.getSimpleName} probe must " +
+          s"return only allowed ids, got $got")
+      assert(got === probedIds(subsetBuilt),
+        s"${direct.getClass.getSimpleName}: restricted probe must " +
+          "equal the frozen-quantizer subset build's probe")
+    }
+    // non-vacuity of the probe checks: the families that scan their
+    // whole id table (PQ; IVF probes 2 of 4 lists over 20 allowed
+    // ids) return real lists on this fixture
+    assert(probedIds(Similarity.restrictAnnToIds(pq0, allowedIds,
+      "vec_id")).nonEmpty)
+    assert(probedIds(Similarity.restrictAnnToIds(ivf0, allowedIds,
+      "vec_id")).nonEmpty)
+    // PQ families without a rerank frame fail loudly, never silently
+    // skip the exact-rerank stage
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKWith(pq0, query, "vec_id", "embedding", k = 3)
+    }
+  }
+
   test("NULL embeddings are excluded, never NPE mid-job") {
     // the realistic failed-extraction artifact: one null vector used
     // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException

@@ -15,21 +15,21 @@ class QueriesSmokeSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch/hash-based ops are intentionally rows-only
     // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
+    // round 14 converted q_sim_ann_ivf (explicit-quantizer probe,
+    // fully SQL-expressible), q_embed_cluster and q_pca_project
+    // (exact-integer verdict rows, constant oracles) out of this set
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
       "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_ivfpq",
+      "q_sim_ann_pq", "q_sim_ann_ivfpq",
       "q_agg_percentile_approx",
-      "q_sim_ann_recall", "q_dedup_simhash_audit", "q_embed_cluster",
+      "q_sim_ann_recall", "q_dedup_simhash_audit",
       "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash",
       // bloom membership and BPE merge training are hash/iteration
       // artifacts with no SQL form; their value-level coverage is
       // BloomSpec (exact FP audit vs planted contamination)
       // and BpeSpec (merge-table recovery on a planted corpus):
       "q_decontaminate_bloom", "q_decontaminate_bloom_audit",
-      "q_bpe_train", "q_bpe_tokencount",
-      // the eigensolve is not SQL-expressible; its exact-moment input
-      // IS oracled (q_pca_moments) and PcaSpec pins the basis/apply:
-      "q_pca_project"))
+      "q_bpe_train", "q_bpe_tokencount"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -374,6 +374,108 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("straddling reader: a probe re-resolving between ANY two " +
+    "table rewrites of a tombstone-applying compaction is exact — " +
+    "never a mixed state") {
+    // the multi-table compaction rewrites six tables one at a time;
+    // this pins the cross-table ordering argument (postings/doclen
+    // cleaned first, derived states recomputed, tombstones cleared
+    // LAST) by probing the full load path after EVERY step — the
+    // reader a production deployment actually has during maintenance
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val b1 = Seq((4L, "dog cherry dog"), (5L, "elk apple"))
+      .toDF("doc_id", "text")
+    val prefix = "graft_bm25_straddle"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    val qs = Seq((100L, "apple dog"), (101L, "elk cherry"))
+      .toDF("query_id", "text")
+    def probeSet(ix: Retrieval.PostingsIndex) =
+      Retrieval.bm25TopKWith(ix, qs, "query_id", toks(col("text")),
+          k = 10)
+        .select("query", "rank", "doc", "score_q6")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(b1, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(0L))
+      // takedown touching a base doc AND an appended doc
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(2L, 4L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(1L)) === 2L)
+      val survivors = corpus.unionByName(b1)
+        .filter(!col("doc_id").isin(2L, 4L))
+      val fresh = Retrieval.postingsIndex(survivors, "doc_id",
+        toks(col("text")))
+      val want = probeSet(fresh)
+      assert(want.nonEmpty)
+      assert(probeSet(Retrieval.loadPostingsIndex(spark, prefix))
+        === want, "pre-compaction serving must already be exact")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      Retrieval.compactPostingsIndexTableStepped(spark, prefix,
+        buckets = 2, { step =>
+          seen += step
+          assert(probeSet(Retrieval.loadPostingsIndex(spark, prefix))
+            === want,
+            s"straddling reader saw a mixed state after the '$step' " +
+              "rewrite")
+        })
+      // the hook saw every table of the tombstone-applying path, in
+      // the documented order — adding a table to the layout without
+      // extending the ordering proof fails here
+      assert(seen.toSeq === Seq("postings", "doclen", "dfreq",
+        "tfmax", "stats", "tombstones"))
+      assert(probeSet(Retrieval.loadPostingsIndex(spark, prefix))
+        === want)
+      // and the compaction fully applied: no tombstones, no dead rows
+      assert(spark.table(prefix + "_tombstones").isEmpty)
+      assert(spark.table(prefix + "_postings")
+        .filter(col("doc").isin(2L, 4L)).isEmpty)
+      fresh.unpersist()
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("appendToPostingsIndexTable rejects a batch holding a " +
+    "pending-tombstone id — the compaction would silently destroy " +
+    "the re-appended rows") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val prefix = "graft_bm25_tombguard"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(2L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(0L)) === 1L)
+      // re-appending the tombstoned id must fail LOUDLY (its rows
+      // plus positive df/stats partials would be destroyed by the
+      // next compaction's anti-join)
+      intercept[IllegalArgumentException] {
+        Retrieval.appendToPostingsIndexTable(
+          Seq((2L, "banana cherry")).toDF("doc_id", "text"), "doc_id",
+          toks(col("text")), prefix, buckets = 2, batchId = Some(1L))
+      }
+      // a disjoint batch appends fine while the tombstone is pending
+      Retrieval.appendToPostingsIndexTable(
+        Seq((9L, "fig")).toDF("doc_id", "text"), "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(2L))
+      // once compaction physically applies the tombstone, the guard
+      // clears (id reuse is still pipeline-hostile, but no longer a
+      // silent-destruction hazard)
+      Retrieval.compactPostingsIndexTable(spark, prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(
+        Seq((2L, "banana cherry")).toDF("doc_id", "text"), "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(3L))
+      val served = Retrieval.loadPostingsIndex(spark, prefix).doclen
+        .select("doc").as[Long].collect().toSet
+      assert(served === Set(1L, 2L, 3L, 9L))
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("gated table append is idempotent per batch id: full and " +
     "PARTIAL replays both land content identical to one delivery") {
     import graft.operators.Retrieval

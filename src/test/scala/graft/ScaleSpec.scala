@@ -959,6 +959,84 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("staged allowlist at corpus scale: the filtered probe " +
+    "aggregates and semi-joins the allow table on its doc-bucketed " +
+    "layout — neither the allowlist nor any corpus table re-shuffles") {
+    import graft.operators.{Allowlist, Retrieval, TextAnalysis => TA}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"word${i % 13} word${i % 7} word${i % 5} filler$i"))
+      .toDF("doc_id", "text")
+    val prefix = "graft_bm25_allow_scale"
+    val aprefix = "graft_allow_scale"
+    val tables = Retrieval.indexTableNames(prefix) ++
+      Allowlist.allowlistTableNames(aprefix)
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Retrieval.createPostingsIndexTable(docsDf(0 until 60), "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 4)
+      // a corpus-scale allowlist lives as staged state and MUTATES:
+      // base grant-all, then two gated changes — the load must stay
+      // one zero-exchange aggregation however many event batches land
+      Allowlist.createAllowlistTable(
+        docsDf(0 until 60).select("doc_id"), "doc_id", aprefix,
+        buckets = 4)
+      Allowlist.stageAllowlistChange(
+        docsDf(0 until 60).filter(col("doc_id") % 3 === 0)
+          .select("doc_id"),
+        "doc_id", allowed = false, aprefix, buckets = 4, batchId = 0L)
+      Allowlist.stageAllowlistChange(
+        docsDf(0 until 60).filter(col("doc_id") % 6 === 0)
+          .select("doc_id"),
+        "doc_id", allowed = true, aprefix, buckets = 4, batchId = 1L)
+      val qs = docsDf(0 until 60).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val probe = Retrieval.bm25TopKWith(
+        Retrieval.restrictToDocs(
+          Retrieval.loadPostingsIndex(spark, prefix),
+          Allowlist.loadAllowlist(spark, aprefix), "doc"),
+        qs, "query_id", slice(TA.tokens(col("text")), 1, 3), k = 5)
+      val got = probe.select("doc").as[Long].collect().toSet
+      assert(got.nonEmpty, "filtered probe must retrieve")
+      assert(got.forall(d => d % 3 != 0 || d % 6 == 0),
+        s"latest-wins allowlist must gate the staged probe: $got")
+      // the allow table paid its doc-bucketed layout shuffle at write
+      // time, like every corpus table — the probe may shuffle only
+      // query-sized intermediates (same unary-descent check as the
+      // staged-postings test)
+      val corpusTables = Set(prefix + "_postings", prefix + "_doclen",
+        prefix + "_dfreq", aprefix + "_allow")
+      val plan = probe.queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!corpusTables.contains(_)),
+          s"table ${hit.getOrElse("")} re-shuffled by the filtered " +
+            s"probe:\n$plan")
+      }
+      assert(plan.collect { case f: FileSourceScanExec => f }
+          .flatMap(_.tableIdentifier).map(_.table)
+          .contains(aprefix + "_allow"),
+        s"the staged allowlist scan must be load-bearing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("retrieve-then-rerank funnel over staged tables: the dense " +
     "stage touches candidates only and NEITHER corpus side (postings " +
     "or bucketed embeddings) re-shuffles") {

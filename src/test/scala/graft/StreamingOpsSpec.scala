@@ -1529,6 +1529,76 @@ class StreamingOpsSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered hybridProbe honors the allowlist on EVERY dense " +
+    "family (LSH, PQ, IVF+PQ): fused lists equal explicitly " +
+    "restricted fusion and the disallowed doc never appears") {
+    // round-13 shipped the allowlist for the IVF dense side only; a
+    // deployment serving hybrid off any OTHER family could not honor
+    // it and would leak disallowed docs through RRF — this pins the
+    // restrictAnnToIds/annTopKWith seam per family, against the same
+    // fixture as the IVF test above (doc 3 tops both spaces, the
+    // allowlist excludes it)
+    import graft.operators.{Retrieval, Similarity, TextAnalysis => TA}
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    def vecOf(i: Long) = Array.tabulate(3)(j =>
+      (((i * 13 + j * 7) % 9) - 4).toFloat)
+    val corpusVecs = Seq(1L, 2L, 3L, 4L)
+      .map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+    val prefix = "graft_hybrid_filtered_fam"
+    val tables = Seq("_postings", "_doclen", "_dfreq", "_tfmax",
+      "_stats", "_tombstones").map(prefix + _)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      val qdf = Seq((200L, "cherry cherry cherry dog", vecOf(3L)))
+        .toDF("query_id", "text", "qv")
+      val allowed = Seq(1L, 2L, 4L).toDF("doc")
+      // the PQ families' exact-rerank frame, columns named like the
+      // query frame's (the annTopKWith contract)
+      val rerank = corpusVecs
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val fams: Seq[Similarity.AnnIndex] = Seq(
+        Similarity.lshIndex(corpusVecs, "vec_id", "embedding",
+          nPlanes = 2, persistIndex = false),
+        Similarity.pqIndex(corpusVecs, "vec_id", "embedding",
+          m = 3, ksub = 2, persistIndex = false),
+        Similarity.ivfPqIndex(corpusVecs, "vec_id", "embedding",
+          nCentroids = 2, m = 3, ksub = 2, persistIndex = false))
+      fams.foreach { ix =>
+        val fam = ix.getClass.getSimpleName
+        val got = StreamingOps.hybridProbe(qdf, "query_id",
+            TA.tokens(col("text")), "qv", prefix, ix,
+            kRetrieve = 10, k = 4, nProbe = 2,
+            allowedDocs = Some(allowed),
+            semRerankVecs = Some(rerank))
+          .select("query", "rank", "doc", "rrf_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got.nonEmpty && !got.exists(_._3 == 3L),
+          s"$fam: the disallowed doc must never appear: $got")
+        // parity with the one-shot over explicitly restricted states
+        val bm = Retrieval.bm25TopKWith(
+            Retrieval.restrictToDocs(
+              Retrieval.loadPostingsIndex(spark, prefix),
+              allowed, "doc"),
+            qdf, "query_id", TA.tokens(col("text")), k = 10)
+          .select("query", "rank", "doc")
+        val dense = Similarity.annTopKWith(
+            Similarity.restrictAnnToIds(ix, allowed, "doc"),
+            qdf, "query_id", "qv", k = 10, nProbe = 2,
+            rerankVecs = Some(rerank), rerankDepth = 10)
+          .select(col("q_id").as("query"),
+            col("rank").cast("long").as("rank"), col("c_id").as("doc"))
+        val want = Retrieval.rrfFuse(Seq(bm, dense), k = 4)
+          .select("query", "rank", "doc", "rrf_q6")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got === want, s"$fam: filtered hybrid must equal " +
+          "fusion over restricted states")
+      }
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Drive the orderedMerge fixture (interleaved queues, a
     * same-millisecond tie, a later-than-watermark record, a
     * still-held tail record) against either merge form and return
@@ -1705,5 +1775,132 @@ class StreamingOpsSpec extends SparkSpec {
     assert(landedIds() === Set(1L, 2L, 4L, 9L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
       "batch_id=4__purged")))
+  }
+
+  test("landing lookup: admit-time (id → batch_id) rows equal the " +
+    "scan's pairs, lookup-driven purge equals the scan path, and " +
+    "lookup hygiene keeps re-purges no-ops") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files.createTempDirectory("graft-plkp")
+    val dir = s"$root/landing"
+    val lkp = s"$root/lookup"
+    def land(b: Long, rows: (Long, String)*): Unit = {
+      StreamingOps.writeBatchIdempotent(
+        rows.toDF("doc_id", "text"), b, dir)
+      StreamingOps.writeLandingLookup(
+        rows.toDF("doc_id", "text"), "doc_id", b, lkp)
+    }
+    def pairs(d: String): Set[(Long, Long)] =
+      spark.read.parquet(d).select(col("doc_id"),
+          col("batch_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    def landedIds(): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    def fileSig(d: String, b: Long): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(d, s"batch_id=$b")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(s =>
+        (s.getPath.getName, s.getModificationTime)).toSet
+    }
+    land(0L, (1L, "alpha"), (2L, "beta"))
+    land(1L, (3L, "gamma"), (4L, "delta"))
+    land(2L, (5L, "epsilon"))
+    // DISCOVERY PARITY: the lookup holds exactly the landing's
+    // (id, batch) pairs — so filtering either to the victims yields
+    // the same affected-partition set, which is the purge's whole
+    // discovery contract
+    assert(pairs(lkp) === pairs(dir))
+    // a replayed admit batch must not duplicate lookup rows (the
+    // writeBatchIdempotent _SUCCESS gate covers the lookup too)
+    land(1L, (3L, "gamma"), (4L, "delta"))
+    assert(pairs(lkp) === pairs(dir))
+    // lookup-driven purge: same result as the scan path, untouched
+    // partitions byte-identical in BOTH directories
+    val sigL0 = fileSig(dir, 0L)
+    val sigK0 = fileSig(lkp, 0L)
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(3L, 99L).toDF("doc_id"), "doc_id",
+      lookupDir = Some(lkp)) === 1L)
+    assert(landedIds() === Set(1L, 2L, 4L, 5L))
+    assert(fileSig(dir, 0L) === sigL0 && fileSig(lkp, 0L) === sigK0,
+      "batches without victims must keep their files byte-identical")
+    // HYGIENE: the victim's lookup row left with it, so the lookup
+    // again equals the landing — and a re-purge of the same id finds
+    // no partition to touch on either path
+    assert(pairs(lkp) === pairs(dir))
+    val sigL1 = fileSig(dir, 1L)
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(3L).toDF("doc_id"), "doc_id",
+      lookupDir = Some(lkp)) === 0L)
+    assert(fileSig(dir, 1L) === sigL1,
+      "a re-purge of an already-purged id must not re-swap its " +
+        "old partition (the hygiene pass removed its lookup row)")
+    // and the no-lookup scan path purges the rest identically
+    assert(StreamingOps.purgeFromLanding(spark, dir,
+      Seq(5L).toDF("doc_id"), "doc_id") === 1L)
+    assert(landedIds() === Set(1L, 2L, 4L))
+  }
+
+  test("staged allowlist: gated grant/revoke between batches drives " +
+    "the NEXT probe's serving set, revoke → re-grant round-trips " +
+    "(tombstones can't), replay is idempotent, compaction is " +
+    "serving-equivalent") {
+    import graft.operators.{Allowlist, Retrieval, TextAnalysis => TA}
+    import graft.streaming.StreamingOps
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    val prefix = "graft_allow_funnel"
+    val aprefix = "graft_allow_state"
+    val tables = Retrieval.indexTableNames(prefix) ++
+      Allowlist.allowlistTableNames(aprefix)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      Allowlist.createAllowlistTable(corpus.select("doc_id"),
+        "doc_id", aprefix, buckets = 2)
+      val qdf = Seq((200L, "cherry cherry cherry dog"))
+        .toDF("query_id", "text")
+      // the funnel's call shape: the allowlist is re-resolved from
+      // its staged table per probe call, so a change staged in batch
+      // N serves in batch N+1 with no other plumbing
+      def probe(): Set[Long] = StreamingOps.retrievalProbe(qdf,
+          "query_id", TA.tokens(col("text")), prefix, k = 10,
+          allowedDocs = Some(Allowlist.loadAllowlist(spark, aprefix)))
+        .select("doc").as[Long].collect().toSet
+      assert(probe().contains(3L), "base grant set must serve doc 3")
+      // batch 0 revokes doc 3 (license reclassification mid-stream)
+      Allowlist.stageAllowlistChange(Seq(3L).toDF("doc_id"), "doc_id",
+        allowed = false, aprefix, buckets = 2, batchId = 0L)
+      val afterRevoke = probe()
+      assert(afterRevoke.nonEmpty && !afterRevoke.contains(3L))
+      // per-batch == one-shot: the staged-state probe equals the
+      // explicit-frame form under the same allowed set
+      val explicit = StreamingOps.retrievalProbe(qdf, "query_id",
+          TA.tokens(col("text")), prefix, k = 10,
+          allowedDocs = Some(Seq(1L, 2L, 4L).toDF("doc")))
+        .select("doc").as[Long].collect().toSet
+      assert(afterRevoke === explicit)
+      // replaying the same gated mutation is idempotent
+      Allowlist.stageAllowlistChange(Seq(3L).toDF("doc_id"), "doc_id",
+        allowed = false, aprefix, buckets = 2, batchId = 0L)
+      assert(probe() === afterRevoke)
+      // batch 1 re-grants: latest-wins event log — the semantics a
+      // tombstone-only allowlist cannot express
+      Allowlist.stageAllowlistChange(Seq(3L).toDF("doc_id"), "doc_id",
+        allowed = true, aprefix, buckets = 2, batchId = 1L)
+      assert(probe().contains(3L), "re-grant must serve doc 3 again")
+      // batch 2 revokes again; compaction then collapses the event
+      // log serving-equivalently (and drops the revoked doc's rows)
+      Allowlist.stageAllowlistChange(Seq(3L).toDF("doc_id"), "doc_id",
+        allowed = false, aprefix, buckets = 2, batchId = 2L)
+      val served = Allowlist.loadAllowlist(spark, aprefix)
+        .as[Long].collect().toSet
+      Allowlist.compactAllowlistTable(spark, aprefix, buckets = 2)
+      assert(Allowlist.loadAllowlist(spark, aprefix)
+        .as[Long].collect().toSet === served)
+      assert(probe() === afterRevoke,
+        "compaction must not change the serving set")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

@@ -34,7 +34,8 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_text_bm25", "q_text_bm25_pruned",
               "q_text_bm25_staged", "q_retrieval_rerank",
               "q_retrieval_hybrid_rrf", "q_text_bm25_deleted",
-              "q_retrieval_takedown_audit", "q_text_bm25_filtered")) {
+              "q_retrieval_takedown_audit", "q_text_bm25_filtered",
+              "q_ann_takedown_audit")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
