@@ -182,32 +182,69 @@ object VectorQueries {
     }),
 
     "q_sim_ann_pq" -> ((s, d) => {
-      // Product-quantization ADC top-k: codes are 32× smaller than
-      // the raw vectors, scan does m table lookups per pair, exact
-      // rerank on the shortlist. Rows-only (trained codebook isn't
-      // oracle-expressible); SimilaritySpec pins the hand-codebook
-      // argmin, determinism, and a recall floor.
+      // Round 14: ORACLE-CHECKED (was rows-only). Like q_sim_ann_ivf,
+      // the quantizer is explicit: codebook(s)(c) = subspace s of the
+      // (c+1)-th smallest non-null vec_id's vector (the
+      // externally-trained-codebook deployment shape — FAISS trains
+      // codebooks offline, the engine encodes/serves). The ENTIRE
+      // two-stage probe is then DuckDB-expressible: per-subspace
+      // L2-argmin codes (ties → smallest code), the per-query LUT,
+      // ADC = Σ lut[s][code_s] / (‖q‖·‖c‖), rerank-deep shortlist by
+      // (adc desc, c_id asc), exact cosine top-k. 128 codewords sit
+      // past CodebookLiteralMax, so this also exercises the broadcast
+      // encode transport on the oracle path. The TRAINED-codebook
+      // build stays covered by q_sim_ann_recall + xl_parity's encode
+      // parity + SimilaritySpec.
+      import s.implicits._
       val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("embedding").isNotNull)
+        .orderBy("vec_id").limit(16)
+        .select(Similarity.toDouble(col("embedding")))
+        .as[Seq[Double]].collect().toSeq
+      val codebook: Array[Array[Seq[Double]]] =
+        Array.tabulate(8)(sub =>
+          base.map(v => v.slice(sub * 8, sub * 8 + 8)).toArray)
+      val ix = Similarity.PqIndex(codebook,
+        Similarity.pqEncode(emb, "vec_id", "embedding", codebook))
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.pqTopK(q, emb, "vec_id", "embedding", 3)
+      Similarity.pqTopKWith(ix, q, emb, "vec_id", "embedding", 3)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
     }),
 
     "q_sim_ann_ivfpq" -> ((s, d) => {
-      // Composed IVF+PQ (FAISS IVFPQ): Lloyd-trained coarse quantizer
-      // (balanced lists — measured +0.05 recall@3 over hash-sampled
-      // centroids at sf0.1), raw PQ codes (residual codes measured
-      // WORSE on this corpus — see ivfPqIndex scaladoc), exact rerank
-      // on the shortlist. Rows-only (trained coarse+fine quantizers
-      // aren't oracle-expressible); SimilaritySpec pins a recall
-      // floor + determinism, ScaleSpec the exchange-free build and
-      // all-broadcast query joins.
+      // Round 14: ORACLE-CHECKED (was rows-only). The composed FAISS
+      // IVFPQ layout under BOTH explicit quantizers — the coarse
+      // centroid table AND the PQ codebook are the 16 smallest
+      // non-null vectors (id-picked, the externally-trained
+      // deployment shape) — so the full pipeline is
+      // DuckDB-expressible: coarse argmax assignment, top-4 probe
+      // lists per query by cosine, per-subspace L2-argmin codes, ADC
+      // within the probed lists only, 32-deep shortlist, exact cosine
+      // top-3. Raw codes (residual = false, the measured default).
+      // The Lloyd-trained build stays covered by q_sim_ann_recall +
+      // SimilaritySpec recall floors + ScaleSpec plan pins.
+      import s.implicits._
       val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("embedding").isNotNull)
+        .orderBy("vec_id").limit(16)
+        .select(col("vec_id").cast("long"),
+          Similarity.toDouble(col("embedding")))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val codebook: Array[Array[Seq[Double]]] =
+        Array.tabulate(8)(sub =>
+          cents.map(_._2.slice(sub * 8, sub * 8 + 8)).toArray)
+      val asg = Similarity.ivfIndexWithCentroids(emb, "vec_id",
+          "embedding", cents, persistIndex = false)
+        .assigned.select("c_id", "cent_id")
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding",
+        codebook)
+      val ix = Similarity.IvfPqIndex(cents, codebook,
+        enc.join(asg, "c_id"), residual = false)
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 3, nProbe = 4,
-          trainCoarse = true)
+      Similarity.ivfPqTopKWith(ix, q, emb, "vec_id", "embedding", 3,
+          nProbe = 4)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -614,6 +651,205 @@ object VectorQueries {
         "CAST(0 AS BIGINT) AS n_missing_rows, " +
         "CAST(0 AS BIGINT) AS n_bad_len, " +
         "CAST(0 AS BIGINT) AS n_transport_diff"),
+
+    // the explicit-codebook PQ probe, recomputed end to end:
+    // codebook(s)(c) = subspace s of the (c+1)-th smallest non-null
+    // vec_id's vector; codes = per-subspace L2 argmin (ties → smallest
+    // code); ADC = Σ_s lut[s][code_s] / (‖q‖·‖c‖) over non-self pairs;
+    // 32-deep shortlist by (adc desc, c_id asc); exact cosine top-3
+    "q_sim_ann_pq" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |js AS (SELECT unnest(generate_series(1, 8)) AS j),
+         |base AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |cw AS (
+         |  SELECT s.s, b.code, j.j,
+         |    CAST(b.embedding[s.s * 8 + j.j] AS DOUBLE) AS w
+         |  FROM base b, subs s, js j),
+         |vn AS (
+         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, dims
+         |  WHERE embedding IS NOT NULL GROUP BY 1),
+         |codes AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT d.vec_id, d.s, d.code,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.s
+         |        ORDER BY d.d2 ASC, d.code ASC) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.s, c.code,
+         |        sum((CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) - c.w)
+         |          * (CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) - c.w))
+         |          AS d2
+         |      FROM embeddings e, cw c
+         |      WHERE e.embedding IS NOT NULL
+         |      GROUP BY 1, 2, 3) d) r
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT e.vec_id AS q_id, c.s, c.code,
+         |    sum(CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) * c.w)
+         |      AS dotv
+         |  FROM embeddings e, cw c
+         |  WHERE e.vec_id < $nQueries AND e.embedding IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT l.q_id, k.vec_id AS c_id, sum(l.dotv) AS num
+         |  FROM codes k
+         |    JOIN lut l ON l.s = k.s AND l.code = k.code
+         |      AND l.q_id <> k.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT a.q_id, a.c_id,
+         |      row_number() OVER (PARTITION BY a.q_id
+         |        ORDER BY a.num / (qn.nrm * cn.nrm) DESC, a.c_id ASC)
+         |        AS rn
+         |    FROM adc a JOIN vn qn ON qn.vec_id = a.q_id
+         |               JOIN vn cn ON cn.vec_id = a.c_id) r
+         |  WHERE rn <= 32),
+         |pairs AS (
+         |  SELECT t.q_id, t.c_id,
+         |    sum(CAST(qe.embedding[i] AS DOUBLE)
+         |      * CAST(ce.embedding[i] AS DOUBLE)) AS dot
+         |  FROM short t
+         |    JOIN embeddings qe ON qe.vec_id = t.q_id
+         |    JOIN embeddings ce ON ce.vec_id = t.c_id, dims
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.q_id, p.c_id,
+         |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+         |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
+         |  FROM pairs p JOIN vn x ON x.vec_id = p.q_id
+         |               JOIN vn y ON y.vec_id = p.c_id)
+         |SELECT q_id, rank, c_id,
+         |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // the composed IVFPQ probe under BOTH explicit quantizers: the
+    // IVF oracle's assignment/probes + the PQ oracle's codes/lut,
+    // ADC confined to each query's 4 probed lists, 32-deep
+    // shortlist, exact cosine top-3
+    "q_sim_ann_ivfpq" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |js AS (SELECT unnest(generate_series(1, 8)) AS j),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16),
+         |base AS (
+         |  SELECT row_number() OVER (ORDER BY cent_id) - 1 AS code,
+         |    embedding
+         |  FROM cents),
+         |cw AS (
+         |  SELECT s.s, b.code, j.j,
+         |    CAST(b.embedding[s.s * 8 + j.j] AS DOUBLE) AS w
+         |  FROM base b, subs s, js j),
+         |cn AS (
+         |  SELECT c.cent_id, sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+         |    * CAST(c.embedding[i] AS DOUBLE))) AS nrm
+         |  FROM cents c, dims GROUP BY 1),
+         |vn AS (
+         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, dims
+         |  WHERE embedding IS NOT NULL GROUP BY 1),
+         |vdot AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE)
+         |      * CAST(c.embedding[i] AS DOUBLE)) AS dot
+         |  FROM embeddings e, cents c, dims
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, v.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY (CASE WHEN n.nrm = 0 THEN 0
+         |          ELSE v.dot / n.nrm END) DESC, v.cent_id ASC) AS rn
+         |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id) a
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id FROM (
+         |    SELECT v.vec_id, v.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY (CASE WHEN qn.nrm * n.nrm = 0 THEN 0
+         |          ELSE v.dot / (qn.nrm * n.nrm) END) DESC,
+         |          v.cent_id ASC) AS rn
+         |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id
+         |                JOIN vn qn ON qn.vec_id = v.vec_id
+         |    WHERE v.vec_id < $nQueries) p
+         |  WHERE rn <= 4),
+         |codes AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT d.vec_id, d.s, d.code,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.s
+         |        ORDER BY d.d2 ASC, d.code ASC) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.s, c.code,
+         |        sum((CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) - c.w)
+         |          * (CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) - c.w))
+         |          AS d2
+         |      FROM embeddings e, cw c
+         |      WHERE e.embedding IS NOT NULL
+         |      GROUP BY 1, 2, 3) d) r
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT e.vec_id AS q_id, c.s, c.code,
+         |    sum(CAST(e.embedding[c.s * 8 + c.j] AS DOUBLE) * c.w)
+         |      AS dotv
+         |  FROM embeddings e, cw c
+         |  WHERE e.vec_id < $nQueries AND e.embedding IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id AS c_id
+         |  FROM probes p
+         |    JOIN assign a ON a.cent_id = p.cent_id
+         |      AND a.vec_id <> p.q_id),
+         |adc AS (
+         |  SELECT x.q_id, x.c_id, sum(l.dotv) AS num
+         |  FROM cand x
+         |    JOIN codes k ON k.vec_id = x.c_id
+         |    JOIN lut l ON l.q_id = x.q_id AND l.s = k.s
+         |      AND l.code = k.code
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT a.q_id, a.c_id,
+         |      row_number() OVER (PARTITION BY a.q_id
+         |        ORDER BY a.num / (qn.nrm * cnn.nrm) DESC, a.c_id ASC)
+         |        AS rn
+         |    FROM adc a JOIN vn qn ON qn.vec_id = a.q_id
+         |               JOIN vn cnn ON cnn.vec_id = a.c_id) r
+         |  WHERE rn <= 32),
+         |pairs AS (
+         |  SELECT t.q_id, t.c_id,
+         |    sum(CAST(qe.embedding[i] AS DOUBLE)
+         |      * CAST(ce.embedding[i] AS DOUBLE)) AS dot
+         |  FROM short t
+         |    JOIN embeddings qe ON qe.vec_id = t.q_id
+         |    JOIN embeddings ce ON ce.vec_id = t.c_id, dims
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.q_id, p.c_id,
+         |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+         |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
+         |  FROM pairs p JOIN vn x ON x.vec_id = p.q_id
+         |               JOIN vn y ON y.vec_id = p.c_id)
+         |SELECT q_id, rank, c_id,
+         |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // the explicit-quantizer IVF probe, recomputed end to end:
     // centroids = the 16 smallest non-null vec_ids; assignment =

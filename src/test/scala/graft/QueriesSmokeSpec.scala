@@ -20,7 +20,6 @@ class QueriesSmokeSpec extends SparkSpec {
     // (exact-integer verdict rows, constant oracles) out of this set
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
       "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
-      "q_sim_ann_pq", "q_sim_ann_ivfpq",
       "q_agg_percentile_approx",
       "q_sim_ann_recall", "q_dedup_simhash_audit",
       "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash",

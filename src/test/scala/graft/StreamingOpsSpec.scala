@@ -1903,4 +1903,69 @@ class StreamingOpsSpec extends SparkSpec {
         "compaction must not change the serving set")
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("staged allowlist mutates MID-STREAM: a revoke staged while " +
+    "batch N processes gates batch N+1's probe — the true " +
+    "foreachBatch tense, cross-session refreshTable included") {
+    import graft.operators.{Allowlist, Retrieval, TextAnalysis => TA}
+    import graft.streaming.StreamingOps
+    val corpus = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog"), (4L, "dog elk"))
+      .toDF("doc_id", "text")
+    val prefix = "graft_allow_stream"
+    val aprefix = "graft_allow_stream_state"
+    val tables = Retrieval.indexTableNames(prefix) ++
+      Allowlist.allowlistTableNames(aprefix)
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        TA.tokens(col("text")), prefix, buckets = 2)
+      Allowlist.createAllowlistTable(corpus.select("doc_id"),
+        "doc_id", aprefix, buckets = 2)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Set[Long])]
+      val q = input.toDF().toDF("query_id", "text").writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+            val s = batch.sparkSession
+            // the cloned session caches file listings — the capstone's
+            // cross-session visibility contract applies to the
+            // allowlist table like any staged table
+            (Retrieval.indexTableNames(prefix) ++
+              Allowlist.allowlistTableNames(aprefix))
+              .foreach(s.catalog.refreshTable)
+            val got = StreamingOps.retrievalProbe(batch, "query_id",
+                TA.tokens(col("text")), prefix, k = 10,
+                allowedDocs =
+                  Some(Allowlist.loadAllowlist(s, aprefix)))
+              .select("doc")
+              .collect().map(_.getLong(0)).toSet
+            seen += ((batchId, got))
+            // the license reclassification lands DURING batch 0 —
+            // exactly where a production loop stages it (gated on the
+            // batch's own id)
+            if (batchId == 0L)
+              Allowlist.stageAllowlistChange(
+                s.createDataset(Seq(3L))(
+                  org.apache.spark.sql.Encoders.scalaLong)
+                  .toDF("doc_id"),
+                "doc_id", allowed = false, aprefix, buckets = 2,
+                batchId = 0L)
+        }
+        .start()
+      try {
+        input.addData((200L, "cherry cherry cherry dog"))
+        q.processAllAvailable()
+        input.addData((201L, "cherry cherry cherry dog"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byBatch = seen.toMap
+      assert(byBatch(0L).contains(3L),
+        s"batch 0 probes the pre-revoke serving set: $seen")
+      assert(byBatch(1L).nonEmpty && !byBatch(1L).contains(3L),
+        s"batch 1 must serve under the batch-0 revoke: $seen")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
