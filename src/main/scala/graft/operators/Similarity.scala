@@ -2409,4 +2409,266 @@ object Similarity {
         ids.select(col(idCol).cast("long").as("c_id")).distinct()),
       index.residual)
   }
+
+  // ------------------------------------------------------------------
+  // The TABLE tense of the IVF index (round 14) — the production form
+  // the scaladocs have been promising ("in production `assigned`
+  // materializes as a table bucketed by cent_id"), now real, on the
+  // postings-table pattern (Retrieval.scala's layout comment):
+  //   <prefix>_cents      (cent_id, cent_vec)   the frozen coarse
+  //                       quantizer — K·dim rows, the bounded driver
+  //                       artifact every load re-collects (the
+  //                       IvfIndex.cents stance)
+  //   <prefix>_assigned   (c_id, c_vec, cent_id) PARTITIONED by
+  //                       (batch_id, cent_id) and bucketed+sorted by
+  //                       c_id. cent_id as a directory level is the
+  //                       100 TB win the in-memory form cannot give:
+  //                       a probe touches nProbe lists, and partition
+  //                       pruning (static for literal list filters,
+  //                       DYNAMIC via the broadcast probe join's DPP
+  //                       subquery) drops every other list's files
+  //                       before any IO. c_id bucketing makes the
+  //                       tombstone anti-join and the erasure audit
+  //                       zero-exchange on the corpus side. batch_id
+  //                       in front is the gated-append replay layout.
+  //   <prefix>_tombstones (c_id) bucketed by c_id — deletes are
+  //                       APPENDS here too (a takedown cannot rewrite
+  //                       a 100 TB list synchronously); loads
+  //                       anti-join them out of serving instantly,
+  //                       compaction erases physically.
+  // Append == rebuild holds verbatim (assignment under the FROZEN
+  // cents table is per-row), delete == survivors-rebuild at the probe
+  // level, single-writer cadence as everywhere. LSH/PQ/IVFPQ follow
+  // the same pattern (bucket/c_id-keyed tables + their frozen
+  // quantizer artifacts); IVF ships first because it is the family
+  // the streaming door and the hybrid funnel actually probe.
+  // ------------------------------------------------------------------
+
+  private def ivfCentsTable(prefix: String) = prefix + "_cents"
+  private def ivfAssignedTable(prefix: String) = prefix + "_assigned"
+  private def ivfTombTable(prefix: String) = prefix + "_tombstones"
+
+  /** Reserved base partition for create/compacted state (gated
+    * appends use their own non-negative batch ids). */
+  private val IvfBasePartition = -1L
+
+  /** Every table an IVF-table prefix owns — the one cleanup/refresh
+    * enumeration (the [[graft.operators.Retrieval.indexTableNames]]
+    * stance). */
+  def ivfIndexTableNames(prefix: String): Seq[String] =
+    Seq(ivfCentsTable(prefix), ivfAssignedTable(prefix),
+      ivfTombTable(prefix))
+
+  /** Drop every partition of `table` under `batch_id=id` — partial
+    * partition specs are not portable across catalogs for a
+    * two-level-partitioned table, so the drop enumerates matching
+    * leaves (bounded by the batch's own cent spread) and drops each
+    * by full spec. */
+  private def dropBatchPartitions(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      id: Long): Unit =
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)).filter(_.startsWith(s"batch_id=$id/"))
+      .foreach { p =>
+        val spec = p.split("/").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          s"$k='$v'"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+      }
+
+  /** Materialize a staged [[IvfIndex]] as the tables above. `buckets`
+    * sizes the c_id layout like a shuffle partition count at full
+    * corpus scale; the cent_id directory fan-out is the index's own
+    * K (size it with [[suggestedNCentroids]] like the in-memory
+    * build). */
+  def createIvfIndexTable(index: IvfIndex, prefix: String,
+                          buckets: Int): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.cents.toDF("cent_id", "cent_vec").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(ivfCentsTable(prefix))
+    graft.sources.BucketedTables.writeBucketed(
+      index.assigned.select("c_id", "c_vec", "cent_id")
+        .withColumn("batch_id", lit(IvfBasePartition)),
+      ivfAssignedTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id", "cent_id"))
+    graft.sources.BucketedTables.writeBucketed(
+      index.assigned.select("c_id").limit(0)
+        .withColumn("batch_id", lit(IvfBasePartition)),
+      ivfTombTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id"))
+  }
+
+  /** The staged coarse quantizer, re-collected (K·dim doubles — the
+    * bounded driver artifact, sorted by cent_id like every build). */
+  def loadIvfCents(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    spark.table(ivfCentsTable(prefix)).select("cent_id", "cent_vec")
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** An [[IvfIndex]] view over the staged tables — probe with
+    * [[ivfTopKWith]] / feed [[graft.streaming.StreamingOps.semanticProbe]]
+    * unchanged (one probe definition for all tenses). Deletes surface
+    * as the c_id-bucketed tombstone anti-join (zero-exchange), the
+    * loadPostingsIndex stance; cross-session readers need the
+    * refreshTable contract. */
+  def loadIvfIndexTable(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): IvfIndex = {
+    val rows = spark.table(ivfAssignedTable(prefix))
+      .select("c_id", "c_vec", "cent_id")
+    val assigned =
+      if (spark.catalog.tableExists(ivfTombTable(prefix)))
+        rows.join(spark.table(ivfTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_anti")
+      else rows
+    IvfIndex(loadIvfCents(spark, prefix), assigned)
+  }
+
+  /** The table tense of [[appendToIvfIndex]]: assign the admitted
+    * batch under the staged FROZEN quantizer (map-only) and hash it
+    * into the existing layout — batch-sized shuffle, corpus rows
+    * never read or rewritten. `batchId` makes the append idempotent
+    * per foreachBatch id (own partition subtree, dropped first — the
+    * gated postings-append replay contract). The "not already
+    * present" caller contract is ENFORCED against pending tombstones
+    * exactly like the postings append: a re-appended
+    * pending-delete id would be destroyed by the compaction. */
+  def appendToIvfIndexTable(batch: DataFrame, idCol: String,
+                            vecCol: String, prefix: String,
+                            buckets: Int,
+                            batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    requireIntegralId(batch, idCol, "appendToIvfIndexTable")
+    val pid = batchId.getOrElse(IvfBasePartition)
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($IvfBasePartition is the reserved base partition)")
+      dropBatchPartitions(spark, ivfAssignedTable(prefix), id)
+    }
+    if (spark.catalog.tableExists(ivfTombTable(prefix)) &&
+        !spark.table(ivfTombTable(prefix)).isEmpty) {
+      val clash = batch
+        .select(col(idCol).cast("long").as("c_id"))
+        .join(spark.table(ivfTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToIvfIndexTable($prefix): batch contains ids that " +
+          "are tombstoned but not yet compacted away (e.g. " +
+          clash.limit(3).collect().map(_.get(0)).mkString(", ") +
+          "); run maintainIvfIndexTable first")
+    }
+    val assigned = ivfAssign(
+      nonNullVecs(batch, vecCol).dropDuplicates(idCol)
+        .select(col(idCol).cast("long").as("c_id"),
+          toDouble(col(vecCol)).as("c_vec")),
+      loadIvfCents(spark, prefix))
+    graft.sources.BucketedTables.appendBucketed(
+      assigned.withColumn("batch_id", lit(pid)),
+      ivfAssignedTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id", "cent_id"))
+  }
+
+  /** The table tense of [[deleteFromIvfIndex]] — a takedown is an
+    * APPEND of c_id tombstones, never a rewrite of the cent_id-
+    * partitioned corpus; serving stops at the next
+    * [[loadIvfIndexTable]] (every probe reads through the anti-join)
+    * and the bytes leave at the next compaction. Ids resolve against
+    * the LIVE set, so re-deletes/absent ids are no-ops; the gated
+    * form drops its own tombstone partition first (idempotent
+    * replay). Returns ids actually deleted. */
+  def deleteFromIvfIndexTable(spark: org.apache.spark.sql.SparkSession,
+                              ids: DataFrame, idCol: String,
+                              prefix: String, buckets: Int,
+                              batchId: Option[Long] = None): Long = {
+    requireIntegralId(ids, idCol, "deleteFromIvfIndexTable")
+    val pid = batchId.map { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id")
+      spark.sql(s"ALTER TABLE ${ivfTombTable(prefix)} DROP IF EXISTS " +
+        s"PARTITION (batch_id=$id)")
+      id
+    }.getOrElse(IvfBasePartition)
+    val victims = spark.table(ivfAssignedTable(prefix)).select("c_id")
+      .join(spark.table(ivfTombTable(prefix)).select("c_id"),
+        Seq("c_id"), "left_anti")
+      .join(ids.select(col(idCol).cast("long").as("c_id")).distinct(),
+        "c_id")
+      .localCheckpoint(true)
+    val n = victims.count()
+    if (n == 0) return 0L
+    graft.sources.BucketedTables.appendBucketed(
+      victims.withColumn("batch_id", lit(pid)),
+      ivfTombTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id"))
+    n
+  }
+
+  /** Apply pending tombstones physically and collapse batch
+    * attribution into the base partition — content thereafter equals
+    * a fresh [[createIvfIndexTable]] over the survivors under the
+    * same frozen quantizer. Tombstones clear LAST (any interrupted
+    * state still loads exactly — the anti-join over already-clean
+    * tables is a no-op, the postings compaction's ordering argument
+    * on a two-table layout). Single-writer maintenance cadence. */
+  def compactIvfIndexTable(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, buckets: Int): Unit = {
+    val tombPending =
+      spark.catalog.tableExists(ivfTombTable(prefix)) &&
+        !spark.table(ivfTombTable(prefix)).isEmpty
+    def applyTomb(df: DataFrame): DataFrame =
+      if (tombPending)
+        df.join(spark.table(ivfTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_anti")
+      else df
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, ivfAssignedTable(prefix), buckets, Seq("c_id"),
+      Seq("batch_id", "cent_id"))(df =>
+      applyTomb(df).withColumn("batch_id", lit(IvfBasePartition)))
+    if (tombPending)
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, ivfTombTable(prefix), buckets, Seq("c_id"),
+        Seq("batch_id"))(_.filter(lit(false)))
+  }
+
+  /** Audit-gated tense of [[compactIvfIndexTable]] (the
+    * maintainPostingsIndexTable stance): any pending tombstone forces
+    * the apply-and-clear compaction (takedown latency bounded by one
+    * cadence); otherwise compact only when the per-batch directory
+    * growth crosses `maxBatchDirs` distinct batch partitions — the
+    * growth axis of this layout (each gated append adds one batch_id
+    * subtree of single-file buckets, so file amplification per leaf
+    * stays 1.0 forever). A crashed rewrite recovers unconditionally.
+    * Returns true iff anything was rewritten. */
+  def maintainIvfIndexTable(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String, buckets: Int,
+                            maxBatchDirs: Int = 2): Boolean = {
+    require(maxBatchDirs >= 1,
+      s"maxBatchDirs below 1 ($maxBatchDirs) would recompact a fresh " +
+        "index forever")
+    def crashed(table: String) =
+      !spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "_compacting")
+    val tombPending =
+      (spark.catalog.tableExists(ivfTombTable(prefix)) &&
+        !spark.table(ivfTombTable(prefix)).isEmpty) ||
+        crashed(ivfTombTable(prefix))
+    if (tombPending || crashed(ivfAssignedTable(prefix))) {
+      compactIvfIndexTable(spark, prefix, buckets)
+      if (crashed(ivfTombTable(prefix)))
+        graft.sources.BucketedTables.rewriteBucketed(spark,
+          ivfTombTable(prefix), buckets, Seq("c_id"),
+          Seq("batch_id"))(_.filter(lit(false)))
+      return true
+    }
+    val batchDirs = spark
+      .sql(s"SHOW PARTITIONS ${ivfAssignedTable(prefix)}")
+      .collect().map(_.getString(0).split("/")(0)).distinct.length
+    if (batchDirs > maxBatchDirs) {
+      compactIvfIndexTable(spark, prefix, buckets)
+      true
+    } else false
+  }
 }

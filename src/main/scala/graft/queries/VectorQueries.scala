@@ -22,6 +22,34 @@ object VectorQueries {
 
   private val nQueries = 20
 
+  /** Drop BOTH the catalog entries and the warehouse locations — a
+    * previous JVM's run leaves directories behind with no entry in
+    * this session's in-memory catalog, and a bare CREATE then fails
+    * with LOCATION_ALREADY_EXISTS (the TextQueries dropBm25Tables
+    * stance). */
+  private def dropTables(s: SparkSession, names: Seq[String]): Unit =
+    names.foreach { tb =>
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tb)
+      val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (pfs.exists(p)) pfs.delete(p, true)
+    }
+
+  /** The 16 smallest non-null vec_ids' vectors — the explicit
+    * quantizer both IVF tenses and the PQ codebook derive from (ONE
+    * definition, so the staged query can share the in-memory query's
+    * oracle verbatim). */
+  private def explicitCents(s: SparkSession, emb: DataFrame)
+  : Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    emb.filter(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("long"),
+        Similarity.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toSeq
+  }
+
   val queries: Map[String, QueryFn] = Map(
 
     "q_sim_cosine_topk" -> ((s, d) => {
@@ -164,18 +192,44 @@ object VectorQueries {
       // rerank inside the nProbe=4 probed lists. Hash-exact at 4dp —
       // the hash-sampled-quantizer build stays covered by
       // q_sim_ann_recall/q_sim_ann_xl_parity and the specs.
-      import s.implicits._
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("embedding").isNotNull)
-        .orderBy("vec_id").limit(16)
-        .select(col("vec_id").cast("long"),
-          Similarity.toDouble(col("embedding")))
-        .as[(Long, Seq[Double])].collect().toSeq
       val ix = Similarity.ivfIndexWithCentroids(emb, "vec_id",
-        "embedding", cents, persistIndex = false)
+        "embedding", explicitCents(s, emb), persistIndex = false)
       val q = emb.filter(col("vec_id") < nQueries)
       Similarity.ivfTopKWith(ix, q, "vec_id", "embedding", 3,
           nProbe = 4)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_sim_ann_ivf_staged" -> ((s, d) => {
+      // The TABLE tense of q_sim_ann_ivf, hash-matched against the
+      // SAME SQL (one probe definition for all tenses — the
+      // q_text_bm25_staged stance): create the (batch_id, cent_id)-
+      // partitioned, c_id-bucketed tables over 90% of the corpus
+      // under the explicit frozen quantizer, gated-append the
+      // vec_id % 10 == 9 remainder (append == rebuild THROUGH the
+      // oracle), probe through loadIvfIndexTable. This is the serving
+      // path the semantic door / hybrid funnel run against at 100 TB:
+      // probes prune to their own cent_id directories, the tombstone
+      // anti-join keys on the c_id bucketing.
+      val emb = t(s, d, "embeddings")
+      val cents = explicitCents(s, emb)
+      val prefix = "graft_ivf_serving"
+      dropTables(s, Similarity.ivfIndexTableNames(prefix))
+      Similarity.createIvfIndexTable(
+        Similarity.ivfIndexWithCentroids(
+          emb.filter(col("vec_id") % 10 =!= 9), "vec_id", "embedding",
+          cents, persistIndex = false),
+        prefix, buckets = 8)
+      Similarity.appendToIvfIndexTable(
+        emb.filter(col("vec_id") % 10 === 9), "vec_id", "embedding",
+        prefix, buckets = 8, batchId = Some(0L))
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.ivfTopKWith(
+          Similarity.loadIvfIndexTable(s, prefix),
+          q, "vec_id", "embedding", 3, nProbe = 4)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -225,13 +279,8 @@ object VectorQueries {
       // top-3. Raw codes (residual = false, the measured default).
       // The Lloyd-trained build stays covered by q_sim_ann_recall +
       // SimilaritySpec recall floors + ScaleSpec plan pins.
-      import s.implicits._
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("embedding").isNotNull)
-        .orderBy("vec_id").limit(16)
-        .select(col("vec_id").cast("long"),
-          Similarity.toDouble(col("embedding")))
-        .as[(Long, Seq[Double])].collect().toSeq
+      val cents = explicitCents(s, emb)
       val codebook: Array[Array[Seq[Double]]] =
         Array.tabulate(8)(sub =>
           cents.map(_._2.slice(sub * 8, sub * 8 + 8)).toArray)
@@ -519,17 +568,7 @@ object VectorQueries {
         .select("vec_id")
       // lexical surface: postings tables + gated tombstone delete
       val prefix = "graft_ann_audit_bm25"
-      // drop BOTH the catalog entry and the warehouse location — a
-      // previous JVM's run leaves the directory behind with no entry
-      // in this session's in-memory catalog, and a bare CREATE then
-      // fails with LOCATION_ALREADY_EXISTS (the dropBm25Tables stance)
-      Retrieval.indexTableNames(prefix).foreach { tb =>
-        s.sql(s"DROP TABLE IF EXISTS $tb")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tb)
-        val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (pfs.exists(p)) pfs.delete(p, true)
-      }
+      dropTables(s, Retrieval.indexTableNames(prefix))
       Retrieval.createPostingsIndexTable(docs, "doc_id",
         graft.operators.TextAnalysis.tokens(col("text")), prefix,
         buckets = 8)
@@ -624,6 +663,77 @@ object VectorQueries {
        |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
        |  FROM pairs p JOIN na x ON x.vec_id = p.q_id
        |               JOIN na y ON y.vec_id = p.c_id)""".stripMargin
+
+  /** The explicit-quantizer IVF probe, recomputed end to end —
+    * shared by q_sim_ann_ivf (in-memory tense) and
+    * q_sim_ann_ivf_staged (TABLE tense): centroids = the 16 smallest
+    * non-null vec_ids; assignment = argmax over dot(v, cent)/‖cent‖
+    * (ties → smallest cent_id); probe = top-4 centroid lists per
+    * query by full cosine; rerank = exact cosine inside the probed
+    * lists, self excluded, top-3 by (cos desc, c_id asc), 4dp. */
+  private val ivfExplicitOracleSql: String =
+    s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16),
+       |cn AS (
+       |  SELECT c.cent_id, sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+       |    * CAST(c.embedding[i] AS DOUBLE))) AS nrm
+       |  FROM cents c, dims GROUP BY 1),
+       |vn AS (
+       |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+       |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+       |  FROM embeddings, dims
+       |  WHERE embedding IS NOT NULL GROUP BY 1),
+       |vdot AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE)
+       |      * CAST(c.embedding[i] AS DOUBLE)) AS dot
+       |  FROM embeddings e, cents c, dims
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, v.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (CASE WHEN n.nrm = 0 THEN 0
+       |          ELSE v.dot / n.nrm END) DESC, v.cent_id ASC) AS rn
+       |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id) a
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id FROM (
+       |    SELECT v.vec_id, v.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (CASE WHEN qn.nrm * n.nrm = 0 THEN 0
+       |          ELSE v.dot / (qn.nrm * n.nrm) END) DESC,
+       |          v.cent_id ASC) AS rn
+       |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id
+       |                JOIN vn qn ON qn.vec_id = v.vec_id
+       |    WHERE v.vec_id < $nQueries) p
+       |  WHERE rn <= 4),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id AS c_id,
+       |    sum(CAST(qe.embedding[i] AS DOUBLE)
+       |      * CAST(ce.embedding[i] AS DOUBLE)) AS dot
+       |  FROM probes p
+       |    JOIN assign a ON a.cent_id = p.cent_id
+       |      AND a.vec_id <> p.q_id
+       |    JOIN embeddings qe ON qe.vec_id = p.q_id
+       |    JOIN embeddings ce ON ce.vec_id = a.vec_id, dims
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT s.q_id, s.c_id,
+       |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+       |         ELSE s.dot / (x.nrm * y.nrm) END AS cos
+       |  FROM pairs s JOIN vn x ON x.vec_id = s.q_id
+       |               JOIN vn y ON y.vec_id = s.c_id)
+       |SELECT q_id, rank, c_id,
+       |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // constant verdict row, the *_precision audit shape: the index
@@ -857,69 +967,12 @@ object VectorQueries {
     // probe = top-4 centroid lists per query by full cosine; rerank =
     // exact cosine inside the probed lists, self excluded, top-3 by
     // (cos desc, c_id asc), 4dp
-    "q_sim_ann_ivf" ->
-      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16),
-         |cn AS (
-         |  SELECT c.cent_id, sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
-         |    * CAST(c.embedding[i] AS DOUBLE))) AS nrm
-         |  FROM cents c, dims GROUP BY 1),
-         |vn AS (
-         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
-         |    * CAST(embedding[i] AS DOUBLE))) AS nrm
-         |  FROM embeddings, dims
-         |  WHERE embedding IS NOT NULL GROUP BY 1),
-         |vdot AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    sum(CAST(e.embedding[i] AS DOUBLE)
-         |      * CAST(c.embedding[i] AS DOUBLE)) AS dot
-         |  FROM embeddings e, cents c, dims
-         |  WHERE e.embedding IS NOT NULL
-         |  GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT v.vec_id, v.cent_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY (CASE WHEN n.nrm = 0 THEN 0
-         |          ELSE v.dot / n.nrm END) DESC, v.cent_id ASC) AS rn
-         |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id) a
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_id, cent_id FROM (
-         |    SELECT v.vec_id, v.cent_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY (CASE WHEN qn.nrm * n.nrm = 0 THEN 0
-         |          ELSE v.dot / (qn.nrm * n.nrm) END) DESC,
-         |          v.cent_id ASC) AS rn
-         |    FROM vdot v JOIN cn n ON n.cent_id = v.cent_id
-         |                JOIN vn qn ON qn.vec_id = v.vec_id
-         |    WHERE v.vec_id < $nQueries) p
-         |  WHERE rn <= 4),
-         |pairs AS (
-         |  SELECT p.q_id, a.vec_id AS c_id,
-         |    sum(CAST(qe.embedding[i] AS DOUBLE)
-         |      * CAST(ce.embedding[i] AS DOUBLE)) AS dot
-         |  FROM probes p
-         |    JOIN assign a ON a.cent_id = p.cent_id
-         |      AND a.vec_id <> p.q_id
-         |    JOIN embeddings qe ON qe.vec_id = p.q_id
-         |    JOIN embeddings ce ON ce.vec_id = a.vec_id, dims
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT s.q_id, s.c_id,
-         |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
-         |         ELSE s.dot / (x.nrm * y.nrm) END AS cos
-         |  FROM pairs s JOIN vn x ON x.vec_id = s.q_id
-         |               JOIN vn y ON y.vec_id = s.c_id)
-         |SELECT q_id, rank, c_id,
-         |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (
-         |  SELECT q_id, c_id, cos,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, c_id ASC) AS rank
-         |  FROM scored) r
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q_sim_ann_ivf" -> ivfExplicitOracleSql,
+
+    // the staged-TABLES serving path (create + gated append through
+    // loadIvfIndexTable) is result-identical — one probe definition
+    // for all tenses — so it shares the same SQL
+    "q_sim_ann_ivf_staged" -> ivfExplicitOracleSql,
 
     // every surface's count is pure null/victim logic over the shared
     // id space (counts are quantizer-independent — one id-keyed row

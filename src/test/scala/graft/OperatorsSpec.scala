@@ -1272,6 +1272,103 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF TABLE tense: create + gated append == frozen-quantizer " +
+    "rebuild probe-for-probe, replay idempotent; gated delete stops " +
+    "serving instantly, compaction erases physically, the re-append " +
+    "guard holds") {
+    def mk(i: Long, base: Int): (Long, Array[Float]) = {
+      val v = Array.tabulate(8)(j =>
+        (math.sin(base * 3.7 + j * 1.3) + (i % 5) * 0.01).toFloat)
+      (i, v)
+    }
+    val corpus = (0L until 30L).map(i => mk(i, (i % 3).toInt))
+      .toDF("vec_id", "embedding")
+    val batchRows = (100L until 105L).map(i => mk(i, 7))
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val query = Seq((999L, batchRows.head._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    val prefix = "graft_ivf_table"
+    def probeSet(ix: Similarity.IvfIndex): Set[(Long, Int, Long)] =
+      Similarity.ivfTopKWith(ix, query, "vec_id", "embedding", k = 5,
+          nProbe = 2)
+        .select("q_id", "rank", "c_id")
+        .as[(Long, Int, Long)].collect().toSet
+    try {
+      val ix0 = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nCentroids = 4, persistIndex = false)
+      Similarity.createIvfIndexTable(ix0, prefix, buckets = 2)
+      // staged cents round-trip exactly (the frozen-quantizer seam
+      // every append assigns under)
+      assert(Similarity.loadIvfCents(spark, prefix) === ix0.cents)
+      Similarity.appendToIvfIndexTable(batch, "vec_id", "embedding",
+        prefix, buckets = 2, batchId = Some(0L))
+      // replaying the same gated append lands content identical to
+      // one delivery
+      Similarity.appendToIvfIndexTable(batch, "vec_id", "embedding",
+        prefix, buckets = 2, batchId = Some(0L))
+      val staged = Similarity.loadIvfIndexTable(spark, prefix)
+      val rebuilt = Similarity.appendToIvfIndex(
+        Similarity.IvfIndex(ix0.cents, ix0.assigned.limit(0)),
+        corpus.unionByName(batch), "vec_id", "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select("c_id", "c_vec", "cent_id")
+          .collect().map(_.toString).toSet
+      assert(rows(staged.assigned) === rows(rebuilt.assigned))
+      val wantAll = probeSet(rebuilt)
+      assert(wantAll.nonEmpty && probeSet(staged) === wantAll)
+      // gated takedown: serving stops at the next load, no compaction
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(100L, 101L).toDF("vec_id"), "vec_id", prefix,
+        buckets = 2, batchId = Some(1L)) === 2L)
+      // a REPLAY of the same gated delete re-applies into identical
+      // content (it drops its own partition first — same count, same
+      // tombstones); a FRESH request for already-deleted ids resolves
+      // against the live set and is a no-op
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(100L, 101L).toDF("vec_id"), "vec_id", prefix,
+        buckets = 2, batchId = Some(1L)) === 2L)
+      assert(spark.table(prefix + "_tombstones").select("c_id")
+        .as[Long].collect().sorted.toSeq === Seq(100L, 101L))
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(100L, 101L).toDF("vec_id"), "vec_id", prefix,
+        buckets = 2, batchId = Some(4L)) === 0L,
+        "a fresh delete of already-deleted ids must be a no-op")
+      val afterDel = Similarity.loadIvfIndexTable(spark, prefix)
+      val survivors = Similarity.deleteFromIvfIndex(rebuilt,
+        Seq(100L, 101L).toDF("vec_id"), "vec_id")
+      assert(probeSet(afterDel) === probeSet(survivors))
+      // silenced-but-physical until maintenance, then erased — the
+      // erasure audit reads it exactly so
+      assert(spark.table(prefix + "_assigned")
+        .filter(col("c_id").isin(100L, 101L)).count() === 2L)
+      assert(Similarity.annRowsHeld(afterDel,
+          Seq(100L, 4L).toDF("vec_id"), "vec_id")
+        .as[(Long, Long)].collect().toMap
+        === Map(100L -> 0L, 4L -> 1L))
+      assert(Similarity.maintainIvfIndexTable(spark, prefix,
+        buckets = 2), "pending tombstones must force compaction")
+      assert(spark.table(prefix + "_assigned")
+        .filter(col("c_id").isin(100L, 101L)).isEmpty)
+      assert(spark.table(prefix + "_tombstones").isEmpty)
+      assert(probeSet(Similarity.loadIvfIndexTable(spark, prefix))
+        === probeSet(survivors))
+      // healthy after: audit-gated no-op
+      assert(!Similarity.maintainIvfIndexTable(spark, prefix,
+        buckets = 2, maxBatchDirs = 10))
+      // the re-append guard (the postings contract): a NEW pending
+      // tombstone makes an append of that id fail loudly
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(102L).toDF("vec_id"), "vec_id", prefix, buckets = 2,
+        batchId = Some(2L)) === 1L)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndexTable(
+          Seq(mk(102L, 7)).toDF("vec_id", "embedding"), "vec_id",
+          "embedding", prefix, buckets = 2, batchId = Some(3L))
+      }
+    } finally Similarity.ivfIndexTableNames(prefix)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("NULL embeddings are excluded, never NPE mid-job") {
     // the realistic failed-extraction artifact: one null vector used
     // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException

@@ -959,6 +959,86 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF TABLE tense at corpus scale: the probe DYNAMICALLY " +
+    "PRUNES to its own cent_id directories, and neither the " +
+    "assigned table nor the tombstones re-shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def vecOf(i: Long) = Array.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 11) - 5).toFloat)
+    val emb = (0L until 300L).map(i => (i, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    val prefix = "graft_ivf_table_scale"
+    // AQE's adaptive wrapper hides the final scans from plan.collect
+    // (the sibling staged-table tests' stance); DPP is independent of
+    // AQE and must fire either way
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ix = graft.operators.Similarity.ivfIndex(emb, "vec_id",
+        "embedding", nCentroids = 8, persistIndex = false)
+      graft.operators.Similarity.createIvfIndexTable(ix, prefix,
+        buckets = 4)
+      graft.operators.Similarity.appendToIvfIndexTable(
+        (1000L until 1020L).map(i => (i, vecOf(i)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", prefix, buckets = 4,
+        batchId = Some(0L))
+      graft.operators.Similarity.deleteFromIvfIndexTable(spark,
+        Seq(1000L, 5L).toDF("vec_id"), "vec_id", prefix, buckets = 4,
+        batchId = Some(1L))
+      val q = emb.filter(col("vec_id") < 3)
+      val probe = graft.operators.Similarity.ivfTopKWith(
+        graft.operators.Similarity.loadIvfIndexTable(spark, prefix),
+        q, "vec_id", "embedding", k = 3, nProbe = 2)
+      assert(probe.count() > 0, "staged probe must retrieve")
+      val plan = probe.queryExecution.executedPlan
+      val planStr = plan.toString
+      // THE 100 TB claim, plan-verified: the cent_id directory level
+      // means a probe touches nProbe lists — the broadcast probe join
+      // injects a DYNAMIC partition-pruning subquery into the
+      // assigned scan, so every other list's files are dropped before
+      // any IO (nothing in the operator asks for this explicitly; the
+      // layout makes the optimizer do it)
+      val assignedScan = plan.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == prefix + "_assigned")
+        => f }
+      assert(assignedScan.nonEmpty,
+        s"the staged assigned table must be load-bearing:\n$planStr")
+      assert(assignedScan.exists(
+          _.partitionFilters.exists(
+            _.toString.contains("dynamicpruning"))),
+        "the probe must dynamically prune to its probed cent_id " +
+          s"directories:\n$planStr")
+      // corpus-side no-reshuffle (the staged-postings contract): no
+      // exchange directly over the assigned or tombstone scans
+      val corpusTables = Set(prefix + "_assigned",
+        prefix + "_tombstones")
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!corpusTables.contains(_)),
+          s"table ${hit.getOrElse("")} re-shuffled by the staged " +
+            s"IVF probe:\n$planStr")
+      }
+      // the takedown's tombstone anti-join is load-bearing
+      assert(plan.collect { case f: FileSourceScanExec => f }
+          .flatMap(_.tableIdentifier).map(_.table)
+          .contains(prefix + "_tombstones"),
+        s"the tombstone anti-join must be load-bearing:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.operators.Similarity.ivfIndexTableNames(prefix)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("staged allowlist at corpus scale: the filtered probe " +
     "aggregates and semi-joins the allow table on its doc-bucketed " +
     "layout — neither the allowlist nor any corpus table re-shuffles") {
