@@ -2633,6 +2633,204 @@ object Similarity {
         Seq("batch_id"))(_.filter(lit(false)))
   }
 
+  // ------------------------------------------------------------------
+  // The TABLE tense of the LSH index — the other family whose probe
+  // key is a natural DIRECTORY level: a query probes exactly its own
+  // `bucket`, so partitioning by (batch_id, bucket) gives the same
+  // dynamic-partition-pruned probe as the IVF table's cent_id layout
+  // (≤ 2^nPlanes directories per batch — bounded by the plane count).
+  // PQ / IVF+PQ deliberately do NOT get a table tense: the ADC scan
+  // reads every code row by design (no pruning key exists), the probe
+  // side is broadcast (no co-location needed), and the exact-rerank
+  // stage joins the RAW vector table (already a BucketedTables
+  // layout) — so their staged persistence story is the
+  // VersionedIndexStore, which already swap-publishes them.
+  // Layout: <prefix>_meta (n_planes — the quantizer parameter, so a
+  // build/query plane mismatch cannot be expressed), <prefix>_buckets
+  // partitioned (batch_id, bucket) + bucketed by c_id,
+  // <prefix>_dropped (the build census — FROZEN across appends, the
+  // appendToLshIndex stance), <prefix>_tombstones c_id-bucketed.
+  // ------------------------------------------------------------------
+
+  private def lshMetaTable(prefix: String) = prefix + "_meta"
+  private def lshBucketsTable(prefix: String) = prefix + "_buckets"
+  private def lshDroppedTable(prefix: String) = prefix + "_dropped"
+  private def lshTombTable(prefix: String) = prefix + "_tombstones"
+
+  /** Every table an LSH-table prefix owns. */
+  def lshIndexTableNames(prefix: String): Seq[String] =
+    Seq(lshMetaTable(prefix), lshBucketsTable(prefix),
+      lshDroppedTable(prefix), lshTombTable(prefix))
+
+  /** Materialize a staged [[LshIndex]] as the tables above. */
+  def createLshIndexTable(index: LshIndex, prefix: String,
+                          buckets: Int): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq(index.nPlanes).toDF("n_planes").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(lshMetaTable(prefix))
+    index.dropped.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(lshDroppedTable(prefix))
+    graft.sources.BucketedTables.writeBucketed(
+      index.buckets.select("c_id", "c_vec", "bucket")
+        .withColumn("batch_id", lit(IvfBasePartition)),
+      lshBucketsTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id", "bucket"))
+    graft.sources.BucketedTables.writeBucketed(
+      index.buckets.select("c_id").limit(0)
+        .withColumn("batch_id", lit(IvfBasePartition)),
+      lshTombTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id"))
+  }
+
+  /** An [[LshIndex]] view over the staged tables — probe with
+    * [[lshTopKWith]] unchanged; the broadcast query side's bucket
+    * join dynamically prunes the (batch_id, bucket) directories like
+    * the IVF table's cent_id level (ScaleSpec). Deletes surface as
+    * the c_id-bucketed tombstone anti-join. */
+  def loadLshIndexTable(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): LshIndex = {
+    import spark.implicits._
+    val rows = spark.table(lshBucketsTable(prefix))
+      .select("c_id", "c_vec", "bucket")
+    val served =
+      if (spark.catalog.tableExists(lshTombTable(prefix)))
+        rows.join(spark.table(lshTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_anti")
+      else rows
+    LshIndex(
+      spark.table(lshMetaTable(prefix)).select("n_planes")
+        .as[Int].head(),
+      served,
+      spark.table(lshDroppedTable(prefix)))
+  }
+
+  /** The table tense of [[appendToLshIndex]]: hash the admitted batch
+    * with the STAGED plane count, exclude census-dropped buckets
+    * (frozen census — resurrecting one with the batch's biased sliver
+    * is the documented wrong answer), gated idempotent append. The
+    * pending-tombstone re-append guard is the IVF/postings
+    * contract. */
+  def appendToLshIndexTable(batch: DataFrame, idCol: String,
+                            vecCol: String, prefix: String,
+                            buckets: Int,
+                            batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val pid = batchId.getOrElse(IvfBasePartition)
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($IvfBasePartition is the reserved base partition)")
+      dropBatchPartitions(spark, lshBucketsTable(prefix), id)
+    }
+    if (spark.catalog.tableExists(lshTombTable(prefix)) &&
+        !spark.table(lshTombTable(prefix)).isEmpty) {
+      val clash = batch.select(col(idCol).as("c_id"))
+        .join(spark.table(lshTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToLshIndexTable($prefix): batch contains ids that " +
+          "are tombstoned but not yet compacted away (e.g. " +
+          clash.limit(3).collect().map(_.get(0)).mkString(", ") +
+          "); run maintainLshIndexTable first")
+    }
+    val nPlanes = spark.table(lshMetaTable(prefix)).select("n_planes")
+      .as[Int].head()
+    val hashed = nonNullVecs(batch, vecCol).dropDuplicates(idCol)
+      .select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
+      .join(broadcast(spark.table(lshDroppedTable(prefix))),
+        Seq("bucket"), "left_anti")
+      .select("c_id", "c_vec", "bucket")
+    graft.sources.BucketedTables.appendBucketed(
+      hashed.withColumn("batch_id", lit(pid)),
+      lshBucketsTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id", "bucket"))
+  }
+
+  /** The table tense of [[deleteFromLshIndex]] — tombstone append
+    * resolved against the live set, the IVF table's contract
+    * verbatim. */
+  def deleteFromLshIndexTable(spark: org.apache.spark.sql.SparkSession,
+                              ids: DataFrame, idCol: String,
+                              prefix: String, buckets: Int,
+                              batchId: Option[Long] = None): Long = {
+    val pid = batchId.map { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id")
+      spark.sql(s"ALTER TABLE ${lshTombTable(prefix)} DROP IF EXISTS " +
+        s"PARTITION (batch_id=$id)")
+      id
+    }.getOrElse(IvfBasePartition)
+    val victims = spark.table(lshBucketsTable(prefix)).select("c_id")
+      .join(spark.table(lshTombTable(prefix)).select("c_id"),
+        Seq("c_id"), "left_anti")
+      .join(ids.select(col(idCol).as("c_id")).distinct(), "c_id")
+      .localCheckpoint(true)
+    val n = victims.count()
+    if (n == 0) return 0L
+    graft.sources.BucketedTables.appendBucketed(
+      victims.withColumn("batch_id", lit(pid)),
+      lshTombTable(prefix), buckets, Seq("c_id"),
+      partitionCols = Seq("batch_id"))
+    n
+  }
+
+  /** Tombstone-applying compaction + batch-attribution collapse —
+    * [[compactIvfIndexTable]]'s contract on the bucket layout. */
+  def compactLshIndexTable(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, buckets: Int): Unit = {
+    val tombPending =
+      spark.catalog.tableExists(lshTombTable(prefix)) &&
+        !spark.table(lshTombTable(prefix)).isEmpty
+    def applyTomb(df: DataFrame): DataFrame =
+      if (tombPending)
+        df.join(spark.table(lshTombTable(prefix)).select("c_id"),
+          Seq("c_id"), "left_anti")
+      else df
+    graft.sources.BucketedTables.rewriteBucketed(
+      spark, lshBucketsTable(prefix), buckets, Seq("c_id"),
+      Seq("batch_id", "bucket"))(df =>
+      applyTomb(df).withColumn("batch_id", lit(IvfBasePartition)))
+    if (tombPending)
+      graft.sources.BucketedTables.rewriteBucketed(
+        spark, lshTombTable(prefix), buckets, Seq("c_id"),
+        Seq("batch_id"))(_.filter(lit(false)))
+  }
+
+  /** Audit-gated maintenance — [[maintainIvfIndexTable]]'s contract
+    * on the bucket layout. */
+  def maintainLshIndexTable(spark: org.apache.spark.sql.SparkSession,
+                            prefix: String, buckets: Int,
+                            maxBatchDirs: Int = 2): Boolean = {
+    require(maxBatchDirs >= 1,
+      s"maxBatchDirs below 1 ($maxBatchDirs) would recompact a fresh " +
+        "index forever")
+    def crashed(table: String) =
+      !spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "_compacting")
+    val tombPending =
+      (spark.catalog.tableExists(lshTombTable(prefix)) &&
+        !spark.table(lshTombTable(prefix)).isEmpty) ||
+        crashed(lshTombTable(prefix))
+    if (tombPending || crashed(lshBucketsTable(prefix))) {
+      compactLshIndexTable(spark, prefix, buckets)
+      if (crashed(lshTombTable(prefix)))
+        graft.sources.BucketedTables.rewriteBucketed(spark,
+          lshTombTable(prefix), buckets, Seq("c_id"),
+          Seq("batch_id"))(_.filter(lit(false)))
+      return true
+    }
+    val batchDirs = spark
+      .sql(s"SHOW PARTITIONS ${lshBucketsTable(prefix)}")
+      .collect().map(_.getString(0).split("/")(0)).distinct.length
+    if (batchDirs > maxBatchDirs) {
+      compactLshIndexTable(spark, prefix, buckets)
+      true
+    } else false
+  }
+
   /** Audit-gated tense of [[compactIvfIndexTable]] (the
     * maintainPostingsIndexTable stance): any pending tombstone forces
     * the apply-and-clear compaction (takedown latency bounded by one

@@ -1369,6 +1369,87 @@ class SimilaritySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("LSH TABLE tense: create + gated append == frozen-plane " +
+    "rebuild with the census FROZEN; delete/compaction lifecycle " +
+    "matches the IVF table contract") {
+    def mk(i: Long, base: Int): (Long, Array[Float]) = {
+      val v = Array.tabulate(8)(j =>
+        (math.sin(base * 3.7 + j * 1.3) + (i % 5) * 0.01).toFloat)
+      (i, v)
+    }
+    val corpus = (0L until 30L).map(i => mk(i, (i % 3).toInt))
+      .toDF("vec_id", "embedding")
+    val batchRows = (100L until 105L).map(i => mk(i, 7))
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val query = Seq((999L, batchRows.head._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    val prefix = "graft_lsh_table"
+    def probeSet(ix: Similarity.LshIndex): Set[Long] =
+      Similarity.lshTopKWith(ix, query, "vec_id", "embedding", k = 5)
+        .select("c_id").as[Long].collect().toSet
+    try {
+      // bucketCap small enough that the build census drops at least
+      // one hot bucket on this clustered fixture — the frozen-census
+      // contract then has something real to hold
+      val ix0 = Similarity.lshIndex(corpus, "vec_id", "embedding",
+        nPlanes = 2, bucketCap = 12, persistIndex = false)
+      assert(!ix0.dropped.isEmpty, "fixture must censor a bucket")
+      Similarity.createLshIndexTable(ix0, prefix, buckets = 2)
+      Similarity.appendToLshIndexTable(batch, "vec_id", "embedding",
+        prefix, buckets = 2, batchId = Some(0L))
+      // replay idempotent
+      Similarity.appendToLshIndexTable(batch, "vec_id", "embedding",
+        prefix, buckets = 2, batchId = Some(0L))
+      val staged = Similarity.loadLshIndexTable(spark, prefix)
+      assert(staged.nPlanes === ix0.nPlanes)
+      val rebuilt = Similarity.appendToLshIndex(
+        Similarity.LshIndex(ix0.nPlanes, ix0.buckets.limit(0),
+          ix0.dropped), corpus.unionByName(batch), "vec_id",
+        "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select("c_id", "c_vec", "bucket")
+          .collect().map(_.toString).toSet
+      assert(rows(staged.buckets) === rows(rebuilt.buckets),
+        "staged create+append must equal the frozen-plane, " +
+          "frozen-census rebuild row for row")
+      assert(probeSet(staged) === probeSet(rebuilt))
+      // takedown lifecycle on ids actually SERVED (the batch may
+      // legitimately have hashed into the censored bucket — the
+      // frozen-census contract at work — so pick victims from the
+      // staged table itself)
+      val Seq(victimA, victimB) = staged.buckets.select("c_id")
+        .as[Long].collect().sorted.take(2).toSeq
+      assert(Similarity.deleteFromLshIndexTable(spark,
+        Seq(victimA).toDF("vec_id"), "vec_id", prefix, buckets = 2,
+        batchId = Some(1L)) === 1L)
+      assert(Similarity.deleteFromLshIndexTable(spark,
+        Seq(victimA).toDF("vec_id"), "vec_id", prefix, buckets = 2,
+        batchId = Some(2L)) === 0L)
+      val afterDel = Similarity.loadLshIndexTable(spark, prefix)
+      assert(!probeSet(afterDel).contains(victimA))
+      assert(spark.table(prefix + "_buckets")
+        .filter(col("c_id") === victimA).count() === 1L)
+      assert(Similarity.maintainLshIndexTable(spark, prefix,
+        buckets = 2))
+      assert(spark.table(prefix + "_buckets")
+        .filter(col("c_id") === victimA).isEmpty)
+      assert(spark.table(prefix + "_tombstones").isEmpty)
+      assert(!Similarity.maintainLshIndexTable(spark, prefix,
+        buckets = 2, maxBatchDirs = 10))
+      // re-append guard under a fresh pending tombstone
+      assert(Similarity.deleteFromLshIndexTable(spark,
+        Seq(victimB).toDF("vec_id"), "vec_id", prefix, buckets = 2,
+        batchId = Some(3L)) === 1L)
+      val vbVec = (corpus.unionByName(batch))
+        .filter(col("vec_id") === victimB)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToLshIndexTable(vbVec, "vec_id",
+          "embedding", prefix, buckets = 2, batchId = Some(4L))
+      }
+    } finally Similarity.lshIndexTableNames(prefix)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("NULL embeddings are excluded, never NPE mid-job") {
     // the realistic failed-extraction artifact: one null vector used
     // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException

@@ -1039,6 +1039,77 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LSH TABLE tense at corpus scale: the probe dynamically " +
+    "prunes to its own bucket directories and nothing corpus-side " +
+    "re-shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def vecOf(i: Long) = Array.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 11) - 5).toFloat)
+    val emb = (0L until 300L).map(i => (i, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    val prefix = "graft_lsh_table_scale"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ix = graft.operators.Similarity.lshIndex(emb, "vec_id",
+        "embedding", nPlanes = 4, persistIndex = false)
+      graft.operators.Similarity.createLshIndexTable(ix, prefix,
+        buckets = 4)
+      graft.operators.Similarity.appendToLshIndexTable(
+        (1000L until 1020L).map(i => (i, vecOf(i)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", prefix, buckets = 4,
+        batchId = Some(0L))
+      graft.operators.Similarity.deleteFromLshIndexTable(spark,
+        Seq(1000L, 5L).toDF("vec_id"), "vec_id", prefix, buckets = 4,
+        batchId = Some(1L))
+      // the query side arrives from storage like production requests
+      // do — a pure LocalRelation side constant-folds its filter away
+      // and DPP's benefit heuristic then sees nothing selective to
+      // prune with
+      val qDir = java.nio.file.Files
+        .createTempDirectory("graft-lsh-q").toString
+      emb.write.mode("overwrite").parquet(qDir)
+      val q = spark.read.parquet(qDir).filter(col("vec_id") < 3)
+      val probe = graft.operators.Similarity.lshTopKWith(
+        graft.operators.Similarity.loadLshIndexTable(spark, prefix),
+        q, "vec_id", "embedding", k = 3)
+      probe.count() // bucket collisions may legitimately be empty-ish
+      val plan = probe.queryExecution.executedPlan
+      val planStr = plan.toString
+      val bucketScan = plan.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == prefix + "_buckets")
+        => f }
+      assert(bucketScan.nonEmpty,
+        s"the staged buckets table must be load-bearing:\n$planStr")
+      assert(bucketScan.exists(
+          _.partitionFilters.exists(
+            _.toString.contains("dynamicpruning"))),
+        "the probe must dynamically prune to its own bucket " +
+          s"directories:\n$planStr")
+      val corpusTables = Set(prefix + "_buckets",
+        prefix + "_tombstones")
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        var n: org.apache.spark.sql.execution.SparkPlan = e.child
+        var hit = Option.empty[String]
+        var done = false
+        while (!done) n match {
+          case f: FileSourceScanExec =>
+            hit = f.tableIdentifier.map(_.table); done = true
+          case u if u.children.size == 1 => n = u.children.head
+          case _ => done = true
+        }
+        assert(hit.forall(!corpusTables.contains(_)),
+          s"table ${hit.getOrElse("")} re-shuffled by the staged " +
+            s"LSH probe:\n$planStr")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.operators.Similarity.lshIndexTableNames(prefix)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("staged allowlist at corpus scale: the filtered probe " +
     "aggregates and semi-joins the allow table on its doc-bucketed " +
     "layout — neither the allowlist nor any corpus table re-shuffles") {
