@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * deleted (pruned probe over a prefix with a gated takedown
   * pending), retrieve-then-rerank, and hybrid RRF (lexical fused with
   * the staged IVF list).
+  *
+  * Dense rows (round 15): the ANN families' own build/probe split —
+  * the in-memory IVF/LSH probes vs the staged TABLE tenses whose
+  * probes dynamically prune to their nProbe cent_id directories / own
+  * bucket (ScaleSpec pins the plans; this measures what the pruning
+  * buys), plus the cross-surface takedown audit costed over
+  * PRE-STAGED surfaces (the sweep's q_ann_takedown_audit number fuses
+  * six surface builds into one invocation — here the audit pays only
+  * its own victim-bounded joins).
   */
 object ServingBench {
   def main(args: Array[String]): Unit = {
@@ -43,8 +52,12 @@ object ServingBench {
     val prefix = "graft_serving_bench"
     val prefixDel = prefix + "_del"
     val embTable = prefix + "_embt"
+    val ivftPrefix = prefix + "_ivft"
+    val lshtPrefix = prefix + "_lsht"
     val allTables = Retrieval.indexTableNames(prefix) ++
-      Retrieval.indexTableNames(prefixDel) :+ embTable
+      Retrieval.indexTableNames(prefixDel) ++
+      Similarity.ivfIndexTableNames(ivftPrefix) ++
+      Similarity.lshIndexTableNames(lshtPrefix) :+ embTable
     allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     def timed(f: => Unit): Double = {
@@ -78,6 +91,17 @@ object ServingBench {
           emb.filter(col("embedding").isNotNull).count()))
       ivf.assigned.count() // materialize the staged state
     }
+    builds("ivf_table_create") = timed {
+      Similarity.createIvfIndexTable(ivf, ivftPrefix, buckets)
+    }
+    var lsh: Similarity.LshIndex = null
+    builds("lsh_index") = timed {
+      lsh = Similarity.lshIndex(emb, "vec_id", "embedding")
+      lsh.buckets.count()
+    }
+    builds("lsh_table_create") = timed {
+      Similarity.createLshIndexTable(lsh, lshtPrefix, buckets)
+    }
 
     val qs = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"), col("text"))
@@ -88,6 +112,9 @@ object ServingBench {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("qv")),
       Seq("query_id"), "left").localCheckpoint(true)
+    // dense request side: vector queries, request-sized like qs
+    val vq = emb.filter(col("vec_id") % 50 === 0)
+      .localCheckpoint(true)
     val qToks = slice(TA.tokens(col("text")), 1, 3)
 
     val probes: Seq[(String, () => Long)] = Seq(
@@ -121,7 +148,31 @@ object ServingBench {
       }),
       "hybrid" -> (() => StreamingOps.hybridProbe(hq, "query_id",
         qToks, "qv", prefix, ivf, kRetrieve = 10, k = 10,
-        nProbe = 2).count())
+        nProbe = 2).count()),
+      // dense serving: the same probe over the in-memory handle vs
+      // the staged TABLE tense — the table probe's DPP to its nProbe
+      // cent_id lists / own bucket is the number that must stay flat
+      // as the corpus grows
+      "ann_ivf_mem" -> (() => Similarity.ivfTopKWith(ivf, vq,
+        "vec_id", "embedding", k = 10, nProbe = 2).count()),
+      "ann_ivf_table" -> (() => Similarity.ivfTopKWith(
+        Similarity.loadIvfIndexTable(spark, ivftPrefix), vq,
+        "vec_id", "embedding", k = 10, nProbe = 2).count()),
+      "ann_lsh_mem" -> (() => Similarity.lshTopKWith(lsh, vq,
+        "vec_id", "embedding", k = 10).count()),
+      "ann_lsh_table" -> (() => Similarity.lshTopKWith(
+        Similarity.loadLshIndexTable(spark, lshtPrefix), vq,
+        "vec_id", "embedding", k = 10).count()),
+      // the compliance audit over PRE-STAGED surfaces: only the
+      // victim-bounded joins themselves (the sweep's 8 s
+      // q_ann_takedown_audit number is build-dominated by design)
+      "takedown_audit" -> (() => Retrieval.takedownAuditAll(spark,
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+        "vec_id", postingsPrefix = Some(prefixDel),
+        ann = Seq(
+          Retrieval.AnnAuditSurface("ivf_table",
+            Similarity.loadIvfIndexTable(spark, ivftPrefix)),
+          Retrieval.AnnAuditSurface("ivf_mem", ivf))).count())
     )
     val medians = probes.map { case (name, run) =>
       val times = (1 to reps).map { _ =>

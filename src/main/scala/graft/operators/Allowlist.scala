@@ -134,4 +134,39 @@ object Allowlist {
           col("last.allowed").as("allowed"))
         .withColumn("batch_id", lit(BasePartition))
     }
+
+  /** Audit-gated maintenance — the
+    * [[Similarity.maintainIvfIndexTable]] /
+    * [[Retrieval.maintainPostingsIndexTable]] contract on the event
+    * log, closing the one staged family that had a compact but no
+    * alarm on its growth bound: compact when the per-mutation
+    * directory growth crosses `maxBatchDirs` distinct batch
+    * partitions (the growth axis of this layout — each gated
+    * grant/revoke adds one batch_id subtree, and the doc's
+    * latest-wins history accumulates until collapsed), and recover
+    * unconditionally when a crashed rewrite left only the
+    * `_compacting` staging copy behind. No-op when healthy, so a
+    * maintenance-cadence caller costs one SHOW PARTITIONS. Returns
+    * true iff anything was rewritten. */
+  def maintainAllowlistTable(spark: SparkSession, prefix: String,
+                             buckets: Int,
+                             maxBatchDirs: Int = 2): Boolean = {
+    require(maxBatchDirs >= 1,
+      s"maxBatchDirs below 1 ($maxBatchDirs) would recompact a fresh " +
+        "allowlist forever")
+    val crashed =
+      !spark.catalog.tableExists(allowTable(prefix)) &&
+        spark.catalog.tableExists(allowTable(prefix) + "_compacting")
+    if (crashed) {
+      compactAllowlistTable(spark, prefix, buckets)
+      return true
+    }
+    val batchDirs = spark
+      .sql(s"SHOW PARTITIONS ${allowTable(prefix)}")
+      .collect().map(_.getString(0).split("/")(0)).distinct.length
+    if (batchDirs > maxBatchDirs) {
+      compactAllowlistTable(spark, prefix, buckets)
+      true
+    } else false
+  }
 }

@@ -231,15 +231,21 @@ object IndexMaintenance {
   def saveLshIndex(index: LshIndex, dir: String): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    write(Seq(index.nPlanes).toDF("n_planes"), dir, "meta")
+    // meta carries both quantizer parameters (empty planes array =
+    // the seeded pseudo-random hyperplanes), like the TABLE tense
+    write(Seq((index.nPlanes, index.planes.map(_.toSeq)))
+      .toDF("n_planes", "planes"), dir, "meta")
     write(index.buckets, dir, "buckets")
     write(index.dropped, dir, "dropped")
   }
 
   def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
     import spark.implicits._
-    LshIndex(read(spark, dir, "meta").as[Int].head(),
-      read(spark, dir, "buckets"), read(spark, dir, "dropped"))
+    val (nPlanes, planes) = read(spark, dir, "meta")
+      .select("n_planes", "planes")
+      .as[(Int, Seq[Seq[Double]])].head()
+    LshIndex(nPlanes, read(spark, dir, "buckets"),
+      read(spark, dir, "dropped"), planes)
   }
 
   def savePqIndex(index: PqIndex, dir: String): Unit = {

@@ -838,12 +838,6 @@ object Retrieval {
                                  batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val pid = batchId.getOrElse(BasePartition)
-    batchId.foreach { id =>
-      require(id >= 0, s"gated batch ids are non-negative, got $id " +
-        s"($BasePartition is the reserved base partition)")
-      allTables(prefix).foreach(t => spark.sql(
-        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)"))
-    }
     // ENFORCE the "not already present" contract for the one case the
     // door cannot see: a tombstoned id is invisible to serving (and to
     // the door's corpus probes once its signatures age out) but still
@@ -854,6 +848,12 @@ object Retrieval {
     // check is a batch-sized semi-join against the (small) tombstone
     // table, gated on a limit-1 emptiness scan so the no-deletes hot
     // path pays almost nothing.
+    //
+    // The check runs BEFORE the replay partition drop below: a batch
+    // that landed, crashed before gate commit, and then had one of
+    // its ids tombstoned must fail with its already-landed partitions
+    // INTACT — dropping first would destroy the batch's other rows on
+    // every retry while the throw makes normal replay unrecoverable.
     if (spark.catalog.tableExists(tombTable(prefix)) &&
         !spark.table(tombTable(prefix)).isEmpty) {
       val clash = batch.select(col(idCol).as("doc"))
@@ -865,6 +865,12 @@ object Retrieval {
           clash.limit(3).collect().map(_.get(0)).mkString(", ") +
           "); run maintainPostingsIndexTable first — re-appending a " +
           "pending-delete id would be destroyed by the compaction")
+    }
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($BasePartition is the reserved base partition)")
+      allTables(prefix).foreach(t => spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)"))
     }
     val ix = postingsIndex(batch, idCol, toks)
     val part = Seq("batch_id")
@@ -1015,11 +1021,11 @@ object Retrieval {
     val dense = ann.map { sfc =>
       val serving = Similarity.annRowsHeld(sfc.live, reqIds, idCol)
         .withColumnRenamed("rows_held", "serving_rows")
-      val counted = sfc.store match {
+      val (counted, unloadable) = sfc.store match {
         case None =>
           // no store: the live handle is the only materialization
-          serving.withColumn("physical_rows", col("serving_rows"))
-            .withColumn("retained_rows", lit(0L))
+          (serving.withColumn("physical_rows", col("serving_rows"))
+            .withColumn("retained_rows", lit(0L)), Seq.empty[Long])
         case Some(st) =>
           val cur = st.currentVersion()
           val phys =
@@ -1028,22 +1034,44 @@ object Retrieval {
                 spark, st.versionDir(cur), sfc.live), serving, "doc")
             else serving.select(col("doc"), lit(0L).as("rows_held")))
             .withColumnRenamed("rows_held", "physical_rows")
-          val others = st.versionsPresent().filter(_ != cur)
+          // Non-current versions include in-flight/crashed staging
+          // dirs (versionsPresent documents this): a rebuild that died
+          // mid-save leaves a partial directory whose load throws. The
+          // audit must SURVIVE that — it runs in exactly the
+          // crashed-rebuild scenario it exists to expose — so each
+          // retained load is attempted, failures are skipped from the
+          // counts, and every skipped version is surfaced as its own
+          // '<surface>:unloadable' row (doc = version number) rather
+          // than silently reading as clean.
+          val loaded = st.versionsPresent().filter(_ != cur).map(v =>
+            v -> scala.util.Try(IndexMaintenance.loadAnnIndexLike(
+              spark, st.versionDir(v), sfc.live)))
+          val oks = loaded.collect {
+            case (_, scala.util.Success(ix)) => ix }
           val retained =
-            if (others.isEmpty)
+            if (oks.isEmpty)
               serving.select(col("doc"), lit(0L).as("retained_rows"))
-            else others.map(v => Similarity.annRowsHeld(
-                IndexMaintenance.loadAnnIndexLike(spark,
-                  st.versionDir(v), sfc.live), serving, "doc"))
+            else oks.map(ix =>
+                Similarity.annRowsHeld(ix, serving, "doc"))
               .reduce(_ unionByName _)
               .groupBy("doc").agg(sum("rows_held").as("retained_rows"))
-          serving.join(phys, "doc").join(retained, "doc")
+          (serving.join(phys, "doc").join(retained, "doc"),
+            loaded.collect { case (v, scala.util.Failure(_)) => v })
       }
-      counted.select(lit(sfc.name).as("surface"), col("doc"),
+      val main = counted.select(lit(sfc.name).as("surface"), col("doc"),
         col("serving_rows").cast("long").as("serving_rows"),
         col("physical_rows").cast("long").as("physical_rows"),
         col("retained_rows").cast("long").as("retained_rows"),
         lit(false).as("tombstoned"))
+      if (unloadable.isEmpty) main
+      else {
+        import spark.implicits._
+        main.unionByName(unloadable.toDF("doc").select(
+          lit(sfc.name + ":unloadable").as("surface"),
+          col("doc").cast("long").as("doc"),
+          lit(0L).as("serving_rows"), lit(0L).as("physical_rows"),
+          lit(0L).as("retained_rows"), lit(false).as("tombstoned")))
+      }
     }
     val landed = landingDir.map { dir =>
       val held = spark.read.parquet(dir).select(col(idCol))

@@ -40,8 +40,41 @@ object SemDedup {
                clusterCap: Long = 100000L): DataFrame = {
     Guards.requireIntegral(vecs.schema(idCol).dataType, "semDedup",
       s"id ('$idCol')", "the dedup verdict joins on a long id")
-    val assigned = Similarity.kmeans(vecs, idCol, vecCol, k, maxIter)
-      .select(col("id"), col("cluster"))
+    dedupAssigned(vecs, idCol, vecCol,
+      Similarity.kmeans(vecs, idCol, vecCol, k, maxIter)
+        .select(col("id"), col("cluster")),
+      cosThreshold, clusterCap)
+  }
+
+  /** [[semDedup]] under a caller-supplied FROZEN centroid table — the
+    * externally-trained-quantizer tense
+    * ([[Similarity.ivfIndexWithCentroids]]'s stance): assignment is
+    * [[Similarity.assignToCentroids]]' L2 argmin (ties → smallest
+    * cluster id), everything downstream identical to the k-means
+    * form. What makes the WHOLE pipeline oracle-expressible when the
+    * centroids are an id-picked corpus subset: assignment, the
+    * within-cluster cosine pairs, and the transitive duplicate groups
+    * (a recursive-CTE reachability in the DuckDB twin) are each plain
+    * SQL — q_semdedup's conversion out of rows-only. */
+  def semDedupWithCentroids(vecs: DataFrame, idCol: String,
+                            vecCol: String, cents: Seq[Seq[Double]],
+                            cosThreshold: Double = 0.95,
+                            clusterCap: Long = 100000L): DataFrame = {
+    require(cents.nonEmpty,
+      "semDedupWithCentroids needs at least one centroid")
+    dedupAssigned(vecs, idCol, vecCol,
+      Similarity.assignToCentroids(vecs, idCol, vecCol, cents)
+        .select(col("id"), col("cluster")),
+      cosThreshold, clusterCap)
+  }
+
+  /** The shared downstream of both assignment tenses: capped
+    * within-cluster pairwise probe, transitive collapse, per-vector
+    * verdict. */
+  private def dedupAssigned(vecs: DataFrame, idCol: String,
+                            vecCol: String, assigned: DataFrame,
+                            cosThreshold: Double,
+                            clusterCap: Long): DataFrame = {
     val m = Similarity.nonNullVecs(vecs, vecCol)
       .select(col(idCol).cast("long").as("id"),
         Similarity.toDouble(col(vecCol)).as("v"))

@@ -266,6 +266,40 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** [[lshBucket]] under CALLER-SUPPLIED hyperplanes: bit p is set
+    * iff dot(vec, planes(p)) >= 0 (the native index-order kernel).
+    * This is the externally-trained-quantizer tense of the LSH family
+    * — the [[ivfIndexWithCentroids]] stance — and what makes the
+    * whole sign-bit probe oracle-expressible when the planes are an
+    * id-picked corpus subset (q_sim_ann_lsh's DuckDB twin recomputes
+    * bucketing + same-bucket probe from the same explicit table). A
+    * NULL plane score (dim mismatch) contributes a 0 bit, like the
+    * pseudo-random form's null-propagating fold. */
+  def lshBucketWithPlanes(vec: Column,
+                          planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 62,
+      s"need 1 <= nPlanes <= 62 explicit hyperplanes, got ${planes.size}")
+    val pl = typedLit(planes.map(_.toSeq))
+    planes.indices.map { p =>
+      when(dot(vec, element_at(pl, p + 1)) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The ONE bucket-hash dispatch every LSH consumer (build, probe,
+    * append — DataFrame and TABLE tenses) routes through: explicit
+    * planes when the index carries them, the seeded pseudo-random
+    * hyperplanes otherwise. Centralized so a consumer can never hash
+    * queries into a different space than the index was built in. */
+  private def lshHash(vec: Column, nPlanes: Int,
+                      planes: Seq[Seq[Double]]): Column =
+    if (planes.nonEmpty) {
+      require(planes.size == nPlanes,
+        s"index carries ${planes.size} explicit planes but declares " +
+          s"nPlanes=$nPlanes — the artifact is corrupt")
+      lshBucketWithPlanes(vec, planes)
+    } else lshBucket(vec, nPlanes)
+
   /** Common supertype of the four staged ANN index families (IVF,
     * LSH, PQ, IVF+PQ) — what lets a consumer that serves ANY dense
     * index (the hybrid funnel's dense list, the filtered-serving
@@ -1053,8 +1087,16 @@ object Similarity {
     * gone, so re-admitting batch rows would resurrect it with a
     * biased fraction of its true membership). Bounded by 2^nPlanes
     * rows and in practice by the handful of degenerate buckets. */
+  /** `planes` empty = the seeded pseudo-random hyperplanes derived
+    * from `nPlanes` ([[lshBucket]]); non-empty = the explicit
+    * caller-supplied hyperplanes ([[lshBucketWithPlanes]],
+    * `nPlanes == planes.size`). Carried in the index — like
+    * `nPlanes` itself — so no consumer can hash queries into a
+    * different space than the build's. */
   final case class LshIndex(nPlanes: Int, buckets: DataFrame,
-                            dropped: DataFrame) extends AnnIndex
+                            dropped: DataFrame,
+                            planes: Seq[Seq[Double]] = Nil)
+    extends AnnIndex
 
   /** Bucketed-and-capped LSH corpus index, materialized once (in a
     * real deployment this is a bucketed TABLE amortized over all
@@ -1087,6 +1129,36 @@ object Similarity {
       hotBuckets)
   }
 
+  /** Build an [[LshIndex]] under CALLER-SUPPLIED hyperplanes — the
+    * externally-trained-quantizer deployment shape on the LSH family
+    * ([[ivfIndexWithCentroids]]'s stance), and what makes the whole
+    * sign-bit probe oracle-expressible when the planes are an
+    * id-picked corpus subset. Same census/cap semantics as
+    * [[lshIndex]]; `bucketCap = Int.MaxValue` disables the skew
+    * census for tenses whose oracle must be census-free (the cap's
+    * behavior stays spec-covered on the pseudo-random build). */
+  def lshIndexWithPlanes(candidates: DataFrame, idCol: String,
+                         vecCol: String, planes: Seq[Seq[Double]],
+                         bucketCap: Int = 2000,
+                         persistIndex: Boolean = true): LshIndex = {
+    require(planes.nonEmpty,
+      "lshIndexWithPlanes needs at least one hyperplane")
+    val cb0 = nonNullVecs(candidates, vecCol)
+      .select(col(idCol).as("c_id"),
+        toDouble(col(vecCol)).as("c_vec"))
+      .withColumn("bucket", lshBucketWithPlanes(col("c_vec"), planes))
+    val cb =
+      if (persistIndex) cb0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cb0
+    val hotBuckets = cb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap).select("bucket")
+    LshIndex(planes.size,
+      cb.join(broadcast(hotBuckets), Seq("bucket"), "left_anti"),
+      hotBuckets, planes)
+  }
+
   /** Query stage of LSH top-k against a prebuilt [[LshIndex]]:
     * queries join only candidates in the same bucket (hashed with the
     * index's own plane count), then exact cosine re-rank inside the
@@ -1096,7 +1168,8 @@ object Similarity {
     val qb = nonNullVecs(queries, vecCol)
       .select(col(idCol).as("q_id"),
         toDouble(col(vecCol)).as("q_vec"))
-      .withColumn("bucket", lshBucket(col("q_vec"), index.nPlanes))
+      .withColumn("bucket",
+        lshHash(col("q_vec"), index.nPlanes, index.planes))
     val scored = broadcast(qb).join(index.buckets, "bucket")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
@@ -2153,14 +2226,14 @@ object Similarity {
     * work, never wrong results. */
   def appendToLshIndex(index: LshIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): LshIndex =
-    LshIndex(index.nPlanes,
+    index.copy(buckets =
       index.buckets.unionByName(
         nonNullVecs(newVecs, vecCol).dropDuplicates(idCol)
           .select(col(idCol).as("c_id"),
             toDouble(col(vecCol)).as("c_vec"))
-          .withColumn("bucket", lshBucket(col("c_vec"), index.nPlanes))
-          .join(broadcast(index.dropped), Seq("bucket"), "left_anti")),
-      index.dropped)
+          .withColumn("bucket",
+            lshHash(col("c_vec"), index.nPlanes, index.planes))
+          .join(broadcast(index.dropped), Seq("bucket"), "left_anti")))
 
   /** Fold new vectors into a staged [[PqIndex]]: encode with the
     * frozen codebook (map-only), union into the code table. */
@@ -2258,10 +2331,9 @@ object Similarity {
     * row. */
   def restrictLshToIds(index: LshIndex, allowed: DataFrame,
                        idCol: String): LshIndex =
-    LshIndex(index.nPlanes,
+    index.copy(buckets =
       semiIdRows(index.buckets,
-        allowed.select(col(idCol).as("c_id")).distinct()),
-      index.dropped)
+        allowed.select(col(idCol).as("c_id")).distinct()))
 
   /** Restrict a [[PqIndex]]'s SERVING set to `allowed` ids — the
     * [[restrictIvfToIds]] contract on the PQ family: the codebook is
@@ -2308,16 +2380,6 @@ object Similarity {
     case ix: IvfPqIndex => restrictIvfPqToIds(ix, allowed, idCol)
   }
 
-  /** Family-dispatching top-k probe: one entry point over the four
-    * staged families, returning the shared (q_id, rank, c_id, cos)
-    * shape. `nProbe` applies to the IVF-routed families (LSH/PQ scan
-    * their own structures); `rerankVecs` is the raw-vector frame the
-    * PQ families' exact-rerank stage reads (REQUIRED for PQ/IVFPQ —
-    * in production the id-bucketed embeddings table — ignored by
-    * IVF/LSH, whose indexes hold the raw vectors already); its id/vec
-    * columns must be named `idCol`/`vecCol` like the queries'.
-    * `rerankDepth` is the ADC shortlist depth, floored at k so a deep
-    * hybrid overfetch cannot trip the rerank >= k contract. */
   /** Rows a staged ANN index still holds per requested id — the
     * dense-side erasure counter behind
     * [[Retrieval.takedownAuditAll]]: 0 after a
@@ -2356,6 +2418,16 @@ object Similarity {
         coalesce(col("rows_held"), lit(0L)).as("rows_held"))
   }
 
+  /** Family-dispatching top-k probe: one entry point over the four
+    * staged families, returning the shared (q_id, rank, c_id, cos)
+    * shape. `nProbe` applies to the IVF-routed families (LSH/PQ scan
+    * their own structures); `rerankVecs` is the raw-vector frame the
+    * PQ families' exact-rerank stage reads (REQUIRED for PQ/IVFPQ —
+    * in production the id-bucketed embeddings table — ignored by
+    * IVF/LSH, whose indexes hold the raw vectors already); its id/vec
+    * columns must be named `idCol`/`vecCol` like the queries'.
+    * `rerankDepth` is the ADC shortlist depth, floored at k so a deep
+    * hybrid overfetch cannot trip the rerank >= k contract. */
   def annTopKWith(index: AnnIndex, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nProbe: Int = 2,
                   rerankVecs: Option[DataFrame] = None,
@@ -2388,10 +2460,9 @@ object Similarity {
   /** Remove ids from a staged [[LshIndex]]. */
   def deleteFromLshIndex(index: LshIndex, ids: DataFrame,
                          idCol: String): LshIndex =
-    LshIndex(index.nPlanes,
+    index.copy(buckets =
       antiIdRows(index.buckets,
-        ids.select(col(idCol).as("c_id")).distinct()),
-      index.dropped)
+        ids.select(col(idCol).as("c_id")).distinct()))
 
   /** Remove ids from a staged [[PqIndex]]. */
   def deleteFromPqIndex(index: PqIndex, ids: DataFrame,
@@ -2544,11 +2615,9 @@ object Similarity {
     val spark = batch.sparkSession
     requireIntegralId(batch, idCol, "appendToIvfIndexTable")
     val pid = batchId.getOrElse(IvfBasePartition)
-    batchId.foreach { id =>
-      require(id >= 0, s"gated batch ids are non-negative, got $id " +
-        s"($IvfBasePartition is the reserved base partition)")
-      dropBatchPartitions(spark, ivfAssignedTable(prefix), id)
-    }
+    // Clash check BEFORE the replay partition drop: a crashed-then-
+    // tombstoned batch must fail with its already-landed partition
+    // intact (appendToPostingsIndexTable's ordering contract).
     if (spark.catalog.tableExists(ivfTombTable(prefix)) &&
         !spark.table(ivfTombTable(prefix)).isEmpty) {
       val clash = batch
@@ -2560,6 +2629,11 @@ object Similarity {
           "are tombstoned but not yet compacted away (e.g. " +
           clash.limit(3).collect().map(_.get(0)).mkString(", ") +
           "); run maintainIvfIndexTable first")
+    }
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($IvfBasePartition is the reserved base partition)")
+      dropBatchPartitions(spark, ivfAssignedTable(prefix), id)
     }
     val assigned = ivfAssign(
       nonNullVecs(batch, vecCol).dropDuplicates(idCol)
@@ -2667,7 +2741,11 @@ object Similarity {
                           buckets: Int): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    Seq(index.nPlanes).toDF("n_planes").write
+    // the meta row carries BOTH quantizer parameters: the plane count
+    // and (explicit-planes tense) the hyperplanes themselves — empty
+    // array = the seeded pseudo-random planes
+    Seq((index.nPlanes, index.planes.map(_.toSeq)))
+      .toDF("n_planes", "planes").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(lshMetaTable(prefix))
     index.dropped.write
@@ -2700,11 +2778,20 @@ object Similarity {
         rows.join(spark.table(lshTombTable(prefix)).select("c_id"),
           Seq("c_id"), "left_anti")
       else rows
-    LshIndex(
-      spark.table(lshMetaTable(prefix)).select("n_planes")
-        .as[Int].head(),
-      served,
-      spark.table(lshDroppedTable(prefix)))
+    val (nPlanes, planes) = lshMeta(spark, prefix)
+    LshIndex(nPlanes, served,
+      spark.table(lshDroppedTable(prefix)), planes)
+  }
+
+  /** The staged quantizer parameters — ONE reader shared by load and
+    * append so both hash in the space the create wrote. */
+  private def lshMeta(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String): (Int, Seq[Seq[Double]]) = {
+    import spark.implicits._
+    val (n, planes) = spark.table(lshMetaTable(prefix))
+      .select("n_planes", "planes")
+      .as[(Int, Seq[Seq[Double]])].head()
+    (n, planes)
   }
 
   /** The table tense of [[appendToLshIndex]]: hash the admitted batch
@@ -2720,11 +2807,9 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val pid = batchId.getOrElse(IvfBasePartition)
-    batchId.foreach { id =>
-      require(id >= 0, s"gated batch ids are non-negative, got $id " +
-        s"($IvfBasePartition is the reserved base partition)")
-      dropBatchPartitions(spark, lshBucketsTable(prefix), id)
-    }
+    // Clash check BEFORE the replay partition drop: a crashed-then-
+    // tombstoned batch must fail with its already-landed partition
+    // intact (appendToPostingsIndexTable's ordering contract).
     if (spark.catalog.tableExists(lshTombTable(prefix)) &&
         !spark.table(lshTombTable(prefix)).isEmpty) {
       val clash = batch.select(col(idCol).as("c_id"))
@@ -2736,11 +2821,15 @@ object Similarity {
           clash.limit(3).collect().map(_.get(0)).mkString(", ") +
           "); run maintainLshIndexTable first")
     }
-    val nPlanes = spark.table(lshMetaTable(prefix)).select("n_planes")
-      .as[Int].head()
+    batchId.foreach { id =>
+      require(id >= 0, s"gated batch ids are non-negative, got $id " +
+        s"($IvfBasePartition is the reserved base partition)")
+      dropBatchPartitions(spark, lshBucketsTable(prefix), id)
+    }
+    val (nPlanes, planes) = lshMeta(spark, prefix)
     val hashed = nonNullVecs(batch, vecCol).dropDuplicates(idCol)
       .select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("c_vec"))
-      .withColumn("bucket", lshBucket(col("c_vec"), nPlanes))
+      .withColumn("bucket", lshHash(col("c_vec"), nPlanes, planes))
       .join(broadcast(spark.table(lshDroppedTable(prefix))),
         Seq("bucket"), "left_anti")
       .select("c_id", "c_vec", "bucket")

@@ -75,6 +75,65 @@ object TextQueries {
     "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
       "CAST(0 AS BIGINT) AS n_violations"
 
+  /** Band-exactness agreement verdict (round 15): compare an
+    * operator's banded near-dup pair set against an INDEPENDENT
+    * straightforward recomputation — plain shift/mask 4x16-bit band
+    * arithmetic over `fp` (an (doc, fp) frame from a fresh scan),
+    * DOC-granularity band self-join at the SAME census cap,
+    * bit_count(xor) hamming — which is exactly the set the pigeonhole
+    * contract promises for maxHamming <= 3. The emitted set must
+    * equal it pair for pair, hamming for hamming: n_extra /
+    * n_missing / n_ham_diff fold to 0 under the constant oracle. An
+    * operator emitting nothing flips n_missing whenever true pairs
+    * exist, so the check cannot pass vacuously; checked_nonzero pins
+    * that the corpus itself was non-empty. */
+  private def bandedAgreementVerdict(emitted: DataFrame,
+                                     fp: DataFrame,
+                                     bucketCap: Int): DataFrame = {
+    val banded = fp.select(col("doc"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bb"))
+      .select(col("doc"), col("fp"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val hot = banded.groupBy("band", "bits")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .select("band", "bits")
+    val kept = banded.join(hot, Seq("band", "bits"), "left_anti")
+    val recomputed = kept.select(col("band"), col("bits"),
+        col("doc").as("doc_a"), col("fp").as("fp_a"))
+      .join(kept.select(col("band"), col("bits"),
+        col("doc").as("doc_b"), col("fp").as("fp_b")),
+        Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+          .cast("long").as("ham"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("ham") <= 3)
+    val agree = emitted.withColumnRenamed("hamming", "ham_op")
+      .join(recomputed, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("ham").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_extra"),
+        coalesce(sum(when(col("ham_op").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_missing"),
+        coalesce(sum(when(col("ham").isNotNull &&
+            col("ham_op").isNotNull &&
+            col("ham_op") =!= col("ham"), 1L).otherwise(0L)),
+          lit(0L)).as("n_ham_diff"))
+    fp.agg((count(lit(1)) > 0).cast("long").as("checked_nonzero"))
+      .crossJoin(agree)
+  }
+
+  private val bandedAgreementOracleSql: String =
+    "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
+      "CAST(0 AS BIGINT) AS n_extra, " +
+      "CAST(0 AS BIGINT) AS n_missing, " +
+      "CAST(0 AS BIGINT) AS n_ham_diff"
+
   /** Rounded jaccard over the `inter`/`sizes` CTEs below — appears in
     * both the SELECT and the threshold WHERE of each oracle. */
   private val jaccardSqlExpr =
@@ -370,11 +429,28 @@ object TextQueries {
     "q_dedup_simhash_banded" -> ((s, d) => {
       // Unbounded (whole-corpus) simhash near-dup via 4x16-bit band
       // buckets — exact for maxHamming <= 3 by pigeonhole, no id
-      // window, no all-pairs anywhere.
-      Dedup.simhashNearDupsBanded(t(s, d, "documents"), "doc_id",
+      // window, no all-pairs anywhere. Round 15: ORACLE-CHECKED
+      // verdict row (was rows-only pairs) — band-exactness as an
+      // exact-integer agreement row: the operator's factored pair set
+      // (hamming-0 fast path + distinct-fingerprint banded join +
+      // census cap, the r9 machinery) is compared pair for pair
+      // against an INDEPENDENT straightforward recomputation — fresh
+      // scan, plain shift/mask band arithmetic, DOC-granularity band
+      // self-join at the SAME cap, bit_count(xor) hamming — which is
+      // exactly the set the pigeonhole contract promises. n_extra /
+      // n_missing / n_ham_diff must all be 0 (the constant oracle
+      // pins them; an operator emitting nothing flips n_missing
+      // whenever true pairs exist, so the check cannot pass
+      // vacuously). Precision/recall twins stay
+      // q_dedup_simhash_banded_precision / q_dedup_simhash_audit.
+      val docs = t(s, d, "documents")
+      bandedAgreementVerdict(
+        Dedup.simhashNearDupsBanded(docs, "doc_id",
           TA.tokens(col("text")), maxHamming = 3,
-          bucketCap = simhashBucketCap)
-        .orderBy("doc_a", "doc_b")
+          bucketCap = simhashBucketCap),
+        docs.select(col("doc_id").as("doc"),
+          Dedup.simhash64(TA.tokens(col("text"))).as("fp")),
+        simhashBucketCap)
     }),
 
     "q_minhash_precision" -> ((s, d) => {
@@ -1241,9 +1317,13 @@ object TextQueries {
       // Near-dup detection for the BINARY modality column: perceptual
       // hash per payload (map-only codegen kernel), then the same
       // 4x16-bit banded hamming join the text simhash path uses —
-      // payload bytes never enter the shuffle. Rows-only (the hash is
-      // not oracle-expressible); MultimodalSpec pins the semantics on
-      // a byte-perturbation fixture. maxHamming = 3 keeps the query
+      // payload bytes never enter the shuffle. Round 15:
+      // ORACLE-CHECKED verdict row (was rows-only) — the
+      // q_dedup_simhash_banded band-exactness agreement row on the
+      // phash fingerprints (the operators share
+      // hammingNearDupsBanded, so the same independent recomputation
+      // applies verbatim); MultimodalSpec pins the byte-perturbation
+      // semantics. maxHamming = 3 keeps the query
       // inside the band-EXACT regime (pigeonhole over 4x16-bit bands
       // — the result is complete, not candidate-generated), which
       // matters here because a 64-byte payload yields a coarse aHash
@@ -1259,9 +1339,13 @@ object TextQueries {
         t(s, d, "documents").withColumn("blob_src",
           substring(col("text"), 1, 64)),
         "doc_id", "blob_src", "text")
-      graft.operators.Multimodal.payloadNearDups(
-          blobs, "doc_id", "payload", maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+      bandedAgreementVerdict(
+        graft.operators.Multimodal.payloadNearDups(
+          blobs, "doc_id", "payload", maxHamming = 3),
+        blobs.select(col("doc_id").as("doc"),
+          graft.operators.Multimodal.perceptualHash(col("payload"))
+            .as("fp")),
+        bucketCap = 10000)
     }),
 
     "q_dedup_phash_precision" -> ((s, d) => {
@@ -1795,6 +1879,13 @@ object TextQueries {
     "q_dedup_simhash_precision" -> precisionOracleSql,
     "q_dedup_simhash_banded_precision" -> precisionOracleSql,
     "q_dedup_phash_precision" -> precisionOracleSql,
+
+    // band-exactness agreement rows (round 15 — were rows-only): the
+    // factored banded join must equal the independent doc-granularity
+    // recomputation pair for pair, hamming for hamming — on the text
+    // simhash fingerprints and on the binary modality's phash
+    "q_dedup_simhash_banded" -> bandedAgreementOracleSql,
+    "q_dedup_phash" -> bandedAgreementOracleSql,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardSqlCtes

@@ -50,6 +50,19 @@ object VectorQueries {
       .as[(Long, Seq[Double])].collect().toSeq
   }
 
+  /** The 4 smallest non-null vec_ids' vectors as explicit LSH
+    * hyperplanes — the [[explicitCents]] stance on the LSH family
+    * (ONE definition, so the staged query shares the in-memory
+    * query's oracle verbatim). */
+  private def explicitPlanes(s: SparkSession, emb: DataFrame)
+  : Seq[Seq[Double]] = {
+    import s.implicits._
+    emb.filter(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(4)
+      .select(Similarity.toDouble(col("embedding")))
+      .as[Seq[Double]].collect().toSeq
+  }
+
   val queries: Map[String, QueryFn] = Map(
 
     "q_sim_cosine_topk" -> ((s, d) => {
@@ -174,9 +187,53 @@ object VectorQueries {
     }),
 
     "q_sim_ann_lsh" -> ((s, d) => {
+      // Round 15: ORACLE-CHECKED (was rows-only). The hyperplanes are
+      // an explicit id-picked corpus subset (the 4 smallest non-null
+      // vec_ids — lshIndexWithPlanes, the ivfIndexWithCentroids
+      // stance), so the ENTIRE probe is DuckDB-expressible: bucket =
+      // the 4 sign bits of dot(v, plane_p), same-bucket candidates
+      // (self excluded), exact cosine top-3 (ties → c_id asc). The
+      // skew census is disabled for this tense (cap = Int.MaxValue):
+      // the census's build-subset-dependent drop set is the one part
+      // a census-free oracle can't express; the cap stays spec-covered
+      // on the pseudo-random build (SimilaritySpec).
       val emb = t(s, d, "embeddings")
+      val ix = Similarity.lshIndexWithPlanes(emb, "vec_id",
+        "embedding", explicitPlanes(s, emb),
+        bucketCap = Int.MaxValue, persistIndex = false)
       val q = emb.filter(col("vec_id") < nQueries)
-      Similarity.lshTopK(q, emb, "vec_id", "embedding", 3, nPlanes = 4)
+      Similarity.lshTopKWith(ix, q, "vec_id", "embedding", 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("c_id"), rnd(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_sim_ann_lsh_staged" -> ((s, d) => {
+      // The TABLE tense of q_sim_ann_lsh, hash-matched against the
+      // SAME SQL (one probe definition for all tenses — the
+      // q_sim_ann_ivf_staged stance): create the (batch_id, bucket)-
+      // partitioned, c_id-bucketed tables over 90% of the corpus
+      // under the explicit frozen planes, gated-append the
+      // vec_id % 10 == 9 remainder (append == rebuild THROUGH the
+      // oracle), probe through loadLshIndexTable — the serving layout
+      // whose probe dynamically prunes to its own bucket directory
+      // (ScaleSpec pins the dynamicpruningexpression).
+      val emb = t(s, d, "embeddings")
+      val planes = explicitPlanes(s, emb)
+      val prefix = "graft_lsh_serving"
+      dropTables(s, Similarity.lshIndexTableNames(prefix))
+      Similarity.createLshIndexTable(
+        Similarity.lshIndexWithPlanes(
+          emb.filter(col("vec_id") % 10 =!= 9), "vec_id", "embedding",
+          planes, bucketCap = Int.MaxValue, persistIndex = false),
+        prefix, buckets = 8)
+      Similarity.appendToLshIndexTable(
+        emb.filter(col("vec_id") % 10 === 9), "vec_id", "embedding",
+        prefix, buckets = 8, batchId = Some(0L))
+      val q = emb.filter(col("vec_id") < nQueries)
+      Similarity.lshTopKWith(
+          Similarity.loadLshIndexTable(s, prefix),
+          q, "vec_id", "embedding", 3)
         .select(col("q_id"), col("rank").cast("long").as("rank"),
           col("c_id"), rnd(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
@@ -515,13 +572,21 @@ object VectorQueries {
     }),
 
     "q_semdedup" -> ((s, d) => {
-      // Cluster-then-dedup curation capstone: k-means clusters, then
-      // cosine-near-identical members collapse to their group's min
-      // id. Rows-only (k-means upstream); the SemDedupSpec pins the
-      // keep/drop semantics on a constructed fixture.
+      // Cluster-then-dedup curation capstone. Round 15:
+      // ORACLE-CHECKED (was rows-only) — the clusters come from an
+      // explicit id-picked centroid table (the 8 smallest non-null
+      // vec_ids — semDedupWithCentroids, the ivfIndexWithCentroids
+      // stance), so the WHOLE pipeline is DuckDB-expressible:
+      // L2-argmin assignment (ties → smallest cluster id),
+      // within-cluster cosine pairs >= 0.99, transitive duplicate
+      // groups via recursive-CTE reachability (min-id root, the
+      // connectedComponents contract), per-cluster keep/drop counts.
+      // The k-means tense stays covered by SemDedupSpec +
+      // q_embed_cluster's verdict row.
+      val emb = t(s, d, "embeddings")
       graft.operators.SemDedup
-        .semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 8, cosThreshold = 0.99, maxIter = 5)
+        .semDedupWithCentroids(emb, "vec_id", "embedding",
+          explicitCents(s, emb).take(8).map(_._2), cosThreshold = 0.99)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
@@ -735,7 +800,136 @@ object VectorQueries {
        |  FROM scored) r
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** The explicit-planes LSH probe, recomputed end to end — shared
+    * by q_sim_ann_lsh (in-memory tense) and q_sim_ann_lsh_staged
+    * (TABLE tense): planes = the 4 smallest non-null vec_ids' vectors;
+    * bucket = the 4 sign bits of dot(v, plane_p) packed as a long;
+    * probe = exact cosine over same-bucket candidates, self excluded,
+    * top-3 by (cos desc, c_id asc), 4dp. */
+  private val lshExplicitOracleSql: String =
+    s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |planes AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS p,
+       |    embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4)),
+       |pdot AS (
+       |  SELECT e.vec_id, pl.p,
+       |    sum(CAST(e.embedding[i] AS DOUBLE)
+       |      * CAST(pl.embedding[i] AS DOUBLE)) AS dot
+       |  FROM embeddings e, planes pl, dims
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+       |        ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM pdot GROUP BY 1),
+       |vn AS (
+       |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+       |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+       |  FROM embeddings, dims
+       |  WHERE embedding IS NOT NULL GROUP BY 1),
+       |pairs AS (
+       |  SELECT qb.vec_id AS q_id, cb.vec_id AS c_id,
+       |    sum(CAST(qe.embedding[i] AS DOUBLE)
+       |      * CAST(ce.embedding[i] AS DOUBLE)) AS dot
+       |  FROM bkt qb
+       |    JOIN bkt cb ON cb.bucket = qb.bucket
+       |      AND cb.vec_id <> qb.vec_id
+       |    JOIN embeddings qe ON qe.vec_id = qb.vec_id
+       |    JOIN embeddings ce ON ce.vec_id = cb.vec_id, dims
+       |  WHERE qb.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.q_id, p.c_id,
+       |    CASE WHEN x.nrm * y.nrm = 0 THEN 0
+       |         ELSE p.dot / (x.nrm * y.nrm) END AS cos
+       |  FROM pairs p JOIN vn x ON x.vec_id = p.q_id
+       |               JOIN vn y ON y.vec_id = p.c_id)
+       |SELECT q_id, rank, c_id,
+       |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    // the explicit-planes LSH probe (round 15 — was rows-only); the
+    // staged-TABLES tense is result-identical through create + gated
+    // append, so it shares the same SQL
+    "q_sim_ann_lsh" -> lshExplicitOracleSql,
+    "q_sim_ann_lsh_staged" -> lshExplicitOracleSql,
+
+    // the explicit-centroid semantic dedup, recomputed end to end
+    // (round 15 — was rows-only): centroids = the 8 smallest non-null
+    // vec_ids; assignment = L2 argmin (ties → smallest cluster id);
+    // duplicates = within-cluster pairs at cosine >= 0.99; transitive
+    // groups via recursive reachability over the duplicate edges
+    // (root = the group's min id, the connectedComponents contract);
+    // verdict = per-cluster member/dropped counts
+    "q_semdedup" ->
+      """WITH RECURSIVE dims AS (
+        |  SELECT unnest(generate_series(1, 64)) AS i),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |    embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cluster,
+        |    sum((CAST(e.embedding[i] AS DOUBLE)
+        |           - CAST(c.embedding[i] AS DOUBLE))
+        |      * (CAST(e.embedding[i] AS DOUBLE)
+        |           - CAST(c.embedding[i] AS DOUBLE))) AS d2
+        |  FROM embeddings e, cents c, dims
+        |  WHERE e.embedding IS NOT NULL
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2 ASC, cluster ASC) AS rn
+        |    FROM d2) a
+        |  WHERE rn = 1),
+        |vn AS (
+        |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+        |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, dims
+        |  WHERE embedding IS NOT NULL GROUP BY 1),
+        |pdot AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sum(CAST(ea.embedding[i] AS DOUBLE)
+        |      * CAST(eb.embedding[i] AS DOUBLE)) AS dot
+        |  FROM assign a
+        |    JOIN assign b ON b.cluster = a.cluster
+        |      AND a.vec_id < b.vec_id
+        |    JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |    JOIN embeddings eb ON eb.vec_id = b.vec_id, dims
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT p.id_a, p.id_b FROM pdot p
+        |    JOIN vn x ON x.vec_id = p.id_a
+        |    JOIN vn y ON y.vec_id = p.id_b
+        |  WHERE (CASE WHEN x.nrm * y.nrm = 0 THEN 0
+        |         ELSE p.dot / (x.nrm * y.nrm) END) >= 0.99),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM dup
+        |  UNION ALL SELECT id_b, id_a FROM dup),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b
+        |  FROM reach JOIN edges e ON e.a = reach.r),
+        |roots AS (
+        |  SELECT node, min(r) AS mr FROM reach GROUP BY node)
+        |SELECT a.cluster, count(*) AS n_vecs,
+        |  CAST(coalesce(sum(CASE WHEN r.mr < a.vec_id
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+        |FROM assign a LEFT JOIN roots r ON r.node = a.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // constant verdict row, the *_precision audit shape: the index
     // structures are not oracle-enumerable, but the cross-transport
     // parity contract is still hash-checkable

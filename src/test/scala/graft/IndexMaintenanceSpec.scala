@@ -650,6 +650,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(answerOf(IM.currentIvfIndex(store, spark).get) == expected(2))
   }
 
+  test("takedown audit SURVIVES a crashed-rebuild partial version " +
+    "dir: the unloadable version is skipped from the counts and " +
+    "reported as its own row, never a crash") {
+    import graft.operators.Retrieval
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => (((i * 13 + j * 7) % 9) - 4).toFloat)))
+      .toDF("doc_id", "embedding")
+    val ivf = Similarity.ivfIndex(vecs, "doc_id", "embedding",
+      nCentroids = 2, persistIndex = false)
+    val store = tmpStore()
+    IM.saveIvfIndex(ivf, store.versionDir(store.nextVersion()))
+    store.publish(0L)
+    // a rebuild that died mid-save: v1 exists on disk with only the
+    // cents artifact written — versionsPresent() sees it, its load
+    // throws. This is exactly the crashed-rebuild scenario the
+    // compliance audit must expose rather than crash in.
+    val partial = new org.apache.hadoop.fs.Path(store.versionDir(1L))
+    val fs = partial.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(partial)
+    import spark.implicits._
+    Seq((0L, Seq(1.0d))).toDF("cent_id", "cent_vec").write
+      .parquet(new org.apache.hadoop.fs.Path(partial, "cents").toString)
+    val rows = Retrieval.takedownAuditAll(spark,
+        Seq(0L, 3L).toDF("doc_id"), "doc_id",
+        ann = Seq(Retrieval.AnnAuditSurface("ivf", ivf, Some(store))))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    val bySurf = rows.groupBy(_._1)
+    // live surface unaffected: both requested ids counted normally
+    assert(bySurf("ivf").map(r => r._2 -> r._3).toMap
+      === Map(0L -> 1L, 3L -> 1L))
+    assert(bySurf("ivf").forall(_._5 === 0L),
+      "the partial version must not count as retained rows")
+    // and the skipped version is surfaced, not silently clean
+    assert(bySurf("ivf:unloadable").map(_._2).toSeq === Seq(1L))
+  }
+
   test("cross-surface takedown audit lifecycle: ONE report over " +
     "postings + all four ANN families + landing, through delete → " +
     "publish → retention GC → compaction") {

@@ -745,6 +745,16 @@ class MQSourceSpec extends SparkSpec {
       .map("graft_cap_post" + _)
     var ivf = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
       nCentroids = 1, persistIndex = false)
+    // the SEVENTH staged family: the IVF TABLE tense — the DPP-pruned
+    // (batch_id, cent_id)-partitioned serving layout. The door's
+    // semantic gate and the in-loop hybrid probe SERVE OFF THESE
+    // TABLES (the 100 TB layout, not the in-memory handle); the
+    // in-memory `ivf` var stays as the parity twin the rebuild
+    // compare reads, so table-tense appends are proven equal to the
+    // frozen-quantizer in-memory appends THROUGH the loop.
+    val ivftPrefix = "graft_cap_ivft"
+    val ivftTables = Similarity.ivfIndexTableNames(ivftPrefix)
+    Similarity.createIvfIndexTable(ivf, ivftPrefix, 2)
     var lsh = Similarity.lshIndex(corpusVecs, "vec_id", "embedding",
       nPlanes = 3, persistIndex = false)
     var pq = Similarity.pqIndex(corpusVecs, "vec_id", "embedding",
@@ -768,6 +778,7 @@ class MQSourceSpec extends SparkSpec {
       spark.catalog.refreshTable("graft_cap_dig")
       spark.catalog.refreshTable("graft_cap_band")
       postTables.foreach(spark.catalog.refreshTable)
+      ivftTables.foreach(spark.catalog.refreshTable)
     }
     // in-loop retrieval freshness: every foreachBatch invocation ALSO
     // serves a retrievalProbe over the staged postings tables (the
@@ -790,7 +801,13 @@ class MQSourceSpec extends SparkSpec {
         "value", "put_ts", lit(100000000L), minScoreQ8 = 0L, bloom,
         dsir,
         spark.table("graft_cap_dig"), spark.table("graft_cap_band"),
-        lateness = "1 hour", semIndex = Some(ivf))
+        lateness = "1 hour",
+        // the semantic gate serves off the staged TABLE tense — the
+        // layout whose probe dynamically prunes to its cent_id
+        // directories (ScaleSpec pins the plan) — not the in-memory
+        // parity twin
+        semIndex = Some(Similarity.loadIvfIndexTable(spark,
+          ivftPrefix)))
       val q = door.writeStream
         .foreachBatch {
           (admitted: org.apache.spark.sql.Dataset[
@@ -802,6 +819,7 @@ class MQSourceSpec extends SparkSpec {
               // serving path could retrieve
               val s = admitted.sparkSession
               postTables.foreach(s.catalog.refreshTable)
+              ivftTables.foreach(s.catalog.refreshTable)
               import s.implicits._
               inLoopRetrieved += ((batchId,
                 StreamingOps.retrievalProbe(
@@ -809,15 +827,17 @@ class MQSourceSpec extends SparkSpec {
                     "query_id", TA.tokens(col("text")),
                     "graft_cap_post", k = 10)
                   .select("doc").as[Long].collect().toSet))
-              // the hybrid probe reads the loop's CURRENT ivf var —
-              // the same state the door's semantic gate probes
+              // the hybrid probe serves off the staged IVF TABLE
+              // tense — the same state the door's semantic gate
+              // probes (one serving layout for the whole funnel)
               val hq = Seq((1L, "damson elder"))
                 .toDF("query_id", "text")
                 .withColumn("qv", embedOf(col("text")))
               inLoopHybrid += ((batchId,
                 StreamingOps.hybridProbe(hq, "query_id",
                     TA.tokens(col("text")), "qv", "graft_cap_post",
-                    ivf, kRetrieve = 10, k = 5, nProbe = 1)
+                    Similarity.loadIvfIndexTable(s, ivftPrefix),
+                    kRetrieve = 10, k = 5, nProbe = 1)
                   .select("doc").as[Long].collect().toSet))
             }
             StreamingOps.writeBatchIdempotent(
@@ -867,6 +887,11 @@ class MQSourceSpec extends SparkSpec {
                 Retrieval.appendToPostingsIndexTable(adf, "doc_id",
                   TA.tokens(col("text")), "graft_cap_post", 2,
                   batchId = Some(batchId))
+                // the serving layout's gated append: idempotent per
+                // batch id (drops its own partition first), so unlike
+                // the in-memory vars it needs NO crash snapshot
+                Similarity.appendToIvfIndexTable(adf, "doc_id",
+                  "embedding", ivftPrefix, 2, batchId = Some(batchId))
                 ivf = Similarity.appendToIvfIndex(ivf, adf,
                   "doc_id", "embedding")
                 lsh = Similarity.appendToLshIndex(lsh, adf,
@@ -981,6 +1006,16 @@ class MQSourceSpec extends SparkSpec {
           .as[(Long, Long)].collect().toSet ==
         oneShot.assigned.select("c_id", "cent_id")
           .as[(Long, Long)].collect().toSet)
+      // the TABLE tense the funnel actually served from holds the
+      // same content: gated create + crash-replayed appends == the
+      // one-shot frozen-quantizer append, quantizer and rows both
+      val ivft = Similarity.loadIvfIndexTable(spark, ivftPrefix)
+      assert(ids(ivft.assigned) == Seq(100L, 7000L, 8002L))
+      assert(ivft.cents == oneShot.cents)
+      assert(ivft.assigned.select("c_id", "cent_id")
+          .as[(Long, Long)].collect().toSet ==
+        oneShot.assigned.select("c_id", "cent_id")
+          .as[(Long, Long)].collect().toSet)
       // ---- retrieval freshness under crash + replay: the staged
       // postings tables probe exactly like a from-scratch index over
       // corpus + admits — the gated appends ran once despite the
@@ -1040,6 +1075,12 @@ class MQSourceSpec extends SparkSpec {
         batchId = Some(99L)) == 1L)
       ivf = Similarity.deleteFromIvfIndex(ivf,
         Seq(7000L).toDF("vec_id"), "vec_id")
+      // the serving tables take the same takedown: a gated tombstone
+      // append — the next loadIvfIndexTable stops serving 7000
+      // through the anti-join, no compaction needed
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(7000L).toDF("vec_id"), "vec_id", ivftPrefix, 2,
+        batchId = Some(99L)) == 1L)
       append(dir,
         (9000L, "damson elder apple cherry banana damson elder"))
       assert(runOnce().isEmpty)
@@ -1094,6 +1135,7 @@ class MQSourceSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_cap_band")
       Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats", "_tombstones").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cap_post$s"))
+      ivftTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 

@@ -1450,6 +1450,53 @@ class SimilaritySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("IVF/LSH gated appends run the tombstone-clash guard BEFORE " +
+    "their replay partition drop: a landed-then-tombstoned batch's " +
+    "replay fails with the landed partition intact") {
+    def mk(i: Long): (Long, Array[Float]) =
+      (i, Array.tabulate(8)(j => math.sin(i * 3.7 + j * 1.3).toFloat))
+    val corpus = (0L until 20L).map(mk).toDF("vec_id", "embedding")
+    val batch = Seq(mk(100L), mk(101L)).toDF("vec_id", "embedding")
+    val ivfPrefix = "graft_ivf_clashorder"
+    val lshPrefix = "graft_lsh_clashorder"
+    try {
+      Similarity.createIvfIndexTable(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding",
+          nCentroids = 4, persistIndex = false), ivfPrefix, buckets = 2)
+      Similarity.appendToIvfIndexTable(batch, "vec_id", "embedding",
+        ivfPrefix, buckets = 2, batchId = Some(0L))
+      // landed, gate commit crashed, then one id tombstoned
+      assert(Similarity.deleteFromIvfIndexTable(spark,
+        Seq(100L).toDF("vec_id"), "vec_id", ivfPrefix, buckets = 2,
+        batchId = Some(1L)) === 1L)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndexTable(batch, "vec_id", "embedding",
+          ivfPrefix, buckets = 2, batchId = Some(0L))
+      }
+      assert(spark.table(ivfPrefix + "_assigned")
+        .filter(col("c_id") === 101L).count() === 1L,
+        "the landed IVF partition must survive the refused replay")
+
+      Similarity.createLshIndexTable(
+        Similarity.lshIndex(corpus, "vec_id", "embedding",
+          nPlanes = 2, persistIndex = false), lshPrefix, buckets = 2)
+      Similarity.appendToLshIndexTable(batch, "vec_id", "embedding",
+        lshPrefix, buckets = 2, batchId = Some(0L))
+      assert(Similarity.deleteFromLshIndexTable(spark,
+        Seq(100L).toDF("vec_id"), "vec_id", lshPrefix, buckets = 2,
+        batchId = Some(1L)) === 1L)
+      intercept[IllegalArgumentException] {
+        Similarity.appendToLshIndexTable(batch, "vec_id", "embedding",
+          lshPrefix, buckets = 2, batchId = Some(0L))
+      }
+      assert(spark.table(lshPrefix + "_buckets")
+        .filter(col("c_id") === 101L).count() === 1L,
+        "the landed LSH partition must survive the refused replay")
+    } finally (Similarity.ivfIndexTableNames(ivfPrefix) ++
+      Similarity.lshIndexTableNames(lshPrefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("NULL embeddings are excluded, never NPE mid-job") {
     // the realistic failed-extraction artifact: one null vector used
     // to crash the PCA/PQ/kmeans JVM kernels with NullPointerException
@@ -1839,5 +1886,41 @@ class SemDedupSpec extends SparkSpec {
       .semDedup(vecs, "vec_id", "embedding", k = 2,
         cosThreshold = 0.9, maxIter = 2, clusterCap = 10L)
     assert(out.filter(col("keep")).count() == 30L)
+  }
+
+  test("semDedupWithCentroids: explicit frozen centroids drive the " +
+    "same downstream — L2-argmin clusters, transitive chains " +
+    "collapse to ONE min-id survivor") {
+    // blob A clusters to centroid 0, blob B to centroid 1; inside A a
+    // transitive chain 0~1~2 (1 bridges 0 and 2 at the threshold)
+    // must collapse to a single survivor — pair-local keeps would
+    // split it into overlapping drop sets
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9999f, 0.0141f)),  // ~0.99990 cos to BOTH 0 and 2
+      (2L, Array(0.9996f, 0.0282f)),  // 0.9996 cos to 0 — found via 1
+      (3L, Array(0.6f, 0.8f)),        // same cluster, no dup
+      (10L, Array(10.0f, 10.0f)),
+      (11L, Array(10.0f, 10.0f)))     // dup of 10
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0d, 0.0d), Seq(10.0d, 10.0d))
+    val out = graft.operators.SemDedup
+      .semDedupWithCentroids(vecs, "vec_id", "embedding", cents,
+        cosThreshold = 0.9999)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // assignment is the frozen L2 argmin
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0L))
+    assert(Seq(10L, 11L).forall(out(_)._1 == 1L))
+    // the chain collapses transitively: 0 survives, 1 AND 2 drop to
+    // it (2's direct cos to 0 is below the threshold — only the
+    // bridge finds it)
+    assert(out(0L) == ((0L, 0L, true)))
+    assert(out(1L) == ((0L, 0L, false)))
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L)._3, "non-dup cluster member must be kept")
+    assert(out(10L) == ((1L, 10L, true)))
+    assert(out(11L) == ((1L, 10L, false)))
   }
 }

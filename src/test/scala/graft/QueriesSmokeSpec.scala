@@ -17,12 +17,16 @@ class QueriesSmokeSpec extends SparkSpec {
     // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
     // round 14 converted q_sim_ann_ivf (explicit-quantizer probe,
     // fully SQL-expressible), q_embed_cluster and q_pca_project
-    // (exact-integer verdict rows, constant oracles) out of this set
+    // (exact-integer verdict rows, constant oracles) out of this set;
+    // round 15 converted q_sim_ann_lsh (explicit-planes probe),
+    // q_semdedup (explicit centroids + recursive-CTE components),
+    // q_dedup_simhash_banded and q_dedup_phash (band-exactness
+    // agreement rows over an independent recomputation)
     assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
-      "q_dedup_simhash", "q_dedup_simhash_banded", "q_sim_ann_lsh",
+      "q_dedup_simhash",
       "q_agg_percentile_approx",
       "q_sim_ann_recall", "q_dedup_simhash_audit",
-      "q_embed_cluster_audit", "q_semdedup", "q_dedup_phash",
+      "q_embed_cluster_audit",
       // bloom membership and BPE merge training are hash/iteration
       // artifacts with no SQL form; their value-level coverage is
       // BloomSpec (exact FP audit vs planted contamination)
@@ -39,7 +43,7 @@ class QueriesSmokeSpec extends SparkSpec {
       // (q_dedup_simhash_audit's CORRECT steady-state output is empty —
       // a non-empty audit means the bucket cap is forfeiting recall):
       if (!Set("q_except", "q_dedup_ngram_jaccard", "q_minhash_neardup",
-          "q_dedup_simhash", "q_dedup_simhash_banded",
+          "q_dedup_simhash",
           "q_dedup_embedding", "q_dedup_simhash_audit").contains(name))
         assert(n > 0, s"$name returned no rows")
     }

@@ -476,6 +476,39 @@ class RetrievalSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("gated append runs the tombstone-clash guard BEFORE its " +
+    "replay partition drop: a landed-then-tombstoned batch's replay " +
+    "fails with the landed partitions intact") {
+    import graft.operators.Retrieval
+    val toks = (c: org.apache.spark.sql.Column) => TA.tokens(c)
+    val prefix = "graft_bm25_clashorder"
+    val all = Seq("_postings", "_doclen", "_dfreq", "_tfmax", "_stats",
+      "_tombstones").map(prefix + _)
+    val batch = Seq((20L, "kiwi lime"), (21L, "mango"))
+      .toDF("doc_id", "text")
+    try {
+      Retrieval.createPostingsIndexTable(corpus, "doc_id",
+        toks(col("text")), prefix, buckets = 2)
+      Retrieval.appendToPostingsIndexTable(batch, "doc_id",
+        toks(col("text")), prefix, buckets = 2, batchId = Some(4L))
+      // the batch landed but the caller's gate commit crashed; a
+      // takedown then tombstones one of its ids before the replay
+      assert(Retrieval.deleteFromPostingsIndexTable(spark,
+        Seq(20L).toDF("doc_id"), "doc_id", prefix, buckets = 2,
+        batchId = Some(0L)) === 1L)
+      // the replay must fail BEFORE dropping its own landed partition
+      // — a drop-first ordering would destroy doc 21's rows on every
+      // retry while the throw makes replay unrecoverable
+      intercept[IllegalArgumentException] {
+        Retrieval.appendToPostingsIndexTable(batch, "doc_id",
+          toks(col("text")), prefix, buckets = 2, batchId = Some(4L))
+      }
+      assert(spark.table(prefix + "_doclen")
+        .filter(col("doc") === 21L).count() === 1L,
+        "the landed partition must survive the refused replay")
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("gated table append is idempotent per batch id: full and " +
     "PARTIAL replays both land content identical to one delivery") {
     import graft.operators.Retrieval

@@ -1110,6 +1110,73 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("the streaming funnel's hybrid probe over the STAGED IVF " +
+    "table keeps the dynamic partition pruning: the dense half " +
+    "prunes to its probed cent_id directories INSIDE the fused " +
+    "lexical+dense plan") {
+    // round 15: the capstone serves hybridProbe/semantic gates off
+    // loadIvfIndexTable (MQSourceSpec) — this pins that the fusion
+    // does not cost the table tense its 100 TB property (the RRF
+    // union above the dense list must not defeat the probe-side DPP
+    // subquery on the assigned scan)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{Retrieval, TextAnalysis => TA}
+    def vecOf(i: Long) = Array.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 11) - 5).toFloat)
+    val docs = (0L until 300L).map(i =>
+      (i, s"tok${i % 7} tok${i % 13} body$i")).toDF("doc_id", "text")
+    val emb = (0L until 300L).map(i => (i, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    val ivfPrefix = "graft_funnel_ivft"
+    val bmPrefix = "graft_funnel_post"
+    // AQE's wrapper hides the final scans from plan.collect (the
+    // sibling staged-table tests' stance); DPP fires either way
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Retrieval.createPostingsIndexTable(docs, "doc_id",
+        TA.tokens(col("text")), bmPrefix, buckets = 4)
+      graft.operators.Similarity.createIvfIndexTable(
+        graft.operators.Similarity.ivfIndex(emb, "vec_id",
+          "embedding", nCentroids = 8, persistIndex = false),
+        ivfPrefix, buckets = 4)
+      // production-shaped query side: requests arrive from storage —
+      // a pure LocalRelation side constant-folds away and DPP's
+      // benefit heuristic then sees nothing selective to prune with
+      val qDir = java.nio.file.Files
+        .createTempDirectory("graft-funnel-q").toString
+      docs.limit(3).select(col("doc_id").as("query_id"), col("text"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+        .write.mode("overwrite").parquet(qDir)
+      val q = spark.read.parquet(qDir)
+      val fused = graft.streaming.StreamingOps.hybridProbe(q,
+        "query_id", TA.tokens(col("text")), "qv", bmPrefix,
+        graft.operators.Similarity.loadIvfIndexTable(spark,
+          ivfPrefix),
+        kRetrieve = 10, k = 5, nProbe = 2)
+      assert(fused.count() > 0, "the fused funnel must retrieve")
+      val plan = fused.queryExecution.executedPlan
+      val planStr = plan.toString
+      val assignedScan = plan.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(
+            _.table == ivfPrefix + "_assigned")
+        => f }
+      assert(assignedScan.nonEmpty,
+        s"the staged assigned table must feed the fused plan:\n$planStr")
+      assert(assignedScan.exists(
+          _.partitionFilters.exists(
+            _.toString.contains("dynamicpruning"))),
+        "the fused funnel's dense half must dynamically prune to its " +
+          s"probed cent_id directories:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      (Retrieval.indexTableNames(bmPrefix) ++
+        graft.operators.Similarity.ivfIndexTableNames(ivfPrefix))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("staged allowlist at corpus scale: the filtered probe " +
     "aggregates and semi-joins the allow table on its doc-bucketed " +
     "layout — neither the allowlist nor any corpus table re-shuffles") {

@@ -1896,11 +1896,29 @@ class StreamingOpsSpec extends SparkSpec {
         allowed = false, aprefix, buckets = 2, batchId = 2L)
       val served = Allowlist.loadAllowlist(spark, aprefix)
         .as[Long].collect().toSet
-      Allowlist.compactAllowlistTable(spark, aprefix, buckets = 2)
+      // the growth alarm: base + three gated mutations = four batch
+      // dirs > maxBatchDirs — maintain compacts (audit-gated, the
+      // maintainPostingsIndexTable contract)
+      assert(Allowlist.maintainAllowlistTable(spark, aprefix,
+        buckets = 2, maxBatchDirs = 2),
+        "four batch dirs must trip the growth alarm")
       assert(Allowlist.loadAllowlist(spark, aprefix)
         .as[Long].collect().toSet === served)
       assert(probe() === afterRevoke,
         "compaction must not change the serving set")
+      // healthy after the collapse (one base dir): no-op
+      assert(!Allowlist.maintainAllowlistTable(spark, aprefix,
+        buckets = 2, maxBatchDirs = 2))
+      // a fresh mutation re-arms the alarm only past the bound
+      Allowlist.stageAllowlistChange(Seq(2L).toDF("doc_id"), "doc_id",
+        allowed = false, aprefix, buckets = 2, batchId = 3L)
+      assert(!Allowlist.maintainAllowlistTable(spark, aprefix,
+        buckets = 2, maxBatchDirs = 2),
+        "two dirs within the bound must stay a no-op")
+      intercept[IllegalArgumentException] {
+        Allowlist.maintainAllowlistTable(spark, aprefix, buckets = 2,
+          maxBatchDirs = 0)
+      }
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
