@@ -35,7 +35,9 @@ for (n <- Seq("q_scan_filter_pushdown", "q_join_broadcast", "q_join_smj",
               "q_text_bm25_staged", "q_retrieval_rerank",
               "q_retrieval_hybrid_rrf", "q_text_bm25_deleted",
               "q_retrieval_takedown_audit", "q_text_bm25_filtered",
-              "q_ann_takedown_audit", "q_sim_ann_ivf_staged")) {
+              "q_ann_takedown_audit", "q_sim_ann_ivf_staged",
+              "q_sim_ann_lsh", "q_sim_ann_lsh_staged",
+              "q_dedup_simhash_banded")) {
   out.println(s"\n## $n\n")
   out.println("```")
   val df = graft.SparkEntry.queries(n)(spark, sf)
