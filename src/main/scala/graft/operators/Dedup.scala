@@ -354,6 +354,14 @@ object Dedup {
   def minhashSignature(elems: Column, nHashes: Int): Column =
     kernel("graft_minhash_sig", elems, lit(nHashes))
 
+  /** The banded-signature kernel behind [[minhashNearDups]], public
+    * so an independent verification path (q_minhash_neardup's
+    * agreement row) can share the ONE thing it must — the hash seeds
+    * that define the signature space — while recomputing every
+    * downstream stage on its own. */
+  def minhashBands(elems: Column, bands: Int, rows: Int): Column =
+    kernel("graft_minhash_bands", elems, lit(bands), lit(rows))
+
   /** Native codegen call into the one-pass kernel (no ScalaUDF
     * boundary — the projection stays inside whole-stage codegen). */
   private def kernel(name: String, args: Column*): Column = {

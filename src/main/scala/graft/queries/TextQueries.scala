@@ -75,18 +75,47 @@ object TextQueries {
     "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
       "CAST(0 AS BIGINT) AS n_violations"
 
+  /** Pair-set agreement verdict (round 15): the emitted near-dup
+    * pair set must equal an INDEPENDENT recomputation pair for pair,
+    * value for value — n_extra / n_missing / n_val_diff fold to 0
+    * under the constant oracle. An operator emitting nothing flips
+    * n_missing whenever true pairs exist, so the check cannot pass
+    * vacuously; checked_nonzero pins that the recomputation's input
+    * itself was non-empty. Both frames carry (doc_a, doc_b, valCol).
+    */
+  private def pairAgreementVerdict(emitted: DataFrame,
+                                   recomputed: DataFrame,
+                                   valCol: String,
+                                   nonEmpty: DataFrame): DataFrame = {
+    val agree = emitted.withColumnRenamed(valCol, "v_op")
+      .join(recomputed.withColumnRenamed(valCol, "v_re"),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("v_re").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_extra"),
+        coalesce(sum(when(col("v_op").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_missing"),
+        coalesce(sum(when(col("v_op").isNotNull &&
+            col("v_re").isNotNull &&
+            col("v_op") =!= col("v_re"), 1L).otherwise(0L)),
+          lit(0L)).as("n_val_diff"))
+    nonEmpty.agg((count(lit(1)) > 0).cast("long").as("checked_nonzero"))
+      .crossJoin(agree)
+  }
+
+  private val agreementOracleSql: String =
+    "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
+      "CAST(0 AS BIGINT) AS n_extra, " +
+      "CAST(0 AS BIGINT) AS n_missing, " +
+      "CAST(0 AS BIGINT) AS n_val_diff"
+
   /** Band-exactness agreement verdict (round 15): compare an
     * operator's banded near-dup pair set against an INDEPENDENT
     * straightforward recomputation — plain shift/mask 4x16-bit band
     * arithmetic over `fp` (an (doc, fp) frame from a fresh scan),
     * DOC-granularity band self-join at the SAME census cap,
     * bit_count(xor) hamming — which is exactly the set the pigeonhole
-    * contract promises for maxHamming <= 3. The emitted set must
-    * equal it pair for pair, hamming for hamming: n_extra /
-    * n_missing / n_ham_diff fold to 0 under the constant oracle. An
-    * operator emitting nothing flips n_missing whenever true pairs
-    * exist, so the check cannot pass vacuously; checked_nonzero pins
-    * that the corpus itself was non-empty. */
+    * contract promises for maxHamming <= 3. */
   private def bandedAgreementVerdict(emitted: DataFrame,
                                      fp: DataFrame,
                                      bucketCap: Int): DataFrame = {
@@ -110,29 +139,11 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
-          .cast("long").as("ham"))
+          .cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("ham") <= 3)
-    val agree = emitted.withColumnRenamed("hamming", "ham_op")
-      .join(recomputed, Seq("doc_a", "doc_b"), "full_outer")
-      .agg(
-        coalesce(sum(when(col("ham").isNull, 1L).otherwise(0L)),
-          lit(0L)).as("n_extra"),
-        coalesce(sum(when(col("ham_op").isNull, 1L).otherwise(0L)),
-          lit(0L)).as("n_missing"),
-        coalesce(sum(when(col("ham").isNotNull &&
-            col("ham_op").isNotNull &&
-            col("ham_op") =!= col("ham"), 1L).otherwise(0L)),
-          lit(0L)).as("n_ham_diff"))
-    fp.agg((count(lit(1)) > 0).cast("long").as("checked_nonzero"))
-      .crossJoin(agree)
+      .filter(col("hamming") <= 3)
+    pairAgreementVerdict(emitted, recomputed, "hamming", fp)
   }
-
-  private val bandedAgreementOracleSql: String =
-    "SELECT CAST(1 AS BIGINT) AS checked_nonzero, " +
-      "CAST(0 AS BIGINT) AS n_extra, " +
-      "CAST(0 AS BIGINT) AS n_missing, " +
-      "CAST(0 AS BIGINT) AS n_ham_diff"
 
   /** Rounded jaccard over the `inter`/`sizes` CTEs below — appears in
     * both the SELECT and the threshold WHERE of each oracle. */
@@ -415,15 +426,73 @@ object TextQueries {
     }),
 
     "q_minhash_neardup" -> ((s, d) => {
-      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id",
-          TA.shingles(TA.tokens(col("text")), 3), threshold = 0.7)
-        .orderBy("doc_a", "doc_b")
+      // Round 15: ORACLE-CHECKED agreement row (was rows-only pairs).
+      // The independent recomputation shares exactly ONE primitive —
+      // the banded-signature kernel, whose hash seeds define the
+      // signature space — and rebuilds every downstream stage on its
+      // own (plain posexplode banding, its own census at the same
+      // cap, plain equi-joins, exact-jaccard verification on a fresh
+      // shingle scan). The operator's persist/factoring machinery
+      // must reproduce that set pair for pair, jaccard for jaccard.
+      val docs = t(s, d, "documents")
+      val emitted = Dedup.minhashNearDups(docs, "doc_id",
+        TA.shingles(TA.tokens(col("text")), 3), threshold = 0.7)
+      val sh = docs.select(col("doc_id").as("doc"),
+          array_distinct(TA.shingles(TA.tokens(col("text")), 3))
+            .as("sh"))
+        .filter(size(col("sh")) > 0)
+      val banded = sh.select(col("doc"),
+        posexplode(Dedup.minhashBands(col("sh"), 8, 4))
+          .as(Seq("band", "bh")))
+      val hot = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 200).select("band", "bh")
+      val kept = banded.join(hot, Seq("band", "bh"), "left_anti")
+      val recomputed = kept
+        .select(col("band"), col("bh"), col("doc").as("doc_a"))
+        .join(kept.select(col("band"), col("bh"),
+          col("doc").as("doc_b")), Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), rnd(
+          size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))
+              .cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+      pairAgreementVerdict(emitted, recomputed, "jaccard", sh)
     }),
 
     "q_dedup_simhash" -> ((s, d) => {
-      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id",
-          TA.tokens(col("text")), maxHamming = 12, maxIdGap = 25L)
-        .orderBy("doc_a", "doc_b")
+      // Round 15: ORACLE-CHECKED agreement row (was rows-only pairs).
+      // The windowed pairing recomputed independently: fresh
+      // fingerprints, the OPPOSITE block-grid direction (the operator
+      // explodes the right side into {blk, blk-1}; the twin explodes
+      // the left into {blk, blk+1}), plain window filter,
+      // bit_count(xor) hamming <= 12.
+      val docs = t(s, d, "documents")
+      val emitted = Dedup.simhashNearDups(docs, "doc_id",
+        TA.tokens(col("text")), maxHamming = 12, maxIdGap = 25L)
+      val gap = 25L
+      val fp = docs.select(col("doc_id").as("doc"),
+        Dedup.simhash64(TA.tokens(col("text"))).as("fp"))
+      val blocked = fp.withColumn("blk", floor(col("doc") / gap))
+      val recomputed = blocked
+        .select(col("doc").as("doc_a"), col("fp").as("fp_a"),
+          explode(array(col("blk"), col("blk") + 1)).as("jb"))
+        .join(blocked.select(col("doc").as("doc_b"),
+          col("fp").as("fp_b"), col("blk").as("jb")), "jb")
+        .filter(col("doc_a") < col("doc_b") &&
+          col("doc_b") - col("doc_a") <= gap)
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 12)
+      pairAgreementVerdict(emitted, recomputed, "hamming", fp)
     }),
 
     "q_dedup_simhash_banded" -> ((s, d) => {
@@ -1884,8 +1953,14 @@ object TextQueries {
     // factored banded join must equal the independent doc-granularity
     // recomputation pair for pair, hamming for hamming — on the text
     // simhash fingerprints and on the binary modality's phash
-    "q_dedup_simhash_banded" -> bandedAgreementOracleSql,
-    "q_dedup_phash" -> bandedAgreementOracleSql,
+    "q_dedup_simhash_banded" -> agreementOracleSql,
+    "q_dedup_phash" -> agreementOracleSql,
+
+    // windowed / minhash agreement rows (round 15 — were rows-only):
+    // the operator's pair set vs an independent recomputation sharing
+    // only the fingerprint/signature kernel
+    "q_dedup_simhash" -> agreementOracleSql,
+    "q_minhash_neardup" -> agreementOracleSql,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardSqlCtes

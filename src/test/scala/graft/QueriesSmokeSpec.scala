@@ -19,11 +19,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // fully SQL-expressible), q_embed_cluster and q_pca_project
     // (exact-integer verdict rows, constant oracles) out of this set;
     // round 15 converted q_sim_ann_lsh (explicit-planes probe),
-    // q_semdedup (explicit centroids + recursive-CTE components),
-    // q_dedup_simhash_banded and q_dedup_phash (band-exactness
-    // agreement rows over an independent recomputation)
-    assert(noOracle == Set("q_agg_approx_distinct", "q_minhash_neardup",
-      "q_dedup_simhash",
+    // q_semdedup (explicit centroids + recursive-CTE components), and
+    // the four near-dup pair queries (q_dedup_simhash_banded,
+    // q_dedup_phash, q_dedup_simhash, q_minhash_neardup) to
+    // agreement rows vs an independent recomputation
+    assert(noOracle == Set("q_agg_approx_distinct",
       "q_agg_percentile_approx",
       "q_sim_ann_recall", "q_dedup_simhash_audit",
       "q_embed_cluster_audit",
@@ -42,8 +42,7 @@ class QueriesSmokeSpec extends SparkSpec {
       // queries that must be non-empty to demonstrate anything
       // (q_dedup_simhash_audit's CORRECT steady-state output is empty —
       // a non-empty audit means the bucket cap is forfeiting recall):
-      if (!Set("q_except", "q_dedup_ngram_jaccard", "q_minhash_neardup",
-          "q_dedup_simhash",
+      if (!Set("q_except", "q_dedup_ngram_jaccard",
           "q_dedup_embedding", "q_dedup_simhash_audit").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
