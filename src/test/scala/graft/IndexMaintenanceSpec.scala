@@ -650,6 +650,38 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(answerOf(IM.currentIvfIndex(store, spark).get) == expected(2))
   }
 
+  test("explicit-planes LSH round-trips the versioned store: planes " +
+    "survive save/load and the loaded index probes identically") {
+    import spark.implicits._
+    val planes: Seq[Seq[Double]] =
+      Seq(Seq(1.0d, 0.1d, 0.0d, -0.2d), Seq(-0.3d, 0.9d, 0.2d, 0.1d))
+    val ix = Similarity.lshIndexWithPlanes(clustered, "vec_id",
+      "embedding", planes, bucketCap = Int.MaxValue,
+      persistIndex = false)
+    val store = tmpStore()
+    IM.saveLshIndex(ix, store.versionDir(store.nextVersion()))
+    store.publish(0L)
+    val loaded = IM.loadLshIndex(spark, store.versionDir(0L))
+    assert(loaded.nPlanes === 2 && loaded.planes === planes,
+      "the quantizer parameters must round-trip exactly")
+    val q = clustered.filter(col("vec_id") < 2)
+    def probe(i: Similarity.LshIndex) =
+      Similarity.lshTopKWith(i, q, "vec_id", "embedding", k = 3)
+        .select("q_id", "rank", "c_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val want = probe(ix)
+    assert(want.nonEmpty && probe(loaded) === want)
+    // the pseudo-random tense round-trips an EMPTY planes list (the
+    // seeded-hyperplane marker), not a crash or a corrupt artifact
+    val pr = Similarity.lshIndex(clustered, "vec_id", "embedding",
+      nPlanes = 2, persistIndex = false)
+    IM.saveLshIndex(pr, store.versionDir(store.nextVersion()))
+    store.publish(1L)
+    val prLoaded = IM.loadLshIndex(spark, store.versionDir(1L))
+    assert(prLoaded.planes.isEmpty && prLoaded.nPlanes === 2)
+    assert(probe(prLoaded) === probe(pr))
+  }
+
   test("takedown audit SURVIVES a crashed-rebuild partial version " +
     "dir: the unloadable version is skipped from the counts and " +
     "reported as its own row, never a crash") {

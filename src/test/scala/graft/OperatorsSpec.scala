@@ -1450,6 +1450,60 @@ class SimilaritySpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("explicit-planes LSH: the bucket is the JVM sign-bit fold, " +
+    "probes equal brute-force same-bucket cosine, and a plane-count " +
+    "mismatch in the artifact fails loudly") {
+    def mk(i: Long): (Long, Array[Float]) =
+      (i, Array.tabulate(6)(j => math.sin(i * 2.3 + j * 0.9).toFloat))
+    val corpus = (0L until 40L).map(mk).toDF("vec_id", "embedding")
+    val planes: Seq[Seq[Double]] =
+      Seq(0L, 1L, 2L).map(i => mk(i)._2.map(_.toDouble).toSeq)
+    val ix = Similarity.lshIndexWithPlanes(corpus, "vec_id",
+      "embedding", planes, bucketCap = Int.MaxValue,
+      persistIndex = false)
+    assert(ix.nPlanes === 3 && ix.planes === planes)
+    // bucket == the packed sign bits of dot(v, plane_p), recomputed
+    // in a plain JVM loop
+    val got = ix.buckets.select("c_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    for ((id, v) <- (0L until 40L).map(mk)) {
+      var want = 0L
+      for (p <- planes.indices) {
+        var d = 0.0d
+        for (j <- v.indices) d += v(j).toDouble * planes(p)(j)
+        if (d >= 0) want |= (1L << p)
+      }
+      assert(got(id) === want, s"bucket of id=$id")
+    }
+    // probe == brute-force cosine over same-bucket candidates
+    val q = corpus.filter(col("vec_id") < 3)
+    val probed = Similarity.lshTopKWith(ix, q, "vec_id", "embedding",
+        k = 4)
+      .select("q_id", "rank", "c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id",
+        "embedding", k = 1000)
+      .join(ix.buckets.select(col("c_id"),
+        col("bucket").as("cb")), "c_id")
+      .join(broadcast(ix.buckets.select(col("c_id").as("q_id"),
+        col("bucket").as("qb"))), "q_id")
+      .filter(col("cb") === col("qb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val bruteSet = brute
+      .withColumn("r2", row_number().over(w)).filter(col("r2") <= 4)
+      .select("q_id", "r2", "c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(probed.nonEmpty && probed === bruteSet)
+    // a corrupt artifact (declared nPlanes != carried planes) cannot
+    // silently hash queries into a different space
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKWith(ix.copy(nPlanes = 4), q, "vec_id",
+        "embedding", k = 4).collect()
+    }
+  }
+
   test("IVF/LSH gated appends run the tombstone-clash guard BEFORE " +
     "their replay partition drop: a landed-then-tombstoned batch's " +
     "replay fails with the landed partition intact") {
