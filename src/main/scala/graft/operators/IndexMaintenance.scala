@@ -241,9 +241,16 @@ object IndexMaintenance {
 
   def loadLshIndex(spark: SparkSession, dir: String): LshIndex = {
     import spark.implicits._
-    val (nPlanes, planes) = read(spark, dir, "meta")
-      .select("n_planes", "planes")
-      .as[(Int, Seq[Seq[Double]])].head()
+    // a meta row written before the explicit-planes tense has no
+    // `planes` column; it IS a valid pseudo-random artifact (empty
+    // list), not an unloadable version
+    val meta = read(spark, dir, "meta")
+    val (nPlanes, planes) =
+      if (meta.columns.contains("planes"))
+        meta.select("n_planes", "planes")
+          .as[(Int, Seq[Seq[Double]])].head()
+      else (meta.select("n_planes").as[Int].head(),
+        Seq.empty[Seq[Double]])
     LshIndex(nPlanes, read(spark, dir, "buckets"),
       read(spark, dir, "dropped"), planes)
   }
@@ -348,11 +355,21 @@ object IndexMaintenance {
         persistIndex = false, trainCoarse = trainCoarse),
       saveIvfIndex, loadIvfIndex)
 
+  /** `planes` non-empty = rebuild under the caller's FROZEN explicit
+    * hyperplanes ([[Similarity.lshIndexWithPlanes]]) instead of the
+    * seeded pseudo-random ones — without it, a recall-floor rebuild
+    * over an explicit-planes deployment would silently publish an
+    * index in a DIFFERENT hash space than the quantizer contract
+    * (and any oracle built on those planes) assumes. */
   def rebuildLshIndex(store: VersionedIndexStore, corpus: DataFrame,
                       idCol: String, vecCol: String,
-                      nPlanes: Int = 6, bucketCap: Int = 2000): LshIndex =
+                      nPlanes: Int = 6, bucketCap: Int = 2000,
+                      planes: Seq[Seq[Double]] = Nil): LshIndex =
     rebuildWith[LshIndex](store, corpus.sparkSession,
-      () => Similarity.lshIndex(corpus, idCol, vecCol, nPlanes,
+      () => if (planes.nonEmpty)
+        Similarity.lshIndexWithPlanes(corpus, idCol, vecCol, planes,
+          bucketCap, persistIndex = false)
+      else Similarity.lshIndex(corpus, idCol, vecCol, nPlanes,
         bucketCap, persistIndex = false),
       saveLshIndex, loadLshIndex)
 
@@ -462,6 +479,10 @@ object IndexMaintenance {
         trainCoarse))
   }
 
+  /** A recall-floor rebuild INHERITS the current index's explicit
+    * planes when it carries them (the frozen-quantizer contract —
+    * see [[rebuildLshIndex]]); `nPlanes` applies only to the
+    * pseudo-random tense. */
   def maintainLshIndex(store: VersionedIndexStore, corpus: DataFrame,
                        idCol: String, vecCol: String,
                        current: LshIndex, recallFloor: Double,
@@ -477,7 +498,7 @@ object IndexMaintenance {
     if (r >= recallFloor) Maintenance(current, r, rebuilt = false)
     else withRetention(store, retain, r,
       rebuildLshIndex(store, corpus, idCol, vecCol, nPlanes,
-        bucketCap))
+        bucketCap, planes = current.planes))
   }
 
   def maintainIvfPqIndex(store: VersionedIndexStore, corpus: DataFrame,

@@ -2784,14 +2784,20 @@ object Similarity {
   }
 
   /** The staged quantizer parameters — ONE reader shared by load and
-    * append so both hash in the space the create wrote. */
+    * append so both hash in the space the create wrote. A meta row
+    * written before the explicit-planes tense existed has no `planes`
+    * column; it IS a valid pseudo-random artifact, so it reads as the
+    * empty list rather than failing (which would also make the
+    * compliance audit misreport such a version as unloadable). */
   private def lshMeta(spark: org.apache.spark.sql.SparkSession,
                       prefix: String): (Int, Seq[Seq[Double]]) = {
     import spark.implicits._
-    val (n, planes) = spark.table(lshMetaTable(prefix))
-      .select("n_planes", "planes")
-      .as[(Int, Seq[Seq[Double]])].head()
-    (n, planes)
+    val meta = spark.table(lshMetaTable(prefix))
+    if (meta.columns.contains("planes")) {
+      val (n, planes) = meta.select("n_planes", "planes")
+        .as[(Int, Seq[Seq[Double]])].head()
+      (n, planes)
+    } else (meta.select("n_planes").as[Int].head(), Nil)
   }
 
   /** The table tense of [[appendToLshIndex]]: hash the admitted batch

@@ -51,17 +51,12 @@ object VectorQueries {
   }
 
   /** The 4 smallest non-null vec_ids' vectors as explicit LSH
-    * hyperplanes — the [[explicitCents]] stance on the LSH family
-    * (ONE definition, so the staged query shares the in-memory
-    * query's oracle verbatim). */
+    * hyperplanes — a prefix of [[explicitCents]]' table, so the
+    * id-picked-subset convention has ONE definition across every
+    * explicit-quantizer oracle. */
   private def explicitPlanes(s: SparkSession, emb: DataFrame)
-  : Seq[Seq[Double]] = {
-    import s.implicits._
-    emb.filter(col("embedding").isNotNull)
-      .orderBy("vec_id").limit(4)
-      .select(Similarity.toDouble(col("embedding")))
-      .as[Seq[Double]].collect().toSeq
-  }
+  : Seq[Seq[Double]] =
+    explicitCents(s, emb).take(4).map(_._2)
 
   val queries: Map[String, QueryFn] = Map(
 
@@ -583,10 +578,17 @@ object VectorQueries {
       // connectedComponents contract), per-cluster keep/drop counts.
       // The k-means tense stays covered by SemDedupSpec +
       // q_embed_cluster's verdict row.
+      // clusterCap disabled for the oracle tense (the q_sim_ann_lsh
+      // census stance): the cap's skip set depends on cluster sizes
+      // the recursive-CTE twin does not model, and at 8 fixed
+      // centroids a large-enough corpus WOULD trip the default cap
+      // and silently diverge; the cap behavior stays spec-covered
+      // (SemDedupSpec's clusterCap test).
       val emb = t(s, d, "embeddings")
       graft.operators.SemDedup
         .semDedupWithCentroids(emb, "vec_id", "embedding",
-          explicitCents(s, emb).take(8).map(_._2), cosThreshold = 0.99)
+          explicitCents(s, emb).take(8).map(_._2), cosThreshold = 0.99,
+          clusterCap = Long.MaxValue)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))

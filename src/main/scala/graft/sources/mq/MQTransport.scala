@@ -128,7 +128,11 @@ class FileMQTransport(dir: String,
     * append changes both keys, so behavior is unchanged — a stale hit
     * would need a same-length in-place rewrite inside the filesystem's
     * mtime granularity, which no contract behavior performs. */
-  @volatile private var cached:
+  // @transient: the memo must not ride Java serialization (FileTime
+  // is not Serializable, and shipping a parsed 50k-line queue with
+  // every task closure would defeat the point); a deserialized copy
+  // starts cold and re-reads on first use.
+  @transient @volatile private var cached:
     (Long, java.nio.file.attribute.FileTime, Vector[String]) = null
   private def lines(): Vector[String] =
     if (!Files.exists(queueFile)) Vector.empty

@@ -680,6 +680,15 @@ class IndexMaintenanceSpec extends SparkSpec {
     val prLoaded = IM.loadLshIndex(spark, store.versionDir(1L))
     assert(prLoaded.planes.isEmpty && prLoaded.nPlanes === 2)
     assert(probe(prLoaded) === probe(pr))
+    // a recall-floor rebuild INHERITS the explicit planes — without
+    // that, maintenance would silently publish a pseudo-random index
+    // in a different hash space than the frozen-quantizer contract
+    val m = IM.maintainLshIndex(store, clustered, "vec_id",
+      "embedding", loaded, recallFloor = 2.0)
+    assert(m.rebuilt, "recallFloor=2.0 must force the rebuild")
+    assert(m.index.planes === planes && m.index.nPlanes === 2,
+      "the rebuilt index must keep the frozen explicit planes")
+    assert(probe(m.index) === want)
   }
 
   test("takedown audit SURVIVES a crashed-rebuild partial version " +
