@@ -27,12 +27,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     var errors = 0
+    // the sweep covers the verify registry PLUS the bench-only raw
+    // tenses (operators whose registry entry is a verdict row keep
+    // their production probe shape measured here)
+    val benched = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- benched.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
-    val results = SparkEntry.queries
+    val results = benched
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>

@@ -102,6 +102,41 @@ object ServingBench {
     builds("lsh_table_create") = timed {
       Similarity.createLshIndexTable(lsh, lshtPrefix, buckets)
     }
+    // PQ / IVFPQ (round 16): these families' staged persistence is the
+    // VersionedIndexStore (swap-publish versions, no bucketed TABLE
+    // tense) — a serving deployment loads the PUBLISHED version per
+    // request cycle and probes it, so the build rows cover
+    // train+encode and save+publish separately, and the probe rows
+    // load through the store pointer exactly like a pointer-following
+    // reader.
+    import graft.operators.{IndexMaintenance => IM}
+    val storeRoot =
+      java.nio.file.Files.createTempDirectory("graft-serving-store")
+    val pqStore = new IM.VersionedIndexStore(s"$storeRoot/pq")
+    val ivfpqStore = new IM.VersionedIndexStore(s"$storeRoot/ivfpq")
+    val nVec = emb.filter(col("embedding").isNotNull).count()
+    var pq: Similarity.PqIndex = null
+    builds("pq_index") = timed {
+      pq = Similarity.pqIndex(emb, "vec_id", "embedding")
+      pq.encoded.count()
+    }
+    builds("pq_store_publish") = timed {
+      val v = pqStore.nextVersion()
+      IM.savePqIndex(pq, pqStore.versionDir(v))
+      pqStore.publish(v)
+    }
+    var ivfpq: Similarity.IvfPqIndex = null
+    builds("ivfpq_index") = timed {
+      ivfpq = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nCentroids = Similarity.suggestedNCentroids(nVec),
+        trainCoarse = true)
+      ivfpq.encoded.count()
+    }
+    builds("ivfpq_store_publish") = timed {
+      val v = ivfpqStore.nextVersion()
+      IM.saveIvfPqIndex(ivfpq, ivfpqStore.versionDir(v))
+      ivfpqStore.publish(v)
+    }
 
     val qs = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"), col("text"))
@@ -163,6 +198,19 @@ object ServingBench {
       "ann_lsh_table" -> (() => Similarity.lshTopKWith(
         Similarity.loadLshIndexTable(spark, lshtPrefix), vq,
         "vec_id", "embedding", k = 10).count()),
+      // the store-persisted families, loaded through the published
+      // pointer per probe (the pointer-following reader's cost); the
+      // exact-rerank side reads the bucketed embeddings table
+      "ann_pq_store" -> (() => Similarity.pqTopKWith(
+        IM.loadPqIndex(spark,
+          pqStore.versionDir(pqStore.currentVersion())),
+        vq, spark.table(embTable), "vec_id", "embedding",
+        k = 10).count()),
+      "ann_ivfpq_store" -> (() => Similarity.ivfPqTopKWith(
+        IM.loadIvfPqIndex(spark,
+          ivfpqStore.versionDir(ivfpqStore.currentVersion())),
+        vq, spark.table(embTable), "vec_id", "embedding",
+        k = 10, nProbe = 2).count()),
       // the compliance audit over PRE-STAGED surfaces: only the
       // victim-bounded joins themselves (the sweep's 8 s
       // q_ann_takedown_audit number is build-dominated by design)
@@ -197,6 +245,15 @@ object ServingBench {
         .mkString("{", ",", "}")
     println(s"""{"metric":"serving_split","sf":"$sfDir","reps":$reps,"buckets":$buckets,"build_sec":${js(builds)},"probe_median_sec":${js(medians)}}""")
     allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // remove the temp version stores (plain directories, not tables)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rmTree(storeRoot)
     spark.stop()
   }
 }

@@ -26,12 +26,22 @@ object SparkEntry {
       GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for sketch/hash-based ops
-    * (approx_count_distinct, minhash, simhash, LSH) → rows-only check. */
+    * the same parquet tables. Omitted only for the two sketch rows
+    * whose OUTPUT is the approximation (approx_count_distinct,
+    * percentile_approx) → rows-only check; every other family's
+    * hash/iterative state is pinned through agreement/verdict rows
+    * with constant oracles. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++
       StreamShapedQueries.oracle ++
       TextQueries.oracle ++
       VectorQueries.oracle ++
       GraphQueries.oracle
+
+  /** Bench-only tenses (run by [[Bench]], not by the verify harness):
+    * raw listing forms of operators whose queries-map entry became a
+    * verdict row, kept so the sweep keeps measuring the production
+    * probe shape alone. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    TextQueries.benchOnly
 }

@@ -161,6 +161,11 @@ object Allowlist {
       compactAllowlistTable(spark, prefix, buckets)
       return true
     }
+    // the OTHER crash window (live still present, staging written but
+    // never swapped): the live table is intact, so just drop the
+    // stale staging copy — housekeeping, not a rewrite
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      allowTable(prefix))
     val batchDirs = spark
       .sql(s"SHOW PARTITIONS ${allowTable(prefix)}")
       .collect().map(_.getString(0).split("/")(0)).distinct.length

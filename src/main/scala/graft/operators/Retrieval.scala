@@ -1042,7 +1042,17 @@ object Retrieval {
           // retained load is attempted, failures are skipped from the
           // counts, and every skipped version is surfaced as its own
           // '<surface>:unloadable' row (doc = version number) rather
-          // than silently reading as clean.
+          // than silently reading as clean. EAGER-failure assumption
+          // (round 16, ADVICE): this Try only catches what loading
+          // throws NOW — missing directories and unreadable parquet
+          // footers/schemas, the crashed-save shapes. Data corruption
+          // past the footer (a truncated page in an otherwise valid
+          // file) throws lazily at action time inside annRowsHeld and
+          // still fails the audit loudly — by design: such a version
+          // holds REAL rows the audit cannot decide about, and
+          // reporting it as a clean zero-count 'unloadable' row would
+          // understate exposure. The caller retries after GC'ing the
+          // corrupt version (retainVersions).
           val loaded = st.versionsPresent().filter(_ != cur).map(v =>
             v -> scala.util.Try(IndexMaintenance.loadAnnIndexLike(
               spark, st.versionDir(v), sfc.live)))
@@ -1463,7 +1473,18 @@ object Retrieval {
         graft.sources.BucketedTables.rewriteBucketed(spark, table,
           buckets, keyCols, Seq("batch_id"))(transform)
         true
-      } else false
+      } else {
+        // live-present + staging-present (crash before the swap): the
+        // live table is intact — drop the stale staging copy so a
+        // healthy pass leaves the catalog clean (housekeeping, not a
+        // rewrite)
+        graft.sources.BucketedTables.dropStaleStaging(spark, table)
+        false
+      }
+    // the tombstone table (empty on this path) gets the same
+    // stale-staging housekeeping
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      tombTable(prefix))
     maintainOne(postingsTable(prefix), Seq("term"), collapseBatches) |
       maintainOne(doclenTable(prefix), Seq("doc"), collapseBatches) |
       maintainOne(dfreqTable(prefix), Seq("term"), mergeDfPartials) |

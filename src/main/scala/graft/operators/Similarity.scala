@@ -2917,6 +2917,14 @@ object Similarity {
           Seq("batch_id"))(_.filter(lit(false)))
       return true
     }
+    // live-present + staging-present (crash before the swap): the
+    // live tables are intact — drop the stale staging copies so a
+    // healthy pass leaves the catalog clean (housekeeping, not a
+    // rewrite)
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      lshBucketsTable(prefix))
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      lshTombTable(prefix))
     val batchDirs = spark
       .sql(s"SHOW PARTITIONS ${lshBucketsTable(prefix)}")
       .collect().map(_.getString(0).split("/")(0)).distinct.length
@@ -2956,6 +2964,14 @@ object Similarity {
           Seq("batch_id"))(_.filter(lit(false)))
       return true
     }
+    // live-present + staging-present (crash before the swap): the
+    // live tables are intact — drop the stale staging copies so a
+    // healthy pass leaves the catalog clean (housekeeping, not a
+    // rewrite)
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      ivfAssignedTable(prefix))
+    graft.sources.BucketedTables.dropStaleStaging(spark,
+      ivfTombTable(prefix))
     val batchDirs = spark
       .sql(s"SHOW PARTITIONS ${ivfAssignedTable(prefix)}")
       .collect().map(_.getString(0).split("/")(0)).distinct.length

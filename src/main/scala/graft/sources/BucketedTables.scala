@@ -118,6 +118,26 @@ object BucketedTables {
     * "re-run this method", and a recovered staging copy holds
     * already-transformed content that then passes through the
     * transform a second time. */
+  /** Drop a STALE `_compacting` staging copy (round 16, ADVICE): the
+    * crash window AFTER the staging write but BEFORE the live drop
+    * leaves BOTH tables in the catalog. The live table is still the
+    * only copy ever served (the swap never happened), so the staging
+    * copy is pure garbage — [[rewriteBucketed]] would clear it at its
+    * own entry, but only when the growth alarm next trips a
+    * compaction; the maintain functions call this instead so a
+    * healthy-verdict maintenance pass still leaves the catalog clean.
+    * DROP TABLE on the managed staging table removes its directory
+    * too. Returns true iff a stale copy was dropped (housekeeping —
+    * the maintain functions do not count it as a rewrite). */
+  def dropStaleStaging(spark: SparkSession, table: String): Boolean = {
+    val staging = table + "_compacting"
+    if (spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging)) {
+      spark.sql(s"DROP TABLE $staging")
+      true
+    } else false
+  }
+
   def rewriteBucketed(spark: SparkSession, table: String, buckets: Int,
                       keyCols: Seq[String],
                       partitionCols: Seq[String] = Nil)(

@@ -120,33 +120,47 @@ class FileMQTransport(dir: String,
     case _        => charset
   }
 
-  /** The parsed queue, memoized on (size, mtime). Without this the
-    * double re-read and re-split its whole backing file on EVERY
-    * depth()/read() call, so at bench scale (a 50k-line queue probed
-    * by hundreds of micro-batch range reads) the ingest-door
+  /** The parsed queue, memoized on (size, mtime, fileKey). Without
+    * this the double re-read and re-split its whole backing file on
+    * EVERY depth()/read() call, so at bench scale (a 50k-line queue
+    * probed by hundreds of micro-batch range reads) the ingest-door
     * throughput numbers measured fixture IO as much as gate cost. An
-    * append changes both keys, so behavior is unchanged — a stale hit
-    * would need a same-length in-place rewrite inside the filesystem's
-    * mtime granularity, which no contract behavior performs. */
+    * append changes size and mtime, so the transport's own writes
+    * (append-only by contract) can never hit stale. External writers
+    * are tolerated too (this class decodes their BOMs), and their
+    * usual rewrite — write-temp-then-rename — swaps the inode, which
+    * the fileKey component of the memo key catches even when length
+    * and mtime both collide (round 16, ADVICE). The one residual
+    * blind spot is a same-inode in-place rewrite of identical length
+    * inside the filesystem's mtime granularity — no fixture or
+    * contract behavior performs one, and an external writer that must
+    * do so can touch the mtime forward to invalidate the memo. */
   // @transient: the memo must not ride Java serialization (FileTime
   // is not Serializable, and shipping a parsed 50k-line queue with
   // every task closure would defeat the point); a deserialized copy
   // starts cold and re-reads on first use.
   @transient @volatile private var cached:
-    (Long, java.nio.file.attribute.FileTime, Vector[String]) = null
+    (Long, java.nio.file.attribute.FileTime, AnyRef, Vector[String]) =
+    null
   private def lines(): Vector[String] =
     if (!Files.exists(queueFile)) Vector.empty
     else {
-      val sz = Files.size(queueFile)
-      val mt = Files.getLastModifiedTime(queueFile)
+      // ONE stat call yields all three key components (fileKey is
+      // null on filesystems that don't expose one — then the key
+      // degrades to the r15 (size, mtime) form, no worse than before)
+      val attrs = Files.readAttributes(queueFile,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val sz = attrs.size()
+      val mt = attrs.lastModifiedTime()
+      val fk = attrs.fileKey()
       val c = cached
-      if (c != null && c._1 == sz && c._2 == mt) c._3
+      if (c != null && c._1 == sz && c._2 == mt && c._3 == fk) c._4
       else {
         val parsed = new String(Files.readAllBytes(queueFile), cs)
           .stripPrefix("﻿") // tolerate an externally-written BOM
           .split("\n", -1).toVector.map(_.stripSuffix("\r"))
           .filter(_.nonEmpty)
-        cached = (sz, mt, parsed)
+        cached = (sz, mt, fk, parsed)
         parsed
       }
     }

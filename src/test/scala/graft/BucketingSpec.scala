@@ -96,6 +96,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("dropStaleStaging: clears the pre-swap crash orphan, never touches " +
+    "a recoverable half-swap (round 16, ADVICE)") {
+    import spark.implicits._
+    val data = (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    try {
+      BucketedTables.writeBucketed(data, "stale_bkt", 2, Seq("k"))
+      // no staging at all: no-op
+      assert(!BucketedTables.dropStaleStaging(spark, "stale_bkt"))
+      // live + staging (crash AFTER the staging write, BEFORE the
+      // live drop): the staging copy is garbage — drop it, keep live
+      BucketedTables.writeBucketed(spark.table("stale_bkt"),
+        "stale_bkt_compacting", 2, Seq("k"))
+      assert(BucketedTables.dropStaleStaging(spark, "stale_bkt"))
+      assert(!spark.catalog.tableExists("stale_bkt_compacting"))
+      assert(spark.table("stale_bkt").count() == 10)
+      // staging WITHOUT live (crash after the live drop): that copy
+      // is the ONLY copy — dropStaleStaging must refuse, so the
+      // rewriteBucketed recovery can still finish the swap
+      BucketedTables.writeBucketed(spark.table("stale_bkt"),
+        "stale_bkt_compacting", 2, Seq("k"))
+      spark.sql("DROP TABLE stale_bkt")
+      assert(!BucketedTables.dropStaleStaging(spark, "stale_bkt"))
+      assert(spark.catalog.tableExists("stale_bkt_compacting"))
+      BucketedTables.compactBucketed(spark, "stale_bkt", 2, Seq("k"))
+      assert(spark.table("stale_bkt").count() == 10)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stale_bkt")
+      spark.sql("DROP TABLE IF EXISTS stale_bkt_compacting")
+    }
+  }
+
   test("compactBucketed crash recovery: half-swapped state resumes, never drops the only copy") {
     import spark.implicits._
     val data = (0 until 30).map(i => (i.toLong, s"p${i % 3}", s"v$i"))

@@ -13,37 +13,67 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query has either an oracle or a documented rows-only check") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // sketch/hash-based ops are intentionally rows-only
-    // (q_agg_percentile_approx is tolerance-checked in PercentileSpec):
-    // round 14 converted q_sim_ann_ivf (explicit-quantizer probe,
-    // fully SQL-expressible), q_embed_cluster and q_pca_project
-    // (exact-integer verdict rows, constant oracles) out of this set;
-    // round 15 converted q_sim_ann_lsh (explicit-planes probe),
-    // q_semdedup (explicit centroids + recursive-CTE components), and
-    // the four near-dup pair queries (q_dedup_simhash_banded,
-    // q_dedup_phash, q_dedup_simhash, q_minhash_neardup) to
-    // agreement rows vs an independent recomputation
+    // ONLY the two sketch rows whose OUTPUT is the approximation stay
+    // rows-only (q_agg_percentile_approx is tolerance-checked in
+    // PercentileSpec; q_agg_distinct is q_agg_approx_distinct's exact
+    // oracled twin) — the principled floor. Round 14 converted
+    // q_sim_ann_ivf / q_embed_cluster / q_pca_project; round 15
+    // q_sim_ann_lsh, q_semdedup, and the four near-dup pair queries;
+    // round 16 converted the last seven: q_sim_ann_recall (per-method
+    // floor verdicts), q_dedup_simhash_audit (census agreement),
+    // q_embed_cluster_audit (Lloyd audit-trail contracts),
+    // q_decontaminate_bloom(+_audit) (one-sided-error verdicts vs the
+    // exact path), q_bpe_train (distributed-vs-driver regime
+    // agreement), q_bpe_tokencount (codegen encode vs a plain driver
+    // merge fold).
     assert(noOracle == Set("q_agg_approx_distinct",
-      "q_agg_percentile_approx",
-      "q_sim_ann_recall", "q_dedup_simhash_audit",
-      "q_embed_cluster_audit",
-      // bloom membership and BPE merge training are hash/iteration
-      // artifacts with no SQL form; their value-level coverage is
-      // BloomSpec (exact FP audit vs planted contamination)
-      // and BpeSpec (merge-table recovery on a planted corpus):
-      "q_decontaminate_bloom", "q_decontaminate_bloom_audit",
-      "q_bpe_train", "q_bpe_tokencount"))
+      "q_agg_percentile_approx"))
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  test("bench-only tenses never shadow a registry query") {
+    assert(SparkEntry.benchOnlyQueries.keySet
+      .intersect(SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("pairAgreementVerdict: duplicate emission and value spread are " +
+    "not invisible (round 16, ADVICE)") {
+    import spark.implicits._
+    def row(v: Seq[(Long, Long, Long)],
+            col: String = "ham"): org.apache.spark.sql.DataFrame =
+      v.toDF("doc_a", "doc_b", col)
+    val re = row(Seq((1L, 2L, 3L), (4L, 5L, 0L)))
+    val nonEmpty = Seq(1L).toDF("x")
+    def verdict(em: org.apache.spark.sql.DataFrame) =
+      graft.queries.TextQueries
+        .pairAgreementVerdict(em, re, "ham", nonEmpty)
+        .select("checked_nonzero", "n_extra", "n_missing",
+          "n_val_diff", "n_dup_emitted")
+        .as[(Long, Long, Long, Long, Long)].first()
+    // exact agreement: all counters zero
+    assert(verdict(row(Seq((1L, 2L, 3L), (4L, 5L, 0L))))
+      == ((1L, 0L, 0L, 0L, 0L)))
+    // a double-emitted pair (same value) flips ONLY n_dup_emitted
+    assert(verdict(row(Seq((1L, 2L, 3L), (1L, 2L, 3L), (4L, 5L, 0L))))
+      == ((1L, 0L, 0L, 0L, 1L)))
+    // duplicates with DIFFERENT values flip n_val_diff too, even
+    // though one of them matches the recomputation
+    assert(verdict(row(Seq((1L, 2L, 3L), (1L, 2L, 7L), (4L, 5L, 0L))))
+      == ((1L, 0L, 0L, 1L, 1L)))
+    // extra / missing stay what they were
+    assert(verdict(row(Seq((1L, 2L, 3L), (4L, 5L, 0L), (6L, 7L, 1L))))
+      == ((1L, 1L, 0L, 0L, 0L)))
+    assert(verdict(row(Seq((1L, 2L, 3L))))
+      == ((1L, 0L, 1L, 0L, 0L)))
+  }
+
+  (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+    .toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val n = fn(spark, sf).count()
       assert(n >= 0)
-      // queries that must be non-empty to demonstrate anything
-      // (q_dedup_simhash_audit's CORRECT steady-state output is empty —
-      // a non-empty audit means the bucket cap is forfeiting recall):
+      // queries that must be non-empty to demonstrate anything:
       if (!Set("q_except", "q_dedup_ngram_jaccard",
-          "q_dedup_embedding", "q_dedup_simhash_audit").contains(name))
+          "q_dedup_embedding").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }

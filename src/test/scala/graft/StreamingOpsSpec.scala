@@ -1915,6 +1915,25 @@ class StreamingOpsSpec extends SparkSpec {
       assert(!Allowlist.maintainAllowlistTable(spark, aprefix,
         buckets = 2, maxBatchDirs = 2),
         "two dirs within the bound must stay a no-op")
+      // the PRE-swap crash window (round 16, ADVICE): staging copy
+      // fully written, live table never dropped — both exist. A
+      // healthy maintain pass must drop the stale staging copy (the
+      // live table is intact, so this is housekeeping, not a rewrite)
+      // instead of leaving it to linger until the next growth alarm.
+      val allowTbl = aprefix + "_allow"
+      graft.sources.BucketedTables.writeBucketed(
+        spark.table(allowTbl), allowTbl + "_compacting", 2,
+        Seq("doc"), partitionCols = Seq("batch_id"))
+      val servedBefore = Allowlist.loadAllowlist(spark, aprefix)
+        .as[Long].collect().toSet
+      assert(!Allowlist.maintainAllowlistTable(spark, aprefix,
+        buckets = 2, maxBatchDirs = 2),
+        "stale-staging cleanup is housekeeping, not a rewrite")
+      assert(!spark.catalog.tableExists(allowTbl + "_compacting"),
+        "a healthy maintain pass must drop the stale staging copy")
+      assert(Allowlist.loadAllowlist(spark, aprefix)
+        .as[Long].collect().toSet === servedBefore,
+        "dropping the stale copy must not touch the live table")
       intercept[IllegalArgumentException] {
         Allowlist.maintainAllowlistTable(spark, aprefix, buckets = 2,
           maxBatchDirs = 0)

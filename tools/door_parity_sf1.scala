@@ -21,7 +21,10 @@ import org.apache.spark.sql.DataFrame
 import graft.operators.{Decontaminate, Dedup, Dsir, Similarity, TextAnalysis => TA}
 import graft.streaming.StreamingOps
 
-val sf1 = "/tmp/sf1d"
+// GRAFT_DOOR_SF overrides the corpus dir (round 16: the same harness
+// runs the sf10d checkpoint — derive with tools/derive_sf10.scala,
+// then GRAFT_DOOR_SF=/tmp/sf10d)
+val sf1 = sys.env.getOrElse("GRAFT_DOOR_SF", "/tmp/sf1d")
 require(new java.io.File(sf1, "documents.parquet").exists,
   s"derive sf1 first (tools/derive_sf1.scala -> $sf1)")
 val corpus = (graft.Tables.load(spark, sf1, "documents")
