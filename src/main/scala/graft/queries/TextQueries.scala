@@ -662,15 +662,23 @@ object TextQueries {
       // dropped-bucket LISTING stays available to operators via
       // Dedup.simhashDroppedBuckets directly.
       val docs = t(s, d, "documents")
+      // NULL-text docs carry a NULL fingerprint; both censuses group
+      // them into one (band, NULL) bucket per band, but NULL keys
+      // never MATCH across the full-outer join — canonicalize the
+      // NULL bucket to -1 (outside the 0..65535 bits range)
+      // symmetrically on both sides so those buckets are compared
+      // size for size like any other.
       val emitted = Dedup.simhashDroppedBuckets(docs, "doc_id",
-        TA.tokens(col("text")), bucketCap = 0)
+          TA.tokens(col("text")), bucketCap = 0)
+        .withColumn("bits", coalesce(col("bits"), lit(-1L)))
       val fp = docs.select(col("doc_id").as("doc"),
         Dedup.simhash64(TA.tokens(col("text"))).as("fp"))
       val re = fp.select(explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("fp"), b * 16)
               .bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bb"))
-        .groupBy(col("bb.band").as("band"), col("bb.bits").as("bits"))
+        .groupBy(col("bb.band").as("band"),
+          coalesce(col("bb.bits"), lit(-1L)).as("bits"))
         .agg(count(lit(1)).as("bsz_re"))
       val agree = emitted.join(re, Seq("band", "bits"), "full_outer")
         .agg(
