@@ -61,15 +61,9 @@ object ServingBench {
     // drop catalog entries AND any orphaned warehouse directories a
     // killed previous run left behind (this JVM's in-memory catalog
     // starts empty, so DROP TABLE alone cannot see them, and CREATE
-    // refuses to land on an orphaned location — the dropBm25Tables
-    // stance)
-    allTables.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // refuses to land on an orphaned location)
+    allTables.foreach(
+      graft.sources.BucketedTables.dropTableAndDir(spark, _))
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -95,11 +89,14 @@ object ServingBench {
       graft.sources.BucketedTables.writeBucketed(emb, embTable,
         buckets, Seq("vec_id"))
     }
+    // one corpus count shared by every √N-sized build row (the count
+    // itself is a sizing input, not index construction — keep it
+    // outside the timed windows)
+    val nVec = emb.filter(col("embedding").isNotNull).count()
     var ivf: Similarity.IvfIndex = null
     builds("ivf_index") = timed {
       ivf = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        Similarity.suggestedNCentroids(
-          emb.filter(col("embedding").isNotNull).count()))
+        Similarity.suggestedNCentroids(nVec))
       ivf.assigned.count() // materialize the staged state
     }
     builds("ivf_table_create") = timed {
@@ -121,11 +118,22 @@ object ServingBench {
     // load through the store pointer exactly like a pointer-following
     // reader.
     import graft.operators.{IndexMaintenance => IM}
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
     val storeRoot =
       java.nio.file.Files.createTempDirectory("graft-serving-store")
+    // reclaim the temp version stores even when a build or probe
+    // throws mid-run (the JVM exits either way; the hook covers both)
+    sys.addShutdownHook(rmTree(storeRoot))
     val pqStore = new IM.VersionedIndexStore(s"$storeRoot/pq")
     val ivfpqStore = new IM.VersionedIndexStore(s"$storeRoot/ivfpq")
-    val nVec = emb.filter(col("embedding").isNotNull).count()
     var pq: Similarity.PqIndex = null
     builds("pq_index") = timed {
       pq = Similarity.pqIndex(emb, "vec_id", "embedding")
@@ -271,15 +279,6 @@ object ServingBench {
         .mkString("{", ",", "}")
     println(s"""{"metric":"serving_split","sf":"$sfDir","reps":$reps,"buckets":$buckets,"build_sec":${js(builds)},"probe_median_sec":${js(medians)}}""")
     allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    // remove the temp version stores (plain directories, not tables)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    rmTree(storeRoot)
     spark.stop()
   }
 }

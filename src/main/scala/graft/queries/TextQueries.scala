@@ -24,13 +24,8 @@ object TextQueries {
     * over an orphaned location — drop both the catalog entries and
     * any stale directories first. */
   private def dropBm25Tables(s: SparkSession, prefix: String): Unit =
-    graft.operators.Retrieval.indexTableNames(prefix).foreach { tbl =>
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), tbl)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    graft.operators.Retrieval.indexTableNames(prefix)
+      .foreach(graft.sources.BucketedTables.dropTableAndDir(s, _))
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
@@ -1205,13 +1200,19 @@ object TextQueries {
       // per-doc total divergence flips its counter.
       import s.implicits._
       val docs = t(s, d, "documents")
+      // `words` feeds both the train call and the vocab collect —
+      // persist it so the corpus-wide token explosion + groupBy runs
+      // once, not once per consumer (the q_bpe_train wf pattern)
       val words = graft.operators.Bpe.wordFreq(docs, TA.tokens(col("text")))
-      val merges = graft.operators.Bpe.train(words, numMerges = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (merges, vocab) =
+        try {
+          (graft.operators.Bpe.train(words, numMerges = 16),
+            words.select(col("word").cast("string")).as[String].collect())
+        } finally words.unpersist()
       val op = graft.operators.Bpe.tokenCounts(
         docs, "doc_id", TA.tokens(col("text")), merges)
       val ms = merges.map(m => (m.left, m.right))
-      val vocab = words.select(col("word").cast("string"))
-        .as[String].collect()
       val piecesDrv = vocab.toSeq
         .map(w => (w, bpeFoldReference(w, ms)))
         .toDF("word", "n_pieces_drv")

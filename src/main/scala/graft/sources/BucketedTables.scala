@@ -106,18 +106,21 @@ object BucketedTables {
     rewriteBucketed(spark, table, buckets, keyCols, partitionCols)(
       identity)
 
-  /** [[compactBucketed]] with a content transform: rewrite the table
-    * through `transform` under the same staging / drop / rename crash
-    * protocol. This is the MERGE tense of maintenance for append-only
-    * PARTIAL tables whose probe-time meaning is an aggregate of the
-    * rows (the BM25 dfreq partials: per-batch (term, df) rows read as
-    * the per-term SUM — merging them is probe-equivalent and returns
-    * the table to vocabulary size no matter how many batches were
-    * appended). `transform` MUST be idempotent
-    * (`transform(transform(t)) == transform(t)`): crash recovery is
-    * "re-run this method", and a recovered staging copy holds
-    * already-transformed content that then passes through the
-    * transform a second time. */
+  /** Drop both the catalog entry AND the warehouse location of a
+    * managed table. A previous JVM's run leaves the warehouse
+    * directory behind while this session's in-memory catalog is
+    * empty, so DROP TABLE alone cannot see it — and a bare CREATE
+    * then refuses to land on the orphaned location
+    * (LOCATION_ALREADY_EXISTS). Every staging site that re-creates
+    * managed tables across JVMs clears through this one helper. */
+  def dropTableAndDir(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Drop a STALE `_compacting` staging copy (round 16, ADVICE): the
     * crash window AFTER the staging write but BEFORE the live drop
     * leaves BOTH tables in the catalog. The live table is still the
@@ -138,6 +141,18 @@ object BucketedTables {
     } else false
   }
 
+  /** [[compactBucketed]] with a content transform: rewrite the table
+    * through `transform` under the same staging / drop / rename crash
+    * protocol. This is the MERGE tense of maintenance for append-only
+    * PARTIAL tables whose probe-time meaning is an aggregate of the
+    * rows (the BM25 dfreq partials: per-batch (term, df) rows read as
+    * the per-term SUM — merging them is probe-equivalent and returns
+    * the table to vocabulary size no matter how many batches were
+    * appended). `transform` MUST be idempotent
+    * (`transform(transform(t)) == transform(t)`): crash recovery is
+    * "re-run this method", and a recovered staging copy holds
+    * already-transformed content that then passes through the
+    * transform a second time. */
   def rewriteBucketed(spark: SparkSession, table: String, buckets: Int,
                       keyCols: Seq[String],
                       partitionCols: Seq[String] = Nil)(

@@ -164,12 +164,20 @@ def fpsOf(vs: Set[String]): Set[Long] = {
 }
 val sFp = fpsOf(streamAdmitted)
 val bFp = fpsOf(batchAdmitted)
+// oneSurvivorPerKey binds the admitted COUNTS to the key counts: a
+// path that double-admits two docs of one fingerprint group keeps
+// the same fp SET (set equality alone would miss it) but its admit
+// count exceeds its distinct-key count.
+val oneSurvivorPerKey = (streamAdmitted.size == sFp.size &&
+  batchAdmitted.size == bFp.size)
 val swapsExplained = (fpsOf(onlyStream).subsetOf(bFp) &&
   fpsOf(onlyBatch).subsetOf(sFp))
 println(s"PARITY-KEY: fpStream=${sFp.size} fpBatch=${bFp.size} " +
   s"onlyStreamFp=${(sFp -- bFp).size} onlyBatchFp=${(bFp -- sFp).size} " +
+  s"oneSurvivorPerKey=$oneSurvivorPerKey " +
   s"swapsExplained=$swapsExplained " +
-  (if (sFp == bFp && swapsExplained) "OK" else "MISMATCH"))
+  (if (sFp == bFp && oneSurvivorPerKey && swapsExplained) "OK"
+   else "MISMATCH"))
 
 // ---- two-level gate twin (round 11): the SAME streamed door with
 // the semantic gate routed through the hierarchy at FULL wProbe —
