@@ -70,22 +70,43 @@ object ServingBench {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_PROBES (round 16): comma-separated probe subset —
+    // unset runs everything. Deep scale rungs (sf100d+) use this to
+    // run the dense rows without paying the df-linear lexical probes
+    // on the degenerate-vocabulary derived corpus (docs/SCALE.md);
+    // builds are gated on what the selected probes actually read, so
+    // a dense-only run never stages the postings tables at all.
+    val probeFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = probeFilter.forall(_.contains(name))
+    val needPost = Seq("bm25", "pruned", "filtered", "rerank", "hybrid")
+      .exists(wanted)
+    val needDel = wanted("deleted") || wanted("takedown_audit")
+    val needEmbT = Seq("rerank", "hybrid", "ann_pq_store",
+      "ann_ivfpq_store").exists(wanted)
+    val needIvf = Seq("ann_ivf_mem", "ann_ivf_table", "hybrid",
+      "takedown_audit").exists(wanted)
+    val needIvfT = wanted("ann_ivf_table") || wanted("takedown_audit")
+    val needLsh = wanted("ann_lsh_mem") || wanted("ann_lsh_table")
     val buckets = cpus.toInt
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    builds("postings_create") = timed {
+    if (needPost) builds("postings_create") = timed {
       Retrieval.createPostingsIndexTable(docs, "doc_id",
         TA.tokens(col("text")), prefix, buckets)
     }
-    builds("postings_create_victimized") = timed {
-      Retrieval.createPostingsIndexTable(docs, "doc_id",
-        TA.tokens(col("text")), prefixDel, buckets)
+    if (needDel) {
+      builds("postings_create_victimized") = timed {
+        Retrieval.createPostingsIndexTable(docs, "doc_id",
+          TA.tokens(col("text")), prefixDel, buckets)
+      }
+      builds("takedown_delete") = timed {
+        Retrieval.deleteFromPostingsIndexTable(spark,
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+          "doc_id", prefixDel, buckets, batchId = Some(0L))
+      }
     }
-    builds("takedown_delete") = timed {
-      Retrieval.deleteFromPostingsIndexTable(spark,
-        docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
-        "doc_id", prefixDel, buckets, batchId = Some(0L))
-    }
-    builds("embeddings_bucketed") = timed {
+    if (needEmbT) builds("embeddings_bucketed") = timed {
       graft.sources.BucketedTables.writeBucketed(emb, embTable,
         buckets, Seq("vec_id"))
     }
@@ -94,20 +115,20 @@ object ServingBench {
     // outside the timed windows)
     val nVec = emb.filter(col("embedding").isNotNull).count()
     var ivf: Similarity.IvfIndex = null
-    builds("ivf_index") = timed {
+    if (needIvf) builds("ivf_index") = timed {
       ivf = Similarity.ivfIndex(emb, "vec_id", "embedding",
         Similarity.suggestedNCentroids(nVec))
       ivf.assigned.count() // materialize the staged state
     }
-    builds("ivf_table_create") = timed {
+    if (needIvfT) builds("ivf_table_create") = timed {
       Similarity.createIvfIndexTable(ivf, ivftPrefix, buckets)
     }
     var lsh: Similarity.LshIndex = null
-    builds("lsh_index") = timed {
+    if (needLsh) builds("lsh_index") = timed {
       lsh = Similarity.lshIndex(emb, "vec_id", "embedding")
       lsh.buckets.count()
     }
-    builds("lsh_table_create") = timed {
+    if (wanted("ann_lsh_table")) builds("lsh_table_create") = timed {
       Similarity.createLshIndexTable(lsh, lshtPrefix, buckets)
     }
     // PQ / IVFPQ (round 16): these families' staged persistence is the
@@ -135,26 +156,30 @@ object ServingBench {
     val pqStore = new IM.VersionedIndexStore(s"$storeRoot/pq")
     val ivfpqStore = new IM.VersionedIndexStore(s"$storeRoot/ivfpq")
     var pq: Similarity.PqIndex = null
-    builds("pq_index") = timed {
-      pq = Similarity.pqIndex(emb, "vec_id", "embedding")
-      pq.encoded.count()
-    }
-    builds("pq_store_publish") = timed {
-      val v = pqStore.nextVersion()
-      IM.savePqIndex(pq, pqStore.versionDir(v))
-      pqStore.publish(v)
+    if (wanted("ann_pq_store")) {
+      builds("pq_index") = timed {
+        pq = Similarity.pqIndex(emb, "vec_id", "embedding")
+        pq.encoded.count()
+      }
+      builds("pq_store_publish") = timed {
+        val v = pqStore.nextVersion()
+        IM.savePqIndex(pq, pqStore.versionDir(v))
+        pqStore.publish(v)
+      }
     }
     var ivfpq: Similarity.IvfPqIndex = null
-    builds("ivfpq_index") = timed {
-      ivfpq = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-        nCentroids = Similarity.suggestedNCentroids(nVec),
-        trainCoarse = true)
-      ivfpq.encoded.count()
-    }
-    builds("ivfpq_store_publish") = timed {
-      val v = ivfpqStore.nextVersion()
-      IM.saveIvfPqIndex(ivfpq, ivfpqStore.versionDir(v))
-      ivfpqStore.publish(v)
+    if (wanted("ann_ivfpq_store")) {
+      builds("ivfpq_index") = timed {
+        ivfpq = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          nCentroids = Similarity.suggestedNCentroids(nVec),
+          trainCoarse = true)
+        ivfpq.encoded.count()
+      }
+      builds("ivfpq_store_publish") = timed {
+        val v = ivfpqStore.nextVersion()
+        IM.saveIvfPqIndex(ivfpq, ivfpqStore.versionDir(v))
+        ivfpqStore.publish(v)
+      }
     }
 
     // FIXED request set (round 16): a serving request stream does not
@@ -170,18 +195,21 @@ object ServingBench {
     // deliberately still scales with the corpus: a compliance batch
     // is corpus-proportional, and victim-boundedness is the claim
     // that row tests.
-    val qs = docs
+    // lazy: a request frame is only materialized when a selected
+    // probe reads it (hq additionally requires the bucketed
+    // embeddings table, which a dense-only run never stages)
+    lazy val qs = docs
       .filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("query_id"), col("text"))
       .localCheckpoint(true) // query frames are request-side, tiny
-    val allowed = docs.filter(col("lang") === "en").select("doc_id")
+    lazy val allowed = docs.filter(col("lang") === "en").select("doc_id")
       .localCheckpoint(true)
-    val hq = qs.join(spark.table(embTable)
+    lazy val hq = qs.join(spark.table(embTable)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("qv")),
       Seq("query_id"), "left").localCheckpoint(true)
     // dense request side: vector queries, request-sized like qs
-    val vq = emb
+    lazy val vq = emb
       .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .localCheckpoint(true)
     val qToks = slice(TA.tokens(col("text")), 1, 3)
@@ -256,7 +284,13 @@ object ServingBench {
             Similarity.loadIvfIndexTable(spark, ivftPrefix)),
           Retrieval.AnnAuditSurface("ivf_mem", ivf))).count())
     )
-    val medians = probes.map { case (name, run) =>
+    val selected = probes.filter { case (name, _) => wanted(name) }
+    probeFilter.foreach { pf =>
+      val unknown = pf -- probes.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBES names unknown probes: ${unknown.mkString(",")}")
+    }
+    val medians = selected.map { case (name, run) =>
       val times = (1 to reps).map { _ =>
         val t = timed { run(); () }
         // outside the timed window: the pruned probes localCheckpoint
