@@ -127,6 +127,36 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("dropTableAndDir: removes the catalog entry AND an orphaned " +
+    "warehouse directory a previous JVM left behind (round 16)") {
+    import spark.implicits._
+    val data = (0 until 5).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    try {
+      BucketedTables.writeBucketed(data, "orphan_bkt", 2, Seq("k"))
+      // registered table: both entry and directory go
+      BucketedTables.dropTableAndDir(spark, "orphan_bkt")
+      assert(!spark.catalog.tableExists("orphan_bkt"))
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "orphan_bkt")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(loc))
+      // orphaned DIRECTORY with no catalog entry (the killed-JVM
+      // case this helper exists for): a bare CREATE refuses the
+      // location, dropTableAndDir clears it, CREATE then succeeds
+      fs.mkdirs(loc)
+      fs.create(new org.apache.hadoop.fs.Path(loc, "garbage")).close()
+      assertThrows[Exception] {
+        BucketedTables.writeBucketed(data, "orphan_bkt", 2, Seq("k"))
+      }
+      BucketedTables.dropTableAndDir(spark, "orphan_bkt")
+      assert(!fs.exists(loc))
+      BucketedTables.writeBucketed(data, "orphan_bkt", 2, Seq("k"))
+      assert(spark.table("orphan_bkt").count() == 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orphan_bkt")
+    }
+  }
+
   test("compactBucketed crash recovery: half-swapped state resumes, never drops the only copy") {
     import spark.implicits._
     val data = (0 until 30).map(i => (i.toLong, s"p${i % 3}", s"v$i"))
