@@ -106,6 +106,17 @@ object Bpe {
                                       numMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // SCALE-ADAPTIVE partitioning for the iterated state (guide §2.2,
+    // §2.5): the vocab table inherits the corpus shuffle's partition
+    // count, but every round then schedules that many tasks per job —
+    // 2 jobs × numMerges times — over rows that fit a handful of
+    // partitions (Heaps' law keeps |vocab| ≲ 10^7 even at 100 TB).
+    // Size partitions from the ROW COUNT (~500k words each), not from
+    // a local core constant, so a genuinely huge vocab still spreads.
+    val nWords = words.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nWords / 500000L + 1L)).toInt
     // initial symbols via the SAME codepoint splitter encode uses
     // (graft_bpe_encode with an empty merge table = chars) — a regex
     // split('') would keep a trailing "" and break surrogate pairs
@@ -115,6 +126,7 @@ object Bpe {
           .as("syms"),
         col("freq"))
       .filter(size(col("syms")) >= 2)
+      .coalesce(parts)
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var r = 0

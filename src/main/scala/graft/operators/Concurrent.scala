@@ -1,0 +1,40 @@
+package graft.operators
+
+/** Driver-side overlap of INDEPENDENT Spark actions (guide §2.6:
+  * "actions are only sequential because your driver code calls them
+  * sequentially"). A multi-table index create, a multi-surface audit
+  * build, or a multi-count verdict row is a chain of small jobs, each
+  * with a straggler tail that leaves most executors idle; submitting
+  * them from a bounded pool lets the next job's tasks back-fill the
+  * freed slots. Used ONLY where the actions are provably independent
+  * (different output tables/paths, or pure counts over already-staged
+  * state) — never to reorder writes a later read depends on.
+  *
+  * Failure semantics: the first failing thunk's exception propagates
+  * to the caller (the remaining futures are left to finish — Spark
+  * jobs are not interrupted mid-flight, matching what sequential code
+  * would have already paid for completed actions).
+  */
+object Concurrent {
+
+  /** Run each thunk on its own pooled thread and wait for all;
+    * returns results in input order. `parallelism` bounds in-flight
+    * jobs (2-4 is plenty: enough to fill stage tails, not so many
+    * that tiny jobs fight for executors — guide §2.6). */
+  def inParallel[T](thunks: Seq[() => T], parallelism: Int = 4): Seq[T] = {
+    require(parallelism >= 1, s"parallelism must be >= 1: $parallelism")
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, thunks.size))
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally {
+      pool.shutdown(); ()
+    }
+  }
+}

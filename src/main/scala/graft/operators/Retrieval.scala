@@ -98,7 +98,8 @@ object Retrieval {
   }
 
   /** Build the staged index in one corpus pass (the tf table feeds
-    * all three derived tables). */
+    * the two term-keyed derived tables; doclen/stats are map-only —
+    * see [[registryDoclen]]). */
   def postingsIndex(corpus: DataFrame, idCol: String,
                     toks: Column): PostingsIndex = {
     val terms = corpus.select(col(idCol).as("doc"), explode(toks).as("term"))
@@ -106,17 +107,18 @@ object Retrieval {
     val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // doclen is the live-doc REGISTRY (see registryDoclen), PERSISTED
-    // like tf: its plan joins the raw corpus frame, and without the
-    // cache every probe of an in-memory index would re-scan the
+    // like tf: its plan re-tokenizes the raw corpus frame, and without
+    // the cache every probe of an in-memory index would re-scan the
     // corpus per action (the table tense materializes it anyway).
-    val doclen = registryDoclen(corpus, idCol, tf)
+    val doclen = registryDoclen(corpus, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // N from the corpus frame itself (not the tf table) so the
-    // contract survives operators that could one day emit no tokens
-    val stats = corpus.select(count(lit(1)).as("n_docs"))
-      .crossJoin(doclen.select(
-        coalesce(sum("len"), lit(0L)).as("tot_len")))
+    // N and Σlen in ONE aggregation over the (persisted, narrow)
+    // registry — doclen holds exactly one row per corpus doc by
+    // construction, so count(doclen) IS count(corpus), without the
+    // extra corpus scan + cross join the previous form paid
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("len"), lit(0L)).as("tot_len"))
     PostingsIndex(tf, doclen, dfreq, stats, pinned = Seq(tf, doclen))
   }
 
@@ -127,13 +129,23 @@ object Retrieval {
     * or the takedown path could never resolve it (deletes and the
     * erasure audit resolve against doclen) and its n_docs
     * contribution would be undeletable. Probe-neutral: a len-0 doc
-    * matches no term and adds 0 to tot_len. */
+    * matches no term and adds 0 to tot_len.
+    *
+    * Shape (r17): map-only — len = size(toks) (the token count IS
+    * Σ tf per doc; `toks` must be deterministic, which every token
+    * expression in this repo is), with the NULL-tokens registry row
+    * via coalesce. The previous form derived len from the tf table,
+    * which cost a second corpus-keyed shuffle (tf re-aggregated by
+    * doc) plus a corpus⋈aggregate join PER INDEX BUILD; at 100 TB
+    * that shuffle moves corpus-scale rows for a value a projection
+    * already knows. */
   private def registryDoclen(frame: DataFrame, idCol: String,
-                             tf: DataFrame): DataFrame =
-    frame.select(col(idCol).as("doc"))
-      .join(tf.groupBy("doc").agg(sum("tf").as("__len")),
-        Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("__len"), lit(0L)).as("len"))
+                             toks: Column): DataFrame =
+    // size(NULL) is -1 under the session default (the
+    // stripSharedPassages note), hence the explicit guard, not coalesce
+    frame.select(col(idCol).as("doc"),
+      when(toks.isNotNull, size(toks).cast("long"))
+        .otherwise(lit(0L)).as("len"))
 
   /** Fold an admitted batch into the index. Caller contract (shared
     * with every append in this repo): `batch` doc ids are NOT already
@@ -161,12 +173,13 @@ object Retrieval {
     // (doc, 0) row so they stay deletable/auditable), persisted so
     // the growing doclen union does not re-scan every batch frame on
     // every probe action
-    val newLen = registryDoclen(batch, idCol, newTf)
+    val newLen = registryDoclen(batch, idCol, toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newDf = newTf.groupBy("term").agg(count(lit(1)).as("df"))
-    val newStats = batch.select(count(lit(1)).as("n_docs"))
-      .crossJoin(newLen.select(
-        coalesce(sum("len"), lit(0L)).as("tot_len")))
+    // one aggregation over the narrow registry (the postingsIndex
+    // stats stance): count(newLen) IS count(batch)
+    val newStats = newLen.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("len"), lit(0L)).as("tot_len"))
     PostingsIndex(
       ix.postings.unionByName(newTf),
       ix.doclen.unionByName(newLen),
@@ -790,28 +803,37 @@ object Retrieval {
     def base(df: DataFrame) =
       df.withColumn("batch_id", lit(BasePartition))
     try {
-      graft.sources.BucketedTables.writeBucketed(
-        base(ix.postings), postingsTable(prefix), buckets, Seq("term"),
-        partitionCols = part)
-      graft.sources.BucketedTables.writeBucketed(
-        base(ix.doclen), doclenTable(prefix), buckets, Seq("doc"),
-        partitionCols = part)
-      graft.sources.BucketedTables.writeBucketed(
-        base(ix.dfreq), dfreqTable(prefix), buckets, Seq("term"),
-        partitionCols = part)
-      graft.sources.BucketedTables.writeBucketed(
-        base(pruneBounds(ix)), tfmaxTable(prefix), buckets, Seq("term"),
-        partitionCols = part)
-      base(ix.stats).write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").partitionBy("batch_id")
-        .saveAsTable(statsTable(prefix))
-      // the tombstone table starts EMPTY (doc ids deleted but not yet
-      // physically compacted away) — created here so every probe/load
-      // composes the same plan whether or not a delete ever happens
-      graft.sources.BucketedTables.writeBucketed(
-        base(ix.doclen.select("doc").limit(0)), tombTable(prefix),
-        buckets, Seq("doc"), partitionCols = part)
+      // the six writes land in six DIFFERENT tables and all read only
+      // the shared persisted build frames — independent jobs, so
+      // overlap them (guide §2.6): each small bucketed write has a
+      // shuffle + commit tail that would otherwise serialize.
+      // Materialize tf first so the concurrent writers consume the
+      // cache instead of racing to build it.
+      ix.postings.count()
+      Concurrent.inParallel(Seq(
+        () => graft.sources.BucketedTables.writeBucketed(
+          base(ix.postings), postingsTable(prefix), buckets, Seq("term"),
+          partitionCols = part),
+        () => graft.sources.BucketedTables.writeBucketed(
+          base(ix.doclen), doclenTable(prefix), buckets, Seq("doc"),
+          partitionCols = part),
+        () => graft.sources.BucketedTables.writeBucketed(
+          base(ix.dfreq), dfreqTable(prefix), buckets, Seq("term"),
+          partitionCols = part),
+        () => graft.sources.BucketedTables.writeBucketed(
+          base(pruneBounds(ix)), tfmaxTable(prefix), buckets, Seq("term"),
+          partitionCols = part),
+        () => base(ix.stats).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").partitionBy("batch_id")
+          .saveAsTable(statsTable(prefix)),
+        // the tombstone table starts EMPTY (doc ids deleted but not yet
+        // physically compacted away) — created here so every probe/load
+        // composes the same plan whether or not a delete ever happens
+        () => graft.sources.BucketedTables.writeBucketed(
+          base(ix.doclen.select("doc").limit(0)), tombTable(prefix),
+          buckets, Seq("doc"), partitionCols = part)))
+      ()
     } finally ix.unpersist()
   }
 
@@ -1217,24 +1239,29 @@ object Retrieval {
     val nVictims = victims.count()
     if (nVictims == 0) return 0L
     def stamped(df: DataFrame) = df.withColumn("batch_id", lit(pid))
-    graft.sources.BucketedTables.appendBucketed(
-      stamped(victims.select("doc")), tombTable(prefix), buckets,
-      Seq("doc"), partitionCols = Seq("batch_id"))
     // −1 per (term, victim doc): the victims' own postings rows, one
     // row per (doc, term) by construction of the tf table
     val negDf = spark.table(postingsTable(prefix))
       .join(victims.select("doc"), "doc")
       .groupBy("term").agg((-count(lit(1))).as("df"))
-    graft.sources.BucketedTables.appendBucketed(
-      stamped(negDf), dfreqTable(prefix), buckets, Seq("term"),
-      partitionCols = Seq("batch_id"))
     val negStats = victims.agg(
       (-count(lit(1))).as("n_docs"),
       (-coalesce(sum("len"), lit(0L))).as("tot_len"))
-    stamped(negStats).write
-      .mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").partitionBy("batch_id")
-      .saveAsTable(statsTable(prefix))
+    // three appends into three DIFFERENT tables, all reading only the
+    // checkpointed victim set and the (immutable here) postings table
+    // — independent jobs, overlapped (guide §2.6, the
+    // createPostingsIndexTable stance)
+    Concurrent.inParallel(Seq(
+      () => graft.sources.BucketedTables.appendBucketed(
+        stamped(victims.select("doc")), tombTable(prefix), buckets,
+        Seq("doc"), partitionCols = Seq("batch_id")),
+      () => graft.sources.BucketedTables.appendBucketed(
+        stamped(negDf), dfreqTable(prefix), buckets, Seq("term"),
+        partitionCols = Seq("batch_id")),
+      () => stamped(negStats).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").partitionBy("batch_id")
+        .saveAsTable(statsTable(prefix))))
     nVictims
   }
 

@@ -2557,19 +2557,24 @@ object Similarity {
                           buckets: Int): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    index.cents.toDF("cent_id", "cent_vec").write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(ivfCentsTable(prefix))
-    graft.sources.BucketedTables.writeBucketed(
-      index.assigned.select("c_id", "c_vec", "cent_id")
-        .withColumn("batch_id", lit(IvfBasePartition)),
-      ivfAssignedTable(prefix), buckets, Seq("c_id"),
-      partitionCols = Seq("batch_id", "cent_id"))
-    graft.sources.BucketedTables.writeBucketed(
-      index.assigned.select("c_id").limit(0)
-        .withColumn("batch_id", lit(IvfBasePartition)),
-      ivfTombTable(prefix), buckets, Seq("c_id"),
-      partitionCols = Seq("batch_id"))
+    // three DIFFERENT tables (driver-seq cents, the assigned corpus,
+    // the empty tombstone seed) — independent writes, overlapped from
+    // the driver (guide §2.6, the createPostingsIndexTable stance)
+    Concurrent.inParallel(Seq(
+      () => index.cents.toDF("cent_id", "cent_vec").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(ivfCentsTable(prefix)),
+      () => graft.sources.BucketedTables.writeBucketed(
+        index.assigned.select("c_id", "c_vec", "cent_id")
+          .withColumn("batch_id", lit(IvfBasePartition)),
+        ivfAssignedTable(prefix), buckets, Seq("c_id"),
+        partitionCols = Seq("batch_id", "cent_id")),
+      () => graft.sources.BucketedTables.writeBucketed(
+        index.assigned.select("c_id").limit(0)
+          .withColumn("batch_id", lit(IvfBasePartition)),
+        ivfTombTable(prefix), buckets, Seq("c_id"),
+        partitionCols = Seq("batch_id"))))
+    ()
   }
 
   /** The staged coarse quantizer, re-collected (K·dim doubles — the
@@ -2741,26 +2746,30 @@ object Similarity {
                           buckets: Int): Unit = {
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    // the meta row carries BOTH quantizer parameters: the plane count
-    // and (explicit-planes tense) the hyperplanes themselves — empty
-    // array = the seeded pseudo-random planes
-    Seq((index.nPlanes, index.planes.map(_.toSeq)))
-      .toDF("n_planes", "planes").write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(lshMetaTable(prefix))
-    index.dropped.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(lshDroppedTable(prefix))
-    graft.sources.BucketedTables.writeBucketed(
-      index.buckets.select("c_id", "c_vec", "bucket")
-        .withColumn("batch_id", lit(IvfBasePartition)),
-      lshBucketsTable(prefix), buckets, Seq("c_id"),
-      partitionCols = Seq("batch_id", "bucket"))
-    graft.sources.BucketedTables.writeBucketed(
-      index.buckets.select("c_id").limit(0)
-        .withColumn("batch_id", lit(IvfBasePartition)),
-      lshTombTable(prefix), buckets, Seq("c_id"),
-      partitionCols = Seq("batch_id"))
+    // four DIFFERENT tables — independent writes, overlapped from the
+    // driver (guide §2.6, the createPostingsIndexTable stance)
+    Concurrent.inParallel(Seq(
+      // the meta row carries BOTH quantizer parameters: the plane count
+      // and (explicit-planes tense) the hyperplanes themselves — empty
+      // array = the seeded pseudo-random planes
+      () => Seq((index.nPlanes, index.planes.map(_.toSeq)))
+        .toDF("n_planes", "planes").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(lshMetaTable(prefix)),
+      () => index.dropped.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(lshDroppedTable(prefix)),
+      () => graft.sources.BucketedTables.writeBucketed(
+        index.buckets.select("c_id", "c_vec", "bucket")
+          .withColumn("batch_id", lit(IvfBasePartition)),
+        lshBucketsTable(prefix), buckets, Seq("c_id"),
+        partitionCols = Seq("batch_id", "bucket")),
+      () => graft.sources.BucketedTables.writeBucketed(
+        index.buckets.select("c_id").limit(0)
+          .withColumn("batch_id", lit(IvfBasePartition)),
+        lshTombTable(prefix), buckets, Seq("c_id"),
+        partitionCols = Seq("batch_id"))))
+    ()
   }
 
   /** An [[LshIndex]] view over the staged tables — probe with

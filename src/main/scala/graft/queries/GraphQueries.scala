@@ -54,8 +54,16 @@ object GraphQueries {
         .join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + suppOffset).as("supp"))
-      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      // both directions via ONE explode instead of a self-union of the
+      // join subtree — Spark does not dedupe common subtrees, so the
+      // union form ran the lineitem⋈orders join twice (guide §2.4:
+      // same rows, one pass). Row set identical: unionAll keeps
+      // duplicates exactly like the 2-element explode does.
+      val edges = pairs.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst")),
+          struct(col("supp").as("src"), col("cust").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.pagerank(edges, "src", "dst", prIters)
         .select(col("node"), col("rank").as("rank_micro"))
         .orderBy("node")

@@ -1170,9 +1170,16 @@ object TextQueries {
         .filter(col("freq") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val dist = graft.operators.Bpe.trainDistributed(wf, 16)
-        val drv = graft.operators.Bpe.trainDriver(
-          wf.as[(String, Long)].collect(), 16)
+        // the two regimes read ONLY the persisted wf (materialized by
+        // whichever future touches it first — cache locking serializes
+        // the build) and share no mutable state: overlap the 16
+        // distributed rounds with the driver loop (guide §2.6)
+        val regimes = graft.operators.Concurrent.inParallel[Seq[
+          graft.operators.Bpe.Merge]](Seq(
+          () => graft.operators.Bpe.trainDistributed(wf, 16),
+          () => graft.operators.Bpe.trainDriver(
+            wf.as[(String, Long)].collect(), 16)))
+        val (dist, drv) = (regimes(0), regimes(1))
         val nLenDiff = math.abs(dist.size - drv.size).toLong
         val nMergeDiff = dist.zip(drv).count { case (a, b) =>
           a != b }.toLong

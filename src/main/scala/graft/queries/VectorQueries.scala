@@ -378,19 +378,28 @@ object VectorQueries {
       // each ANN index (the expensive artifact) is built/persisted
       // ONCE via the staged entry points and feeds its top-k list;
       // the three recall aggregates union into one plan, so a single
-      // action materializes everything (r4 action item #3)
-      val lsh = Similarity.lshTopKWith(
-        Similarity.lshIndex(emb, "vec_id", "embedding", nPlanes = 4),
+      // action materializes everything (r4 action item #3). The four
+      // builds' EAGER halves (centroid collects, the PQ/IVFPQ Lloyd
+      // trains) are independent driver-launched job chains —
+      // overlapped (guide §2.6); the probe frames stay lazy.
+      var lshIx: Similarity.LshIndex = null
+      var ivfIx: Similarity.IvfIndex = null
+      var pqIx: Similarity.PqIndex = null
+      var ivfpqIx: Similarity.IvfPqIndex = null
+      graft.operators.Concurrent.inParallel(Seq(
+        () => lshIx = Similarity.lshIndex(emb, "vec_id", "embedding",
+          nPlanes = 4),
+        () => ivfIx = Similarity.ivfIndex(emb, "vec_id", "embedding"),
+        () => pqIx = Similarity.pqIndex(emb, "vec_id", "embedding"),
+        () => ivfpqIx = Similarity.ivfPqIndex(emb, "vec_id",
+          "embedding", trainCoarse = true)))
+      val lsh = Similarity.lshTopKWith(lshIx,
         q, "vec_id", "embedding", k)
-      val ivf = Similarity.ivfTopKWith(
-        Similarity.ivfIndex(emb, "vec_id", "embedding"),
+      val ivf = Similarity.ivfTopKWith(ivfIx,
         q, "vec_id", "embedding", k, nProbe = 4)
-      val pq = Similarity.pqTopKWith(
-        Similarity.pqIndex(emb, "vec_id", "embedding"),
+      val pq = Similarity.pqTopKWith(pqIx,
         q, emb, "vec_id", "embedding", k)
-      val ivfpq = Similarity.ivfPqTopKWith(
-        Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-          trainCoarse = true),
+      val ivfpq = Similarity.ivfPqTopKWith(ivfpqIx,
         q, emb, "vec_id", "embedding", k, nProbe = 4)
       // the dim-reduction path measured on the same axis: brute force
       // in the 16-dim projected space vs the 64-dim exact twin — the
@@ -448,11 +457,6 @@ object VectorQueries {
       val nSample = sample.count()
       val exact = Similarity.ivfAssignBroadcast(sample, idx.cents)
         .select(col("c_id"), col("cent_id").as("cent_bc"))
-      val assignDiff = Similarity
-        .ivfAssignLiteral(sample, idx.cents)
-        .select(col("c_id"), col("cent_id"))
-        .join(exact, "c_id")
-        .filter(!(col("cent_id") <=> col("cent_bc"))).count()
       val q = emb.filter(col("vec_id") < nQueries)
       // transport-pinned forms on BOTH sides here too: ivfTopKWith
       // auto-dispatches to XL past the literal boundary (the sf1-scale
@@ -461,8 +465,6 @@ object VectorQueries {
         "embedding", 3, nProbe = 4).select("q_id", "rank", "c_id")
       val xl3 = Similarity.ivfTopKXL(idx, q, "vec_id", "embedding",
         3, nProbe = 4).select("q_id", "rank", "c_id")
-      val probeDiff =
-        lit3.exceptAll(xl3).count() + xl3.exceptAll(lit3).count()
       // two-level contract checkable at ANY corpus: full-probe
       // routing is EXACT (narrow-wProbe agreement is a corpus-shape
       // property — ~0.98 at wProbe=4 on sf0.01 but needing
@@ -472,8 +474,6 @@ object VectorQueries {
       val two = Similarity.ivfAssignTwoLevel(sample, tlq,
         wProbe = tlq.supers.size)
         .select(col("c_id"), col("cent_id").as("cent_tl"))
-      val tlDiff = exact.join(two, "c_id")
-        .filter(!(col("cent_bc") <=> col("cent_tl"))).count()
       // round 11: the hierarchical PROBE twin (the TwoLevelRankKernel
       // through ivfTopKHier) at full wProbe must return exactly the
       // XL probe's results — the query-stage parity of the same
@@ -481,8 +481,6 @@ object VectorQueries {
       val hier3 = Similarity.ivfTopKHier(idx, q, "vec_id", "embedding",
         3, tlq, nProbe = 4, wProbe = tlq.supers.size)
         .select("q_id", "rank", "c_id")
-      val hierDiff =
-        hier3.exceptAll(xl3).count() + xl3.exceptAll(hier3).count()
       // PQ transport parity at the DEFAULT m=8 × ksub=16 shape (128
       // codewords — past CodebookLiteralMax, so production takes the
       // broadcast loop; this pins it against the expression form).
@@ -492,19 +490,38 @@ object VectorQueries {
       // assign parity — the literal form past CodebookLiteralMax is
       // the measured-5x interpreted fold the dispatch avoids, and
       // per-row parity needs row coverage, not corpus volume
-      val book = Similarity.pqTrain(emb, "vec_id", "embedding",
-        8, 16, 2, 2048)
       val sampleEmb = emb
         .filter(pmod(col("vec_id").cast("long"), lit(samStep)) === 0)
-      val pl = Similarity.pqEncodeLiteral(sampleEmb, "vec_id",
-        "embedding", book).select(col("c_id"),
-        col("codes").as("codes_l"), col("c_norm").as("norm_l"))
-      val pb = Similarity.pqEncodeBroadcast(sampleEmb, "vec_id",
-        "embedding", book).select(col("c_id"),
-        col("codes").as("codes_b"), col("c_norm").as("norm_b"))
-      val pqDiff = pl.join(pb, "c_id")
-        .filter(col("codes_l") =!= col("codes_b") ||
-          !(col("norm_l") <=> col("norm_b"))).count()
+      // the five diff counters are INDEPENDENT read-only probes over
+      // already-staged state (persisted sample + idx, or their own
+      // cheap train) — overlapped from the driver (guide §2.6)
+      // instead of eight serialized count() round-trips; the sums are
+      // order-free, so the verdict row is bit-identical
+      val diffs = graft.operators.Concurrent.inParallel[Long](Seq(
+        () => Similarity
+          .ivfAssignLiteral(sample, idx.cents)
+          .select(col("c_id"), col("cent_id"))
+          .join(exact, "c_id")
+          .filter(!(col("cent_id") <=> col("cent_bc"))).count(),
+        () => lit3.exceptAll(xl3).count() + xl3.exceptAll(lit3).count(),
+        () => exact.join(two, "c_id")
+          .filter(!(col("cent_bc") <=> col("cent_tl"))).count(),
+        () => hier3.exceptAll(xl3).count() +
+          xl3.exceptAll(hier3).count(),
+        () => {
+          val book = Similarity.pqTrain(emb, "vec_id", "embedding",
+            8, 16, 2, 2048)
+          val pl = Similarity.pqEncodeLiteral(sampleEmb, "vec_id",
+            "embedding", book).select(col("c_id"),
+            col("codes").as("codes_l"), col("c_norm").as("norm_l"))
+          val pb = Similarity.pqEncodeBroadcast(sampleEmb, "vec_id",
+            "embedding", book).select(col("c_id"),
+            col("codes").as("codes_b"), col("c_norm").as("norm_b"))
+          pl.join(pb, "c_id")
+            .filter(col("codes_l") =!= col("codes_b") ||
+              !(col("norm_l") <=> col("norm_b"))).count()
+        }))
+      val Seq(assignDiff, probeDiff, tlDiff, hierDiff, pqDiff) = diffs
       // every compare above is an eager count, so nothing still needs
       // the caches — release them here rather than letting them pile
       // up across a 132-query sweep (the sweep-inflation failure mode
@@ -686,33 +703,7 @@ object VectorQueries {
       val req = emb
         .filter(col("vec_id") % 7 === 0 || col("vec_id") % 50 === 0)
         .select("vec_id")
-      // lexical surface: postings tables + gated tombstone delete
       val prefix = "graft_ann_audit_bm25"
-      dropTables(s, Retrieval.indexTableNames(prefix))
-      Retrieval.createPostingsIndexTable(docs, "doc_id",
-        graft.operators.TextAnalysis.tokens(col("text")), prefix,
-        buckets = 8)
-      Retrieval.deleteFromPostingsIndexTable(s,
-        docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
-        "doc_id", prefix, buckets = 8, batchId = Some(0L))
-      // dense surfaces: live handles, deleted per family
-      val ivfFull = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        persistIndex = false)
-      val ivf = Similarity.deleteFromIvfIndex(ivfFull, victims,
-        "vec_id")
-      val lsh = Similarity.deleteFromLshIndex(
-        Similarity.lshIndex(emb, "vec_id", "embedding", nPlanes = 4,
-          bucketCap = Int.MaxValue, persistIndex = false),
-        victims, "vec_id")
-      val pq = Similarity.deleteFromPqIndex(
-        Similarity.pqIndex(emb, "vec_id", "embedding",
-          persistIndex = false), victims, "vec_id")
-      val ivfpq = Similarity.deleteFromIvfPqIndex(
-        Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-          persistIndex = false), victims, "vec_id")
-      // the versioned-store lifecycle on the IVF family: v0 full
-      // published, then the takedown's delete → save → publish as v1;
-      // v0 stays on disk (retained) until a retention GC
       val fsRoot = new org.apache.hadoop.fs.Path(
         System.getProperty("java.io.tmpdir"), "graft_ann_audit")
       val fs = fsRoot.getFileSystem(
@@ -721,20 +712,59 @@ object VectorQueries {
       val storeRoot = new org.apache.hadoop.fs.Path(fsRoot, "store")
       val store = new IndexMaintenance.VersionedIndexStore(
         storeRoot.toString)
-      val v0 = store.nextVersion()
-      IndexMaintenance.saveIvfIndex(ivfFull, store.versionDir(v0))
-      store.publish(v0)
-      val v1 = store.nextVersion()
-      IndexMaintenance.saveIvfIndex(ivf, store.versionDir(v1))
-      store.publish(v1)
-      // the landing surface: batch_id-partitioned corpus, purged
       val landing = new org.apache.hadoop.fs.Path(fsRoot, "landing")
         .toString
-      emb.withColumn("batch_id", (col("vec_id") % 5).cast("long"))
-        .write.partitionBy("batch_id").mode("overwrite")
-        .parquet(landing)
-      graft.streaming.StreamingOps.purgeFromLanding(s, landing,
-        victims, "vec_id")
+      // the five surfaces write DISJOINT state (postings tables, the
+      // IVF store dirs, the landing dir; LSH/PQ/IVFPQ handles are
+      // in-memory builds) — independent job chains, overlapped from
+      // the driver (guide §2.6) instead of serializing five build
+      // tails. Handles land in vars; inParallel joins before any read.
+      var ivf: Similarity.IvfIndex = null
+      var lsh: Similarity.LshIndex = null
+      var pq: Similarity.PqIndex = null
+      var ivfpq: Similarity.IvfPqIndex = null
+      graft.operators.Concurrent.inParallel(Seq(
+        () => { // lexical surface: postings tables + gated tombstone delete
+          dropTables(s, Retrieval.indexTableNames(prefix))
+          Retrieval.createPostingsIndexTable(docs, "doc_id",
+            graft.operators.TextAnalysis.tokens(col("text")), prefix,
+            buckets = 8)
+          Retrieval.deleteFromPostingsIndexTable(s,
+            docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+            "doc_id", prefix, buckets = 8, batchId = Some(0L))
+          ()
+        },
+        () => { // IVF family + the versioned-store lifecycle: v0 full
+          // published, then the takedown's delete → save → publish as
+          // v1; v0 stays on disk (retained) until a retention GC
+          val ivfFull = Similarity.ivfIndex(emb, "vec_id", "embedding",
+            persistIndex = false)
+          ivf = Similarity.deleteFromIvfIndex(ivfFull, victims,
+            "vec_id")
+          val v0 = store.nextVersion()
+          IndexMaintenance.saveIvfIndex(ivfFull, store.versionDir(v0))
+          store.publish(v0)
+          val v1 = store.nextVersion()
+          IndexMaintenance.saveIvfIndex(ivf, store.versionDir(v1))
+          store.publish(v1)
+        },
+        () => lsh = Similarity.deleteFromLshIndex(
+          Similarity.lshIndex(emb, "vec_id", "embedding", nPlanes = 4,
+            bucketCap = Int.MaxValue, persistIndex = false),
+          victims, "vec_id"),
+        () => pq = Similarity.deleteFromPqIndex(
+          Similarity.pqIndex(emb, "vec_id", "embedding",
+            persistIndex = false), victims, "vec_id"),
+        () => ivfpq = Similarity.deleteFromIvfPqIndex(
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+            persistIndex = false), victims, "vec_id"),
+        () => { // the landing surface: batch_id-partitioned corpus, purged
+          emb.withColumn("batch_id", (col("vec_id") % 5).cast("long"))
+            .write.partitionBy("batch_id").mode("overwrite")
+            .parquet(landing)
+          graft.streaming.StreamingOps.purgeFromLanding(s, landing,
+            victims, "vec_id")
+        }))
       Retrieval.takedownAuditAll(s, req, "vec_id",
           postingsPrefix = Some(prefix),
           ann = Seq(
