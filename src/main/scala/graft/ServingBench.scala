@@ -79,6 +79,26 @@ object ServingBench {
     val probeFilter: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_PROBES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Validate the subset BEFORE any build runs (ADVICE r16): a typo
+    // alongside valid names used to pay minutes-to-hours of deep-rung
+    // index builds before failing at the probe table. The name list is
+    // the static registry below (kept adjacent so adding a probe
+    // without extending it fails THIS require on first use).
+    val knownProbes = Set("bm25", "pruned", "filtered", "deleted",
+      "rerank", "hybrid", "ann_ivf_mem", "ann_ivf_table", "ann_lsh_mem",
+      "ann_lsh_table", "ann_pq_store", "ann_ivfpq_store",
+      "takedown_audit")
+    probeFilter.foreach { pf =>
+      require(pf.nonEmpty,
+        "SPARK_GRAFT_PROBES is set but names no probes — unset it for " +
+          "a full run or name a subset of: " +
+          knownProbes.toSeq.sorted.mkString(","))
+      val unknown = pf -- knownProbes
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBES names unknown probes: " +
+          s"${unknown.mkString(",")} (known: " +
+          knownProbes.toSeq.sorted.mkString(",") + ")")
+    }
     def wanted(name: String): Boolean = probeFilter.forall(_.contains(name))
     val needPost = Seq("bm25", "pruned", "filtered", "rerank", "hybrid")
       .exists(wanted)
@@ -285,11 +305,13 @@ object ServingBench {
           Retrieval.AnnAuditSurface("ivf_mem", ivf))).count())
     )
     val selected = probes.filter { case (name, _) => wanted(name) }
-    probeFilter.foreach { pf =>
-      val unknown = pf -- probes.map(_._1).toSet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_PROBES names unknown probes: ${unknown.mkString(",")}")
-    }
+    // the registry and the static knownProbes list above must agree —
+    // this is the guard that makes a probe added without extending the
+    // early validation fail loudly instead of silently drifting
+    require(probes.map(_._1).toSet == knownProbes,
+      "probe registry and knownProbes drifted: registry=" +
+        probes.map(_._1).mkString(",") + " known=" +
+        knownProbes.toSeq.sorted.mkString(","))
     val medians = selected.map { case (name, run) =>
       val times = (1 to reps).map { _ =>
         val t = timed { run(); () }

@@ -891,8 +891,10 @@ object Retrieval {
     batchId.foreach { id =>
       require(id >= 0, s"gated batch ids are non-negative, got $id " +
         s"($BasePartition is the reserved base partition)")
-      allTables(prefix).foreach(t => spark.sql(
-        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)"))
+      // five independent single-table DDLs — overlapped (guide §2.6)
+      Concurrent.inParallel(allTables(prefix).map(t => () => spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$id)")))
+      ()
     }
     val ix = postingsIndex(batch, idCol, toks)
     val part = Seq("batch_id")
@@ -1222,8 +1224,10 @@ object Retrieval {
         tombTable(prefix), buckets, Seq("doc"),
         partitionCols = Seq("batch_id"))
     batchId.foreach { _ =>
-      deleteTables(prefix).foreach(t => spark.sql(
-        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$pid)"))
+      // three independent single-table DDLs — overlapped (guide §2.6)
+      Concurrent.inParallel(deleteTables(prefix).map(t => () => spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch_id=$pid)")))
+      ()
     }
     // resolve against the live set, then MATERIALIZE: the victim set
     // is read from the very tables the writes below mutate (the

@@ -24,8 +24,10 @@ object TextQueries {
     * over an orphaned location — drop both the catalog entries and
     * any stale directories first. */
   private def dropBm25Tables(s: SparkSession, prefix: String): Unit =
-    graft.operators.Retrieval.indexTableNames(prefix)
-      .foreach(graft.sources.BucketedTables.dropTableAndDir(s, _))
+    // six independent catalog+fs drops — overlapped (guide §2.6)
+    graft.operators.Concurrent.inParallel(
+      graft.operators.Retrieval.indexTableNames(prefix).map(t =>
+        () => graft.sources.BucketedTables.dropTableAndDir(s, t)))
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
 

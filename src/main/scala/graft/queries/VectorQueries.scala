@@ -26,7 +26,9 @@ object VectorQueries {
     * ([[graft.sources.BucketedTables.dropTableAndDir]] — the shared
     * cross-JVM staging-cleanup helper). */
   private def dropTables(s: SparkSession, names: Seq[String]): Unit =
-    names.foreach(graft.sources.BucketedTables.dropTableAndDir(s, _))
+    // independent catalog+fs drops — overlapped (guide §2.6)
+    graft.operators.Concurrent.inParallel(names.map(t =>
+      () => graft.sources.BucketedTables.dropTableAndDir(s, t)))
 
   /** The 16 smallest non-null vec_ids' vectors — the explicit
     * quantizer both IVF tenses and the PQ codebook derive from (ONE

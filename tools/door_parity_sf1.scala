@@ -170,14 +170,26 @@ val bFp = fpsOf(batchAdmitted)
 // count exceeds its distinct-key count.
 val oneSurvivorPerKey = (streamAdmitted.size == sFp.size &&
   batchAdmitted.size == bFp.size)
-val swapsExplained = (fpsOf(onlyStream).subsetOf(bFp) &&
-  fpsOf(onlyBatch).subsetOf(sFp))
+// NOTE (ADVICE r16): the old swapsExplained conjunct was vacuous in
+// the OK case — fpsOf(onlyStream) ⊆ sFp by construction, and OK
+// already requires sFp == bFp, so it could never independently fail.
+// The property it gestured at (every swapped class sits inside a key
+// group with exactly one survivor per side) is IMPLIED by
+// sFp == bFp && oneSurvivorPerKey: Σ per-key survivors == |keys|
+// forces every per-key count to 1. The binding check is therefore
+// those two; the subset form is kept ONLY as a diagnostic printed on
+// mismatch to localize which side dropped a key group.
 println(s"PARITY-KEY: fpStream=${sFp.size} fpBatch=${bFp.size} " +
   s"onlyStreamFp=${(sFp -- bFp).size} onlyBatchFp=${(bFp -- sFp).size} " +
   s"oneSurvivorPerKey=$oneSurvivorPerKey " +
-  s"swapsExplained=$swapsExplained " +
-  (if (sFp == bFp && oneSurvivorPerKey && swapsExplained) "OK"
+  (if (sFp == bFp && oneSurvivorPerKey) "OK"
    else "MISMATCH"))
+if (sFp != bFp) {
+  println("  diag: onlyStream-class fps admitted by batch? " +
+    fpsOf(onlyStream).subsetOf(bFp) +
+    "; onlyBatch-class fps admitted by stream? " +
+    fpsOf(onlyBatch).subsetOf(sFp))
+}
 
 // ---- two-level gate twin (round 11): the SAME streamed door with
 // the semantic gate routed through the hierarchy at FULL wProbe —
