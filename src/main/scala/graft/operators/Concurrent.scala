@@ -14,8 +14,36 @@ package graft.operators
   * to the caller (the remaining futures are left to finish — Spark
   * jobs are not interrupted mid-flight, matching what sequential code
   * would have already paid for completed actions).
+  *
+  * SHARED-LINEAGE CONTRACT (found as a torn-row corruption in r17's
+  * IVF-table spec): two thunks must NOT consume DataFrames that share
+  * an UNCACHED, UNCHECKPOINTED logical subtree. Concurrent
+  * optimization of both plans can run ConvertToLocalRelation over the
+  * SAME expression instances, and interpreted higher-order functions
+  * keep their lambda slots in the expression instance — two driver
+  * threads evaluating them at once interleave rows (manifest when the
+  * shared input is a LocalRelation, i.e. any in-memory fixture).
+  * Safe sharing: persisted frames (cache-substituted at plan time),
+  * localCheckpointed frames (LogicalRDD), catalog tables, parquet
+  * scans. For an empty schema seed use [[emptyLike]], never
+  * `df.limit(0)`.
   */
 object Concurrent {
+
+  /** An EMPTY frame with `df`'s schema that shares NO logical subtree
+    * with `df` — the safe "schema seed" for a parallel write group.
+    * `df.limit(0)` keeps the full plan underneath, and two
+    * concurrently-optimized plans over shared expression instances
+    * race in ConvertToLocalRelation's driver-side interpreted
+    * evaluation (instance-held lambda slots in higher-order
+    * functions) — torn rows when the shared input is a LocalRelation.
+    * Schema access below only ANALYZES `df` (no evaluation). */
+  def emptyLike(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
 
   /** Run each thunk on its own pooled thread and wait for all;
     * returns results in input order. `parallelism` bounds in-flight

@@ -829,10 +829,14 @@ object Retrieval {
           .saveAsTable(statsTable(prefix)),
         // the tombstone table starts EMPTY (doc ids deleted but not yet
         // physically compacted away) — created here so every probe/load
-        // composes the same plan whether or not a delete ever happens
+        // composes the same plan whether or not a delete ever happens.
+        // Fresh empty frame, not doclen.limit(0): the Concurrent
+        // contract forbids parallel thunks sharing an uncached subtree
+        // (doclen is persisted, so limit(0) would be cache-substituted
+        // and safe today — emptyLike keeps it safe if that ever moves)
         () => graft.sources.BucketedTables.writeBucketed(
-          base(ix.doclen.select("doc").limit(0)), tombTable(prefix),
-          buckets, Seq("doc"), partitionCols = part)))
+          base(Concurrent.emptyLike(ix.doclen.select("doc"))),
+          tombTable(prefix), buckets, Seq("doc"), partitionCols = part)))
       ()
     } finally ix.unpersist()
   }

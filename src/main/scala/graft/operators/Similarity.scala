@@ -2559,7 +2559,19 @@ object Similarity {
     import spark.implicits._
     // three DIFFERENT tables (driver-seq cents, the assigned corpus,
     // the empty tombstone seed) — independent writes, overlapped from
-    // the driver (guide §2.6, the createPostingsIndexTable stance)
+    // the driver (guide §2.6, the createPostingsIndexTable stance).
+    // CONCURRENCY CONTRACT (learned the hard way in r17): thunks run
+    // in parallel must not SHARE an uncached logical subtree — two
+    // concurrently-optimized plans over the same expression instances
+    // let ConvertToLocalRelation evaluate shared interpreted
+    // higher-order lambdas driver-side on two threads at once
+    // (instance-held lambda slots → torn rows when the input is a
+    // LocalRelation, the spec-fixture case). Hence the tombstone seed
+    // is a FRESH empty frame with the assigned schema, never
+    // `assigned.limit(0)`.
+    val tombSeed = Concurrent.emptyLike(
+      index.assigned.select(col("c_id")))
+      .withColumn("batch_id", lit(IvfBasePartition))
     Concurrent.inParallel(Seq(
       () => index.cents.toDF("cent_id", "cent_vec").write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2570,9 +2582,7 @@ object Similarity {
         ivfAssignedTable(prefix), buckets, Seq("c_id"),
         partitionCols = Seq("batch_id", "cent_id")),
       () => graft.sources.BucketedTables.writeBucketed(
-        index.assigned.select("c_id").limit(0)
-          .withColumn("batch_id", lit(IvfBasePartition)),
-        ivfTombTable(prefix), buckets, Seq("c_id"),
+        tombSeed, ivfTombTable(prefix), buckets, Seq("c_id"),
         partitionCols = Seq("batch_id"))))
     ()
   }
@@ -2747,7 +2757,14 @@ object Similarity {
     val spark = index.buckets.sparkSession
     import spark.implicits._
     // four DIFFERENT tables — independent writes, overlapped from the
-    // driver (guide §2.6, the createPostingsIndexTable stance)
+    // driver (guide §2.6, the createPostingsIndexTable stance), under
+    // createIvfIndexTable's concurrency contract: `dropped` and
+    // `buckets` can share the (possibly uncached) index subtree, so
+    // they write from ONE thread; the tombstone seed is a fresh empty
+    // frame, never `buckets.limit(0)`.
+    val tombSeed = Concurrent.emptyLike(
+      index.buckets.select(col("c_id")))
+      .withColumn("batch_id", lit(IvfBasePartition))
     Concurrent.inParallel(Seq(
       // the meta row carries BOTH quantizer parameters: the plane count
       // and (explicit-planes tense) the hyperplanes themselves — empty
@@ -2756,18 +2773,18 @@ object Similarity {
         .toDF("n_planes", "planes").write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(lshMetaTable(prefix)),
-      () => index.dropped.write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(lshDroppedTable(prefix)),
+      () => {
+        graft.sources.BucketedTables.writeBucketed(
+          index.buckets.select("c_id", "c_vec", "bucket")
+            .withColumn("batch_id", lit(IvfBasePartition)),
+          lshBucketsTable(prefix), buckets, Seq("c_id"),
+          partitionCols = Seq("batch_id", "bucket"))
+        index.dropped.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(lshDroppedTable(prefix))
+      },
       () => graft.sources.BucketedTables.writeBucketed(
-        index.buckets.select("c_id", "c_vec", "bucket")
-          .withColumn("batch_id", lit(IvfBasePartition)),
-        lshBucketsTable(prefix), buckets, Seq("c_id"),
-        partitionCols = Seq("batch_id", "bucket")),
-      () => graft.sources.BucketedTables.writeBucketed(
-        index.buckets.select("c_id").limit(0)
-          .withColumn("batch_id", lit(IvfBasePartition)),
-        lshTombTable(prefix), buckets, Seq("c_id"),
+        tombSeed, lshTombTable(prefix), buckets, Seq("c_id"),
         partitionCols = Seq("batch_id"))))
     ()
   }
