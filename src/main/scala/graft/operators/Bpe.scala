@@ -86,11 +86,12 @@ object Bpe {
       .filter(col("freq") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (wf.count() <= maxDriverWords) {
+      val n = wf.count()
+      if (n <= maxDriverWords) {
         val spark = wf.sparkSession
         import spark.implicits._
         trainDriver(wf.as[(String, Long)].collect(), numMerges)
-      } else trainDistributed(wf, numMerges)
+      } else trainDistributed(wf, numMerges, rowCount = Some(n))
     } finally wf.unpersist()
   }
 
@@ -103,7 +104,9 @@ object Bpe {
     * bench-sized merge counts, the reason [[trainDriver]] exists for
     * production vocabularies. */
   private[graft] def trainDistributed(words: DataFrame,
-                                      numMerges: Int): Seq[Merge] = {
+                                      numMerges: Int,
+                                      rowCount: Option[Long] = None)
+  : Seq[Merge] = {
     val spark = words.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // SCALE-ADAPTIVE partitioning for the iterated state (guide §2.2,
@@ -113,7 +116,9 @@ object Bpe {
     // partitions (Heaps' law keeps |vocab| ≲ 10^7 even at 100 TB).
     // Size partitions from the ROW COUNT (~500k words each), not from
     // a local core constant, so a genuinely huge vocab still spreads.
-    val nWords = words.count()
+    // `rowCount` lets the regime dispatcher (train) pass the count it
+    // already paid for instead of re-scanning the input.
+    val nWords = rowCount.getOrElse(words.count())
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       nWords / 500000L + 1L)).toInt

@@ -10,10 +10,13 @@ package graft.operators
   * (different output tables/paths, or pure counts over already-staged
   * state) — never to reorder writes a later read depends on.
   *
-  * Failure semantics: the first failing thunk's exception propagates
-  * to the caller (the remaining futures are left to finish — Spark
-  * jobs are not interrupted mid-flight, matching what sequential code
-  * would have already paid for completed actions).
+  * Failure semantics: ALL thunks are awaited to completion (each
+  * wrapped in Try), then the FIRST failure — in input order — is
+  * rethrown. Waiting out the stragglers matters: rethrowing while
+  * sibling writes are still committing would let a caller's
+  * cleanup/retry (drop table, fs delete) race zombie commits for the
+  * same locations — the sequential semantics callers rely on is
+  * "when this returns or throws, nothing is still running".
   *
   * SHARED-LINEAGE CONTRACT (found as a torn-row corruption in r17's
   * IVF-table spec): two thunks must NOT consume DataFrames that share
@@ -57,10 +60,15 @@ object Concurrent {
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val fs = thunks.map(t => scala.concurrent.Future(t()))
-      scala.concurrent.Await.result(
+      // Try-wrapped so a failure never leaves siblings in flight:
+      // every future runs to completion before the first error (in
+      // input order) is rethrown — see the failure-semantics note
+      val fs = thunks.map(t =>
+        scala.concurrent.Future(scala.util.Try(t())))
+      val done = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration.Inf)
+      done.map(_.get)
     } finally {
       pool.shutdown(); ()
     }

@@ -807,9 +807,13 @@ object Retrieval {
       // the shared persisted build frames — independent jobs, so
       // overlap them (guide §2.6): each small bucketed write has a
       // shuffle + commit tail that would otherwise serialize.
-      // Materialize tf first so the concurrent writers consume the
-      // cache instead of racing to build it.
-      ix.postings.count()
+      // Materialize BOTH persisted build frames first (themselves two
+      // independent jobs) so the concurrent writers consume caches
+      // instead of contending on block locks to build them: tf feeds
+      // 3 writers, doclen (a full corpus re-tokenization) feeds 2.
+      Concurrent.inParallel(Seq(
+        () => { ix.postings.count(); () },
+        () => { ix.doclen.count(); () }))
       Concurrent.inParallel(Seq(
         () => graft.sources.BucketedTables.writeBucketed(
           base(ix.postings), postingsTable(prefix), buckets, Seq("term"),

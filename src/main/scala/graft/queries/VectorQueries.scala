@@ -498,18 +498,28 @@ object VectorQueries {
       // already-staged state (persisted sample + idx, or their own
       // cheap train) — overlapped from the driver (guide §2.6)
       // instead of eight serialized count() round-trips; the sums are
-      // order-free, so the verdict row is bit-identical
+      // order-free, so the verdict row is bit-identical. The two
+      // frames consumed by MORE THAN ONE thunk (`exact`, `xl3`) are
+      // eagerly checkpointed first — the Concurrent SHARED-LINEAGE
+      // CONTRACT wants LogicalRDDs for cross-thunk sharing, and both
+      // are tiny (≤ sample / |q|·k rows); the checkpoints themselves
+      // share only persisted/parquet inputs, so they overlap too.
+      val shared = graft.operators.Concurrent.inParallel(Seq(
+        () => exact.localCheckpoint(true),
+        () => xl3.localCheckpoint(true)))
+      val (exactC, xl3C) = (shared(0), shared(1))
       val diffs = graft.operators.Concurrent.inParallel[Long](Seq(
         () => Similarity
           .ivfAssignLiteral(sample, idx.cents)
           .select(col("c_id"), col("cent_id"))
-          .join(exact, "c_id")
+          .join(exactC, "c_id")
           .filter(!(col("cent_id") <=> col("cent_bc"))).count(),
-        () => lit3.exceptAll(xl3).count() + xl3.exceptAll(lit3).count(),
-        () => exact.join(two, "c_id")
+        () => lit3.exceptAll(xl3C).count() +
+          xl3C.exceptAll(lit3).count(),
+        () => exactC.join(two, "c_id")
           .filter(!(col("cent_bc") <=> col("cent_tl"))).count(),
-        () => hier3.exceptAll(xl3).count() +
-          xl3.exceptAll(hier3).count(),
+        () => hier3.exceptAll(xl3C).count() +
+          xl3C.exceptAll(hier3).count(),
         () => {
           val book = Similarity.pqTrain(emb, "vec_id", "embedding",
             8, 16, 2, 2048)
@@ -700,8 +710,15 @@ object VectorQueries {
       import graft.operators.{IndexMaintenance, Retrieval}
       val emb = t(s, d, "embeddings")
       val docs = t(s, d, "documents")
+      // eagerly checkpointed: five parallel surface branches below
+      // consume this frame — the Concurrent SHARED-LINEAGE CONTRACT
+      // wants a LogicalRDD (and the checkpoint also stops five
+      // concurrent re-scans of the filter; per-call state the
+      // ContextCleaner reclaims, the deleteFromPostingsIndexTable
+      // stance)
       val victims = emb.filter(col("vec_id") % 7 === 0)
         .select("vec_id")
+        .localCheckpoint(true)
       val req = emb
         .filter(col("vec_id") % 7 === 0 || col("vec_id") % 50 === 0)
         .select("vec_id")
