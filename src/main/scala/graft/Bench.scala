@@ -113,7 +113,30 @@ object Bench {
         "single-jvm-sweep: per-query values can be inflated by " +
           "accumulated pressure; isolate per-query before comparing " +
           "(docs/SCALE.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors,"protocol":"$protocol"$filtered}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors,"protocol":"$protocol"$filtered}"""
+    println(full)
+    // The full contract line above is ~4.5 KB for a 144-query sweep;
+    // a consumer that captures only a tail window of stdout (observed:
+    // 2000 chars in BENCH_r16/r17, which left `parsed: null` two
+    // rounds running) can never see its start. Additions only, no
+    // timed-region change: (a) the full line is ALSO written to a
+    // sidecar file, (b) a COMPACT final line — total/sf/reps/
+    // n_queries/errors/cpus, no per-query map — is printed last so any
+    // last-JSON-line or tail-window parser finds a complete object.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "docs/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(sidecar)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch {
+      // a bench run must never fail because the sidecar location is
+      // unwritable (e.g. invoked outside the repo); the stdout lines
+      // still carry everything
+      case e: Exception =>
+        System.err.println(s"[bench] sidecar write failed ($sidecar): $e")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"errors":$errors,"cpus":$cpus,"queries_file":"$sidecar"$filtered}""")
     spark.stop()
     if (errors > 0) sys.exit(2)
   }
