@@ -98,11 +98,13 @@ object Bpe {
   /** The distributed merge rounds — the over-bound fallback. Each
     * round: explode adjacent symbol pairs weighted by freq,
     * partial+final aggregate, 1-row argmax to the driver, apply the
-    * winner with the codegen `graft_bpe_merge` literal.
-    * localCheckpoint truncates per-round lineage so round r never
-    * replays rounds 1..r-1. ~2 scheduled jobs per merge — fine for
-    * bench-sized merge counts, the reason [[trainDriver]] exists for
-    * production vocabularies. */
+    * winner with the codegen `graft_bpe_merge` literal (fused lazily
+    * into the next round's scan; lineage truncated every few rounds —
+    * see the cadence note below — so round r never replays rounds
+    * 1..r-1 beyond the current fusion window). ~1 scheduled job per
+    * merge plus a truncation job per cadence — fine for bench-sized
+    * merge counts, the reason [[trainDriver]] exists for production
+    * vocabularies. */
   private[graft] def trainDistributed(words: DataFrame,
                                       numMerges: Int,
                                       rowCount: Option[Long] = None)
@@ -111,11 +113,15 @@ object Bpe {
     graft.functions.GraftFunctions.register(spark)
     // SCALE-ADAPTIVE partitioning for the iterated state (guide §2.2,
     // §2.5): the vocab table inherits the corpus shuffle's partition
-    // count, but every round then schedules that many tasks per job —
-    // 2 jobs × numMerges times — over rows that fit a handful of
-    // partitions (Heaps' law keeps |vocab| ≲ 10^7 even at 100 TB).
-    // Size partitions from the ROW COUNT (~500k words each), not from
-    // a local core constant, so a genuinely huge vocab still spreads.
+    // count, but every round then schedules that many tasks per job
+    // over rows that fit a handful of partitions (Heaps' law keeps
+    // |vocab| ≲ 10^7 even at 100 TB). Sized from the ROW COUNT
+    // (~500k words each), capped at defaultParallelism. NOTE this
+    // coalesce only TRIMS excess tasks — it never raises the partition
+    // count when the input arrives narrower than `parts` (coalesce
+    // cannot add spread, and paying a repartition shuffle to spread a
+    // vocab-sized table across 16 scans costs more than the narrow
+    // scans do).
     // `rowCount` lets the regime dispatcher (train) pass the count it
     // already paid for instead of re-scanning the input.
     val nWords = rowCount.getOrElse(words.count())
@@ -136,6 +142,17 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var done = false
+    // Lineage-truncation CADENCE, not per-round truncation: applying a
+    // merge is one cheap codegen kernel per row, so letting a few
+    // rounds' merge projections fuse lazily into the next round's
+    // count scan costs O(CheckpointEvery) extra kernel calls per row —
+    // while checkpointing every round costs a FULL extra scheduled job
+    // per merge (materialize + block store). Bit-parity is untouched:
+    // the same kernels run in the same order, eagerly or fused
+    // (dispatch-transparency spec). The plan still cannot grow
+    // unboundedly — every CheckpointEvery-th round truncates.
+    val CheckpointEvery = 4
+    var sinceCkpt = 0
     while (r < numMerges && !done) {
       // adjacent pairs weighted by word freq; words already fully
       // merged into one symbol carry no pairs and drop out of the scan
@@ -152,13 +169,22 @@ object Bpe {
         val (l, rr, c) = (win(0).getString(0), win(0).getString(1),
           win(0).getLong(2))
         merges += Merge(r, l, rr, c)
-        val next = syms.select(
-            call_function("graft_bpe_merge", col("syms"), lit(l), lit(rr))
-              .as("syms"), col("freq"))
-          .filter(size(col("syms")) >= 2)
-          .localCheckpoint(true)
-        syms = next
         r += 1
+        // the FINAL winning pair is never applied: the merge table is
+        // complete and no later round reads the merged symbols —
+        // applying + checkpointing it was one whole wasted job per
+        // training call
+        if (r < numMerges) {
+          val next = syms.select(
+              call_function("graft_bpe_merge", col("syms"), lit(l), lit(rr))
+                .as("syms"), col("freq"))
+            .filter(size(col("syms")) >= 2)
+          sinceCkpt += 1
+          syms =
+            if (sinceCkpt >= CheckpointEvery) {
+              sinceCkpt = 0; next.localCheckpoint(true)
+            } else next
+        }
       }
     }
     merges.result()

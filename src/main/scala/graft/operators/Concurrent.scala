@@ -48,29 +48,81 @@ object Concurrent {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
+  /** Default wall-clock bound for [[inParallel]]: a hang-breaker, not
+    * a tuning knob. One wedged job on an unbounded await hangs the
+    * whole query forever with no interrupt path; a generous finite
+    * default (24 h, override via `-Dgraft.concurrent.timeout.seconds`)
+    * keeps every legitimate workload untouched while giving a stuck
+    * deployment a loud TimeoutException instead of a silent hang. */
+  private[graft] def defaultTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      sys.props.get("graft.concurrent.timeout.seconds")
+        .map(_.toLong).getOrElse(86400L),
+      java.util.concurrent.TimeUnit.SECONDS)
+
   /** Run each thunk on its own pooled thread and wait for all;
     * returns results in input order. `parallelism` bounds in-flight
     * jobs (2-4 is plenty: enough to fill stage tails, not so many
-    * that tiny jobs fight for executors — guide §2.6). */
-  def inParallel[T](thunks: Seq[() => T], parallelism: Int = 4): Seq[T] = {
+    * that tiny jobs fight for executors — guide §2.6).
+    *
+    * Every future is awaited to COMPLETION (Await.ready, not a
+    * fail-fast Future.sequence) before the first failure in input
+    * order is rethrown — so the no-zombie guarantee holds for FATAL
+    * errors too (an OutOfMemoryError/InterruptedException in one thunk
+    * fails its future without being caught by the inner Try; a
+    * sequence-then-result await would rethrow it while sibling writes
+    * are still committing). The one path that can return with work
+    * still running is the `timeout` hang-breaker: it interrupts the
+    * pool (shutdownNow) and throws TimeoutException — by then the
+    * caller's state is suspect anyway, which is what the exception
+    * says. */
+  def inParallel[T](thunks: Seq[() => T], parallelism: Int = 4,
+                    timeout: scala.concurrent.duration.Duration =
+                      defaultTimeout): Seq[T] = {
     require(parallelism >= 1, s"parallelism must be >= 1: $parallelism")
     if (thunks.sizeIs <= 1) return thunks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, thunks.size))
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    var interrupted = false
     try {
-      // Try-wrapped so a failure never leaves siblings in flight:
-      // every future runs to completion before the first error (in
-      // input order) is rethrown — see the failure-semantics note
       val fs = thunks.map(t =>
         scala.concurrent.Future(scala.util.Try(t())))
-      val done = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(fs),
-        scala.concurrent.duration.Duration.Inf)
+      // one shared deadline across all futures (they run concurrently,
+      // so the bound is on the whole group, not per thunk)
+      val deadline = timeout match {
+        case f: scala.concurrent.duration.FiniteDuration => Some(f.fromNow)
+        case _ => None
+      }
+      try {
+        fs.foreach { f =>
+          scala.concurrent.Await.ready(f,
+            deadline.map(_.timeLeft.max(
+                scala.concurrent.duration.Duration.Zero))
+              .getOrElse(scala.concurrent.duration.Duration.Inf))
+        }
+      } catch {
+        case e: java.util.concurrent.TimeoutException =>
+          // hang-breaker: interrupt stragglers rather than leaking a
+          // non-daemon pool that pins the JVM
+          interrupted = true
+          pool.shutdownNow()
+          throw e
+      }
+      // every future is complete here; outer Try = the future's own
+      // completion (fatal errors land here), inner Try = the thunk's
+      val done = fs.map(_.value.get.flatten)
       done.map(_.get)
     } finally {
-      pool.shutdown(); ()
+      if (!interrupted) {
+        pool.shutdown()
+        // all futures completed before we got here, so this never
+        // blocks on real work — it only lets the worker threads die
+        // before the pool handle goes out of scope
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      ()
     }
   }
 }

@@ -625,9 +625,18 @@ object Retrieval {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSeed = Window.partitionBy("__sig")
       .orderBy(col("__ub_q6").desc, col("term").asc)
+    // terms2 feeds BOTH the θ subtree below and the returned join —
+    // Spark does not dedupe common subtrees, so without this
+    // materialization the whole terms1 pipeline (query tokenization,
+    // the dfreq/tfmax merges, the stats aggregate, both windows) runs
+    // TWICE per probe (measured: the committed r18 before-plan carries
+    // the duplicated subtree, 38 Exchanges). Signature×term-sized —
+    // the same self-cleaning eager-checkpoint stance as the caller's
+    // split frame.
     val terms2 = terms1
       .withColumn("__cum_q6", sum("__ub_q6").over(wAsc))
       .withColumn("__seed", row_number().over(wSeed) === 1)
+      .localCheckpoint(true)
     // θ per signature (absent when the seed list is shorter than k →
     // no θ → nothing prunes, the exhaustive degenerate). Two notches:
     //
@@ -651,20 +660,38 @@ object Retrieval {
     //  ubs straddle the loose θ (measured crossovers in
     //  docs/SCALE.md; on single-rare-term queries the loose θ
     //  already demotes everything demotable and the notch buys ~0).
-    val seedMatched = terms2.filter(col("__seed"))
-      .select("__sig", "term", "df")
-      .join(ix.postings, "term")
-      .join(ix.doclen, "doc")
-      .crossJoin(broadcast(ix.stats))
-      .withColumn("__contrib_q6", contribQ6(k1, b))
     val thetas = if (!fullSeedTheta) {
-      val wTheta = Window.partitionBy("__sig")
+      // θ_loose is a pure function of the seed TERM: the k-th best
+      // single-term contribution over that term's posting list, and
+      // contribQ6 reads only (df, tf, len, stats) — nothing
+      // per-signature. Signatures sharing a seed term would each
+      // re-join and re-window the same posting list (the worst lists
+      // in the workload: seeds are the highest-ub terms), so the
+      // k-th-best runs once per DISTINCT seed term and maps back to
+      // signatures by the seed relation — row-identical to the
+      // per-signature window (same ordering, same k, same ties).
+      val seedTermMatched = terms2.filter(col("__seed"))
+        .select("term", "df").distinct()
+        .join(ix.postings, "term")
+        .join(ix.doclen, "doc")
+        .crossJoin(broadcast(ix.stats))
+        .withColumn("__contrib_q6", contribQ6(k1, b))
+      val wTheta = Window.partitionBy("term")
         .orderBy(col("__contrib_q6").desc, col("doc").asc)
-      seedMatched
+      seedTermMatched
         .withColumn("__r", row_number().over(wTheta))
         .filter(col("__r") === k)
-        .select(col("__sig"), col("__contrib_q6").as("__theta_q6"))
+        .select(col("term"), col("__contrib_q6").as("__theta_q6"))
+        .join(terms2.filter(col("__seed")).select("__sig", "term"),
+          "term")
+        .select(col("__sig"), col("__theta_q6"))
     } else {
+      val seedMatched = terms2.filter(col("__seed"))
+        .select("__sig", "term", "df")
+        .join(ix.postings, "term")
+        .join(ix.doclen, "doc")
+        .crossJoin(broadcast(ix.stats))
+        .withColumn("__contrib_q6", contribQ6(k1, b))
       val seedDocs = seedMatched.select("__sig", "doc")
       // join ORDER is the cost model: restrict postings to the seed
       // DOCS first (seedDocs is signatures×df_seed rows — broadcast-
@@ -675,7 +702,9 @@ object Retrieval {
       // rows for a stopword — before the seed restriction.
       val fullScores = seedDocs
         .join(ix.postings, "doc")
-        .join(terms1.select("__sig", "term", "df"),
+        // terms2, not terms1: terms2 is the checkpointed frame, so
+        // this lookup does not re-run the vocabulary pipeline
+        .join(terms2.select("__sig", "term", "df"),
           Seq("__sig", "term"))
         .join(ix.doclen, "doc")
         .crossJoin(broadcast(ix.stats))
@@ -794,7 +823,20 @@ object Retrieval {
     * One corpus pass builds the shared tf frame (persisted for the
     * derived tables, released before return); `buckets` sizes the
     * doc- and term-keyed layouts like a shuffle partition count at
-    * full corpus scale. */
+    * full corpus scale.
+    *
+    * `toks` CONTRACT: the expression must be deterministic (doclen
+    * re-tokenizes independently of tf — see [[postingsIndex]]) and
+    * free of interpreted higher-order-function lambdas over a
+    * LocalRelation-backed corpus: the two persisted build frames below
+    * are first-materialized CONCURRENTLY and both plans hold the same
+    * `toks` Column instance — interpreted HOFs keep lambda slots in
+    * the expression instance, the torn-row race
+    * [[Concurrent.inParallel]] documents. Every in-repo token
+    * expression (split/lower/trim) is codegen-compiled and carries no
+    * such lambda; a caller passing e.g. `filter(toks, …)` stopword
+    * removal over an in-memory fixture must materialize the corpus
+    * first (localCheckpoint) or build the index from a table. */
   def createPostingsIndexTable(corpus: DataFrame, idCol: String,
                                toks: Column, prefix: String,
                                buckets: Int): Unit = {
@@ -1263,17 +1305,36 @@ object Retrieval {
     // checkpointed victim set and the (immutable here) postings table
     // — independent jobs, overlapped (guide §2.6, the
     // createPostingsIndexTable stance)
-    Concurrent.inParallel(Seq(
-      () => graft.sources.BucketedTables.appendBucketed(
-        stamped(victims.select("doc")), tombTable(prefix), buckets,
-        Seq("doc"), partitionCols = Seq("batch_id")),
+    val tombAppend = () => graft.sources.BucketedTables.appendBucketed(
+      stamped(victims.select("doc")), tombTable(prefix), buckets,
+      Seq("doc"), partitionCols = Seq("batch_id"))
+    val negAppends: Seq[() => Unit] = Seq(
       () => graft.sources.BucketedTables.appendBucketed(
         stamped(negDf), dfreqTable(prefix), buckets, Seq("term"),
         partitionCols = Seq("batch_id")),
-      () => stamped(negStats).write
+      () => { stamped(negStats).write
         .mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").partitionBy("batch_id")
-        .saveAsTable(statsTable(prefix))))
+        .saveAsTable(statsTable(prefix)); () })
+    batchId match {
+      case Some(_) =>
+        // gated: a crash anywhere replays into the same dropped-and-
+        // rewritten partition, so ORDER among the three is free —
+        // fully overlapped
+        Concurrent.inParallel(tombAppend +: negAppends)
+      case None =>
+        // UNGATED crash contract (the scaladoc's transient-drift
+        // window) REQUIRES the tombstone to land before the negative
+        // partials: the retry's no-op-ness rests on the victims
+        // already reading as tombstoned. Overlapping all three could
+        // commit the negatives WITHOUT the tombstone; the retry would
+        // then re-resolve the victims as live and append the negatives
+        // a second time — double-decremented df/stats until the next
+        // compaction. So: tombstone first (ordered), then the two
+        // independent negative appends overlapped.
+        tombAppend()
+        Concurrent.inParallel(negAppends)
+    }
     nVictims
   }
 

@@ -190,6 +190,109 @@ object StreamingOps {
     }
   }
 
+  /** ARRIVAL-BOUNDED banded corpus probe — the foreachBatch tense of
+    * [[bandProbe]] (r17 VERDICT #1: the in-plan probe's corpus-side
+    * scans are CORPUS-proportional per micro-batch, the engine's last
+    * scale-coupled per-batch cost). Row-identical to [[bandProbe]] on
+    * the same inputs, but the corpus side of each per-band anti-join
+    * is pre-filtered to the BATCH'S OWN (band, bits) key set:
+    *
+    *  - `band = b` stays the partition filter (3/4 of files pruned);
+    *  - the batch's band-b bits keys, collected once per batch, cut
+    *    the band partition to the arrivals' own candidate buckets
+    *    before the anti-join's merge.
+    *
+    * Exactness: a corpus row whose `bits` is not in the batch's band-b
+    * set cannot equal ANY batch row's band-b bits, so removing it
+    * cannot change a LEFT ANTI verdict — the prefilter is redundant
+    * for the join and pure work-reduction for everything downstream
+    * of the scan. Per-band the corpus side is cut to the TRUE
+    * CANDIDATE VOLUME — Θ(|batch| · N/65536) by the 4×16-bit
+    * pigeonhole design, the floor no exact probe can beat (every
+    * corpus row sharing a band with an arrival must be
+    * hamming-checked) — instead of the full band partition feeding
+    * the anti-join's merge.
+    *
+    * Mechanism (measured, r18): the keys ride as a BROADCAST
+    * semi-join, not literal predicates — pushing a micro-batch-sized
+    * IN into the parquet scan was measured 2-5× SLOWER than the
+    * unpruned scan (per-row-group dictionary/stats evaluation of a
+    * thousand-value predicate across every file), and bucket hashing
+    * scatters bits ranges across files so row-group min/max cannot
+    * skip IO at any realistic batch size. The scan still reads the
+    * band partition (band IS partition-pruned); what the prefilter
+    * bounds is the join-side work. Reading LESS than the band
+    * requires a bits-range-partitioned layout whose directory count
+    * grows with the corpus — a next-round layout change with a real
+    * file-count cost, analyzed in OPTIMIZATION_r18.md.
+    *
+    * Needs a driver-side collect of the batch's distinct band keys
+    * (≤ 4·|batch| longs), which a single streaming plan cannot
+    * express — hence the foreachBatch tense, composed with
+    * [[ingestDoor]]'s `deferBandProbe = true` (see there for the
+    * exactness of deferring past the stateful dedup). A batch larger
+    * than `maxProbeKeys` rows skips the key collect entirely and runs
+    * the unpruned corpus sides (identical result — a backfill-sized
+    * "batch" saturates the 65536-value keyspace anyway, and its key
+    * set does not belong on the driver).
+    */
+  def prunedBandProbe(batch: DataFrame, sim: Column,
+                      corpusBands: DataFrame, maxHamming: Int = 3,
+                      maxProbeKeys: Int = 8192): DataFrame = {
+    require(!batch.isStreaming,
+      "prunedBandProbe is the foreachBatch tense: the per-band key " +
+        "collect is a driver action a streaming plan cannot express; " +
+        "use bandProbe (or ingestDoor's in-plan gate) on a stream")
+    val nBands = graft.operators.Dedup.HammingBands
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"banded probe is only complete for hamming in [0, ${nBands - 1}] " +
+        s"(got $maxHamming)")
+    require(!batch.columns.contains("graft_sim"),
+      "input batch already has a graft_sim column")
+    val spark = batch.sparkSession
+    // eager localCheckpoint, not persist: per-batch state the
+    // ContextCleaner reclaims once the caller's write finishes — and
+    // the 1 key-collect + nBands anti-joins below must not recompute
+    // the batch's upstream (the door's other gates) five times
+    val withSim = batch.withColumn("graft_sim", sim)
+      .localCheckpoint(true)
+    // backfill guard: a huge "batch" saturates the 16-bit keyspace
+    // (no pruning left to buy) and its key set has no business on the
+    // driver — run the plain unpruned probes instead (same result)
+    val prune = withSim.count() <= maxProbeKeys
+    // ONE job collects every band's distinct keys (NULL fingerprints
+    // collect nothing — a NULL never equi-matches, so those rows pass
+    // the anti-joins untouched exactly as in bandProbe)
+    val keysByBand: Map[Int, Array[Long]] =
+      if (!prune) Map.empty
+      else withSim
+        .select(posexplode(array((0 until nBands).map(b =>
+          graft.operators.Dedup.bandBits(col("graft_sim"), b)): _*))
+          .as(Seq("band", "bits")))
+        .filter(col("bits").isNotNull)
+        .distinct().collect()
+        .groupBy(_.getInt(0))
+        .map { case (b, rows) => b -> rows.map(_.getLong(1)) }
+    (0 until nBands).foldLeft(withSim) { (df, b) =>
+      val cb0 = corpusBands.filter(col("band") === b)
+      val cb = (if (prune) {
+          import spark.implicits._
+          val keys = keysByBand.getOrElse(b, Array.empty[Long])
+            .toSeq.toDF("graft_key")
+          cb0.join(broadcast(keys), col("bits") === col("graft_key"),
+            "left_semi")
+        } else cb0)
+        .select(col("bits").as("graft_bits"),
+          col("sim").as("graft_corpus_sim"))
+      df.join(cb,
+        graft.operators.Dedup.bandBits(col("graft_sim"), b) ===
+          col("graft_bits") &&
+          bit_count(col("graft_sim").bitwiseXOR(col("graft_corpus_sim")))
+            <= maxHamming,
+        "left_anti")
+    }.drop("graft_sim")
+  }
+
   /** Semantic (embedding) dedup at the ingest door — the streaming
     * tense of [[graft.operators.SemDedup.semDedup]]'s verdict for an
     * arrival against a FIXED corpus: an arriving vector is dropped
@@ -823,6 +926,28 @@ object StreamingOps {
    * NULL embedding pass the semantic gate untouched. At EXTREME K
    * pass `semHier`/`semWProbe` to route the gate's rank kernel
    * through the two-level hierarchy ([[semanticProbe]]'s `hier`). */
+  /* `deferBandProbe` — the ARRIVAL-BOUNDED production composition
+   * (r17 VERDICT #1): `true` removes the four in-plan banded
+   * anti-joins (whose corpus-side scans are corpus-proportional per
+   * micro-batch — the one per-batch cost in this chain that grows
+   * with index size) and the ingest loop instead applies
+   * [[prunedBandProbe]] to each micro-batch inside foreachBatch,
+   * where the batch's own (band, bits) key set can be collected and
+   * pushed into the corpus scan as literal partition/parquet filters.
+   *
+   * EXACTNESS of the deferral (spec-pinned, StreamingOpsSpec): the
+   * banded verdict is a pure function of `graft_sim` — exactly the
+   * key the final stateful dedup is keyed on — so the gate is
+   * all-or-none per dedup key and commutes with the dedup: per key,
+   * the dedup's candidate row set is unchanged (every other gate is
+   * per-row and unmoved), so the representative it keeps is the same
+   * row, and the key survives the band gate after the dedup iff it
+   * would have before. The only behavioral differences are
+   * operational: band-duplicate arrivals now occupy (watermark-
+   * bounded) dedup state instead of dying before it, and the rows the
+   * door emits are final only after the caller's per-batch probe —
+   * which is why the default stays in-plan and the deferral is the
+   * ingest loop's opt-in. */
   def ingestDoor(stream: DataFrame, textCol: String, tsCol: String,
                  scoreQ8: Column, minScoreQ8: Long,
                  bloom: graft.operators.Decontaminate.BloomModel,
@@ -839,13 +964,24 @@ object StreamingOps {
                  semHier: Option[
                    graft.operators.Similarity.TwoLevelQuantizer]
                    = None,
-                 semWProbe: Int = 2): DataFrame = {
+                 semWProbe: Int = 2,
+                 deferBandProbe: Boolean = false): DataFrame = {
     val gated = admitAtDoor(
       dsirAdmitAtDoor(stream, textCol, dsir),
       textCol, scoreQ8, minScoreQ8, bloom, shingleN, maxContamPermille)
-    val probed = bandProbe(
-      digestProbe(gated, textCol, corpusDigests).drop("graft_digest"),
-      doorFingerprint(col(textCol)), corpusBands, maxHamming)
+    val digested = digestProbe(gated, textCol, corpusDigests)
+      .drop("graft_digest")
+    // deferred: the fingerprint column the dedup keys on is still
+    // computed here (same expression the in-plan probe would use);
+    // only the four corpus anti-joins move into the caller's
+    // foreachBatch ([[prunedBandProbe]])
+    val probed =
+      if (deferBandProbe) {
+        require(!digested.columns.contains("graft_sim"),
+          "input stream already has a graft_sim column")
+        digested.withColumn("graft_sim", doorFingerprint(col(textCol)))
+      } else bandProbe(digested,
+        doorFingerprint(col(textCol)), corpusBands, maxHamming)
     val sem = semIndex.fold(probed)(ix =>
       semanticProbe(probed, semVecCol, ix, semCosThreshold, semNProbe,
         semHier, semWProbe))

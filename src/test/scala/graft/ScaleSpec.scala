@@ -833,6 +833,68 @@ class ScaleSpec extends SparkSpec {
       "the semantic door's stream side must never explode")
   }
 
+  test("prunedBandProbe on the banded TABLE: corpus scans are " +
+    "partition-pruned to the probe's bands and semi-joined down to " +
+    "the batch's bits keys; result == unpruned probe") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def docsDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"corpus doc $i with shared tokens ${i % 5}"))
+      .toDF("doc_id", "text")
+    // force the session before doorFingerprint registers its kernels
+    spark.sql("DROP TABLE IF EXISTS graft_prune_band")
+    val simOf = graft.streaming.StreamingOps.doorFingerprint(col("text"))
+    try {
+      Dedup.createBandedIndexTable(
+        docsDf(0 until 120).select(col("doc_id"), simOf.as("fp")),
+        "doc_id", "fp", "graft_prune_band", 4)
+      val batch = Seq(
+        (1000L, "corpus doc 3 with shared tokens 3"),  // near-dup
+        (1001L, "entirely novel arrival content xyz")) // novel
+        .toDF("id", "text")
+      val table = spark.table("graft_prune_band")
+      // raw physical plan for the scan assertions (AQE wraps the tree
+      // until execution — the BM25 plan test's stance)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val plan = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.streaming.StreamingOps.prunedBandProbe(
+            batch, simOf, table, maxHamming = 3)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      val probed = graft.streaming.StreamingOps.prunedBandProbe(
+        batch, simOf, table, maxHamming = 3)
+      val scans = plan.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == "graft_prune_band") => s
+      }
+      assert(scans.size == 4, s"expected 4 per-band scans, got ${scans.size}")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(
+            _.name == "band")),
+          s"band scan missing its partition filter: ${s.partitionFilters}")
+      }
+      // each band partition is semi-joined down to the batch's own
+      // collected bits keys (broadcast build — the arrival-bounded
+      // prefilter the deferral exists for) before the anti-join
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.size == 4,
+        s"expected 4 per-band key semi-joins, got ${semis.size}")
+      // exactness: pruning is pure scan hygiene — forcing the fallback
+      // (maxProbeKeys = 0 → unpruned corpus sides) yields the SAME rows
+      val pruned = probed.select("id").as[Long].collect().sorted.toSeq
+      val unpruned = graft.streaming.StreamingOps.prunedBandProbe(
+          batch, simOf, table, maxHamming = 3, maxProbeKeys = 0)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pruned == unpruned, s"pruned=$pruned unpruned=$unpruned")
+      assert(pruned == Seq(1001L),
+        s"the near-dup arrival must be dropped, the novel kept: $pruned")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_prune_band")
+  }
+
   test("BM25 postings tables: the probe's corpus-side scans stay " +
     "exchange-free after 2 appended batches") {
     import graft.operators.{Retrieval, TextAnalysis => TA}
