@@ -17,5 +17,5 @@ for Q in "$@"; do
     java $ADDOPENS -Xmx48g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$JAR:/opt/spark/jars/*" \
     graft.Bench 2>/dev/null \
-    | python3 -c "import json,sys; d=json.loads(sys.stdin.read().strip().splitlines()[-1]); print('$Q', d['queries']['$Q'])"
+    | python3 -c "import json,sys; lines=[l for l in sys.stdin.read().strip().splitlines() if '\"queries\"' in l]; d=json.loads(lines[0]); print('$Q', d['queries']['$Q'])"
 done
